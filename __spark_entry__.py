@@ -1,10 +1,21 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator family from SURVEY.md §2 (plus
+the beyond-reference data-pipeline operators), implemented in
+``myasynstreamjoin_spark`` and checked against the matching
+``oracle_sql()`` DuckDB statement (row-count + schema +
+order-insensitive value hash at sf0.01).
+
+Conventions keeping the two engines hash-identical:
+- events.ts is parquet TIMESTAMP(NANOS): Spark reads it as BIGINT
+  epoch-ns via spark.sql.legacy.parquet.nanosAsLong (session.py);
+  DuckDB uses epoch_ns(ts). Window ids are integer division: ltw =
+  floor(ts_ns / lgw_ns), lgw = 1 h (reference semantics with the
+  stream.json 1000 ms slot rescaled to the fixture's 30-day span).
+- double→int conversions use floor() (Spark casts truncate, DuckDB
+  casts round); money math runs in DECIMAL and is rounded, then cast
+  to DOUBLE; every float output column is round()ed.
+- every computed column is aliased identically on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +23,590 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from myasynstreamjoin_spark.config import EngineConfig
+from myasynstreamjoin_spark.session import prepare_session
+from myasynstreamjoin_spark.sources import fixtures, tables
+
+CFG = EngineConfig()  # lgw = 1 h, 3 sources, m = 12, θ = 0.2
+LGW_NS = CFG.lgw_ns
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _prep(spark: SparkSession) -> SparkSession:
+    return prepare_session(spark)
+
+
+# --------------------------------------------------------------------
+# entry: flagship query (stateful async join, SURVEY.md §7 phase 1)
+# --------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Per (key, 1h event-time window): min across 3 sources of the
+    per-source count, only for windows where every source reported —
+    the reference's stateful async stream join
+    (state/cluster/naive/HashJoin.scala:69-131)."""
+    from myasynstreamjoin_spark.operators.asyn_join import min_count_per_window
+
+    _prep(spark)
+    pw = fixtures.ported_words(spark, SMOKE_SF_DIR, CFG)
+    return min_count_per_window(pw, CFG)
+
+
+# --------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------
+
+def _q_min_count_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.asyn_join import min_count_per_key
+
+    _prep(spark)
+    return min_count_per_key(fixtures.ported_words(spark, sf_dir, CFG))
+
+
+def _q_min_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.asyn_join import min_count_per_window
+
+    _prep(spark)
+    return min_count_per_window(fixtures.ported_words(spark, sf_dir, CFG), CFG)
+
+
+def _q_min_count_window_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.asyn_join import min_count_per_window
+
+    _prep(spark)
+    return min_count_per_window(
+        fixtures.ported_words(spark, sf_dir, CFG), CFG, emit_zero_if_incomplete=True
+    )
+
+
+def _q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.grouping import count_per_key
+
+    _prep(spark)
+    return count_per_key(fixtures.keyed_values(spark, sf_dir, CFG))
+
+
+def _q_salted_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.skew import salted_agg
+
+    _prep(spark)
+    kv = fixtures.keyed_values(spark, sf_dir, CFG)
+    return salted_agg(kv, ["key"], {"cnt": ("count", "*")}, fanout=16)
+
+
+def _q_split_skew_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.skew import split_skew_agg
+
+    _prep(spark)
+    kv = fixtures.keyed_values(spark, sf_dir, CFG)
+    return split_skew_agg(kv, ["key"], {"cnt": ("count", "*")}, fanout=16, cfg=CFG)
+
+
+def _q_collect_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.grouping import collect_count_per_key
+
+    _prep(spark)
+    return collect_count_per_key(fixtures.keyed_values(spark, sf_dir, CFG))
+
+
+def _q_max_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.grouping import agg_per_window
+
+    _prep(spark)
+    return agg_per_window(fixtures.keyed_values(spark, sf_dir, CFG), "max", CFG)
+
+
+def _q_sum_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.grouping import agg_per_window
+
+    _prep(spark)
+    return agg_per_window(fixtures.keyed_values(spark, sf_dir, CFG), "sum", CFG)
+
+
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.stats import heavy_hitters
+
+    _prep(spark)
+    return heavy_hitters(fixtures.keyed_values(spark, sf_dir, CFG), "key", CFG)
+
+
+def _q_skew_p1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.stats import skew_p1
+
+    _prep(spark)
+    return skew_p1(fixtures.keyed_values(spark, sf_dir, CFG), "key")
+
+
+def _q_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.stats import batch_stats
+
+    _prep(spark)
+    return batch_stats(fixtures.keyed_values(spark, sf_dir, CFG), "key", CFG)
+
+
+def _q_star_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.star_join import star_cardinality
+
+    _prep(spark)
+    return star_cardinality(fixtures.star_rel(spark, sf_dir, CFG))
+
+
+def _q_star_count_hypercube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.star_join import star_cardinality_hypercube
+
+    _prep(spark)
+    return star_cardinality_hypercube(fixtures.star_rel(spark, sf_dir, CFG), cfg=CFG)
+
+
+def _q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.star_join import star_join_count
+
+    _prep(spark)
+    return star_join_count(
+        tables.load_table(spark, sf_dir, "lineitem"),
+        tables.load_table(spark, sf_dir, "orders"),
+        tables.load_table(spark, sf_dir, "customer"),
+    )
+
+
+def _q_parse_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P7 parse pipeline: encode F1 rows into the reference's packed
+    "ts source key;…" Kafka payloads, decode with explode+split+cast,
+    aggregate — proves the text-grammar codec round-trips."""
+    from myasynstreamjoin_spark.operators.grouping import count_per_key
+
+    _prep(spark)
+    pw = fixtures.ported_words(spark, sf_dir, CFG)
+    packed = fixtures.encode_packed_lines(pw.withColumn("pack", F.col("ts") % 64), "pack")
+    decoded = fixtures.decode_packed_lines(packed)
+    return decoded.groupBy("key").agg(F.count("*").alias("cnt"))
+
+
+def _q_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: top-10 BUILDING orders by revenue (join + agg +
+    deterministic top-k). DECIMAL money math, tie-broken by key."""
+    _prep(spark)
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    o = tables.load_table(spark, sf_dir, "orders")
+    c = tables.load_table(spark, sf_dir, "customer")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+              o["o_custkey"] == F.col("c_custkey"))
+        .groupBy("l_orderkey")
+        .agg(F.sum(rev).alias("rev_d"))
+        .select("l_orderkey", F.round(F.col("rev_d"), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary (DECIMAL-exact, rounded to DOUBLE)."""
+    _prep(spark)
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    one = F.lit(1).cast("decimal(18,4)")
+    disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
+    charge = disc_price * (one + dec("l_tax"))
+    agg = (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("sq"),
+            F.sum(dec("l_extendedprice")).alias("sbp"),
+            F.sum(disc_price).alias("sdp"),
+            F.sum(charge).alias("sc"),
+            F.sum(dec("l_discount")).alias("sd"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    n = F.col("count_order")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("sq"), 2).cast("double").alias("sum_qty"),
+        F.round(F.col("sbp"), 2).cast("double").alias("sum_base_price"),
+        F.round(F.col("sdp"), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.col("sc"), 2).cast("double").alias("sum_charge"),
+        F.round(F.col("sq").cast("double") / n, 4).alias("avg_qty"),
+        F.round(F.col("sbp").cast("double") / n, 4).alias("avg_price"),
+        F.round(F.col("sd").cast("double") / n, 6).alias("avg_disc"),
+        "count_order",
+    )
+
+
+def _q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.functions.text import text_stats
+
+    _prep(spark)
+    return text_stats(tables.load_table(spark, sf_dir, "documents"))
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.functions.text import quality_score
+
+    _prep(spark)
+    return quality_score(tables.load_table(spark, sf_dir, "documents"))
+
+
+def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.functions.text import lang_id
+
+    _prep(spark)
+    return lang_id(tables.load_table(spark, sf_dir, "documents"))
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.functions.text import fingerprint
+
+    _prep(spark)
+    return fingerprint(tables.load_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.functions.dedup import exact_dedup_stats
+
+    _prep(spark)
+    return exact_dedup_stats(tables.load_table(spark, sf_dir, "documents"))
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.functions.dedup import ngram_jaccard_pairs
+
+    _prep(spark)
+    return ngram_jaccard_pairs(
+        tables.load_table(spark, sf_dir, "documents"), k=3, threshold=0.2
+    )
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.functions.dedup import minhash_lsh_pairs
+
+    _prep(spark)
+    return minhash_lsh_pairs(
+        tables.load_table(spark, sf_dir, "documents"),
+        n_hashes=32,
+        bands=8,
+        verify_threshold=0.2,
+    )
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.functions.dedup import simhash
+
+    _prep(spark)
+    return simhash(tables.load_table(spark, sf_dir, "documents"))
+
+
+def _q_simsearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.functions.similarity import cosine_topk
+
+    _prep(spark)
+    return cosine_topk(tables.load_table(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+def _q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.functions.similarity import cosine_topk_lsh
+
+    _prep(spark)
+    return cosine_topk_lsh(
+        tables.load_table(spark, sf_dir, "embeddings"), query_id=0, k=10, n_planes=4
+    )
+
+
+def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.functions.multimodal import (
+        decode_media,
+        documents_as_media,
+    )
+
+    _prep(spark)
+    media = documents_as_media(tables.load_table(spark, sf_dir, "documents"))
+    return decode_media(media, fake=True).select("media_id", "n_bytes", "first_byte")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # reference operator inventory (SURVEY.md §2)
+        "q_min_count_batch": _q_min_count_batch,          # A1/A2, J1 stateless
+        "q_min_count_window": _q_min_count_window,        # A7/A8, J1 stateful
+        "q_min_count_window_zero": _q_min_count_window_zero,  # A7 zero-semantics
+        "q_word_count": _q_word_count,                    # A3
+        "q_salted_word_count": _q_salted_word_count,      # X4 PKG analog
+        "q_split_skew_count": _q_split_skew_count,        # X7 APK analog
+        "q_collect_count": _q_collect_count,              # A6
+        "q_max_window": _q_max_window,                    # A4
+        "q_sum_window": _q_sum_window,                    # A5-ish (sum)
+        "q_heavy_hitters": _q_heavy_hitters,              # A11
+        "q_skew_p1": _q_skew_p1,                          # A12
+        "q_batch_stats": _q_batch_stats,                  # A10
+        "q_star_count": _q_star_count,                    # J2
+        "q_star_count_hypercube": _q_star_count_hypercube,  # J3/X13 analog
+        "q_star_join": _q_star_join,                      # J2 on relational tables
+        "q_parse_pipeline": _q_parse_pipeline,            # P1-P7
+        # SQL-layer coverage the reference lacked (SURVEY.md §2.4 "missing")
+        "q_topk_revenue": _q_topk_revenue,
+        "q_tpch_q1": _q_tpch_q1,
+        # beyond-reference data-pipeline operators (SURVEY.md §7 phase 5)
+        "q_textstats": _q_textstats,
+        "q_quality": _q_quality,
+        "q_langid": _q_langid,
+        "q_fingerprint": _q_fingerprint,
+        "q_dedup_exact": _q_dedup_exact,
+        "q_ngram_jaccard": _q_ngram_jaccard,
+        "q_minhash_pairs": _q_minhash_pairs,              # rows-only
+        "q_simhash": _q_simhash,                          # rows-only
+        "q_simsearch": _q_simsearch,
+        "q_simsearch_lsh": _q_simsearch_lsh,              # rows-only
+        "q_multimodal_meta": _q_multimodal_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------
+# oracles (DuckDB SQL over the pre-registered table views)
+# --------------------------------------------------------------------
+
+_PER_SOURCE = f"""
+    SELECT event_type AS key,
+           epoch_ns(ts) // {LGW_NS} AS ltw,
+           CAST(user_id % 3 AS INT) AS source,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2, 3
+"""
+
+_DOC_TOKENS = "string_split_regex(trim(lower(text)), '\\s+')"
+_DOC_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+_SHINGLES = f"""
+    SELECT doc_id, unnest(list_distinct(
+      CASE WHEN len({_DOC_TOKENS}) >= 3 THEN
+        list_transform(generate_series(1, len({_DOC_TOKENS}) - 2),
+          i -> {_DOC_TOKENS}[i] || ' ' || {_DOC_TOKENS}[i+1] || ' ' || {_DOC_TOKENS}[i+2])
+      ELSE [array_to_string({_DOC_TOKENS}, ' ')] END)) AS shingle
+    FROM documents
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sw = ", ".join(
+        f"'{w}'"
+        for w in (
+            "the", "a", "an", "of", "to", "and", "in", "is", "it", "for",
+            "on", "with", "as", "at", "by", "this", "that", "from", "or", "be",
+        )
+    )
+    return {
+        "q_min_count_batch": """
+            WITH per_source AS (
+              SELECT event_type AS key, CAST(user_id % 3 AS INT) AS source,
+                     count(*) AS cnt
+              FROM events GROUP BY 1, 2)
+            SELECT key, CAST(min(cnt) AS BIGINT) AS min_cnt
+            FROM per_source GROUP BY key
+        """,
+        "q_min_count_window": f"""
+            WITH per_source AS ({_PER_SOURCE})
+            SELECT key, ltw, CAST(min(cnt) AS BIGINT) AS min_cnt
+            FROM per_source GROUP BY key, ltw HAVING count(*) = 3
+        """,
+        "q_min_count_window_zero": f"""
+            WITH per_source AS ({_PER_SOURCE})
+            SELECT key, ltw,
+                   CAST(CASE WHEN count(*) = 3 THEN min(cnt) ELSE 0 END AS BIGINT) AS min_cnt
+            FROM per_source GROUP BY key, ltw
+        """,
+        "q_word_count": """
+            SELECT event_type AS key, count(*) AS cnt FROM events GROUP BY 1
+        """,
+        "q_salted_word_count": """
+            SELECT event_type AS key, count(*) AS cnt FROM events GROUP BY 1
+        """,
+        "q_split_skew_count": """
+            SELECT event_type AS key, count(*) AS cnt FROM events GROUP BY 1
+        """,
+        "q_collect_count": """
+            SELECT event_type AS key, count(*) AS cnt FROM events GROUP BY 1
+        """,
+        "q_max_window": f"""
+            SELECT event_type AS key, epoch_ns(ts) // {LGW_NS} AS ltw,
+                   CAST(max(CAST(floor(value) AS INT)) AS BIGINT) AS agg_val
+            FROM events GROUP BY 1, 2
+        """,
+        "q_sum_window": f"""
+            SELECT event_type AS key, epoch_ns(ts) // {LGW_NS} AS ltw,
+                   CAST(sum(CAST(floor(value) AS INT)) AS BIGINT) AS agg_val
+            FROM events GROUP BY 1, 2
+        """,
+        "q_heavy_hitters": """
+            WITH counts AS (
+              SELECT event_type AS key, count(*) AS cnt FROM events GROUP BY 1),
+            t AS (SELECT count(*) AS total FROM events)
+            SELECT key, cnt FROM counts, t WHERE cnt > 0.2 * total / 12
+        """,
+        "q_skew_p1": """
+            WITH counts AS (SELECT count(*) AS cnt FROM events GROUP BY event_type)
+            SELECT max(cnt) AS max_cnt, CAST(sum(cnt) AS BIGINT) AS total,
+                   round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 9) AS p1
+            FROM counts
+        """,
+        "q_batch_stats": """
+            WITH counts AS (
+              SELECT event_type AS key, count(*) AS cnt FROM events GROUP BY 1),
+            t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts)
+            SELECT total AS m_total, count(*) AS k_keys, max(cnt) AS max_cnt,
+                   CAST(sum(CASE WHEN cnt > 0.2 * total / 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy,
+                   CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+                   round(CAST(max(cnt) AS DOUBLE) / CAST(total AS DOUBLE), 9) AS p1
+            FROM counts, t GROUP BY total
+        """,
+        "q_star_count": """
+            WITH per_rel AS (
+              SELECT event_type AS key, CAST(user_id % 3 AS INT) AS rel, count(*) AS cnt
+              FROM events GROUP BY 1, 2),
+            wide AS (
+              SELECT key,
+                     max(CASE WHEN rel = 0 THEN cnt END) AS c0,
+                     max(CASE WHEN rel = 1 THEN cnt END) AS c1,
+                     max(CASE WHEN rel = 2 THEN cnt END) AS c2
+              FROM per_rel GROUP BY key)
+            SELECT key, CAST(c0 * c1 * c2 AS BIGINT) AS card
+            FROM wide WHERE c0 IS NOT NULL AND c1 IS NOT NULL AND c2 IS NOT NULL
+        """,
+        "q_star_count_hypercube": """
+            WITH per_rel AS (
+              SELECT event_type AS key, CAST(user_id % 3 AS INT) AS rel, count(*) AS cnt
+              FROM events GROUP BY 1, 2),
+            wide AS (
+              SELECT key,
+                     max(CASE WHEN rel = 0 THEN cnt END) AS c0,
+                     max(CASE WHEN rel = 1 THEN cnt END) AS c1,
+                     max(CASE WHEN rel = 2 THEN cnt END) AS c2
+              FROM per_rel GROUP BY key)
+            SELECT key, CAST(c0 * c1 * c2 AS BIGINT) AS card
+            FROM wide WHERE c0 IS NOT NULL AND c1 IS NOT NULL AND c2 IS NOT NULL
+        """,
+        "q_star_join": """
+            SELECT c_mktsegment, count(*) AS n
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+        "q_parse_pipeline": """
+            SELECT event_type AS key, count(*) AS cnt FROM events GROUP BY 1
+        """,
+        "q_topk_revenue": """
+            SELECT l_orderkey,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                                  (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                        AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "q_tpch_q1": """
+            WITH agg AS (
+              SELECT l_returnflag, l_linestatus,
+                     sum(CAST(l_quantity AS DECIMAL(18,4))) AS sq,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sbp,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                         (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS sdp,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                         (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) *
+                         (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS sc,
+                     sum(CAST(l_discount AS DECIMAL(18,4))) AS sd,
+                     count(*) AS count_order
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+              GROUP BY l_returnflag, l_linestatus)
+            SELECT l_returnflag, l_linestatus,
+                   CAST(round(sq, 2) AS DOUBLE) AS sum_qty,
+                   CAST(round(sbp, 2) AS DOUBLE) AS sum_base_price,
+                   CAST(round(sdp, 2) AS DOUBLE) AS sum_disc_price,
+                   CAST(round(sc, 2) AS DOUBLE) AS sum_charge,
+                   round(CAST(sq AS DOUBLE) / count_order, 4) AS avg_qty,
+                   round(CAST(sbp AS DOUBLE) / count_order, 4) AS avg_price,
+                   round(CAST(sd AS DOUBLE) / count_order, 6) AS avg_disc,
+                   count_order
+            FROM agg
+        """,
+        "q_textstats": f"""
+            SELECT doc_id,
+                   CAST(len({_DOC_TOKENS}) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct({_DOC_TOKENS})) AS BIGINT) AS n_distinct_tokens,
+                   CAST(length({_DOC_NORM}) AS BIGINT) AS n_chars_norm,
+                   round(CAST(length({_DOC_NORM}) - (len({_DOC_TOKENS}) - 1) AS DOUBLE)
+                         / len({_DOC_TOKENS}), 4) AS avg_token_len,
+                   CAST(len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\\s])', 1)) AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
+        "q_quality": f"""
+            SELECT doc_id,
+                   round((CAST(len(list_distinct({_DOC_TOKENS})) AS DOUBLE)
+                          / len({_DOC_TOKENS}))
+                         * least(len({_DOC_TOKENS}) / 50.0, 1.0), 6) AS quality
+            FROM documents
+        """,
+        "q_langid": f"""
+            WITH scored AS (
+              SELECT doc_id,
+                     round(CAST(len(list_filter(list_distinct({_DOC_TOKENS}),
+                                                x -> x IN ({sw}))) AS DOUBLE)
+                           / len(list_distinct({_DOC_TOKENS})), 6) AS en_ratio
+              FROM documents)
+            SELECT doc_id, en_ratio,
+                   CASE WHEN en_ratio > 0.05 THEN 'en' ELSE 'other' END AS lang_guess
+            FROM scored
+        """,
+        "q_fingerprint": f"""
+            SELECT doc_id, md5({_DOC_NORM}) AS fp FROM documents
+        """,
+        "q_dedup_exact": f"""
+            SELECT md5({_DOC_NORM}) AS fp, min(doc_id) AS keep_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "q_ngram_jaccard": f"""
+            WITH sh AS ({_SHINGLES}),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+            ix AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM ix a JOIN ix b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
+            FROM common
+            JOIN sizes na ON na.doc_id = doc_a
+            JOIN sizes nb ON nb.doc_id = doc_b
+            WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= 0.2
+        """,
+        "q_simsearch": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT e.vec_id,
+                     round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))
+                           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                              * sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))), 4) AS cos
+              FROM embeddings e, q WHERE e.vec_id <> 0)
+            SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 10
+        """,
+        "q_multimodal_meta": """
+            SELECT doc_id AS media_id,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   CAST(ascii(substring(text, 1, 1)) AS INT) AS first_byte
+            FROM documents
+        """,
+    }

@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + fetch) via a count
+collapse — ``df.count()`` forces the full pipeline without shipping
+result rows to the driver, matching how a cluster job would be
+measured. ``value`` is total wall time over the headline set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as contract  # noqa: E402
+from myasynstreamjoin_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family (SURVEY.md §2 + phase-5 ops).
+# Kept to the representative/expensive members so the bench signal is
+# about engine quality, not query count.
+HEADLINE = [
+    "q_min_count_window",     # flagship stateful async join (A7/J1)
+    "q_min_count_batch",      # stateless async join (A1/A2)
+    "q_word_count",           # grouped count (A3)
+    "q_split_skew_count",     # heavy-hitter salted agg (X7)
+    "q_sum_window",           # windowed sum (A5)
+    "q_batch_stats",          # driver stats agg (A10-A12)
+    "q_star_count",           # star cardinality (J2)
+    "q_star_join",            # relational 3-way join (J2)
+    "q_topk_revenue",         # join + agg + top-k
+    "q_tpch_q1",              # wide aggregation
+    "q_textstats",            # text analysis
+    "q_dedup_exact",          # exact dedup
+    "q_minhash_pairs",        # MinHash LSH near-dup
+    "q_ngram_jaccard",        # inverted-index Jaccard
+    "q_simsearch",            # brute-force cosine top-k
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="bench")
+
+    queries = contract.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        # one warm plan is NOT taken: the driver measures cold, so do we
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

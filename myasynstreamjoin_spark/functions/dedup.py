@@ -1,0 +1,238 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Beyond-reference surface (SURVEY.md §7 phase 5). Scale design:
+
+- exact dedup: hash-groupBy on a 128-bit content fingerprint — one
+  shuffle of (16-byte, id) pairs regardless of document size.
+- n-gram Jaccard: inverted-index self-join on shingles (never an O(n²)
+  cross join); shingle-frequency cap drops degenerate hot shingles the
+  same way production near-dup pipelines do.
+- MinHash/LSH: signatures via JVM-side xxhash64 over shingles, banded
+  so candidate generation is a hash-groupBy; only candidates get exact
+  verification.
+- SimHash: 32-bit signature via per-bit majority vote, computed with
+  explode + conditional aggregation (all JVM-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from myasynstreamjoin_spark.functions.text import normalized, tokens
+
+
+def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Group documents by exact normalized content; per group report the
+    survivor (min doc_id) and the copy count.
+
+    Output: (fp, keep_id, n_copies).
+    """
+    fp = F.md5(F.encode(normalized(text_col), "UTF-8"))
+    return (
+        docs.select(fp.alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Drop exact duplicates, keeping the lowest doc_id per content
+    group. Implemented as a semi-join against the survivor set (no
+    window-over-everything; both sides shuffle on the 16-byte fp)."""
+    with_fp = docs.withColumn("__fp", F.md5(F.encode(normalized(text_col), "UTF-8")))
+    survivors = with_fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+    return with_fp.join(survivors, ["__fp", "doc_id"], "left_semi").drop("__fp")
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Word k-gram shingles of normalized text, de-duplicated.
+
+    Built with transform over an index sequence — stays in codegen, no
+    UDF. Documents shorter than k tokens yield their whole text as the
+    single shingle.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+    )
+    return F.array_distinct(
+        F.when(n >= k, F.transform(idx, gram)).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """All document pairs with shingle-set Jaccard ≥ threshold, via an
+    inverted index: explode shingles → self-join on shingle → count
+    common shingles per pair → |A∩B| / (|A|+|B|−|A∩B|).
+
+    ``max_shingle_df`` caps the document frequency of index shingles:
+    a shingle shared by thousands of documents contributes quadratic
+    pairs but near-zero discrimination, so production near-dup indexes
+    drop them; the cap is part of the operator's *definition* here
+    (mirrored in the oracle SQL).
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = docs.select(
+        "doc_id", F.explode(shingles("text", k)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    rare = sh.groupBy("shingle").agg(F.count("*").alias("df")).where(
+        F.col("df") <= max_shingle_df
+    )
+    indexed = sh.join(rare.select("shingle"), "shingle")
+    a = indexed.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = indexed.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = 32, k: int = 3
+) -> DataFrame:
+    """MinHash signature per document: for seed i, min over shingles of
+    xxhash64(i ‖ shingle). Whole computation is array expressions over
+    the shingle array — one projection, no shuffle, no UDF.
+
+    Output: (doc_id, sig ARRAY<BIGINT>[n_hashes]).
+    """
+    import random
+
+    # Universal-hash MinHash: xxhash64 each shingle ONCE (reduced to
+    # 32 bits), then n_hashes affine transforms (aᵢ·h + bᵢ) mod p —
+    # long arithmetic instead of n_hashes string hashes per shingle.
+    # aᵢ < 2³⁰ keeps aᵢ·h < 2⁶² (ANSI mode: long overflow throws).
+    p = 4294967311  # prime > 2^32
+    rng = random.Random(42)
+    coeffs = [(rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30)) for _ in range(n_hashes)]
+    base = docs.select("doc_id", shingles("text", k).alias("__sh"))
+    hashed = base.select(
+        "doc_id",
+        F.transform(
+            F.col("__sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32))
+        ).alias("__h"),
+    )
+    def affine_min(a: int, b: int):
+        # closure (not lambda defaults: PySpark counts every parameter
+        # of the callable as a lambda variable)
+        return F.array_min(
+            F.transform(F.col("__h"), lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(p)))
+        )
+
+    sig = F.array(*[affine_min(a, b) for a, b in coeffs])
+    return hashed.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH: split each signature
+    into ``bands`` bands of n_hashes/bands rows; documents colliding on
+    any band hash become candidates; candidates are verified with exact
+    shingle Jaccard when ``verify_threshold`` is set.
+
+    Candidate generation is groupBy(band, band_hash) — a single shuffle
+    whose width is #docs × bands small rows, the property that makes
+    MinHash the scale path where all-pairs Jaccard is quadratic.
+
+    Output: (doc_a, doc_b[, jaccard]).
+    """
+    if n_hashes % bands:
+        raise ValueError("bands must divide n_hashes")
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(docs, n_hashes, k)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("sig").getItem(b * rows_per_band + r).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    exploded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("b")
+    ).select("doc_id", "b.band", "b.bh")
+    a = exploded.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+    b = exploded.select(F.col("doc_id").alias("doc_b"), "band", "bh")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    # Exact verification on candidates only (never all pairs): join the
+    # per-doc shingle arrays onto each candidate pair and compute
+    # Jaccard with array_intersect/array_union — work proportional to
+    # |candidates|, which LSH keeps small.
+    sh = docs.select("doc_id", shingles("text", k).alias("sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= verify_threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """SimHash signature: per token hash, each bit votes ±1; the
+    signature's bit is 1 where the weighted vote is positive.
+
+    Implemented as explode(tokens) → per-bit conditional sums →
+    recombine. ``bits`` capped at 32 to keep the agg column count sane.
+
+    Output: (doc_id, simhash BIGINT).
+    """
+    if bits > 32:
+        raise ValueError("bits must be ≤ 32")
+    tok = docs.select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok"))
+    h = F.xxhash64("tok")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    voted = tok.groupBy("doc_id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+    return voted.select("doc_id", sig.alias("simhash"))

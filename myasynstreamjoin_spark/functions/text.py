@@ -1,0 +1,112 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Beyond-reference surface (SURVEY.md §7 phase 5): the column-level text
+ops a training-data pipeline needs — tokenization, quality scoring,
+language ID, fingerprinting. All pure ``pyspark.sql.functions``
+expressions (JVM-side, whole-stage codegen; no Python in the hot path),
+so they scale linearly with input and push column pruning into the scan
+(only ``doc_id``/``text`` are read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Minimal English stopword list for the n-gram language heuristic.
+#: Deterministic and tiny on purpose: it is replicated into the oracle
+#: SQL, so both engines score identically.
+EN_STOPWORDS = (
+    "the", "a", "an", "of", "to", "and", "in", "is", "it", "for",
+    "on", "with", "as", "at", "by", "this", "that", "from", "or", "be",
+)
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of normalized text (lower + trim +
+    collapse runs of whitespace)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """BPE-ish subword split: runs of letters, runs of digits, or single
+    punctuation marks — the standard pre-tokenizer regex shape used for
+    rough token counting when no real tokenizer is available."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(r"([a-z]+|[0-9]+|[^a-z0-9\s])"), 1)
+
+
+def normalized(col: Column | str) -> Column:
+    """Canonical text form used for fingerprints and exact dedup:
+    lowercase, trimmed, internal whitespace collapsed to single spaces."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document statistics: token counts, distinct tokens, char
+    counts, average token length — the cheap quality signals.
+
+    Output: (doc_id, n_tokens, n_distinct_tokens, n_chars_norm,
+    avg_token_len, n_bpe_tokens).
+    """
+    toks = tokens("text")
+    norm = normalized("text")
+    n_tokens = F.size(toks)
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        F.round(
+            (F.length(norm) - (n_tokens - F.lit(1))) / n_tokens, 4
+        ).alias("avg_token_len"),
+        F.size(bpe_ish_tokens("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality score in [0,1]: lexical diversity (distinct /
+    total tokens) damped by a length prior (short docs score low).
+    Deterministic arithmetic only — oracle-reproducible.
+
+    Output: (doc_id, quality).
+    """
+    toks = tokens("text")
+    n = F.size(toks)
+    diversity = F.size(F.array_distinct(toks)) / n
+    length_prior = F.least(n / F.lit(50.0), F.lit(1.0))
+    return docs.select(
+        "doc_id", F.round(diversity * length_prior, 6).alias("quality")
+    )
+
+
+def lang_id(docs: DataFrame, threshold: float = 0.05) -> DataFrame:
+    """Stopword-ratio language heuristic: fraction of tokens that are
+    common English function words; above ``threshold`` → 'en'.
+
+    (A real n-gram model needs corpora not in this container; the
+    heuristic keeps the operator shape — per-doc token scan, bounded
+    lookup table — identical to what a production langid pass does.)
+
+    Output: (doc_id, en_ratio, lang_guess).
+    """
+    toks = tokens("text")
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.array_intersect(toks, sw))  # distinct stopwords seen
+    ratio = F.round(n_stop / F.size(F.array_distinct(toks)), 6)
+    return docs.select(
+        "doc_id",
+        ratio.alias("en_ratio"),
+        F.when(ratio > threshold, F.lit("en")).otherwise(F.lit("other")).alias("lang_guess"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Content fingerprint: md5 of the normalized text. md5 (not
+    xxhash64) so the DuckDB oracle computes bit-identical values.
+
+    Output: (doc_id, fp).
+    """
+    return docs.select("doc_id", F.md5(F.encode(normalized("text"), "UTF-8")).alias("fp"))

@@ -1,0 +1,122 @@
+"""Star-join cardinality operators (SURVEY.md §2.5 J2/J3).
+
+The reference's star-join module never materializes joined rows: per
+join key z it computes |R0 ⋈ R1 ⋈ R2| = c0·c1·c2, the product of
+per-relation counts (star-join-stateless/cluster/HHJoin.scala:59-78,
+product at :74). Its skew machinery (hypercube "shares" partitioning,
+DuplicateHHJoin.scala:75-103) exists only to balance that computation.
+
+Spark-first design: the counts-product needs ONE shuffle of
+pre-aggregated (key, rel) counts — never a row-level join — so skew in
+the raw data is absorbed by map-side partial aggregation, which is the
+load-balancing effect the reference's hypercube chased. For genuine
+row-materializing star joins, `star_join_count` uses real joins and
+lets Catalyst/AQE pick broadcast + skew-split strategies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from myasynstreamjoin_spark.config import DEFAULT_CONFIG, EngineConfig
+
+
+def star_cardinality(star: DataFrame, n_rels: int = 3) -> DataFrame:
+    """Per-key join cardinality via counts-product (J2, inner-join
+    semantics: keys absent from any relation produce no row).
+
+    Input F3 ``(rel, ts, key, value)``; output ``(key, card)`` with
+    card = Π_r count(rel=r, key). Implemented as
+    groupBy(key, rel).count → pivot-free conditional agg → product,
+    i.e. two shuffles of at-most-|keys|·n_rels rows.
+    """
+    per_rel = star.groupBy("key", "rel").agg(F.count("*").alias("cnt"))
+    cols = [
+        F.max(F.when(F.col("rel") == r, F.col("cnt"))).alias(f"c{r}")
+        for r in range(n_rels)
+    ]
+    wide = per_rel.groupBy("key").agg(*cols)
+    product = F.lit(1).cast("long")
+    cond = F.lit(True)
+    for r in range(n_rels):
+        product = product * F.col(f"c{r}")
+        cond = cond & F.col(f"c{r}").isNotNull()
+    return wide.where(cond).select("key", product.alias("card"))
+
+
+def star_cardinality_join(star: DataFrame, n_rels: int = 3) -> DataFrame:
+    """Cross-check formulation of J2: materialize the 3-way equi-join of
+    the relation slices and count per key. Semantically identical to
+    `star_cardinality` but exercises the real join path (AQE picks
+    broadcast/skew strategies). Used in tests to validate the
+    counts-product; at scale prefer `star_cardinality`.
+    """
+    rels = [
+        star.where(F.col("rel") == r).select(F.col("key").alias(f"k{r}"))
+        for r in range(n_rels)
+    ]
+    joined = rels[0]
+    for r in range(1, n_rels):
+        joined = joined.join(rels[r], joined["k0"] == rels[r][f"k{r}"], "inner")
+    return joined.groupBy(F.col("k0").alias("key")).agg(F.count("*").alias("card"))
+
+
+def star_cardinality_hypercube(
+    star: DataFrame,
+    n_rels: int = 3,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    n_cells: int = 8,
+) -> DataFrame:
+    """Skew-aware J3: the hypercube ("shares") idea of
+    star-join-stateless/cluster/DuplicateHHJoin.scala re-expressed as
+    DataFrame-level salting.
+
+    Heavy keys (freq > hh_threshold·total/m, the reference's rule) are
+    fragmented: each heavy (key, rel) row gets a salt cell so its
+    partial counts spread over `n_cells` reducers; light keys take the
+    plain path. The final merge sums the salted partials — equivalent
+    to the reference's replication-corrected merge
+    (DuplicateHHJoin.scala:158-208) but without row replication, since
+    we aggregate counts rather than materialize join tuples.
+    """
+    from myasynstreamjoin_spark.operators.stats import heavy_hitters
+
+    heavy = heavy_hitters(star, "key", cfg).select("key", F.lit(True).alias("is_heavy"))
+    tagged = star.join(F.broadcast(heavy), "key", "left").withColumn(
+        "salt",
+        F.when(
+            F.col("is_heavy").isNotNull(),
+            F.pmod(F.xxhash64("value", "ts"), F.lit(n_cells)),
+        ).otherwise(F.lit(0)),
+    )
+    partial = tagged.groupBy("key", "rel", "salt").agg(F.count("*").alias("pcnt"))
+    per_rel = partial.groupBy("key", "rel").agg(F.sum("pcnt").alias("cnt"))
+    cols = [
+        F.max(F.when(F.col("rel") == r, F.col("cnt"))).alias(f"c{r}")
+        for r in range(n_rels)
+    ]
+    wide = per_rel.groupBy("key").agg(*cols)
+    product = F.lit(1).cast("long")
+    cond = F.lit(True)
+    for r in range(n_rels):
+        product = product * F.col(f"c{r}")
+        cond = cond & F.col(f"c{r}").isNotNull()
+    return wide.where(cond).select("key", product.alias("card"))
+
+
+def star_join_count(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Row-materializing 3-way star join over the relational tables
+    (FIXTURES.md §2): lineitem ⋈ orders ⋈ customer, grouped count per
+    market segment. The dimension (customer) is broadcast — at 100 TB
+    the fact table streams through without shuffling the small side.
+    Output ``(c_mktsegment, n)``.
+    """
+    return (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"], "inner")
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"], "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )

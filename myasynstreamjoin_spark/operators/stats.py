@@ -1,0 +1,82 @@
+"""Workload statistics: heavy hitters, skew ratio, batch stats.
+
+These are the inputs to the reference's adaptive partitioning decisions
+(SURVEY.md §2.4 A10-A12). The reference computes them with driver-side
+``rdd.aggregate`` per micro-batch
+(one-group-stateless/cluster/APKGrouping.scala:114-141,
+DGrouping.scala:135-171); here they are ordinary distributed aggregates
+whose result is a *small* DataFrame (≤ key-cardinality rows or a single
+row), so the same stats scale to 100 TB inputs — nothing row-sized ever
+reaches the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from myasynstreamjoin_spark.config import DEFAULT_CONFIG, EngineConfig
+
+
+def key_counts(df: DataFrame, key: str = "key") -> DataFrame:
+    """Per-key frequency table ``(key, cnt)`` (A13 reduceByKey analog)."""
+    return df.groupBy(key).agg(F.count("*").alias("cnt"))
+
+
+def heavy_hitters(
+    df: DataFrame, key: str = "key", cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Keys with freq > hh_threshold · total / n_mappers (A11; the
+    0.2·total/m rule of one-group-stateless/cluster/APKGrouping.scala:94-100
+    and stateless/cluster/AdvancedPartialKeyJoin.scala:37).
+
+    The total is a one-row aggregate broadcast into the comparison —
+    a scalar join, not a driver collect, so the plan is a single pass
+    over the per-key counts regardless of input size.
+    Output ``(key, cnt)``.
+    """
+    counts = key_counts(df, key)
+    total = df.agg(F.count("*").alias("total"))
+    thresh = F.lit(cfg.hh_threshold) * F.col("total") / F.lit(cfg.n_mappers)
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") > thresh)
+        .select(key, "cnt")
+    )
+
+
+def skew_p1(df: DataFrame, key: str = "key") -> DataFrame:
+    """Skew ratio p1 = max key frequency / total (A12:
+    stateless/cluster/PartialKeyDynamicGlobalJoin.scala:82-87).
+
+    Single-row output ``(max_cnt, total, p1)``; p1 rounded so the
+    float is hash-stable across engines.
+    """
+    return key_counts(df, key).agg(
+        F.max("cnt").alias("max_cnt"),
+        F.sum("cnt").cast("long").alias("total"),
+        F.round(F.max("cnt") / F.sum("cnt"), 9).alias("p1"),
+    )
+
+
+def batch_stats(df: DataFrame, key: str = "key", cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """The full per-batch statistics record the reference's cost model
+    consumes (A10, DGrouping.scala:135-171): total tuples M, distinct
+    keys K, max frequency, heavy-hitter count |H|, and number of
+    singleton keys — one row.
+
+    These feed the costHH/costAPK strategy choice (X8); in this engine
+    the analogous runtime adaptivity is AQE, but the stats remain useful
+    for plan selection (e.g. split_skew_agg fan-out) and monitoring.
+    """
+    counts = key_counts(df, key)
+    total = counts.agg(F.sum("cnt").cast("long").alias("total"))
+    hh_thresh = F.lit(cfg.hh_threshold) * F.col("total") / F.lit(cfg.n_mappers)
+    return counts.crossJoin(F.broadcast(total)).agg(
+        F.first("total").alias("m_total"),
+        F.count("*").alias("k_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum(F.when(F.col("cnt") > hh_thresh, 1).otherwise(0)).cast("long").alias("n_heavy"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).cast("long").alias("n_singletons"),
+        F.round(F.max("cnt") / F.first("total"), 9).alias("p1"),
+    )

@@ -1,0 +1,86 @@
+"""SparkSession factory and session preparation.
+
+Design notes for scale (local[32] here, 1000-executor cluster target):
+- AQE on: runtime partition coalescing, skew-join splitting, and
+  broadcast-join demotion replace the reference's hand-rolled adaptive
+  partitioners (SURVEY.md §2.3 X5-X12).
+- UTC session timezone so timestamp arithmetic agrees with the DuckDB
+  oracle (naive UTC timestamps).
+- ``spark.sql.legacy.parquet.nanosAsLong=true``: the driver's
+  ``events.parquet`` stores TIMESTAMP(NANOS), which Spark 4 otherwise
+  refuses to read; with the flag the column surfaces as BIGINT epoch-ns,
+  which is exactly the reference's time model (BigInt epoch timestamps,
+  state/cluster/naive/HashJoin.scala:50).
+- Arrow enabled for the Pandas-UDF slow paths (similarity, multimodal).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# SQL configs applied to any session that runs engine queries. All of
+# these are runtime-settable (SQLConf), so they also work on a session
+# the test driver created for us.
+SESSION_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Streaming state: evict eagerly on watermark (default, made explicit).
+    "spark.sql.streaming.statefulOperator.allowMultiple": "true",
+}
+
+
+def prepare_session(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
+    """Apply the engine's runtime SQL confs to an existing session.
+
+    Called by every driver-facing query so the contract works even when
+    the harness constructs its own SparkSession.
+    """
+    for k, v in SESSION_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Non-settable in this deployment; engine degrades gracefully.
+            pass
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return spark
+
+
+def get_spark(
+    app_name: str = "myasynstreamjoin-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Local default: ``local[$SPARK_GRAFT_CPUS]`` threads with shuffle
+    partitions matched to cores — the 200 default over-parallelizes
+    small local runs and under-parallelizes a real cluster; both are
+    corrected by AQE coalescing once the base number is sane.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in SESSION_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return prepare_session(spark, shuffle_partitions)

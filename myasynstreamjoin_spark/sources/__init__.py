@@ -1,0 +1,17 @@
+from myasynstreamjoin_spark.sources.tables import TABLE_NAMES, load_table, register_views
+from myasynstreamjoin_spark.sources.fixtures import (
+    keyed_values,
+    ported_words,
+    star_rel,
+    with_window,
+)
+
+__all__ = [
+    "TABLE_NAMES",
+    "load_table",
+    "register_views",
+    "ported_words",
+    "keyed_values",
+    "star_rel",
+    "with_window",
+]

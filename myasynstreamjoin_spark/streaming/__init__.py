@@ -1,0 +1,7 @@
+from myasynstreamjoin_spark.streaming.windowed import (
+    run_stream_to_table,
+    stream_events,
+    stream_min_count_per_window,
+)
+
+__all__ = ["stream_events", "stream_min_count_per_window", "run_stream_to_table"]

@@ -1,0 +1,121 @@
+"""Structured Streaming versions of the async-join queries.
+
+This replaces the reference's entire forked mapWithState stack
+(SURVEY.md §2.6 T2-T8, ~810 LoC of copied Spark internals at
+state/org/apache/spark/streaming/*) with engine-managed primitives:
+
+  punctuation records (T2, state/cluster/naive/HashJoin.scala:54-63)
+      → withWatermark (out-of-band, global min across sources)
+  trigger time-table min (T3, state/timetable/MyStateJoinUtils.scala:10-66)
+      → engine watermark propagation
+  emit-on-trigger + state eviction (T4/T5,
+      MyMapWithStateWithIndexRDD.scala:62-148)
+      → append output mode on a windowed aggregation
+  mandatory checkpointing (T8) → checkpointLocation
+  in-order assumption (T10) → watermark delay tolerance (strictly better)
+
+The aggregation is keyed by (key, window) — the reference's "optimized
+state layout" (state/cluster/optimized/HashJoin.scala:70-108) is how
+Structured Streaming keys window state natively.
+
+Emission timing differs (micro-batch watermark vs per-partition
+punctuation), but the *final* table is identical; tests assert
+streaming/batch equivalence on the converged result (SURVEY.md §7
+phase 3 risk note).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from myasynstreamjoin_spark.config import DEFAULT_CONFIG, EngineConfig
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # epoch-ns (nanosAsLong)
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a file stream (the test-rig replacement for
+    the reference's Kafka direct stream, stateless/cluster/HashJoin.scala:64-65;
+    swap for readStream.format("kafka") in production — see sources.kafka).
+    """
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def stream_min_count_per_window(
+    events: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Streaming flagship: per (key, tumbling event-time window), min
+    across sources of per-source counts, emitted only for complete
+    windows, in append mode (emission on watermark passage + state
+    eviction — the reference's T4/T5 semantics).
+
+    Single stateful aggregation: per-source counts are pivoted into one
+    conditional-count row per (key, window) — `least` of the source
+    counts is the min, zero means incomplete. Output schema matches the
+    batch operator: (key, ltw, min_cnt).
+    """
+    with_time = events.select(
+        F.expr("timestamp_micros(ts DIV 1000)").alias("etime"),
+        (F.col("user_id") % cfg.n_sources).cast("int").alias("source"),
+        F.col("event_type").alias("key"),
+    )
+    per_source_cols = [
+        F.count(F.when(F.col("source") == r, 1)).alias(f"c{r}")
+        for r in range(cfg.n_sources)
+    ]
+    agg = (
+        with_time.withWatermark("etime", cfg.watermark_delay)
+        .groupBy("key", F.window("etime", f"{cfg.lgw_ms} milliseconds").alias("w"))
+        .agg(*per_source_cols)
+    )
+    complete = F.lit(True)
+    for r in range(cfg.n_sources):
+        complete = complete & (F.col(f"c{r}") > 0)
+    min_cnt = F.least(*[F.col(f"c{r}") for r in range(cfg.n_sources)])
+    return agg.where(complete).select(
+        "key",
+        F.floor(F.unix_millis(F.col("w.start")) / cfg.lgw_ms).cast("long").alias("ltw"),
+        min_cnt.cast("long").alias("min_cnt"),
+    )
+
+
+def run_stream_to_table(
+    streaming_df: DataFrame,
+    spark: SparkSession,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion over its (finite) file
+    source and return the materialized result as a batch DataFrame
+    (memory sink + processAllAvailable)."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="masj_ckpt_")
+    q = (
+        streaming_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -1,0 +1,83 @@
+"""Shared test fixtures: one SparkSession, a DuckDB connection with the
+driver tables registered, and an oracle-comparison helper mirroring the
+driver's t2 check (row count + schema width + order-insensitive values,
+columns sorted by name)."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from myasynstreamjoin_spark.session import get_spark
+from myasynstreamjoin_spark.sources.tables import TABLE_NAMES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="masj-tests", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{SF_DIR}/{name}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if hasattr(v, "tolist"):  # numpy scalars/arrays from duckdb
+        return _norm_cell(v.tolist())
+    if isinstance(v, list):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def normalize_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    """Sort columns by name (driver behavior), normalize floats, sort rows."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+def assert_matches_oracle(spark_df, duck_con, sql: str):
+    """Order-insensitive comparison of a Spark DataFrame against a
+    DuckDB result — the local stand-in for the driver's value hash."""
+    spark_cols = spark_df.columns
+    spark_rows = [tuple(r) for r in spark_df.collect()]
+    res = duck_con.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = [tuple(r) for r in res.fetchall()]
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    a = normalize_rows(spark_cols, spark_rows)
+    b = normalize_rows(duck_cols, duck_rows)
+    mism = [(x, y) for x, y in zip(a, b) if x != y]
+    assert not mism, f"value mismatch ({len(mism)} rows), first: {mism[:3]}"
