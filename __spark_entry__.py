@@ -321,6 +321,36 @@ def _q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_min_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query as a real Structured Streaming job (file source →
+    watermark → windowed agg, append mode) run to completion; the oracle
+    is the batch answer restricted to windows the final watermark
+    passed — streaming-batch equivalence as part of the gate."""
+    from myasynstreamjoin_spark.streaming.windowed import (
+        run_stream_to_table,
+        stream_events,
+        stream_min_count_per_window,
+    )
+
+    _prep(spark)
+    return run_stream_to_table(
+        stream_min_count_per_window(stream_events(spark, sf_dir), CFG), spark
+    )
+
+
+def _q_stream_min_count_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) with the
+    reference's zero-if-incomplete emission, run to completion."""
+    from myasynstreamjoin_spark.streaming.stateful import stateful_min_count
+    from myasynstreamjoin_spark.streaming.windowed import (
+        run_stream_to_table,
+        stream_events,
+    )
+
+    _prep(spark)
+    return run_stream_to_table(stateful_min_count(stream_events(spark, sf_dir), CFG), spark)
+
+
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.functions.multimodal import (
         decode_media,
@@ -366,6 +396,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simsearch": _q_simsearch,
         "q_simsearch_lsh": _q_simsearch_lsh,              # rows-only
         "q_multimodal_meta": _q_multimodal_meta,
+        # streaming layer run to completion (SURVEY.md §2.6 T1-T5, T8)
+        "q_stream_min_count_window": _q_stream_min_count_window,
+        "q_stream_min_count_zero": _q_stream_min_count_zero,
     }
 
 
@@ -608,5 +641,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
                    CAST(ascii(substring(text, 1, 1)) AS INT) AS first_byte
             FROM documents
+        """,
+        # Streaming oracles: append mode emits a window once the final
+        # watermark (max event-time ms − 1h delay) passes its end; the
+        # ≤ boundary matches Spark's state eviction (verified in
+        # tests/test_streaming.py).
+        "q_stream_min_count_window": f"""
+            WITH per_source AS ({_PER_SOURCE}),
+            wm AS (SELECT max(epoch_ns(ts)) // 1000000 - {3_600_000} AS wm_ms FROM events)
+            SELECT key, ltw, CAST(min(cnt) AS BIGINT) AS min_cnt
+            FROM per_source GROUP BY key, ltw
+            HAVING count(*) = 3
+               AND (ltw + 1) * {CFG.lgw_ms} <= (SELECT wm_ms FROM wm)
+        """,
+        "q_stream_min_count_zero": f"""
+            WITH per_source AS ({_PER_SOURCE}),
+            wm AS (SELECT max(epoch_ns(ts)) // 1000000 - {3_600_000} AS wm_ms FROM events)
+            SELECT key, ltw,
+                   CAST(CASE WHEN count(*) = 3 THEN min(cnt) ELSE 0 END AS BIGINT) AS min_cnt
+            FROM per_source GROUP BY key, ltw
+            HAVING (ltw + 1) * {CFG.lgw_ms} <= (SELECT wm_ms FROM wm)
         """,
     }

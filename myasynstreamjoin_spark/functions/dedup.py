@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from myasynstreamjoin_spark.functions.text import normalized, tokens
+from myasynstreamjoin_spark.sources.tables import rebalance
 
 
 def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -81,7 +82,9 @@ def ngram_jaccard_pairs(
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    sh = docs.select(
+    # Rebalance first: the shingle explode amplifies each row ~n_tokens×,
+    # so byte-based scan partitioning under-parallelizes it badly.
+    sh = rebalance(docs).select(
         "doc_id", F.explode(shingles("text", k)).alias("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -126,7 +129,7 @@ def minhash_signatures(
     p = 4294967311  # prime > 2^32
     rng = random.Random(42)
     coeffs = [(rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30)) for _ in range(n_hashes)]
-    base = docs.select("doc_id", shingles("text", k).alias("__sh"))
+    base = rebalance(docs).select("doc_id", shingles("text", k).alias("__sh"))
     hashed = base.select(
         "doc_id",
         F.transform(
@@ -198,7 +201,7 @@ def minhash_lsh_pairs(
     # per-doc shingle arrays onto each candidate pair and compute
     # Jaccard with array_intersect/array_union — work proportional to
     # |candidates|, which LSH keeps small.
-    sh = docs.select("doc_id", shingles("text", k).alias("sh"))
+    sh = rebalance(docs).select("doc_id", shingles("text", k).alias("sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
@@ -223,7 +226,9 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """
     if bits > 32:
         raise ValueError("bits must be ≤ 32")
-    tok = docs.select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok"))
+    tok = rebalance(docs).select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    )
     h = F.xxhash64("tok")
     votes = [
         F.sum(

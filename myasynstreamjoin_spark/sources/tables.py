@@ -41,6 +41,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def rebalance(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition to the cluster's parallelism.
+
+    Use before work-amplifying operators (shingle explode, per-row
+    signature computation): scan partitioning follows *bytes*
+    (maxPartitionBytes, row-group boundaries), so a small-on-disk input
+    that fans out 100× downstream otherwise runs on a handful of tasks.
+    The shuffle moves only the narrow input rows — cheap relative to
+    the amplified work it parallelizes. At full scale this also evens
+    out skewed file sizes.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every driver table as a temp view (for spark.sql use)."""
     for name in TABLE_NAMES:

@@ -65,10 +65,14 @@ def _make_update_fn(lgw_ms: int, n_sources: int):
             if len(pdf) == 0:
                 continue
             ms = pdf["etime"].astype("int64") // 1_000_000  # ns → ms
-            ltw_col = ms // lgw_ms
-            for ltw, src in zip(ltw_col, pdf["source"]):
+            # Vectorized fold: count per (window, source) in pandas, then
+            # merge the (few) distinct cells — never a per-row Python loop.
+            grp = pd.DataFrame(
+                {"ltw": ms // lgw_ms, "src": pdf["source"].astype("int64")}
+            ).groupby(["ltw", "src"]).size()
+            for (ltw, src), n in grp.items():
                 cell = windows.setdefault(int(ltw), [0] * n_sources)
-                cell[int(src)] += 1
+                cell[int(src)] += int(n)
 
         # --- trigger sweep: emit + evict everything the watermark has
         #     passed (reference: MyMapWithStateWithIndexRDD.scala:62-103,

@@ -55,7 +55,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{sf_dir}/events.parquet")
+        # events.parquet is a single file; FileStreamSource forces
+        # basePath to the source path unless it's a glob, and then
+        # requires basePath to be a directory — so glob the file name.
+        .option("basePath", sf_dir)
+        .parquet(f"{sf_dir}/events.parquet*")
     )
 
 

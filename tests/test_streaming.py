@@ -1,0 +1,75 @@
+"""Streaming-batch equivalence (SURVEY.md §7 phase 3 validation).
+
+The reference's punctuation watermark (T2/T3) emits per-partition; the
+engine's Structured Streaming watermark is global — emission *timing*
+differs but the converged result must equal the batch answer restricted
+to windows the final watermark passed:
+
+    wm_ms = floor(max(ts)/1e6) - delay_ms
+    emitted ⟺ (ltw + 1) * lgw_ms <= wm_ms
+
+(le boundary verified empirically against Spark's state eviction.)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from myasynstreamjoin_spark.config import DEFAULT_CONFIG as CFG
+from myasynstreamjoin_spark.operators.asyn_join import min_count_per_window
+from myasynstreamjoin_spark.sources import fixtures
+from myasynstreamjoin_spark.streaming.stateful import stateful_min_count
+from myasynstreamjoin_spark.streaming.windowed import (
+    run_stream_to_table,
+    stream_events,
+    stream_min_count_per_window,
+)
+
+DELAY_MS = 3_600_000  # cfg.watermark_delay = "1 hour"
+
+
+@pytest.fixture(scope="module")
+def ripe_filter(spark, sf_dir):
+    pw = fixtures.ported_words(spark, sf_dir, CFG)
+    max_ts = pw.agg(F.max("ts")).collect()[0][0]
+    wm_ms = max_ts // 1_000_000 - DELAY_MS
+
+    def ripe(rows):
+        return {r for r in rows if (r[1] + 1) * CFG.lgw_ms <= wm_ms}
+
+    return ripe
+
+
+def test_windowed_stream_equals_batch(spark, sf_dir, ripe_filter):
+    got = {
+        tuple(r)
+        for r in run_stream_to_table(
+            stream_min_count_per_window(stream_events(spark, sf_dir), CFG), spark
+        ).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in min_count_per_window(
+            fixtures.ported_words(spark, sf_dir, CFG), CFG
+        ).collect()
+    }
+    assert got == ripe_filter(batch)
+    assert got, "no windows ripened — fixture/watermark mismatch"
+
+
+def test_stateful_zero_semantics_stream_equals_batch(spark, sf_dir, ripe_filter):
+    got = {
+        tuple(r)
+        for r in run_stream_to_table(
+            stateful_min_count(stream_events(spark, sf_dir), CFG), spark
+        ).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in min_count_per_window(
+            fixtures.ported_words(spark, sf_dir, CFG), CFG, emit_zero_if_incomplete=True
+        ).collect()
+    }
+    assert got == ripe_filter(batch)
+    assert got
