@@ -321,6 +321,39 @@ def _q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cost_model_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.cost_model import batch_strategy
+
+    _prep(spark)
+    return batch_strategy(fixtures.keyed_values(spark, sf_dir, CFG), "key", CFG, lam=1.0)
+
+
+def _q_cost_model_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.cost_model import per_window_strategy
+
+    _prep(spark)
+    kv = fixtures.with_window(fixtures.keyed_values(spark, sf_dir, CFG), CFG)
+    return per_window_strategy(kv, "key", "ltw", CFG, lam=1.0)
+
+
+def _q_embed_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.functions.similarity import exact_embedding_pairs
+
+    _prep(spark)
+    return exact_embedding_pairs(
+        tables.load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+def _q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.functions.similarity import embedding_neardup_pairs
+
+    _prep(spark)
+    return embedding_neardup_pairs(
+        tables.load_table(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=4
+    )
+
+
 def _q_stream_min_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query as a real Structured Streaming job (file source →
     watermark → windowed agg, append mode) run to completion; the oracle
@@ -395,7 +428,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": _q_simhash,                          # rows-only
         "q_simsearch": _q_simsearch,
         "q_simsearch_lsh": _q_simsearch_lsh,              # rows-only
+        "q_embed_neardup_exact": _q_embed_neardup_exact,
+        "q_embed_neardup_lsh": _q_embed_neardup_lsh,      # rows-only
         "q_multimodal_meta": _q_multimodal_meta,
+        # cost-model strategy selection (X8/X11/X12)
+        "q_cost_model_batch": _q_cost_model_batch,
+        "q_cost_model_window": _q_cost_model_window,
         # streaming layer run to completion (SURVEY.md §2.6 T1-T5, T8)
         "q_stream_min_count_window": _q_stream_min_count_window,
         "q_stream_min_count_zero": _q_stream_min_count_zero,
@@ -641,6 +679,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
                    CAST(ascii(substring(text, 1, 1)) AS INT) AS first_byte
             FROM documents
+        """,
+        "q_embed_neardup_exact": """
+            WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_dot_product(a.e, b.e)
+                           / (sqrt(list_dot_product(a.e, a.e))
+                              * sqrt(list_dot_product(b.e, b.e))), 4) AS cos
+              FROM n a JOIN n b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4
+        """,
+        # Cost-model oracles reproduce the reference's fitted formulas
+        # with the same literal expression shape (IEEE-stable); the
+        # reference's Int/Int division M/m in costAPK is // here and
+        # floor() on the Spark side.
+        "q_cost_model_batch": """
+            WITH counts AS (
+              SELECT event_type AS key, count(*) AS cnt FROM events GROUP BY 1),
+            t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+            s AS (
+              SELECT total AS m_total, count(*) AS k_keys, max(cnt) AS max_cnt,
+                     CAST(sum(CASE WHEN cnt > 0.2 * total / 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy,
+                     CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+                     CAST(max(cnt) AS DOUBLE) / total AS raw_p1
+              FROM counts, t GROUP BY total)
+            SELECT m_total, k_keys, max_cnt, n_heavy, n_singletons,
+                   round(raw_p1, 9) AS p1,
+                   round((14.55 * raw_p1 - 0.3857 + 1.0) * m_total / 12, 6) AS cost_hh,
+                   round(m_total // 12 + 1.0 * (k_keys + n_heavy * (12 - 2) - n_singletons), 6) AS cost_apk,
+                   CAST(CASE WHEN (14.55 * raw_p1 - 0.3857 + 1.0) * m_total / 12
+                              <= m_total // 12 + 1.0 * (k_keys + n_heavy * (12 - 2) - n_singletons)
+                         THEN 0 ELSE 1 END AS INT) AS strategy,
+                   CAST(CASE WHEN raw_p1 > 0.1 THEN 1 ELSE 0 END AS INT) AS rr_switch
+            FROM s
+        """,
+        "q_cost_model_window": f"""
+            WITH counts AS (
+              SELECT event_type AS key, epoch_ns(ts) // {LGW_NS} AS ltw, count(*) AS cnt
+              FROM events GROUP BY 1, 2),
+            t AS (SELECT ltw, CAST(sum(cnt) AS BIGINT) AS total FROM counts GROUP BY ltw),
+            s AS (
+              SELECT c.ltw, total AS m_total, count(*) AS k_keys, max(cnt) AS max_cnt,
+                     CAST(sum(CASE WHEN cnt > 0.2 * total / 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy,
+                     CAST(max(cnt) AS DOUBLE) / total AS raw_p1
+              FROM counts c JOIN t ON c.ltw = t.ltw GROUP BY c.ltw, total)
+            SELECT ltw, m_total, k_keys, max_cnt, n_heavy,
+                   round(raw_p1, 9) AS p1,
+                   round((13.26 * raw_p1 + 1.02) * m_total / 12, 6) AS cost_hh,
+                   round(m_total // 12 + 1.0 * (k_keys + n_heavy * (12 - 2)), 6) AS cost_apk,
+                   CAST(CASE WHEN (13.26 * raw_p1 + 1.02) * m_total / 12
+                              <= m_total // 12 + 1.0 * (k_keys + n_heavy * (12 - 2))
+                         THEN 0 ELSE 1 END AS INT) AS strategy,
+                   CAST(CASE WHEN raw_p1 > 0.1 THEN 1 ELSE 0 END AS INT) AS rr_switch
+            FROM s
         """,
         # Streaming oracles: append mode emits a window once the final
         # watermark (max event-time ms − 1h delay) passes its end; the

@@ -131,6 +131,29 @@ def cosine_topk_lsh(
     return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
 
 
+def exact_embedding_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact embedding-cosine pair search: every pair with
+    round(cos, 4) ≥ threshold. O(n²) by definition — this is the
+    correctness baseline the LSH variant (`embedding_neardup_pairs`)
+    approximates; at scale use that one, this one oracles it.
+
+    Output: (id_a, id_b, cos) with id_a < id_b.
+    """
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
