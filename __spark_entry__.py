@@ -242,6 +242,55 @@ def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.relational import rollup_pricing
+
+    _prep(spark)
+    return rollup_pricing(tables.load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.relational import topk_per_group
+
+    _prep(spark)
+    return topk_per_group(tables.load_table(spark, sf_dir, "customer"), k=3)
+
+
+def _q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.relational import distinct_users_per_type
+
+    _prep(spark)
+    return distinct_users_per_type(tables.load_table(spark, sf_dir, "events"))
+
+
+def _q_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.relational import repeat_customers
+
+    _prep(spark)
+    return repeat_customers(tables.load_table(spark, sf_dir, "orders"))
+
+
+def _q_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.relational import churned_customers
+
+    _prep(spark)
+    return churned_customers(tables.load_table(spark, sf_dir, "orders"))
+
+
+def _q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.relational import regional_revenue
+
+    _prep(spark)
+    return regional_revenue(
+        tables.load_table(spark, sf_dir, "customer"),
+        tables.load_table(spark, sf_dir, "orders"),
+        tables.load_table(spark, sf_dir, "lineitem"),
+        tables.load_table(spark, sf_dir, "supplier"),
+        tables.load_table(spark, sf_dir, "nation"),
+        tables.load_table(spark, sf_dir, "region"),
+    )
+
+
 def _q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.functions.text import text_stats
 
@@ -417,6 +466,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SQL-layer coverage the reference lacked (SURVEY.md §2.4 "missing")
         "q_topk_revenue": _q_topk_revenue,
         "q_tpch_q1": _q_tpch_q1,
+        "q_rollup_pricing": _q_rollup_pricing,
+        "q_topk_per_group": _q_topk_per_group,
+        "q_distinct_users": _q_distinct_users,
+        "q_repeat_customers": _q_repeat_customers,
+        "q_churned_customers": _q_churned_customers,
+        "q_regional_revenue": _q_regional_revenue,
         # beyond-reference data-pipeline operators (SURVEY.md §7 phase 5)
         "q_textstats": _q_textstats,
         "q_quality": _q_quality,
@@ -611,6 +666,54 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sd AS DOUBLE) / count_order, 6) AS avg_disc,
                    count_order
             FROM agg
+        """,
+        "q_rollup_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                   CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "q_topk_per_group": """
+            SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS c_acctbal, rn
+            FROM (
+              SELECT c_mktsegment, c_custkey, c_acctbal,
+                     row_number() OVER (PARTITION BY c_mktsegment
+                                        ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+              FROM customer)
+            WHERE rn <= 3
+        """,
+        "q_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "q_repeat_customers": """
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+            INTERSECT
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        """,
+        "q_churned_customers": """
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+            EXCEPT
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        """,
+        "q_regional_revenue": """
+            SELECT n_name,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                                  (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                        AS DOUBLE) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
         """,
         "q_textstats": f"""
             SELECT doc_id,

@@ -46,6 +46,13 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
 
 
+def n_nodes(df: DataFrame, operator: str) -> int:
+    """Count physical-plan nodes of one operator type via the formatted
+    plan's detail headers ("(4) Exchange") — the tree summary repeats
+    every node, so a raw substring count double-counts."""
+    return len(re.findall(rf"\(\d+\) {operator}\b", formatted_plan(df)))
+
+
 def n_shuffles(df: DataFrame) -> int:
     """Count Exchange operators in the physical plan (pre-AQE estimate)."""
-    return formatted_plan(df).count("Exchange")
+    return n_nodes(df, "Exchange")

@@ -1,0 +1,74 @@
+"""Physical-plan property tests: the 100 TB design assertions.
+
+These lock in the plan shapes that make the engine scale — if a
+refactor drops a broadcast, breaks column pruning, or adds a shuffle,
+these fail even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from myasynstreamjoin_spark.config import DEFAULT_CONFIG as CFG
+from myasynstreamjoin_spark.operators.asyn_join import min_count_per_window
+from myasynstreamjoin_spark.operators.grouping import count_per_key
+from myasynstreamjoin_spark.operators.relational import regional_revenue
+from myasynstreamjoin_spark.plans.explain import (
+    has_broadcast_join,
+    n_nodes,
+    n_shuffles,
+    scan_report,
+)
+from myasynstreamjoin_spark.sources import fixtures, tables
+
+
+def test_flagship_is_two_shuffle_two_level_agg(spark, sf_dir):
+    df = min_count_per_window(fixtures.ported_words(spark, sf_dir, CFG), CFG)
+    # partial+final HashAggregate at both levels, exactly two exchanges:
+    # (key, ltw, source) then (key, ltw).
+    assert n_shuffles(df) == 2
+    assert n_nodes(df, "HashAggregate") >= 4
+
+
+def test_grouped_count_is_single_shuffle(spark, sf_dir):
+    df = count_per_key(fixtures.keyed_values(spark, sf_dir, CFG))
+    assert n_shuffles(df) == 1
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    # 3-column projection of the 6-column events table: the parquet scan
+    # must read only those columns.
+    df = fixtures.ported_words(spark, sf_dir, CFG)
+    scans = scan_report(df)
+    assert scans, "no parquet scan found"
+    assert "props" not in scans[0]["read_schema"]
+    assert "event_id" not in scans[0]["read_schema"]
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    ev = tables.load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "click"
+    ).select("event_id")
+    scans = scan_report(ev)
+    assert any("event_type" in s["pushed_filters"] for s in scans)
+
+
+def test_regional_revenue_broadcasts_dims(spark, sf_dir):
+    df = regional_revenue(
+        tables.load_table(spark, sf_dir, "customer"),
+        tables.load_table(spark, sf_dir, "orders"),
+        tables.load_table(spark, sf_dir, "lineitem"),
+        tables.load_table(spark, sf_dir, "supplier"),
+        tables.load_table(spark, sf_dir, "nation"),
+        tables.load_table(spark, sf_dir, "region"),
+    )
+    assert has_broadcast_join(df)
+    # the region filter must be pushed into the region scan
+    assert any(
+        "r_name" in s["pushed_filters"] for s in scan_report(df)
+    ), "region filter not pushed down"
+    # lineitem scan must not read columns the query never touches
+    li_scans = [s for s in scan_report(df) if "l_orderkey" in s["read_schema"]]
+    assert li_scans and all("l_tax" not in s["read_schema"] for s in li_scans)
+    # date range filter pushed into the orders scan
+    assert any("o_orderdate" in s["pushed_filters"] for s in scan_report(df))
