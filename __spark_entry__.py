@@ -385,6 +385,16 @@ def _q_cost_model_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_window_strategy(kv, "key", "ltw", CFG, lam=1.0)
 
 
+def _q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.functions.similarity import ivf_topk
+
+    _prep(spark)
+    return ivf_topk(
+        tables.load_table(spark, sf_dir, "embeddings"),
+        query_id=0, k=10, n_lists=16, nprobe=4,
+    )
+
+
 def _q_embed_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.functions.similarity import exact_embedding_pairs
 
@@ -483,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": _q_simhash,                          # rows-only
         "q_simsearch": _q_simsearch,
         "q_simsearch_lsh": _q_simsearch_lsh,              # rows-only
+        "q_simsearch_ivf": _q_simsearch_ivf,              # rows-only
         "q_embed_neardup_exact": _q_embed_neardup_exact,
         "q_embed_neardup_lsh": _q_embed_neardup_lsh,      # rows-only
         "q_multimodal_meta": _q_multimodal_meta,

@@ -36,11 +36,15 @@ HEADLINE = [
     "q_star_join",            # relational 3-way join (J2)
     "q_topk_revenue",         # join + agg + top-k
     "q_tpch_q1",              # wide aggregation
+    "q_regional_revenue",     # 6-way join w/ broadcast dims
+    "q_cost_model_window",    # per-window strategy selection (X11)
     "q_textstats",            # text analysis
     "q_dedup_exact",          # exact dedup
     "q_minhash_pairs",        # MinHash LSH near-dup
     "q_ngram_jaccard",        # inverted-index Jaccard
     "q_simsearch",            # brute-force cosine top-k
+    "q_embed_neardup_lsh",    # LSH-bucketed embedding near-dup
+    "q_stream_min_count_window",  # Structured Streaming flagship
 ]
 
 

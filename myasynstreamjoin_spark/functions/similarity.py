@@ -19,7 +19,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -129,6 +129,81 @@ def cosine_topk_lsh(
         )
     )
     return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF (inverted-file) index: partition vectors into n_lists cells
+    by nearest centroid.
+
+    Centroids are the n_lists lowest-id vectors — a deterministic
+    seeding (k-means|| would refine them; one Lloyd iteration is a
+    cheap follow-up, but cell *assignment*, not centroid quality, is
+    what the scale path needs). Assignment is a broadcast cross-join +
+    argmax-by-cosine, all column expressions.
+
+    Returns ``(assigned, centroids)`` where assigned = embeddings +
+    ``ivf_cell`` and centroids = (cell, centroid vector). At 100 TB the
+    cell becomes a partition/bucket key so a probe prunes the scan to
+    nprobe/n_lists of the data.
+    """
+    w_id = F.col(id_col)
+    centroids = (
+        embeddings.orderBy(w_id).limit(n_lists)
+        .select(w_id.alias("cell_seed"), F.col(vec_col).alias("cvec"))
+        .withColumn("cell", F.row_number().over(Window.orderBy("cell_seed")) - 1)
+        .select("cell", "cvec")
+    )
+    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+        id_col, vec_col,
+        F.struct(cosine(F.col(vec_col), F.col("cvec")).alias("cos"),
+                 (-F.col("cell")).alias("neg_cell")).alias("__sc"),
+        "cell",
+    )
+    best = scored.groupBy(id_col).agg(F.max("__sc").alias("best"))
+    assigned = (
+        embeddings.join(best, id_col)
+        .select(id_col, vec_col, (-F.col("best.neg_cell")).cast("int").alias("ivf_cell"))
+    )
+    return assigned, centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k via IVF: rank centroids by similarity to the
+    query, keep the nprobe best cells, exact-rerank only vectors in
+    those cells. Recall grows with nprobe (nprobe = n_lists ⇒ exact).
+
+    Output: (vec_id, cos).
+    """
+    assigned, centroids = ivf_assign(embeddings, n_lists, vec_col, id_col)
+    q = embeddings.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("__q"))
+    probe_cells = (
+        centroids.crossJoin(F.broadcast(q))
+        .select("cell", cosine(F.col("cvec"), F.col("__q")).alias("ccos"))
+        .orderBy(F.desc("ccos"), F.asc("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    return (
+        assigned.join(F.broadcast(probe_cells), assigned["ivf_cell"] == F.col("cell"))
+        .crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != query_id)
+        .select(id_col, F.round(cosine(F.col(vec_col), F.col("__q")), 4).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def exact_embedding_pairs(
