@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from myasynstreamjoin_spark.functions.text import normalized, tokens
 from myasynstreamjoin_spark.sources.tables import rebalance
@@ -64,6 +65,14 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     )
 
 
+def shingle_docs(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, sh) with sh the deduplicated shingle array, rebalanced
+    for the downstream explode. Persist the result when several
+    consumers branch from it — the explode is the expensive part and
+    Spark otherwise recomputes it per branch."""
+    return rebalance(docs).select("doc_id", shingles("text", k).alias("sh"))
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     k: int = 3,
@@ -84,8 +93,12 @@ def ngram_jaccard_pairs(
     """
     # Rebalance first: the shingle explode amplifies each row ~n_tokens×,
     # so byte-based scan partitioning under-parallelizes it badly.
-    sh = rebalance(docs).select(
-        "doc_id", F.explode(shingles("text", k)).alias("shingle")
+    # Persisted because three branches (sizes, df-cap, index) consume it;
+    # MEMORY_AND_DISK so a 100 TB run spills instead of OOMing.
+    sh = (
+        shingle_docs(docs, k)
+        .select("doc_id", F.explode("sh").alias("shingle"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     rare = sh.groupBy("shingle").agg(F.count("*").alias("df")).where(
@@ -112,7 +125,10 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame, n_hashes: int = 32, k: int = 3
+    docs: DataFrame,
+    n_hashes: int = 32,
+    k: int = 3,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: for seed i, min over shingles of
     xxhash64(i ‖ shingle). Whole computation is array expressions over
@@ -129,7 +145,11 @@ def minhash_signatures(
     p = 4294967311  # prime > 2^32
     rng = random.Random(42)
     coeffs = [(rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30)) for _ in range(n_hashes)]
-    base = rebalance(docs).select("doc_id", shingles("text", k).alias("__sh"))
+    base = (
+        shingled.select("doc_id", F.col("sh").alias("__sh"))
+        if shingled is not None
+        else rebalance(docs).select("doc_id", shingles("text", k).alias("__sh"))
+    )
     hashed = base.select(
         "doc_id",
         F.transform(
@@ -168,7 +188,11 @@ def minhash_lsh_pairs(
     if n_hashes % bands:
         raise ValueError("bands must divide n_hashes")
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(docs, n_hashes, k)
+    # One persisted shingle pass feeds both signature generation and
+    # the exact verification join (otherwise the tokenize+shingle
+    # projection runs twice over the corpus).
+    shingled = shingle_docs(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures(docs, n_hashes, k, shingled=shingled)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -201,9 +225,8 @@ def minhash_lsh_pairs(
     # per-doc shingle arrays onto each candidate pair and compute
     # Jaccard with array_intersect/array_union — work proportional to
     # |candidates|, which LSH keeps small.
-    sh = rebalance(docs).select("doc_id", shingles("text", k).alias("sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )

@@ -21,6 +21,7 @@ from collections.abc import Sequence
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -245,7 +246,11 @@ def embedding_neardup_pairs(
 
     Output: (id_a, id_b, cos) with id_a < id_b, cos ≥ threshold.
     """
-    bucketed = with_lsh_bucket(embeddings, dim, n_planes, seed, vec_col)
+    # Persisted: both sides of the self-join read it, and the bucket
+    # projection (n_planes dot products per row) is the expensive part.
+    bucketed = with_lsh_bucket(embeddings, dim, n_planes, seed, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = bucketed.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "lsh_bucket"
     )
