@@ -430,6 +430,23 @@ def _q_stream_min_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_min_count_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 as a genuine multi-way stream-stream join (the BASELINE.json
+    approach): per-source windowed-agg streams inner-joined on
+    (key, window); converges to the same table as the single-agg
+    formulation, which is the oracle."""
+    from myasynstreamjoin_spark.streaming.windowed import (
+        run_stream_to_table,
+        stream_events,
+        stream_min_count_join,
+    )
+
+    _prep(spark)
+    return run_stream_to_table(
+        stream_min_count_join(stream_events(spark, sf_dir), CFG), spark
+    )
+
+
 def _q_stream_min_count_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState) with the
     reference's zero-if-incomplete emission, run to completion."""
@@ -502,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cost_model_window": _q_cost_model_window,
         # streaming layer run to completion (SURVEY.md §2.6 T1-T5, T8)
         "q_stream_min_count_window": _q_stream_min_count_window,
+        "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
         "q_stream_min_count_zero": _q_stream_min_count_zero,
     }
 
@@ -853,6 +871,14 @@ def oracle_sql() -> dict[str, str]:
         # ≤ boundary matches Spark's state eviction (verified in
         # tests/test_streaming.py).
         "q_stream_min_count_window": f"""
+            WITH per_source AS ({_PER_SOURCE}),
+            wm AS (SELECT max(epoch_ns(ts)) // 1000000 - {3_600_000} AS wm_ms FROM events)
+            SELECT key, ltw, CAST(min(cnt) AS BIGINT) AS min_cnt
+            FROM per_source GROUP BY key, ltw
+            HAVING count(*) = 3
+               AND (ltw + 1) * {CFG.lgw_ms} <= (SELECT wm_ms FROM wm)
+        """,
+        "q_stream_min_count_join": f"""
             WITH per_source AS ({_PER_SOURCE}),
             wm AS (SELECT max(epoch_ns(ts)) // 1000000 - {3_600_000} AS wm_ms FROM events)
             SELECT key, ltw, CAST(min(cnt) AS BIGINT) AS min_cnt

@@ -101,23 +101,91 @@ def stream_min_count_per_window(
     )
 
 
+def stream_min_count_join(
+    events: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """The J1-as-join formulation (SURVEY.md §2.5, BASELINE.json's
+    declared "Structured Streaming joins" approach): each source port
+    becomes its own stream, windowed-aggregated to per-source counts,
+    and the P aggregated streams are inner-joined on (key, window) —
+    the join's inner-ness IS the completeness check (a window missing
+    any source produces no row), and `least` across the joined count
+    columns is the async-join min.
+
+    This replaces the reference's merged-stream + forked-mapWithState
+    pipeline (state/cluster/naive/HashJoin.scala:69-131) with chained
+    stateful operators (windowed agg → multi-way stream-stream join),
+    which Spark supports natively since the multiple-stateful-operator
+    work (spark.sql.streaming.statefulOperator.allowMultiple, set in
+    session.py). Scale notes: each per-source agg shuffles on
+    (key, window) and so does the join — co-partitioned state, no extra
+    exchange; state per side is one row per live (key, window), evicted
+    by the watermark.
+
+    Output schema matches the batch/agg formulations: (key, ltw, min_cnt).
+    """
+    with_time = events.select(
+        F.expr("timestamp_micros(ts DIV 1000)").alias("etime"),
+        (F.col("user_id") % cfg.n_sources).cast("int").alias("source"),
+        F.col("event_type").alias("key"),
+    )
+
+    def per_source(r: int) -> DataFrame:
+        return (
+            with_time.where(F.col("source") == r)
+            .withWatermark("etime", cfg.watermark_delay)
+            .groupBy("key", F.window("etime", f"{cfg.lgw_ms} milliseconds").alias("w"))
+            .agg(F.count("*").alias(f"c{r}"))
+        )
+
+    joined = per_source(0)
+    for r in range(1, cfg.n_sources):
+        joined = joined.join(per_source(r), ["key", "w"], "inner")
+    return joined.select(
+        "key",
+        F.floor(F.unix_millis(F.col("w.start")) / cfg.lgw_ms).cast("long").alias("ltw"),
+        F.least(*[F.col(f"c{r}") for r in range(cfg.n_sources)]).cast("long").alias("min_cnt"),
+    )
+
+
 def run_stream_to_table(
     streaming_df: DataFrame,
     spark: SparkSession,
     checkpoint_dir: str | None = None,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion over its (finite) file
     source and return the materialized result as a batch DataFrame
-    (memory sink + processAllAvailable)."""
+    (memory sink + processAllAvailable).
+
+    ``state_partitions`` bounds ``spark.sql.shuffle.partitions`` for the
+    duration of query startup: stateful operators commit one state-store
+    file per partition per micro-batch, so a finite local replay with
+    the 200-partition default pays ~25× the state-commit overhead of an
+    8-partition run for the same data. The partition count is locked
+    into the checkpoint at query start; the session value is restored
+    afterwards. On a real cluster-scale deployment pass None and size
+    shuffle partitions to the executor count instead.
+    """
     name = f"sink_{uuid.uuid4().hex[:12]}"
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="masj_ckpt_")
-    q = (
-        streaming_df.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", checkpoint)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(min(int(prev) if prev.isdigit() else state_partitions, state_partitions)),
+        )
+    try:
+        q = (
+            streaming_df.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         q.processAllAvailable()
     finally:

@@ -23,6 +23,7 @@ from myasynstreamjoin_spark.streaming.stateful import stateful_min_count
 from myasynstreamjoin_spark.streaming.windowed import (
     run_stream_to_table,
     stream_events,
+    stream_min_count_join,
     stream_min_count_per_window,
 )
 
@@ -56,6 +57,26 @@ def test_windowed_stream_equals_batch(spark, sf_dir, ripe_filter):
     }
     assert got == ripe_filter(batch)
     assert got, "no windows ripened — fixture/watermark mismatch"
+
+
+def test_stream_join_formulation_equals_batch(spark, sf_dir, ripe_filter):
+    """J1 as chained stateful ops (per-source windowed aggs → multi-way
+    stream-stream inner join) converges to the same table as the
+    single-agg formulation and the batch answer."""
+    got = {
+        tuple(r)
+        for r in run_stream_to_table(
+            stream_min_count_join(stream_events(spark, sf_dir), CFG), spark
+        ).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in min_count_per_window(
+            fixtures.ported_words(spark, sf_dir, CFG), CFG
+        ).collect()
+    }
+    assert got == ripe_filter(batch)
+    assert got
 
 
 def test_stateful_zero_semantics_stream_equals_batch(spark, sf_dir, ripe_filter):
