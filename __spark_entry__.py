@@ -291,6 +291,30 @@ def _q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sampled_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.relational import sampled_revenue
+
+    _prep(spark)
+    return sampled_revenue(tables.load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.relational import customers_without_orders
+
+    _prep(spark)
+    return customers_without_orders(
+        tables.load_table(spark, sf_dir, "customer"),
+        tables.load_table(spark, sf_dir, "orders"),
+    )
+
+
+def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.relational import forecast_revenue_change
+
+    _prep(spark)
+    return forecast_revenue_change(tables.load_table(spark, sf_dir, "lineitem"))
+
+
 def _q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.functions.text import text_stats
 
@@ -499,6 +523,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repeat_customers": _q_repeat_customers,
         "q_churned_customers": _q_churned_customers,
         "q_regional_revenue": _q_regional_revenue,
+        "q_sampled_revenue": _q_sampled_revenue,
+        "q_customers_no_orders": _q_customers_no_orders,
+        "q_tpch_q6": _q_tpch_q6,
         # beyond-reference data-pipeline operators (SURVEY.md §7 phase 5)
         "q_textstats": _q_textstats,
         "q_quality": _q_quality,
@@ -743,6 +770,33 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
               AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
             GROUP BY n_name
+        """,
+        "q_sampled_revenue": """
+            SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+                   count(*) AS n_rows,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                                  (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                        AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 4)) AS INT) % 20 = 7
+        """,
+        "q_customers_no_orders": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND year(o_orderdate) = 1995)
+            GROUP BY c_mktsegment
+        """,
+        "q_tpch_q6": """
+            SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                                  CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS forecast_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
         """,
         "q_textstats": f"""
             SELECT doc_id,

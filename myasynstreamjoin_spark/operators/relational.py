@@ -146,3 +146,96 @@ def regional_revenue(
         .agg(F.sum(rev).alias("rev_d"))
         .select("n_name", F.round(F.col("rev_d"), 2).cast("double").alias("revenue"))
     )
+
+
+def hash_bucket(col: Column | str, n_buckets: int = 20) -> Column:
+    """Deterministic, engine-portable hash bucket in [0, n_buckets):
+    the first 16 bits of md5(value) interpreted as an integer, mod n.
+
+    Used for stable sampling: unlike TABLESAMPLE / rand(), the same row
+    lands in the same bucket on every engine and every run, so a 100 TB
+    pipeline can sample reproducibly (and an oracle can replay it).
+    md5 here is a bucketing hash, not a security primitive.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(F.encode(c.cast("string"), "UTF-8")), 1, 4), 16, 10)
+        .cast("int") % n_buckets
+    )
+
+
+def sampled_revenue(
+    lineitem: DataFrame, n_buckets: int = 20, pick: int = 7
+) -> DataFrame:
+    """Sampling coverage (SURVEY.md §2.4 "missing" list): aggregate
+    revenue over a deterministic ~1/n_buckets hash sample of orders.
+
+    Sampling by l_orderkey (the join/grouping key) keeps whole orders
+    together — the correct unit for cluster sampling — and the bucket
+    predicate evaluates in the scan stage, so the full-table shuffle
+    never happens: at 100 TB a 5% sample aggregates ~5 TB.
+
+    Output: (n_orders, n_rows, revenue) — one row.
+    """
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    return (
+        lineitem.where(hash_bucket("l_orderkey", n_buckets) == pick)
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.count("*").alias("n_rows"),
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+def customers_without_orders(
+    customer: DataFrame, orders: DataFrame, year: int | None = 1995
+) -> DataFrame:
+    """Anti-join coverage: customers with no order in ``year`` (or ever,
+    when ``year`` is None), counted per market segment.
+
+    Left-anti join shuffles both sides on custkey (or broadcasts the
+    distinct custkey set when it fits); the reference has no anti join
+    at all (SURVEY.md §2.5).
+
+    Output: (c_mktsegment, n_customers).
+    """
+    if year is not None:
+        orders = orders.where(F.year("o_orderdate") == year)
+    return (
+        customer.join(orders, customer["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def forecast_revenue_change(
+    lineitem: DataFrame,
+    y_from: str = "1995-01-01 00:00:00",
+    y_to: str = "1996-01-01 00:00:00",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6: pure scan→filter→agg with no join and no grouping —
+    the canonical predicate-pushdown query. All four predicates reach
+    the parquet reader (PushedFilters; asserted in tests/test_plans.py),
+    so at 100 TB the scan skips row groups on l_shipdate/l_discount
+    statistics and only the surviving rows hit the single-row agg.
+
+    Output: (forecast_revenue) — one row.
+    """
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(y_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(y_to).cast("timestamp"))
+            & (F.col("l_discount") >= disc_lo)
+            & (F.col("l_discount") <= disc_hi)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice") * _dec("l_discount")), 2)
+            .cast("double")
+            .alias("forecast_revenue")
+        )
+    )

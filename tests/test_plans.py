@@ -72,3 +72,43 @@ def test_regional_revenue_broadcasts_dims(spark, sf_dir):
     assert li_scans and all("l_tax" not in s["read_schema"] for s in li_scans)
     # date range filter pushed into the orders scan
     assert any("o_orderdate" in s["pushed_filters"] for s in scan_report(df))
+
+
+def test_q6_pushes_all_filters_and_prunes(spark, sf_dir):
+    from myasynstreamjoin_spark.operators.relational import forecast_revenue_change
+
+    df = forecast_revenue_change(tables.load_table(spark, sf_dir, "lineitem"))
+    scans = scan_report(df)
+    assert scans
+    pushed = " ".join(s["pushed_filters"] for s in scans)
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pushed, f"{c} not pushed to scan"
+    # 4-column query on the 16-column lineitem: scan must be pruned
+    assert all("l_orderkey" not in s["read_schema"] for s in scans)
+    # scan -> partial agg -> single exchange -> final agg
+    assert n_shuffles(df) == 1
+
+
+def test_hash_sample_filters_in_scan_stage(spark, sf_dir):
+    from myasynstreamjoin_spark.operators.relational import sampled_revenue
+
+    df = sampled_revenue(tables.load_table(spark, sf_dir, "lineitem"))
+    # the bucket predicate is md5-derived so it can't reach parquet
+    # stats, but it must evaluate before any exchange: Filter below the
+    # first Exchange, i.e. still just the aggregation shuffles
+    # (distinct-count rewrites to expand + two-level agg => <= 3).
+    assert n_shuffles(df) <= 3
+    assert n_nodes(df, "Filter") >= 1
+
+
+def test_anti_join_shape(spark, sf_dir):
+    from myasynstreamjoin_spark.operators.relational import customers_without_orders
+
+    df = customers_without_orders(
+        tables.load_table(spark, sf_dir, "customer"),
+        tables.load_table(spark, sf_dir, "orders"),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    # the year filter must be pushed into the orders scan
+    assert any("o_orderdate" in s["pushed_filters"] for s in scan_report(df))
