@@ -55,9 +55,13 @@ def main() -> int:
 
     # Warm the engine before timing (JIT/codegen, parquet reader, Python
     # gateway) on the *smoke* dataset so headline numbers measure query
-    # execution, not JVM startup. The benchmarked sf_dir is untouched.
-    warm = contract.queries()["q_word_count"]
-    warm(spark, "/root/testdata/sf0.001").count()
+    # execution, not JVM startup: one cheap agg plus one pass through
+    # the explode/array/cache-heavy dedup path, whose columnar-cache
+    # writer and array-expression codegen otherwise JIT inside the
+    # first timed dedup query. The benchmarked sf_dir is untouched.
+    for wq in ("q_word_count", "q_minhash_pairs"):
+        contract.queries()[wq](spark, "/root/testdata/sf0.001").count()
+    spark.catalog.clearCache()
 
     queries = contract.queries()
     timings: dict[str, float] = {}
