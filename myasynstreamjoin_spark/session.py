@@ -30,6 +30,10 @@ SESSION_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Bound Arrow batch row count for Pandas-UDF paths: multimodal rows
+    # carry opaque binary payloads, and the default 10k-row batches
+    # would hand a Python worker multi-GB chunks for media columns.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
     # Streaming state: evict eagerly on watermark (default, made explicit).
     "spark.sql.streaming.statefulOperator.allowMultiple": "true",
 }
