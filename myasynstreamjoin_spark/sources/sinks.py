@@ -1,0 +1,71 @@
+"""Batch sinks: partitioned and bucketed parquet writers.
+
+The reference's only sinks are console prints and `foreachRDD(collect)`
+(SURVEY.md §2.1 S3) — nothing a 100 TB pipeline can use. These writers
+are the scale-path equivalents:
+
+- ``write_partitioned``: hive-style directory partitioning; downstream
+  filters on the partition column prune whole directories before any
+  I/O happens (asserted in tests/test_sinks.py).
+- ``write_bucketed``: pre-shuffles rows into a fixed number of buckets
+  on the join/agg key at WRITE time, so every later join or aggregation
+  on that key runs with NO exchange — the shuffle is paid once instead
+  of per-query. This is the batch analog of the reference's
+  co-partitioned state (state/.../MyMapWithStateWithIndexRDD.scala:215-227
+  requires data and state to share a partitioner for the same reason).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet partitioned by ``partition_cols``.
+
+    Partition columns should be low-cardinality derivations (a date, a
+    source id, a bucket of a timestamp): thousands of directories are
+    fine, millions of tiny files are not. Combine with AQE coalescing
+    (or an explicit ``df.repartition(*partition_cols)``) so each
+    partition directory gets few, large files.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Write ``df`` as a bucketed (and optionally sorted) table.
+
+    ``n_buckets`` should match (a small multiple of) the cluster's
+    shuffle parallelism; both sides of a co-located join must use the
+    SAME bucket count and columns. Sorting within buckets additionally
+    removes the sort from sort-merge joins. ``path`` makes it an
+    external table (bucket metadata lives in the catalog either way —
+    ``spark.table``, not a bare parquet read, is required to get the
+    exchange-free plans).
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a managed table written by ``write_bucketed`` (bucket
+    metadata only survives through the catalog, not a bare parquet
+    path read)."""
+    return spark.table(table)
