@@ -394,6 +394,30 @@ def _q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_simsearch_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact ANN: one corpus scan serves a query batch (the
+    retrieval-pipeline shape), ranked per query."""
+    from myasynstreamjoin_spark.functions.similarity import cosine_topk_multi
+
+    _prep(spark)
+    return cosine_topk_multi(
+        tables.load_table(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3], k=10
+    )
+
+
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of LSH and IVF against exact, averaged over a query
+    batch — the audit metric for the rows-only ANN operators."""
+    from myasynstreamjoin_spark.functions.similarity import ann_recall
+
+    _prep(spark)
+    return ann_recall(
+        tables.load_table(spark, sf_dir, "embeddings"),
+        query_ids=[0, 1, 2, 3], k=10,
+        n_planes=4, n_tables=8, n_lists=16, nprobe=4,
+    )
+
+
 def _q_cost_model_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.operators.cost_model import batch_strategy
 
@@ -538,6 +562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simsearch": _q_simsearch,
         "q_simsearch_lsh": _q_simsearch_lsh,              # rows-only
         "q_simsearch_ivf": _q_simsearch_ivf,              # rows-only
+        "q_simsearch_multi": _q_simsearch_multi,
+        "q_ann_recall": _q_ann_recall,                    # rows-only
         "q_embed_neardup_exact": _q_embed_neardup_exact,
         "q_embed_neardup_lsh": _q_embed_neardup_lsh,      # rows-only
         "q_multimodal_meta": _q_multimodal_meta,
@@ -859,6 +885,23 @@ def oracle_sql() -> dict[str, str]:
                               * sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))), 4) AS cos
               FROM embeddings e, q WHERE e.vec_id <> 0)
             SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 10
+        """,
+        "q_simsearch_multi": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+                           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                              * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos
+              FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, vec_id, cos,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, vec_id) AS INT) AS rank
+              FROM scored)
+            SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 10
         """,
         "q_multimodal_meta": """
             SELECT doc_id AS media_id,

@@ -31,3 +31,42 @@ def test_ivf_topk_properties(spark, sf_dir):
     # full probe == exact search
     full = [tuple(r) for r in ivf_topk(emb, query_id=0, k=10, n_lists=16, nprobe=16).collect()]
     assert full == exact
+
+
+def test_multi_query_ann_and_recall(spark, sf_dir):
+    from myasynstreamjoin_spark.functions.similarity import (
+        ann_recall,
+        cosine_topk,
+        cosine_topk_multi,
+        ivf_topk_multi,
+    )
+    from myasynstreamjoin_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3]
+
+    # batched exact == per-query exact, for each query in the batch
+    multi = cosine_topk_multi(emb, qids, k=5)
+    for qid in qids:
+        single = {(r[0], r[1]) for r in cosine_topk(emb, query_id=qid, k=5).collect()}
+        batch = {
+            (r["vec_id"], r["cos"])
+            for r in multi.where(multi["query_id"] == qid).collect()
+        }
+        assert batch == single, f"batched exact diverges for query {qid}"
+
+    # IVF with nprobe == n_lists probes everything: recall must be 1
+    full = ivf_topk_multi(emb, qids, k=5, n_lists=8, nprobe=8)
+    exact_ids = {
+        (r["query_id"], r["vec_id"]) for r in cosine_topk_multi(emb, qids, k=5).collect()
+    }
+    full_ids = {(r["query_id"], r["vec_id"]) for r in full.collect()}
+    assert full_ids == exact_ids
+
+    # recall metric: sane range, and multi-table LSH beats the
+    # single-table collision floor ((1-θ/π)^planes ≈ 0.1)
+    row = ann_recall(emb, qids, k=10).collect()[0]
+    assert row["n_queries"] == len(qids)
+    assert 0.0 <= row["recall_lsh"] <= 1.0 and 0.0 <= row["recall_ivf"] <= 1.0
+    assert row["recall_lsh"] >= 0.3, f"multi-table LSH recall too low: {row}"
+    assert row["recall_ivf"] >= 0.5, f"IVF recall too low: {row}"
