@@ -94,3 +94,23 @@ def test_stateful_zero_semantics_stream_equals_batch(spark, sf_dir, ripe_filter)
     }
     assert got == ripe_filter(batch)
     assert got
+
+
+def test_parquet_file_sink_matches_memory_sink(spark, sf_dir, tmp_path):
+    """The durable file sink commits exactly the rows the memory sink
+    emits, and the partition column survives the round trip."""
+    from myasynstreamjoin_spark.streaming.windowed import run_stream_to_parquet
+
+    got = run_stream_to_parquet(
+        stream_min_count_per_window(stream_events(spark, sf_dir), CFG),
+        spark,
+        out_path=str(tmp_path / "out"),
+        partition_cols=["key"],
+    )
+    mem = run_stream_to_table(
+        stream_min_count_per_window(stream_events(spark, sf_dir), CFG), spark
+    )
+    assert {tuple(sorted(r.asDict().items())) for r in got.collect()} == {
+        tuple(sorted(r.asDict().items())) for r in mem.collect()
+    }
+    assert got.where(F.col("key").isNull()).count() == 0
