@@ -291,6 +291,34 @@ def _q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the user's latest purchase at
+    or before it (point-in-time lookup). Purchases pre-deduplicated to
+    one row per (user, ts) for deterministic tie handling."""
+    from myasynstreamjoin_spark.operators.asof import asof_join
+
+    _prep(spark)
+    ev = tables.load_table(spark, sf_dir, "events")
+    # Work at µs precision: DuckDB reads the parquet ns-timestamps as
+    # µs TIMESTAMP, so ns values could never round-trip the oracle.
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("click_ts")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.expr("ts div 1000").alias("ts"))
+        .agg(F.round(F.max("value"), 4).alias("val"))
+    )
+    out = asof_join(
+        clicks, purchases, on=["user_id"],
+        left_ts="click_ts", right_ts="ts", right_vals=["val"],
+    )
+    return out.select(
+        "user_id", "event_id", "click_ts",
+        F.col("r_ts").alias("purchase_ts"), F.col("r_val").alias("purchase_val"),
+    )
+
+
 def _q_sampled_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.operators.relational import sampled_revenue
 
@@ -550,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sampled_revenue": _q_sampled_revenue,
         "q_customers_no_orders": _q_customers_no_orders,
         "q_tpch_q6": _q_tpch_q6,
+        "q_asof_join": _q_asof_join,
         # beyond-reference data-pipeline operators (SURVEY.md §7 phase 5)
         "q_textstats": _q_textstats,
         "q_quality": _q_quality,
@@ -796,6 +825,18 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
               AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
             GROUP BY n_name
+        """,
+        "q_asof_join": """
+            WITH clicks AS (
+              SELECT user_id, event_id, epoch_us(ts) AS click_ts
+              FROM events WHERE event_type = 'click'),
+            purch AS (
+              SELECT user_id, epoch_us(ts) AS ts, round(max(value), 4) AS val
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+            SELECT clicks.user_id, clicks.event_id, clicks.click_ts,
+                   purch.ts AS purchase_ts, purch.val AS purchase_val
+            FROM clicks ASOF LEFT JOIN purch
+              ON clicks.user_id = purch.user_id AND clicks.click_ts >= purch.ts
         """,
         "q_sampled_revenue": """
             SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
