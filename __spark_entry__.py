@@ -319,6 +319,42 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: one row per (user, session), sessions
+    closing after 4 idle hours. Native session_window — one exchange,
+    sort-local merge, streaming-ready."""
+    from myasynstreamjoin_spark.operators.sessions import sessionize
+
+    _prep(spark)
+    ev = tables.load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("ts_us"), "value"
+    )
+    return sessionize(
+        ev, keys=["user_id"], ts_us="ts_us", gap="4 hours",
+        aggs=[F.round(F.sum("value"), 4).alias("total_value")],
+    )
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: per order, how many lineitems (any order) shipped
+    within 2 days of its order date. Bucketized equi-join — no
+    nested-loop cross product."""
+    from myasynstreamjoin_spark.operators.rangejoin import range_join
+
+    _prep(spark)
+    epoch = F.to_date(F.lit("1970-01-01"))
+    o = tables.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("start_d"),
+    ).withColumn("end_d", F.col("start_d") + F.lit(2))
+    li = tables.load_table(spark, sf_dir, "lineitem").select(
+        F.datediff(F.col("l_shipdate").cast("date"), epoch).alias("ship_d")
+    )
+    pairs = range_join(li, o, point_col="ship_d", start_col="start_d",
+                       end_col="end_d", bucket_width=4)
+    return pairs.groupBy("o_orderkey").agg(F.count("*").alias("n_shipped"))
+
+
 def _q_sampled_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.operators.relational import sampled_revenue
 
@@ -579,6 +615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_customers_no_orders": _q_customers_no_orders,
         "q_tpch_q6": _q_tpch_q6,
         "q_asof_join": _q_asof_join,
+        "q_sessionize": _q_sessionize,
+        "q_range_join": _q_range_join,
         # beyond-reference data-pipeline operators (SURVEY.md §7 phase 5)
         "q_textstats": _q_textstats,
         "q_quality": _q_quality,
@@ -837,6 +875,39 @@ def oracle_sql() -> dict[str, str]:
                    purch.ts AS purchase_ts, purch.val AS purchase_val
             FROM clicks ASOF LEFT JOIN purch
               ON clicks.user_id = purch.user_id AND clicks.click_ts >= purch.ts
+        """,
+        "q_sessionize": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+            flagged AS (
+              SELECT *, CASE WHEN ts_us - lag(ts_us) OVER (
+                       PARTITION BY user_id ORDER BY ts_us)
+                     > 14400000000 THEN 1 ELSE 0 END AS is_new
+              FROM e),
+            sess AS (
+              SELECT *, sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts_us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM flagged)
+            SELECT user_id, min(ts_us) AS session_start,
+                   max(ts_us) AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM sess GROUP BY user_id, sid
+        """,
+        "q_range_join": """
+            WITH o AS (
+              SELECT o_orderkey,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) AS sd
+              FROM orders),
+            l AS (
+              SELECT date_diff('day', DATE '1970-01-01',
+                               CAST(l_shipdate AS DATE)) AS pd
+              FROM lineitem)
+            SELECT o_orderkey, count(*) AS n_shipped
+            FROM o JOIN l ON l.pd BETWEEN o.sd AND o.sd + 2
+            GROUP BY 1
         """,
         "q_sampled_revenue": """
             SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,

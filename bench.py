@@ -37,6 +37,7 @@ HEADLINE = [
     "q_topk_revenue",         # join + agg + top-k
     "q_tpch_q1",              # wide aggregation
     "q_regional_revenue",     # 6-way join w/ broadcast dims
+    "q_asof_join",            # single-shuffle as-of join
     "q_cost_model_window",    # per-window strategy selection (X11)
     "q_textstats",            # text analysis
     "q_dedup_exact",          # exact dedup

@@ -1,0 +1,74 @@
+"""Semantics + plan shape for sessionize and range_join.
+
+sessionize: chain rule (events merge while consecutive gaps < gap; a
+gap of exactly `gap` splits), native session_window, one Exchange.
+range_join: inclusive bounds, each (interval, point) pair exactly
+once even when an interval spans many buckets, no NestedLoopJoin in
+the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from myasynstreamjoin_spark.operators.rangejoin import range_join
+from myasynstreamjoin_spark.operators.sessions import sessionize
+
+H = 3_600_000_000  # 1h in µs
+
+
+def test_sessionize_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            # u1: 0h, 1h, 2h chain in one session despite 0h->2h span;
+            # the 2h->4h hop is exactly the gap and still MERGES
+            ("u1", 0 * H), ("u1", 1 * H), ("u1", 2 * H), ("u1", 4 * H),
+            # strictly more than the gap -> new session
+            ("u1", 6 * H + 1),
+            # u2: single event
+            ("u2", 10 * H),
+        ],
+        "user string, ts_us long",
+    )
+    out = sessionize(df, keys=["user"], ts_us="ts_us", gap="2 hours")
+    got = {(r["user"], r["session_start"]): (r["session_end"], r["n_events"])
+           for r in out.collect()}
+    assert got == {
+        ("u1", 0): (4 * H, 4),
+        ("u1", 6 * H + 1): (6 * H + 1, 1),
+        ("u2", 10 * H): (10 * H, 1),
+    }
+
+
+def test_sessionize_single_shuffle(spark):
+    df = spark.createDataFrame([("u", 0)], "user string, ts_us long")
+    out = sessionize(df, keys=["user"], ts_us="ts_us", gap="1 hour")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_range_join_semantics(spark):
+    points = spark.createDataFrame(
+        [(0,), (5,), (10,), (99,), (100,), (101,)], "p long"
+    )
+    intervals = spark.createDataFrame(
+        [("wide", 0, 100), ("empty", 50, 49), ("point", 5, 5)],
+        "name string, s long, e long",
+    )
+    pairs = range_join(points, intervals, "p", "s", "e", bucket_width=7)
+    got = sorted((r["name"], r["p"]) for r in pairs.collect())
+    # wide [0,100] spans 15 buckets but each point matches exactly once;
+    # bounds inclusive; 101 outside; inverted interval matches nothing.
+    assert got == [
+        ("point", 5),
+        ("wide", 0), ("wide", 5), ("wide", 10), ("wide", 99), ("wide", 100),
+    ]
+
+
+def test_range_join_no_nested_loop(spark):
+    points = spark.createDataFrame([(1,)], "p long")
+    intervals = spark.createDataFrame([(0, 2)], "s long, e long")
+    pairs = range_join(points, intervals, "p", "s", "e", bucket_width=4)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
+    assert "Cartesian" not in plan, plan
