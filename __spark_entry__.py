@@ -355,6 +355,45 @@ def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("o_orderkey").agg(F.count("*").alias("n_shipped"))
 
 
+def _q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.relational import small_qty_revenue
+
+    _prep(spark)
+    return small_qty_revenue(
+        tables.load_table(spark, sf_dir, "lineitem"),
+        tables.load_table(spark, sf_dir, "part"),
+    )
+
+
+def _q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.relational import large_orders
+
+    _prep(spark)
+    return large_orders(
+        tables.load_table(spark, sf_dir, "lineitem"),
+        tables.load_table(spark, sf_dir, "orders"),
+        tables.load_table(spark, sf_dir, "customer"),
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.relational import event_type_pivot
+
+    _prep(spark)
+    ev = tables.load_table(spark, sf_dir, "events")
+    return event_type_pivot(ev, EVENT_TYPES)
+
+
+def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.relational import value_percentiles
+
+    _prep(spark)
+    return value_percentiles(tables.load_table(spark, sf_dir, "events"))
+
+
 def _q_sampled_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.operators.relational import sampled_revenue
 
@@ -617,6 +656,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": _q_asof_join,
         "q_sessionize": _q_sessionize,
         "q_range_join": _q_range_join,
+        "q_tpch_q17": _q_tpch_q17,
+        "q_tpch_q18": _q_tpch_q18,
+        "q_event_pivot": _q_event_pivot,
+        "q_percentiles": _q_percentiles,
         # beyond-reference data-pipeline operators (SURVEY.md §7 phase 5)
         "q_textstats": _q_textstats,
         "q_quality": _q_quality,
@@ -908,6 +951,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, count(*) AS n_shipped
             FROM o JOIN l ON l.pd BETWEEN o.sd AND o.sd + 2
             GROUP BY 1
+        """,
+        "q_tpch_q17": """
+            WITH li AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_brand = 'Brand#23'),
+            th AS (
+              SELECT l_partkey,
+                     sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_q,
+                     CAST(count(*) AS DECIMAL(18,4)) AS cnt_q
+              FROM li GROUP BY 1)
+            SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                              / 7.0, 2) AS DOUBLE) AS avg_yearly
+            FROM li JOIN th USING (l_partkey)
+            WHERE CAST(l_quantity AS DECIMAL(18,4)) * 5 * cnt_q < sum_q
+        """,
+        "q_tpch_q18": """
+            WITH t AS (
+              SELECT l_orderkey,
+                     sum(CAST(l_quantity AS DECIMAL(18,4))) AS tq
+              FROM lineitem GROUP BY 1
+              HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 300)
+            SELECT c_custkey, o_orderkey, o_totalprice,
+                   CAST(round(tq, 2) AS DOUBLE) AS total_qty
+            FROM t JOIN orders ON o_orderkey = l_orderkey
+                 JOIN customer ON c_custkey = o_custkey
+        """,
+        "q_event_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click')    AS n_click,
+                   count(*) FILTER (event_type = 'error')    AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup')   AS n_signup,
+                   count(*) FILTER (event_type = 'view')     AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "q_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.25), 6) AS p25,
+                   round(quantile_cont(value, 0.50), 6) AS p50,
+                   round(quantile_cont(value, 0.75), 6) AS p75
+            FROM events GROUP BY event_type
         """,
         "q_sampled_revenue": """
             SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,

@@ -239,3 +239,109 @@ def forecast_revenue_change(
             .alias("forecast_revenue")
         )
     )
+
+
+def small_qty_revenue(lineitem: DataFrame, part: DataFrame,
+                      brand: str = "Brand#23") -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders (below 20% of the part's average quantity) went unfilled,
+    over one brand's parts. The correlated scalar subquery is rewritten
+    as a per-part aggregate joined back — Catalyst's own decorrelation
+    strategy, made explicit.
+
+    Scale: the brand filter cuts part to ~0.5%, and that small key set
+    is BROADCAST into both the lineitem probe and the per-part average,
+    so lineitem is scanned once per side with the filter pushed to the
+    scan; no shuffle of unmatched lineitem rows ever happens. The
+    per-part averages are one row per surviving part — broadcast again
+    for the final threshold join.
+
+    Output: (avg_yearly) — one row.
+    """
+    keys = part.where(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(F.broadcast(keys),
+                       lineitem["l_partkey"] == keys["p_partkey"]).drop("p_partkey")
+    # q < 0.2·avg(q) ⟺ 5·q·cnt < sum(q): stays in DECIMAL, so the
+    # threshold compare is exact on any engine (0.2 has no exact
+    # binary/decimal interplay to worry about).
+    thresholds = li.groupBy("l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("sum_q"),
+        F.count("*").cast("decimal(18,4)").alias("cnt_q"),
+    )
+    return (
+        li.join(F.broadcast(thresholds), on="l_partkey")
+        .where(_dec("l_quantity") * F.lit(5).cast("decimal(18,4)") * F.col("cnt_q")
+               < F.col("sum_q"))
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice")) / F.lit(7.0).cast("decimal(18,4)"), 2)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+def large_orders(lineitem: DataFrame, orders: DataFrame,
+                 customer: DataFrame, min_qty: float = 300.0) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds
+    ``min_qty``, with customer attribution. The IN-subquery-with-HAVING
+    becomes an aggregate + join: per-order quantity totals first (the
+    big shuffle, partial-agg combined map-side), then the few survivors
+    drive broadcast joins against orders and customer.
+
+    Output: (c_custkey, o_orderkey, o_totalprice, total_qty).
+    """
+    totals = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("tq"))
+        .where(F.col("tq") > F.lit(min_qty).cast("decimal(18,4)"))
+    )
+    return (
+        orders.join(F.broadcast(totals), orders["o_orderkey"] == totals["l_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .select(
+            "c_custkey", "o_orderkey", "o_totalprice",
+            F.round(F.col("tq"), 2).cast("double").alias("total_qty"),
+        )
+    )
+
+
+def event_type_pivot(events: DataFrame, types: list[str]) -> DataFrame:
+    """Pivot: per user, one count column per event type. The pivot
+    value list is EXPLICIT — an implicit pivot needs an extra
+    distinct-collect pass over the data and makes the output schema
+    data-dependent, both wrong at 100 TB. Compiles to a single
+    partial→final HashAggregate pass (one shuffle, no join).
+
+    Output: (user_id, n_<type>...).
+    """
+    agged = (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return agged.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
+
+
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact percentiles (linear interpolation) of value per event
+    type. Exact percentile is a sort-based aggregate — fine per group
+    when groups fit an executor; the approx_percentile/t-digest variant
+    is the knob to reach for when they don't (documented, not default,
+    because the oracle checks exactness).
+
+    Output: (event_type, p25, p50, p75).
+    """
+    pct = F.expr("percentile(value, array(0.25D, 0.5D, 0.75D))")
+    return (
+        events.groupBy("event_type")
+        .agg(pct.alias("p"))
+        .select(
+            "event_type",
+            F.round(F.col("p")[0], 6).alias("p25"),
+            F.round(F.col("p")[1], 6).alias("p50"),
+            F.round(F.col("p")[2], 6).alias("p75"),
+        )
+    )
