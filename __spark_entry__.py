@@ -394,6 +394,33 @@ def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_percentiles(tables.load_table(spark, sf_dir, "events"))
 
 
+STRATA_FRACTIONS = {"click": 0.5, "error": 0.1, "purchase": 1.0,
+                    "signup": 0.25, "view": 0.05}
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum hash sampling, then per-type audit
+    aggregates over the surviving rows."""
+    from myasynstreamjoin_spark.operators.relational import stratified_sample
+
+    _prep(spark)
+    ev = tables.load_table(spark, sf_dir, "events")
+    sampled = stratified_sample(ev, "event_type", "event_id",
+                                STRATA_FRACTIONS, n_buckets=100)
+    return sampled.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.functions.text import tfidf_top_terms
+
+    _prep(spark)
+    return tfidf_top_terms(tables.load_table(spark, sf_dir, "documents"), k=3)
+
+
 def _q_sampled_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.operators.relational import sampled_revenue
 
@@ -460,6 +487,21 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         tables.load_table(spark, sf_dir, "documents"), k=3, threshold=0.2
     )
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → transitive dedup clusters: connected components
+    (iterative min-label propagation) over the Jaccard pair graph; each
+    doc labeled with the smallest doc_id it links to."""
+    from myasynstreamjoin_spark.functions.cluster import connected_components
+    from myasynstreamjoin_spark.functions.dedup import ngram_jaccard_pairs
+
+    _prep(spark)
+    pairs = ngram_jaccard_pairs(
+        tables.load_table(spark, sf_dir, "documents"), k=3, threshold=0.2
+    )
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster"))
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -660,6 +702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q18": _q_tpch_q18,
         "q_event_pivot": _q_event_pivot,
         "q_percentiles": _q_percentiles,
+        "q_stratified_sample": _q_stratified_sample,
+        "q_tfidf": _q_tfidf,
         # beyond-reference data-pipeline operators (SURVEY.md §7 phase 5)
         "q_textstats": _q_textstats,
         "q_quality": _q_quality,
@@ -667,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": _q_fingerprint,
         "q_dedup_exact": _q_dedup_exact,
         "q_ngram_jaccard": _q_ngram_jaccard,
+        "q_dedup_clusters": _q_dedup_clusters,
         "q_minhash_pairs": _q_minhash_pairs,              # rows-only
         "q_simhash": _q_simhash,                          # rows-only
         "q_simsearch": _q_simsearch,
@@ -994,6 +1039,38 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.75), 6) AS p75
             FROM events GROUP BY event_type
         """,
+        "q_stratified_sample": """
+            SELECT event_type, count(*) AS n_rows,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   round(sum(value), 4) AS total_value
+            FROM events
+            WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 4)) AS INT) % 100
+                  < CASE event_type WHEN 'click' THEN 50 WHEN 'error' THEN 10
+                                    WHEN 'purchase' THEN 100 WHEN 'signup' THEN 25
+                                    WHEN 'view' THEN 5 ELSE 0 END
+            GROUP BY event_type
+        """,
+        "q_tfidf": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+              FROM documents),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM toks WHERE term <> '' GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            scored AS (
+              SELECT doc_id, tf.term, tf, df,
+                     tf * ln((n_docs + 1.0) / (df + 1.0)) AS s
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY doc_id ORDER BY s DESC, term ASC) AS rn
+              FROM scored)
+            SELECT doc_id, term, rn, tf, df, round(s, 6) AS score
+            FROM ranked WHERE rn <= 3
+        """,
         "q_sampled_revenue": """
             SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
                    count(*) AS n_rows,
@@ -1072,6 +1149,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes na ON na.doc_id = doc_a
             JOIN sizes nb ON nb.doc_id = doc_b
             WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= 0.2
+        """,
+        "q_dedup_clusters": f"""
+            WITH RECURSIVE sh AS ({_SHINGLES}),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+            ix AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM ix a JOIN ix b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT doc_a, doc_b FROM common
+              JOIN sizes na ON na.doc_id = doc_a
+              JOIN sizes nb ON nb.doc_id = doc_b
+              WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= 0.2),
+            sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+            reach AS (
+              SELECT a AS node, a AS r FROM sym
+              UNION
+              SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a)
+            SELECT node AS doc_id, min(r) AS cluster FROM reach GROUP BY 1
         """,
         "q_simsearch": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

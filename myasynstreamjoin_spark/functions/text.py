@@ -110,3 +110,40 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     Output: (doc_id, fp).
     """
     return docs.select("doc_id", F.md5(F.encode(normalized("text"), "UTF-8")).alias("fp"))
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """TF-IDF: the k highest-scoring terms per document, idf =
+    ln((N+1)/(df+1)).
+
+    Scale shape: one shuffle to (doc, term) for tf; the term→df table
+    (vocabulary-sized, tiny next to the corpus) and the single-row
+    document count are BROADCAST back, so scoring adds no shuffle; the
+    final top-k is a per-doc window over the already-(doc,term)-
+    partitioned data. Ties broken by term so the ordering is total.
+
+    Output: (doc_id, term, rn, tf, df, score).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    total = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "s",
+            F.col("tf") * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("doc_id", "term", "rn", "tf", "df",
+                F.round("s", 6).alias("score"))
+    )

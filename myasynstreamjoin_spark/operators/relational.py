@@ -345,3 +345,27 @@ def value_percentiles(events: DataFrame) -> DataFrame:
             F.round(F.col("p")[2], 6).alias("p75"),
         )
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a per-stratum fraction
+    of rows, chosen by portable hash bucket of ``key_col`` (see
+    hash_bucket) — the reproducible counterpart of ``df.sampleBy``.
+    Strata absent from ``fractions`` are dropped.
+
+    The predicate is a pure scan-stage filter: no shuffle, no rand()
+    (re-executions of a 100 TB stage must not resample), and the same
+    rows survive on any engine, so the sample is auditable.
+    """
+    bucket = hash_bucket(key_col, n_buckets)
+    cutoff = F.lit(0)
+    for stratum, frac in sorted(fractions.items()):
+        cutoff = F.when(F.col(strata_col) == stratum,
+                        F.lit(int(round(frac * n_buckets)))).otherwise(cutoff)
+    return df.where(bucket < cutoff)
