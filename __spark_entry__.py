@@ -421,6 +421,73 @@ def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(tables.load_table(spark, sf_dir, "documents"), k=3)
 
 
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment, audited per split."""
+    from myasynstreamjoin_spark.functions.pipeline import hash_split
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id", SPLIT_FRACTIONS).groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing at a 512-token budget."""
+    from myasynstreamjoin_spark.functions.pipeline import pack_sequences
+    from myasynstreamjoin_spark.functions.text import tokens
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, F.size(tokens("text")), budget=512, n_shards=8)
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with deterministically injected PII
+    (the synthetic corpus has none): both engines append the same
+    email/phone/IP spans keyed on doc_id, then redact."""
+    from myasynstreamjoin_spark.functions.text import pii_scrub
+
+    _prep(spark)
+    d = tables.load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0,
+                   F.concat(F.lit(" contact u"), did.cast("string"),
+                            F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(did % 5 == 0,
+                   F.concat(F.lit(" call +1 555 000"),
+                            F.lpad((did % 1000).cast("string"), 4, "0"))
+                   ).otherwise(F.lit("")),
+            F.when(did % 7 == 0,
+                   F.concat(F.lit(" from 10.0."), (did % 250).cast("string"),
+                            F.lit(".7"))).otherwise(F.lit("")),
+        ),
+    )
+    return pii_scrub(aug)
+
+
+def _q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.functions.embeddings import l2_normalize
+
+    _prep(spark)
+    return l2_normalize(tables.load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_embed_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.functions.embeddings import quantize_int8
+
+    _prep(spark)
+    return quantize_int8(tables.load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_sampled_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.operators.relational import sampled_revenue
 
@@ -704,6 +771,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentiles": _q_percentiles,
         "q_stratified_sample": _q_stratified_sample,
         "q_tfidf": _q_tfidf,
+        "q_hash_split": _q_hash_split,
+        "q_pack_sequences": _q_pack_sequences,
+        "q_pii_scrub": _q_pii_scrub,
+        "q_embed_norm": _q_embed_norm,
+        "q_embed_quant": _q_embed_quant,
         # beyond-reference data-pipeline operators (SURVEY.md §7 phase 5)
         "q_textstats": _q_textstats,
         "q_quality": _q_quality,
@@ -1070,6 +1142,76 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT doc_id, term, rn, tf, df, round(s, 6) AS score
             FROM ranked WHERE rn <= 3
+        """,
+        "q_hash_split": """
+            WITH b AS (
+              SELECT n_chars,
+                     CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+                       % 10000 AS bkt
+              FROM documents)
+            SELECT CASE WHEN bkt < 1000 THEN 'test'
+                        WHEN bkt < 9000 THEN 'train'
+                        ELSE 'val' END AS split,
+                   count(*) AS n_docs, sum(n_chars) AS sum_chars
+            FROM b GROUP BY 1
+        """,
+        "q_pack_sequences": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+                       % 8 AS shard,
+                     CAST(len({_DOC_TOKENS}) AS BIGINT) AS n_tokens
+              FROM documents),
+            p AS (
+              SELECT doc_id, shard, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+              FROM d)
+            SELECT doc_id, shard, n_tokens,
+                   prefix // 512 AS seq_id, prefix % 512 AS seq_offset
+            FROM p
+        """,
+        "q_pii_scrub": """
+            WITH aug AS (
+              SELECT doc_id, text ||
+                CASE WHEN doc_id % 3 = 0
+                     THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+                     ELSE '' END ||
+                CASE WHEN doc_id % 5 = 0
+                     THEN ' call +1 555 000' || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
+                     ELSE '' END ||
+                CASE WHEN doc_id % 7 = 0
+                     THEN ' from 10.0.' || CAST(doc_id % 250 AS VARCHAR) || '.7'
+                     ELSE '' END AS text
+              FROM documents)
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+              CAST(len(regexp_extract_all(text,
+                '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ipv4,
+              CAST(len(regexp_extract_all(text,
+                '\\+?[0-9][0-9 ()-]{6,}[0-9]')) AS BIGINT) AS n_phone,
+              regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '[IP]', 'g'),
+                '\\+?[0-9][0-9 ()-]{6,}[0-9]', '[PHONE]', 'g') AS clean
+            FROM aug
+        """,
+        "q_embed_norm": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS norm FROM v)
+            SELECT vec_id, round(norm, 6) AS norm,
+                   list_transform(e, x -> round(x / norm, 6)) AS unit
+            FROM n
+        """,
+        "q_embed_quant": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            m AS (SELECT vec_id, e,
+                         list_max(list_transform(e, x -> abs(x))) AS amax FROM v)
+            SELECT vec_id, round(127.0 / amax, 6) AS scale,
+                   list_transform(e, x -> CAST(round(x * (127.0 / amax)) AS INT)) AS q
+            FROM m
         """,
         "q_sampled_revenue": """
             SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,

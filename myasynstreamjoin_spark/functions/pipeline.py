@@ -1,0 +1,111 @@
+"""Training-data pipeline operators: dataset splitting and sequence
+packing.
+
+Beyond-reference surface (SURVEY.md §7 phase 5). Both operators are
+pure column expressions / window functions — no Python in the hot
+path, no rand(): a re-executed stage on a 100 TB run must produce the
+SAME split and the SAME packing, and an external oracle must be able
+to replay them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from myasynstreamjoin_spark.operators.relational import hash_bucket
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    n_buckets: int = 10_000,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test/...) by
+    deterministic hash bucket of ``key_col``.
+
+    Properties a training pipeline needs that ``randomSplit`` lacks:
+    - reproducible across runs, engines, and stage re-executions
+      (randomSplit resamples per task attempt);
+    - stable under data growth: a key keeps its split when new rows
+      arrive, so yesterday's test set never leaks into today's train;
+    - ``salt`` derives independent splits from the same keys (e.g. a
+      fresh fold) without touching the data.
+
+    Fractions must sum to 1 (±1e-9). Bucket ranges are assigned in
+    sorted split-name order; the last range absorbs integer-rounding
+    remainder so every row gets a split. Pure scan-stage projection:
+    no shuffle.
+    """
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    key: Column = F.col(key_col).cast("string")
+    if salt:
+        key = F.concat(key, F.lit(salt))
+    bucket = hash_bucket(key, n_buckets)
+
+    names = sorted(splits)
+    cuts: list[tuple[int, str]] = []  # (exclusive upper bucket, name)
+    acc = 0
+    for name in names:
+        acc += int(round(splits[name] * n_buckets))
+        cuts.append((acc, name))
+    cuts[-1] = (n_buckets, names[-1])  # absorb rounding remainder
+
+    # buckets are ordered, so the first matching `< hi` wins — build the
+    # chain from the smallest cut outward
+    chain = None
+    for hi, name in cuts:
+        cond = bucket < hi
+        chain = F.when(cond, name) if chain is None else chain.when(cond, name)
+    return df.withColumn(split_col, chain)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    token_col: Column | str,
+    budget: int = 512,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing: lay documents head to
+    tail in a deterministic order and cut every ``budget`` tokens — the
+    standard way training pipelines turn variable-length documents into
+    fixed-length samples.
+
+    Each document is assigned the sequence where it STARTS
+    (``seq_id = exclusive-prefix-tokens DIV budget``) plus its offset
+    within that sequence; a downstream writer materializes the chunks.
+
+    Scale shape: packing is embarrassingly parallel ACROSS shards —
+    ``n_shards`` independent streams, each packed by one running-sum
+    window (a single shuffle on ``shard``). At 100 TB you set
+    ``n_shards`` ≫ executor count so no shard outgrows a task, and the
+    within-shard sort is by ``id_col`` (already clustered if the table
+    is written bucketed by id — see sources/sinks.py).
+
+    Output: (doc_id, shard, n_tokens, seq_id, seq_offset).
+    """
+    tok: Column = F.col(token_col) if isinstance(token_col, str) else token_col
+    d = docs.select(
+        id_col,
+        hash_bucket(F.col(id_col).cast("string"), n_shards).alias("shard"),
+        tok.cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn("prefix", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return d.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.expr(f"prefix DIV {int(budget)}").alias("seq_id"),
+        (F.col("prefix") % budget).alias("seq_offset"),
+    )

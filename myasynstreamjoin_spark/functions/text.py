@@ -112,6 +112,41 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.md5(F.encode(normalized("text"), "UTF-8")).alias("fp"))
 
 
+#: PII patterns, written to the common subset of Java regex (Spark)
+#: and RE2 (DuckDB) so engine and oracle find the identical spans:
+#: no lookaround, no backrefs, greedy quantifiers only.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # name -> (pattern, replacement tag); applied in this order, so
+    # emails are consumed before their digits can look like phones.
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+    "phone": (r"\+?[0-9][0-9 ()-]{6,}[0-9]", "[PHONE]"),
+}
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Detect and redact PII-shaped spans (emails, IPv4 addresses,
+    phone numbers) — the scrub pass every training-data pipeline runs
+    before anything else sees the text.
+
+    Pure JVM-side regexp expressions (codegen, no Python): at 100 TB
+    this is a map-only stage that pipelines with the scan — no shuffle,
+    and column pruning still reaches parquet. Counts are taken BEFORE
+    redaction; replacements are applied in PII_PATTERNS order.
+
+    Output: (doc_id, n_email, n_ipv4, n_phone, clean).
+    """
+    c = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(c, F.lit(pat), 0)).cast("long").alias(f"n_{name}")
+        for name, (pat, _) in PII_PATTERNS.items()
+    ]
+    clean = c
+    for pat, tag in PII_PATTERNS.values():
+        clean = F.regexp_replace(clean, pat, tag)
+    return docs.select("doc_id", *counts, clean.alias("clean"))
+
+
 def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     """TF-IDF: the k highest-scoring terms per document, idf =
     ln((N+1)/(df+1)).

@@ -1,0 +1,132 @@
+"""Training-pipeline ops: hash_split (stability, completeness, salt
+independence), pack_sequences (budget boundary semantics), pii_scrub
+(span detection + redaction on crafted rows), embedding normalize /
+quantize invariants."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from myasynstreamjoin_spark.functions.embeddings import l2_normalize, quantize_int8
+from myasynstreamjoin_spark.functions.pipeline import hash_split, pack_sequences
+from myasynstreamjoin_spark.functions.text import pii_scrub
+
+
+def test_hash_split_complete_and_stable(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    out = hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000          # every row assigned
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # deterministic: the same keys land in the same split on a rerun
+    again = {r["k"]: r["split"] for r in
+             hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    first = {r["k"]: r["split"] for r in out.collect()}
+    assert first == again
+
+
+def test_hash_split_growth_stability(spark):
+    """New rows must not move old keys between splits."""
+    small = hash_split(spark.range(0, 500).withColumnRenamed("id", "k"),
+                       "k", {"train": 0.9, "test": 0.1})
+    big = hash_split(spark.range(0, 5000).withColumnRenamed("id", "k"),
+                     "k", {"train": 0.9, "test": 0.1})
+    s = {r["k"]: r["split"] for r in small.collect()}
+    b = {r["k"]: r["split"] for r in big.collect()}
+    assert all(b[k] == v for k, v in s.items())
+
+
+def test_hash_split_salt_gives_independent_fold(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = {r["k"]: r["split"] for r in
+         hash_split(df, "k", {"train": 0.5, "test": 0.5}).collect()}
+    b = {r["k"]: r["split"] for r in
+         hash_split(df, "k", {"train": 0.5, "test": 0.5}, salt="fold2").collect()}
+    moved = sum(1 for k in a if a[k] != b[k])
+    assert 500 < moved < 1500  # ~half move under an independent hash
+
+
+def test_hash_split_validates_fractions(spark):
+    df = spark.range(10).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, "k", {"train": 0.8, "test": 0.1})
+
+
+def test_pack_sequences_boundary_semantics(spark):
+    """One shard, known token counts: docs are laid head-to-tail and a
+    doc belongs to the sequence where it starts."""
+    rows = [(i, t) for i, t in enumerate([100, 200, 300, 50, 400])]
+    df = spark.createDataFrame(rows, "doc_id long, nt long")
+    out = pack_sequences(df, "nt", budget=512, n_shards=1).orderBy("doc_id")
+    got = [(r["seq_id"], r["seq_offset"]) for r in out.collect()]
+    # prefixes: 0, 100, 300, 600, 650
+    assert got == [(0, 0), (0, 100), (0, 300), (1, 88), (1, 138)]
+
+
+def test_pack_sequences_shards_are_independent(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5 * 40 + 10).alias("nt")
+    )
+    out = pack_sequences(df, "nt", budget=256, n_shards=8)
+    # offsets always inside the budget; with every doc shorter than the
+    # budget, per-shard seq ids are contiguous from 0
+    assert out.where((F.col("seq_offset") < 0) | (F.col("seq_offset") >= 256)).count() == 0
+    per_shard = out.groupBy("shard").agg(
+        F.min("seq_id").alias("lo"), F.count_distinct("seq_id").alias("n_seqs"),
+        F.max("seq_id").alias("hi")).collect()
+    for r in per_shard:
+        assert r["lo"] == 0 and r["n_seqs"] == r["hi"] + 1
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-corp.io and d@e.org, call +1 (415) 555-0100 now"),
+            (2, "server at 10.0.42.7 answered"),
+            (3, "clean text, no pii here"),
+            (4, "ratio 3.4.5 is not 1.2.3.4:8080 hmm"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"]) == (2, 1)
+    assert "[EMAIL]" in out[1]["clean"] and "[PHONE]" in out[1]["clean"]
+    assert "@" not in out[1]["clean"] and "555" not in out[1]["clean"]
+    assert out[2]["n_ipv4"] == 1 and "[IP]" in out[2]["clean"]
+    assert out[3]["clean"] == "clean text, no pii here"
+    assert out[4]["n_ipv4"] == 1  # 1.2.3.4 matches, 3.4.5 does not
+
+
+def test_l2_normalize_unit_norm(spark, sf_dir):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = l2_normalize(embs).select(
+        F.aggregate(F.transform("unit", lambda x: x * x),
+                    F.lit(0.0), lambda a, x: a + x).alias("sq")
+    )
+    for r in out.collect():
+        assert math.isclose(r["sq"], 1.0, abs_tol=1e-3)
+
+
+def test_quantize_int8_bounds_and_roundtrip(spark, sf_dir):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = quantize_int8(embs)
+    mx = q.select(F.array_max(F.transform("q", F.abs)).alias("m")).agg(
+        F.max("m")).first()[0]
+    assert mx == 127  # symmetric scale saturates at the vector max
+    # dequantized error bounded by 0.5/scale per element
+    joined = q.join(embs, "vec_id").select(
+        F.max(
+            F.array_max(
+                F.zip_with(
+                    "q", "embedding",
+                    lambda qi, xi: F.abs(qi / F.col("scale") - xi.cast("double")),
+                )
+            ) * F.col("scale")
+        ).alias("worst_scaled")
+    )
+    assert joined.first()["worst_scaled"] <= 0.5 + 1e-6
