@@ -488,6 +488,23 @@ def _q_embed_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8(tables.load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key over (part, supplier): per-curve-bucket row
+    counts and rank bounding boxes — the stats that prove each z-range
+    covers a small rectangle of the 2-D key space."""
+    from myasynstreamjoin_spark.operators.zorder import with_zvalue
+
+    _prep(spark)
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    z = with_zvalue(li.select("l_partkey", "l_suppkey"),
+                    "l_partkey", "l_suppkey", bits=10)
+    return z.groupBy(F.expr("zv DIV 1024").alias("zbucket")).agg(
+        F.count("*").alias("n_rows"),
+        F.min("ra").alias("min_ra"), F.max("ra").alias("max_ra"),
+        F.min("rb").alias("min_rb"), F.max("rb").alias("max_rb"),
+    )
+
+
 def _q_sampled_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.operators.relational import sampled_revenue
 
@@ -776,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_scrub": _q_pii_scrub,
         "q_embed_norm": _q_embed_norm,
         "q_embed_quant": _q_embed_quant,
+        "q_zorder": _q_zorder,
         # beyond-reference data-pipeline operators (SURVEY.md §7 phase 5)
         "q_textstats": _q_textstats,
         "q_quality": _q_quality,
@@ -830,6 +848,8 @@ _SHINGLES = f"""
 
 
 def oracle_sql() -> dict[str, str]:
+    from myasynstreamjoin_spark.operators.zorder import zvalue_sql
+
     sw = ", ".join(
         f"'{w}'"
         for w in (
@@ -1212,6 +1232,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, round(127.0 / amax, 6) AS scale,
                    list_transform(e, x -> CAST(round(x * (127.0 / amax)) AS INT)) AS q
             FROM m
+        """,
+        "q_zorder": f"""
+            WITH z AS ({zvalue_sql('(SELECT l_partkey, l_suppkey FROM lineitem)',
+                                   'l_partkey', 'l_suppkey', 10)})
+            SELECT zv // 1024 AS zbucket, count(*) AS n_rows,
+                   min(ra) AS min_ra, max(ra) AS max_ra,
+                   min(rb) AS min_rb, max(rb) AS max_rb
+            FROM z GROUP BY 1
         """,
         "q_sampled_revenue": """
             SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
