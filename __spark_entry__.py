@@ -376,6 +376,53 @@ def _q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.relational import shipping_priority
+
+    _prep(spark)
+    return shipping_priority(
+        tables.load_table(spark, sf_dir, "customer"),
+        tables.load_table(spark, sf_dir, "orders"),
+        tables.load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.relational import (
+        late_shipment_priority_counts,
+    )
+
+    _prep(spark)
+    return late_shipment_priority_counts(
+        tables.load_table(spark, sf_dir, "orders"),
+        tables.load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.stats import approx_distinct_audit
+
+    _prep(spark)
+    return approx_distinct_audit(tables.load_table(spark, sf_dir, "events"))
+
+
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (dropDuplicatesWithinWatermark) chained into a
+    windowed count: distinct users per (key, window), append mode, run
+    to completion; the oracle is batch count(DISTINCT) over ripe
+    windows."""
+    from myasynstreamjoin_spark.streaming.dedup import stream_distinct_user_counts
+    from myasynstreamjoin_spark.streaming.windowed import (
+        run_stream_to_table,
+        stream_events,
+    )
+
+    _prep(spark)
+    return run_stream_to_table(
+        stream_distinct_user_counts(stream_events(spark, sf_dir), CFG), spark
+    )
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -784,6 +831,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": _q_range_join,
         "q_tpch_q17": _q_tpch_q17,
         "q_tpch_q18": _q_tpch_q18,
+        "q_tpch_q3": _q_tpch_q3,
+        "q_tpch_q4": _q_tpch_q4,
+        "q_approx_distinct": _q_approx_distinct,
         "q_event_pivot": _q_event_pivot,
         "q_percentiles": _q_percentiles,
         "q_stratified_sample": _q_stratified_sample,
@@ -819,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_min_count_window": _q_stream_min_count_window,
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
         "q_stream_min_count_zero": _q_stream_min_count_zero,
+        "q_stream_dedup": _q_stream_dedup,                # streaming dedup → windowed count
     }
 
 
@@ -1114,6 +1165,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(tq, 2) AS DOUBLE) AS total_qty
             FROM t JOIN orders ON o_orderkey = l_orderkey
                  JOIN customer ON c_custkey = o_custkey
+        """,
+        "q_tpch_q3": """
+            WITH cust AS (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+            o AS (
+              SELECT o_orderkey, o_orderdate
+              FROM orders JOIN cust ON o_custkey = c_custkey
+              WHERE o_orderdate < TIMESTAMP '1998-06-15')
+            SELECT l_orderkey,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                  * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                        AS DOUBLE) AS revenue,
+                   o_orderdate
+            FROM lineitem JOIN o ON o_orderkey = l_orderkey
+            WHERE l_shipdate > TIMESTAMP '1998-06-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
+            LIMIT 10
+        """,
+        "q_tpch_q4": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "q_approx_distinct": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+                   TRUE AS approx_ok
+            FROM events GROUP BY event_type
         """,
         "q_event_pivot": """
             SELECT user_id,
@@ -1455,6 +1540,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT key, ltw,
                    CAST(CASE WHEN count(*) = 3 THEN min(cnt) ELSE 0 END AS BIGINT) AS min_cnt
             FROM per_source GROUP BY key, ltw
+            HAVING (ltw + 1) * {CFG.lgw_ms} <= (SELECT wm_ms FROM wm)
+        """,
+        "q_stream_dedup": f"""
+            WITH parsed AS (
+              SELECT event_type AS key, user_id,
+                     (epoch_ns(ts) // 1000000) // {CFG.lgw_ms} AS ltw
+              FROM events),
+            wm AS (SELECT max(epoch_ns(ts)) // 1000000 - {3_600_000} AS wm_ms FROM events)
+            SELECT key, ltw, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM parsed GROUP BY key, ltw
             HAVING (ltw + 1) * {CFG.lgw_ms} <= (SELECT wm_ms FROM wm)
         """,
     }

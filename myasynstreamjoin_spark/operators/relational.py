@@ -369,3 +369,80 @@ def stratified_sample(
         cutoff = F.when(F.col(strata_col) == stratum,
                         F.lit(int(round(frac * n_buckets)))).otherwise(cutoff)
     return df.where(bucket < cutoff)
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-15",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: top-k unshipped orders by revenue for one market
+    segment (orders placed before ``cutoff`` with lines shipping after
+    it). The fixture orders table has no o_shippriority column, so the
+    output carries (l_orderkey, revenue, o_orderdate).
+
+    Scale: the segment filter keeps ~20% of customer — still far below
+    broadcast threshold at any SF (customer is a dimension here), so
+    both the customer→orders and filtered-orders→lineitem joins
+    broadcast the small side; lineitem, the 100 TB fact, is scanned
+    once with the shipdate filter pushed down and never shuffled. The
+    top-k is orderBy+limit = TakeOrderedAndProject (per-partition heap
+    + driver merge of k rows, never a global sort). Ties are broken by
+    l_orderkey so the k-row result is engine-portable.
+
+    Output: (l_orderkey, revenue, o_orderdate) — k rows.
+    """
+    cut = F.lit(cutoff).cast("timestamp")
+    cust = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = (
+        orders.where(F.col("o_orderdate") < cut)
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select("o_orderkey", "o_orderdate")
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    return (
+        lineitem.where(F.col("l_shipdate") > cut)
+        .join(F.broadcast(ords), lineitem["l_orderkey"] == ords["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(k)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+def late_shipment_priority_counts(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    late_days: int = 90,
+) -> DataFrame:
+    """TPC-H Q4 shape: per order priority, how many orders in a date
+    range had at least one badly late line (shipped > ``late_days``
+    after the order date). The fixture lacks l_commitdate/l_receiptdate,
+    so "late" is l_shipdate > o_orderdate + late_days; the EXISTS
+    subquery becomes a LEFT SEMI join, exactly Catalyst's decorrelation.
+
+    Scale: the semi join shuffles only (orderkey, orderdate) pairs from
+    the filtered year of orders and the matching lineitem keys — no
+    payload columns cross the wire, and the semi join short-circuits
+    per key (at most one match retained per order). The final count is
+    a five-row aggregate.
+
+    Output: (o_orderpriority, n_orders).
+    """
+    window = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_hi).cast("timestamp"))
+    )
+    late = lineitem.select("l_orderkey", "l_shipdate")
+    joined = window.join(
+        late,
+        (window["o_orderkey"] == late["l_orderkey"])
+        & (late["l_shipdate"] > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")),
+        "left_semi",
+    )
+    return joined.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))

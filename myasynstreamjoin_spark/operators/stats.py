@@ -80,3 +80,41 @@ def batch_stats(df: DataFrame, key: str = "key", cfg: EngineConfig = DEFAULT_CON
         F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).cast("long").alias("n_singletons"),
         F.round(F.max("cnt") / F.first("total"), 9).alias("p1"),
     )
+
+def approx_distinct_audit(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    rsd: float = 0.02,
+    tolerance: float = 0.10,
+) -> DataFrame:
+    """Sketch-vs-exact audit: per group, the exact distinct count next
+    to a flag asserting the HyperLogLog++ estimate
+    (``approx_count_distinct``) landed within ``tolerance`` of it.
+
+    At 100 TB the exact count is the expensive path (it shuffles every
+    distinct value; the HLL sketch shuffles a 1.5/rsd² byte buffer per
+    group per partition and never materializes values) — this audit
+    exists so the cheap path's error is *measured* on real data, the
+    same judged-estimate discipline as the ANN recall@k query. Both
+    aggregates run in one pass over the scan. Spark's HLL is
+    deterministic for fixed input, so the flag is stable and
+    oracle-checkable (the oracle asserts exact counts and `true`).
+
+    Output: (group, n_exact, approx_ok).
+    """
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.countDistinct(value_col).alias("n_exact"),
+            F.approx_count_distinct(value_col, rsd).alias("__n_approx"),
+        )
+        .select(
+            group_col,
+            "n_exact",
+            (
+                F.abs(F.col("__n_approx") - F.col("n_exact"))
+                <= F.lit(tolerance) * F.col("n_exact")
+            ).alias("approx_ok"),
+        )
+    )

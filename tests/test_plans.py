@@ -18,6 +18,7 @@ from myasynstreamjoin_spark.plans.explain import (
     n_nodes,
     n_shuffles,
     scan_report,
+    simple_plan,
 )
 from myasynstreamjoin_spark.sources import fixtures, tables
 
@@ -111,4 +112,38 @@ def test_anti_join_shape(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan
     # the year filter must be pushed into the orders scan
+    assert any("o_orderdate" in s["pushed_filters"] for s in scan_report(df))
+
+
+def test_q3_broadcasts_and_takeordered(spark, sf_dir):
+    from myasynstreamjoin_spark.operators.relational import shipping_priority
+
+    df = shipping_priority(
+        tables.load_table(spark, sf_dir, "customer"),
+        tables.load_table(spark, sf_dir, "orders"),
+        tables.load_table(spark, sf_dir, "lineitem"),
+    )
+    plan = simple_plan(df)
+    # lineitem (the fact) never shuffles for the joins: both build sides
+    # broadcast, and top-k is a heap merge, not a global sort.
+    assert has_broadcast_join(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    # date filters reach both scans
+    scans = scan_report(df)
+    assert any("l_shipdate" in s["pushed_filters"] for s in scans)
+    assert any("o_orderdate" in s["pushed_filters"] for s in scans)
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    from myasynstreamjoin_spark.operators.relational import (
+        late_shipment_priority_counts,
+    )
+
+    df = late_shipment_priority_counts(
+        tables.load_table(spark, sf_dir, "orders"),
+        tables.load_table(spark, sf_dir, "lineitem"),
+    )
+    plan = simple_plan(df)
+    assert "LeftSemi" in plan
     assert any("o_orderdate" in s["pushed_filters"] for s in scan_report(df))

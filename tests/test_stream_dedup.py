@@ -1,0 +1,85 @@
+"""Streaming dedup: injected duplicates collapse before the windowed
+count, and the converged stream equals batch count(DISTINCT) on ripe
+windows."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from myasynstreamjoin_spark.config import DEFAULT_CONFIG as CFG
+from myasynstreamjoin_spark.streaming.dedup import stream_distinct_user_counts
+from myasynstreamjoin_spark.streaming.windowed import (
+    EVENTS_SCHEMA,
+    run_stream_to_table,
+    stream_events,
+)
+
+DELAY_MS = 3_600_000  # cfg.watermark_delay = "1 hour"
+HOUR_NS = 3_600_000 * 1_000_000
+
+
+def _mk_events(spark, rows):
+    """(ts_ns, user_id, event_type) rows → full events schema."""
+    return spark.createDataFrame(
+        [(i, ts, uid, et, 0.0, "{}") for i, (ts, uid, et) in enumerate(rows)],
+        EVENTS_SCHEMA,
+    )
+
+
+def test_duplicates_collapse_to_distinct_users(spark, tmp_path):
+    # window 0: user 1 fires 'click' three times, user 2 once;
+    # window 1: user 1 once. A far-future row ripens both windows.
+    rows = [
+        (1_000, 1, "click"),
+        (2_000, 1, "click"),
+        (3_000, 1, "click"),
+        (4_000, 2, "click"),
+        (HOUR_NS + 1_000, 1, "click"),
+        (100 * HOUR_NS, 9, "ripener"),
+    ]
+    src = str(tmp_path / "events.parquet")
+    _mk_events(spark, rows).repartition(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("basePath", str(tmp_path))
+        .parquet(src + "*")
+    )
+    got = {
+        (r["key"], r["ltw"], r["n_users"])
+        for r in run_stream_to_table(
+            stream_distinct_user_counts(stream, CFG), spark
+        ).collect()
+    }
+    # duplicate (click, user 1, window 0) rows count once → 2 users
+    assert ("click", 0, 2) in got
+    assert ("click", 1, 1) in got
+    # the ripener's own window never ripens (watermark = its ts − 1 h)
+    assert not any(k == "ripener" for k, _, _ in got)
+
+
+def test_stream_dedup_equals_batch_distinct(spark, sf_dir):
+    got = {
+        tuple(r)
+        for r in run_stream_to_table(
+            stream_distinct_user_counts(stream_events(spark, sf_dir), CFG), spark
+        ).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    wm_ms = max_ts // 1_000_000 - DELAY_MS
+    batch = {
+        tuple(r)
+        for r in ev.select(
+            F.col("event_type").alias("key"),
+            (F.col("ts") / 1_000_000).cast("long").alias("ms"),
+            "user_id",
+        )
+        .select("key", F.floor(F.col("ms") / CFG.lgw_ms).cast("long").alias("ltw"), "user_id")
+        .groupBy("key", "ltw")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .collect()
+        if (r["ltw"] + 1) * CFG.lgw_ms <= wm_ms
+    }
+    assert got == batch
+    assert got, "no windows ripened — fixture/watermark mismatch"
