@@ -71,16 +71,29 @@ def shingle_docs(docs: DataFrame, k: int = 3, hashed: bool = False) -> DataFrame
     consumers branch from it — the explode is the expensive part and
     Spark otherwise recomputes it per branch.
 
-    ``hashed=True`` replaces each shingle string with its xxhash64 —
+    ``hashed=True`` replaces each shingle string with a 64-bit hash —
     set equality (and therefore Jaccard) is preserved up to 64-bit
     collisions (~n²/2⁶⁵: irrelevant even at 100 TB corpus scale), while
-    the columnar cache builds 3.3× faster (1.2 s vs 4.1 s at sf0.1),
-    the cached footprint shrinks ~4×, and downstream joins key on
-    8-byte longs instead of ~25-byte strings.
+    the cached footprint shrinks ~4× and downstream joins key on
+    8-byte longs instead of ~25-byte strings. The hash is multi-arg
+    ``xxhash64(tok_i, …, tok_{i+k-1})`` over the token slice directly —
+    the k-gram strings are never materialized, which makes the shingle
+    pass another ~3× cheaper cold / ~15% warm than hash-after-concat
+    (measured at sf0.1: 3.7 s → 1.2 s cold, 0.97 s → 0.81 s warm).
     """
-    sh = shingles("text", k)
-    if hashed:
-        sh = F.transform(sh, lambda s: F.xxhash64(s))
+    if not hashed:
+        return rebalance(docs).select("doc_id", shingles("text", k).alias("sh"))
+    toks = tokens("text")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    gram = lambda i: F.xxhash64(  # noqa: E731
+        *[F.element_at(toks, i + j + 1) for j in range(k)]
+    )
+    sh = F.array_distinct(
+        F.when(n >= k, F.transform(idx, gram)).otherwise(
+            F.array(F.xxhash64(F.concat_ws(" ", toks)))
+        )
+    )
     return rebalance(docs).select("doc_id", sh.alias("sh"))
 
 
