@@ -784,6 +784,23 @@ def _q_stream_min_count_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(stateful_min_count(stream_events(spark, sf_dir), CFG), spark)
 
 
+def _q_stream_max_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A4 (grouped max via state) as the generalized custom
+    stateful operator: per (key, window) max of value, watermark-
+    triggered emission, run to completion."""
+    from myasynstreamjoin_spark.streaming.stateful import stateful_window_value
+    from myasynstreamjoin_spark.streaming.windowed import (
+        run_stream_to_table,
+        stream_events,
+    )
+
+    _prep(spark)
+    out = run_stream_to_table(
+        stateful_window_value(stream_events(spark, sf_dir), CFG, fold="max"), spark
+    )
+    return out.select("key", "ltw", F.round("val", 6).alias("max_val"))
+
+
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.functions.multimodal import (
         decode_media,
@@ -870,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
         "q_stream_min_count_zero": _q_stream_min_count_zero,
         "q_stream_dedup": _q_stream_dedup,                # streaming dedup → windowed count
+        "q_stream_max_window": _q_stream_max_window,      # A4 via generalized stateful op
     }
 
 
@@ -1549,6 +1567,17 @@ def oracle_sql() -> dict[str, str]:
               FROM events),
             wm AS (SELECT max(epoch_ns(ts)) // 1000000 - {3_600_000} AS wm_ms FROM events)
             SELECT key, ltw, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM parsed GROUP BY key, ltw
+            HAVING (ltw + 1) * {CFG.lgw_ms} <= (SELECT wm_ms FROM wm)
+        """,
+        "q_stream_max_window": f"""
+            WITH parsed AS (
+              SELECT event_type AS key,
+                     (epoch_ns(ts) // 1000000) // {CFG.lgw_ms} AS ltw,
+                     value
+              FROM events),
+            wm AS (SELECT max(epoch_ns(ts)) // 1000000 - {3_600_000} AS wm_ms FROM events)
+            SELECT key, ltw, round(max(value), 6) AS max_val
             FROM parsed GROUP BY key, ltw
             HAVING (ltw + 1) * {CFG.lgw_ms} <= (SELECT wm_ms FROM wm)
         """,

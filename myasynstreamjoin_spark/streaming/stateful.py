@@ -119,3 +119,93 @@ def stateful_min_count(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+SCALAR_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("ltw", T.LongType(), False),
+        T.StructField("val", T.DoubleType(), False),
+    ]
+)
+
+SCALAR_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ltws", T.ArrayType(T.LongType()), True),
+        T.StructField("vals", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def _make_scalar_update_fn(lgw_ms: int, fold: str):
+    """Generalization of the min-count update fn to scalar folds — the
+    reference's grouped-max-via-state (A4, one-group-state/cluster/
+    RRGrouping.scala:88-96) and grouped-sum, same watermark-triggered
+    emission and eviction machinery, state = one scalar per live
+    window."""
+    if fold not in ("max", "sum"):
+        raise ValueError(f"unsupported fold: {fold}")
+
+    def update(
+        key: tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        windows: dict[int, float] = {}
+        if state.exists:
+            ltws, vals = state.get
+            windows = {int(w): float(v) for w, v in zip(ltws, vals)}
+
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ms = pdf["etime"].astype("int64") // 1_000_000
+            grp = pd.DataFrame({"ltw": ms // lgw_ms, "v": pdf["value"]}).groupby("ltw")["v"]
+            agg = grp.max() if fold == "max" else grp.sum()
+            for ltw, v in agg.items():
+                w = int(ltw)
+                if w in windows:
+                    windows[w] = max(windows[w], float(v)) if fold == "max" else windows[w] + float(v)
+                else:
+                    windows[w] = float(v)
+
+        wm = state.getCurrentWatermarkMs()
+        ripe = sorted(w for w in windows if (w + 1) * lgw_ms <= wm)
+        rows = [(key[0], w, windows.pop(w)) for w in ripe]
+
+        if windows:
+            ltws_out = sorted(windows)
+            state.update((ltws_out, [windows[w] for w in ltws_out]))
+            next_end = min((w + 1) * lgw_ms for w in windows)
+            state.setTimeoutTimestamp(max(next_end, wm + 1))
+        else:
+            state.remove()
+
+        if rows:
+            yield pd.DataFrame(rows, columns=["key", "ltw", "val"])
+
+    return update
+
+
+def stateful_window_value(
+    events: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG, fold: str = "max"
+) -> DataFrame:
+    """Streaming per-(key, window) scalar aggregate (max or sum of
+    `value`) as a custom stateful operator — the multi-fold
+    generalization of `stateful_min_count`. Use the native windowed agg
+    (`streaming/windowed.py`) unless custom state semantics are needed;
+    this exists to prove the stateful harness is a reusable primitive,
+    not a one-off. Output: (key, ltw, val) per ripe window.
+    """
+    parsed = events.select(
+        F.expr("timestamp_micros(ts DIV 1000)").alias("etime"),
+        F.col("value").cast("double").alias("value"),
+        F.col("event_type").alias("key"),
+    ).withWatermark("etime", cfg.watermark_delay)
+    return parsed.groupBy("key").applyInPandasWithState(
+        _make_scalar_update_fn(cfg.lgw_ms, fold),
+        outputStructType=SCALAR_OUTPUT_SCHEMA,
+        stateStructType=SCALAR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

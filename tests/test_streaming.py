@@ -114,3 +114,38 @@ def test_parquet_file_sink_matches_memory_sink(spark, sf_dir, tmp_path):
         tuple(sorted(r.asDict().items())) for r in mem.collect()
     }
     assert got.where(F.col("key").isNull()).count() == 0
+
+
+def test_generalized_stateful_folds_equal_batch(spark, sf_dir):
+    """The scalar generalization of the stateful op (A4 grouped max /
+    sum via state) converges to the batch answer on ripe windows; sum
+    compared with a float tolerance (accumulation order differs)."""
+    import math
+
+    from myasynstreamjoin_spark.streaming.stateful import stateful_window_value
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    wm_ms = max_ts // 1_000_000 - DELAY_MS
+    parsed = ev.select(
+        F.col("event_type").alias("key"),
+        F.floor((F.col("ts") / 1_000_000) / CFG.lgw_ms).cast("long").alias("ltw"),
+        "value",
+    )
+    for fold, agg in (("max", F.max("value")), ("sum", F.sum("value"))):
+        got = {
+            (r["key"], r["ltw"]): r["val"]
+            for r in run_stream_to_table(
+                stateful_window_value(stream_events(spark, sf_dir), CFG, fold=fold),
+                spark,
+            ).collect()
+        }
+        batch = {
+            (r["key"], r["ltw"]): r["v"]
+            for r in parsed.groupBy("key", "ltw").agg(agg.alias("v")).collect()
+            if (r["ltw"] + 1) * CFG.lgw_ms <= wm_ms
+        }
+        assert set(got) == set(batch), fold
+        assert got, fold
+        for k, v in batch.items():
+            assert math.isclose(got[k], v, rel_tol=1e-9), (fold, k)
