@@ -249,6 +249,58 @@ def _q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_pricing(tables.load_table(spark, sf_dir, "lineitem"))
 
 
+def _q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.relational import cube_pricing
+
+    _prep(spark)
+    return cube_pricing(tables.load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-log compaction: latest event per user, deterministic
+    tiebreak."""
+    from myasynstreamjoin_spark.operators.relational import latest_snapshot
+
+    _prep(spark)
+    # Order on µs, not raw ns: DuckDB truncates parquet NANOS to µs, so
+    # a sub-µs-only ordering difference would pick different survivors.
+    ev = tables.load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts DIV 1000")
+    )
+    return latest_snapshot(ev, order_cols=("ts_us", "event_id")).select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+    )
+
+
+def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.functions.pipeline import chunk_documents
+
+    _prep(spark)
+    return chunk_documents(
+        tables.load_table(spark, sf_dir, "documents"), chunk_size=64, overlap=8
+    )
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N mapInPandas frame-sampling plumbing: per media, frame count
+    and final sampled offset (both derivable from payload length, so
+    the Python-worker path is value-checked end to end)."""
+    from myasynstreamjoin_spark.functions.multimodal import (
+        documents_as_media,
+        sample_frames,
+    )
+
+    _prep(spark)
+    media = documents_as_media(tables.load_table(spark, sf_dir, "documents"))
+    return sample_frames(media, every_n_bytes=64).groupBy("media_id").agg(
+        F.count("*").alias("n_frames"), F.max("offset").alias("last_offset")
+    )
+
+
 def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.operators.relational import topk_per_group
 
@@ -835,6 +887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_revenue": _q_topk_revenue,
         "q_tpch_q1": _q_tpch_q1,
         "q_rollup_pricing": _q_rollup_pricing,
+        "q_cube_pricing": _q_cube_pricing,
+        "q_latest_event": _q_latest_event,
         "q_topk_per_group": _q_topk_per_group,
         "q_distinct_users": _q_distinct_users,
         "q_repeat_customers": _q_repeat_customers,
@@ -857,6 +911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf": _q_tfidf,
         "q_hash_split": _q_hash_split,
         "q_pack_sequences": _q_pack_sequences,
+        "q_chunk_docs": _q_chunk_docs,
+        "q_frame_sample": _q_frame_sample,
         "q_pii_scrub": _q_pii_scrub,
         "q_embed_norm": _q_embed_norm,
         "q_embed_quant": _q_embed_quant,
@@ -1072,6 +1128,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "q_cube_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                   CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "q_latest_event": """
+            SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+                   round(value, 6) AS value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                               ORDER BY epoch_us(ts) DESC,
+                                                        event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
         """,
         "q_topk_per_group": """
             SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS c_acctbal, rn
@@ -1477,6 +1550,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
                    CAST(ascii(substring(text, 1, 1)) AS INT) AS first_byte
             FROM documents
+        """,
+        "q_frame_sample": """
+            SELECT doc_id AS media_id,
+                   CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames,
+                   CAST(64 * (ceil(strlen(text) / 64.0) - 1) AS BIGINT) AS last_offset
+            FROM documents WHERE strlen(text) > 0
+        """,
+        "q_chunk_docs": f"""
+            WITH t AS (
+              SELECT doc_id, {_DOC_TOKENS} AS toks,
+                     len({_DOC_TOKENS}) AS n
+              FROM documents),
+            c AS (
+              SELECT doc_id, toks, n,
+                     CASE WHEN n <= 64 THEN 1
+                          ELSE 1 + CAST(ceil((n - 64) / 56.0) AS INT) END AS n_chunks
+              FROM t),
+            e AS (
+              SELECT doc_id, toks, n,
+                     unnest(generate_series(0, n_chunks - 1)) AS chunk_no
+              FROM c)
+            SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+                   CAST(chunk_no * 56 + 1 AS BIGINT) AS chunk_start,
+                   CAST(least(chunk_no * 56 + 64, n) - chunk_no * 56 AS BIGINT)
+                     AS n_chunk_tokens,
+                   toks[chunk_no * 56 + 1] AS first_tok,
+                   toks[least(chunk_no * 56 + 64, n)] AS last_tok
+            FROM e
         """,
         "q_embed_neardup_exact": """
             WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

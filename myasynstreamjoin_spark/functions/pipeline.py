@@ -109,3 +109,51 @@ def pack_sequences(
         F.expr(f"prefix DIV {int(budget)}").alias("seq_id"),
         (F.col("prefix") % budget).alias("seq_offset"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping fixed-size token chunks —
+    the "context window" preprocessing step between cleaning and
+    sequence packing in a training pipeline (pack_sequences assumes
+    bounded per-row token counts; this is what bounds them).
+
+    Chunk i covers tokens [i·stride, i·stride + chunk_size) with
+    stride = chunk_size − overlap; the final chunk is allowed to be
+    short. Pure array expressions (sequence → posexplode → slice): the
+    explode amplifies rows ~n_tokens/stride×, so at scale feed it a
+    rebalanced input the same way the shingle pipeline does.
+
+    Output: (doc_id, chunk_no, chunk_start, n_chunk_tokens,
+    first_tok, last_tok) — one row per chunk; chunk text itself is
+    reconstructable as slice(tokens, chunk_start, n_chunk_tokens).
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    from myasynstreamjoin_spark.functions.text import tokens
+
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - chunk_size).cast("double") / stride).cast("int")
+    )
+    exploded = docs.select(
+        id_col, toks.alias("__t"), n.alias("__n"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_no", "__i"),
+    )
+    start = F.col("chunk_no") * stride + 1  # 1-based for slice/element_at
+    end = F.least(start + chunk_size - 1, F.col("__n"))
+    return exploded.select(
+        id_col,
+        "chunk_no",
+        start.cast("long").alias("chunk_start"),
+        (end - start + 1).cast("long").alias("n_chunk_tokens"),
+        F.element_at("__t", start.cast("int")).alias("first_tok"),
+        F.element_at("__t", end.cast("int")).alias("last_tok"),
+    )

@@ -446,3 +446,54 @@ def late_shipment_priority_counts(
         "left_semi",
     )
     return joined.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+def cube_pricing(lineitem: DataFrame) -> DataFrame:
+    """CUBE (returnflag, linestatus): all four grouping-set combinations
+    in one pass (rollup_pricing's lattice completion). Spark expands
+    grouping sets after partial aggregation, so the fact table is still
+    read and combined once.
+
+    Output: (l_returnflag, l_linestatus, gid, sum_qty, n).
+    """
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.sum(_dec("l_quantity")).alias("sq"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "gid",
+            F.round(F.col("sq"), 2).cast("double").alias("sum_qty"),
+            "n",
+        )
+    )
+
+
+def latest_snapshot(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Latest-row-per-key compaction — the CDC/upsert-log → snapshot
+    operator (dedup-to-latest). Implemented as row_number over a
+    per-key descending order with a total tiebreak, so the survivor is
+    deterministic on any engine even with timestamp collisions.
+
+    Scale: one shuffle on the key; with AQE skew handling for hot keys.
+    At 100 TB prefer writing the log bucketed by key so the window
+    needs no exchange (sources/sinks.py), and at extreme per-key
+    cardinality swap row_number for max_by on a (ts, id) struct —
+    an O(1)-state aggregate instead of a per-key sort.
+
+    Output: the latest full row per key.
+    """
+    w = Window.partitionBy(key_col).orderBy(*[F.desc(c) for c in order_cols])
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

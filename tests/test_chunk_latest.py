@@ -1,0 +1,65 @@
+"""Chunking boundary semantics and latest-snapshot tiebreak."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from myasynstreamjoin_spark.functions.pipeline import chunk_documents
+from myasynstreamjoin_spark.operators.relational import latest_snapshot
+
+
+def _doc(spark, n_tokens):
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    return spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+
+def test_chunk_boundaries(spark):
+    # 10 tokens, chunk 4, overlap 1, stride 3 → chunks at 0,3,6 full and
+    # a final short one at 9: ceil((10-4)/3)+1 = 3 → starts 0,3,6 cover
+    # through token 9 (6+4=10) → exactly 3 chunks, no short tail.
+    rows = {
+        r["chunk_no"]: r
+        for r in chunk_documents(
+            _doc(spark, 10), chunk_size=4, overlap=1
+        ).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    assert [rows[i]["chunk_start"] for i in (0, 1, 2)] == [1, 4, 7]
+    assert [rows[i]["n_chunk_tokens"] for i in (0, 1, 2)] == [4, 4, 4]
+    assert rows[0]["first_tok"] == "t0" and rows[0]["last_tok"] == "t3"
+    # overlap: chunk 1 starts at the last token of chunk 0
+    assert rows[1]["first_tok"] == "t3"
+    assert rows[2]["last_tok"] == "t9"
+
+
+def test_chunk_short_tail_and_tiny_doc(spark):
+    # 11 tokens → 4th chunk is a 2-token tail (9,10)
+    rows = {
+        r["chunk_no"]: r
+        for r in chunk_documents(
+            _doc(spark, 11), chunk_size=4, overlap=1
+        ).collect()
+    }
+    assert set(rows) == {0, 1, 2, 3}
+    assert rows[3]["n_chunk_tokens"] == 2
+    assert rows[3]["first_tok"] == "t9" and rows[3]["last_tok"] == "t10"
+    # doc shorter than one chunk → exactly one (short) chunk
+    tiny = chunk_documents(_doc(spark, 2), chunk_size=4, overlap=1).collect()
+    assert len(tiny) == 1 and tiny[0]["n_chunk_tokens"] == 2
+
+
+def test_latest_snapshot_tiebreak(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 100, 7, "a"),
+            (1, 100, 9, "b"),   # same ts: event_id breaks the tie
+            (1, 50, 99, "c"),
+            (2, 10, 1, "d"),
+        ],
+        "user_id long, ts long, event_id long, event_type string",
+    )
+    got = {
+        r["user_id"]: r["event_type"]
+        for r in latest_snapshot(df, "user_id", ("ts", "event_id")).collect()
+    }
+    assert got == {1: "b", 2: "d"}
