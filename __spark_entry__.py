@@ -249,6 +249,20 @@ def _q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_pricing(tables.load_table(spark, sf_dir, "lineitem"))
 
 
+def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.functions.json_ops import props_stats
+
+    _prep(spark)
+    return props_stats(tables.load_table(spark, sf_dir, "events"))
+
+
+def _q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.sessions import event_gaps
+
+    _prep(spark)
+    return event_gaps(tables.load_table(spark, sf_dir, "events"))
+
+
 def _q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.operators.relational import cube_pricing
 
@@ -889,6 +903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_pricing": _q_rollup_pricing,
         "q_cube_pricing": _q_cube_pricing,
         "q_latest_event": _q_latest_event,
+        "q_json_props": _q_json_props,
+        "q_event_gaps": _q_event_gaps,
         "q_topk_per_group": _q_topk_per_group,
         "q_distinct_users": _q_distinct_users,
         "q_repeat_customers": _q_repeat_customers,
@@ -1136,6 +1152,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "q_json_props": """
+            SELECT event_type,
+                   count(*) AS n_rows,
+                   CAST(sum(CASE WHEN CAST(json_extract(props, '$.k') AS INT) IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+                   min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+                   max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "q_event_gaps": """
+            WITH g AS (
+              SELECT user_id,
+                     epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id) AS gap
+              FROM events)
+            SELECT user_id, count(*) AS n_gaps,
+                   round(avg(gap), 4) AS avg_gap_us,
+                   max(gap) AS max_gap_us
+            FROM g WHERE gap IS NOT NULL GROUP BY user_id
         """,
         "q_latest_event": """
             SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,

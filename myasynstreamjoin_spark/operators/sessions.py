@@ -20,7 +20,7 @@ formulation needs ``> gap``, not ``>= gap``, as its new-session flag.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -48,4 +48,27 @@ def sessionize(
             *(aggs or []),
         )
         .drop("__sw")
+    )
+
+
+def event_gaps(events: DataFrame) -> DataFrame:
+    """Per-user inter-event gap statistics via lag(): the analytic-
+    function complement of gap-based sessionization (same per-key
+    ordered pass, one shuffle on the key). Timestamps compared at µs
+    (engine-portable precision; see __spark_entry__ parity notes).
+
+    Output: (user_id, n_gaps, avg_gap_us, max_gap_us) for users with
+    ≥ 2 events.
+    """
+    ts_us = F.expr("ts DIV 1000")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gapped = (
+        events.select("user_id", "event_id", ts_us.alias("ts_us"))
+        .withColumn("gap", F.col("ts_us") - F.lag("ts_us").over(w))
+        .where(F.col("gap").isNotNull())
+    )
+    return gapped.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.avg("gap"), 4).alias("avg_gap_us"),
+        F.max("gap").alias("max_gap_us"),
     )
