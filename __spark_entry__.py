@@ -249,6 +249,26 @@ def _q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_pricing(tables.load_table(spark, sf_dir, "lineitem"))
 
 
+def _q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.relational import promo_revenue
+
+    _prep(spark)
+    return promo_revenue(
+        tables.load_table(spark, sf_dir, "lineitem"),
+        tables.load_table(spark, sf_dir, "part"),
+    )
+
+
+def _q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.relational import profile_columns
+
+    _prep(spark)
+    return profile_columns(
+        tables.load_table(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"],
+    )
+
+
 def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.functions.json_ops import props_stats
 
@@ -905,6 +925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_latest_event": _q_latest_event,
         "q_json_props": _q_json_props,
         "q_event_gaps": _q_event_gaps,
+        "q_tpch_q14": _q_tpch_q14,
+        "q_profile": _q_profile,
         "q_topk_per_group": _q_topk_per_group,
         "q_distinct_users": _q_distinct_users,
         "q_repeat_customers": _q_repeat_customers,
@@ -1152,6 +1174,46 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "q_tpch_q14": """
+            WITH li AS (
+              SELECT l_partkey,
+                     CAST(l_extendedprice AS DECIMAL(18,4))
+                       * (1 - CAST(l_discount AS DECIMAL(18,4))) AS rev
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+                AND l_shipdate <  TIMESTAMP '1997-10-01')
+            SELECT round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                                              THEN rev ELSE 0 END) AS DOUBLE)
+                         / CAST(sum(rev) AS DOUBLE), 6) AS promo_revenue_pct,
+                   CAST(round(sum(rev), 2) AS DOUBLE) AS total_revenue
+            FROM li JOIN part ON p_partkey = l_partkey
+        """,
+        "q_profile": """
+            SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+                   CAST(min(l_orderkey) AS VARCHAR) AS min_val,
+                   CAST(max(l_orderkey) AS VARCHAR) AS max_val
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', count(*),
+                   CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT l_quantity) AS BIGINT),
+                   CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag', count(*),
+                   CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT l_returnflag) AS BIGINT),
+                   CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_shipdate', count(*),
+                   CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT l_shipdate) AS BIGINT),
+                   CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
+            FROM lineitem
         """,
         "q_json_props": """
             SELECT event_type,

@@ -497,3 +497,70 @@ def latest_snapshot(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def promo_revenue(lineitem: DataFrame, part: DataFrame,
+                  month: str = "1997-09") -> DataFrame:
+    """TPC-H Q14 shape: share of one month's revenue from promo parts —
+    a conditional aggregate over a fact⋈dimension join.
+
+    Scale: the month filter prunes lineitem at the scan (pushed-down
+    range predicate on l_shipdate); part is joined on partkey — at
+    fixture scale Spark broadcasts it, at 100 TB AQE's runtime bloom
+    filter prunes the lineitem side of the shuffle join instead; either
+    way only the month's rows reach the aggregate. Ratio math in
+    DECIMAL until the final division.
+
+    Output: (promo_revenue_pct, total_revenue) — one row.
+    """
+    lo = F.lit(f"{month}-01").cast("timestamp")
+    hi = F.add_months(F.lit(f"{month}-01").cast("date"), 1).cast("timestamp")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    li = lineitem.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+    joined = li.join(part, li["l_partkey"] == part["p_partkey"])
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return joined.agg(
+        F.round(
+            F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6
+        ).alias("promo_revenue_pct"),
+        F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+    )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Column profiling — the data-quality pass a pipeline runs before
+    training ingestion: per column, row/null/distinct counts and
+    min/max rendered as strings (uniform output schema across types).
+
+    One scan, one aggregate row per profiled column via a single wide
+    agg then an explicit stack — never one job per column (a 100 TB
+    profile must not rescan per metric). Distinct counts are exact
+    here; swap count_distinct for approx_count_distinct when profiling
+    monitoring-grade snapshots at full scale.
+
+    Output: (col_name, n_rows, n_null, n_distinct, min_val, max_val).
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"__nn_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__mn_{c}"),
+            F.max(c).cast("string").alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"__n_{c}").alias("n_rows"),
+            F.col(f"__nn_{c}").alias("n_null"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.col(f"__mn_{c}").alias("min_val"),
+            F.col(f"__mx_{c}").alias("max_val"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")

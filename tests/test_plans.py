@@ -147,3 +147,36 @@ def test_q4_exists_is_semi_join(spark, sf_dir):
     plan = simple_plan(df)
     assert "LeftSemi" in plan
     assert any("o_orderdate" in s["pushed_filters"] for s in scan_report(df))
+
+
+def test_runtime_bloom_filter_can_inject(spark, sf_dir):
+    """At 100 TB a selective dim filter prunes the fact side of a
+    shuffle join via Spark's runtime bloom filter (InjectRuntimeFilter).
+    The fixture scan is far below the default 10 GB application-side
+    threshold, so this test lowers it to prove the engine session has
+    the rule active and the join shape qualifies — the conf knobs are
+    the documented scale levers."""
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = tables.load_table(spark, sf_dir, "lineitem")
+        part = tables.load_table(spark, sf_dir, "part").where(
+            F.col("p_brand") == "Brand#23"
+        )
+        j = li.join(part, li["l_partkey"] == part["p_partkey"]).groupBy(
+            "p_brand"
+        ).count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
