@@ -249,6 +249,13 @@ def _q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_pricing(tables.load_table(spark, sf_dir, "lineitem"))
 
 
+def _q_sliding_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.grouping import count_per_sliding_window
+
+    _prep(spark)
+    return count_per_sliding_window(tables.load_table(spark, sf_dir, "events"))
+
+
 def _q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.operators.relational import promo_revenue
 
@@ -927,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_gaps": _q_event_gaps,
         "q_tpch_q14": _q_tpch_q14,
         "q_profile": _q_profile,
+        "q_sliding_count": _q_sliding_count,
         "q_topk_per_group": _q_topk_per_group,
         "q_distinct_users": _q_distinct_users,
         "q_repeat_customers": _q_repeat_customers,
@@ -1174,6 +1182,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "q_sliding_count": """
+            WITH e AS (SELECT event_type AS key,
+                              epoch_ns(ts) // 1000000 AS ms
+                       FROM events),
+            x AS (SELECT key, ms, unnest(generate_series(0, 1)) AS k FROM e)
+            SELECT key,
+                   (ms // 3600000 - k) * 3600000 AS win_start_ms,
+                   count(*) AS n
+            FROM x GROUP BY 1, 2
         """,
         "q_tpch_q14": """
             WITH li AS (

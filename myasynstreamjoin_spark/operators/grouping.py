@@ -61,3 +61,33 @@ def agg_per_window(
         .groupBy("key", "ltw")
         .agg(fns[agg].cast("long").alias("agg_val"))
     )
+
+
+def count_per_sliding_window(
+    events: DataFrame,
+    width_ms: int = 2 * 3_600_000,
+    step_ms: int = 3_600_000,
+) -> DataFrame:
+    """Per (key, SLIDING event-time window) count — the windowing shape
+    the reference cannot express (its ltw = ts DIV lgw is tumbling
+    only, SURVEY.md §2.6 T1); Spark's window(ts, width, step) assigns
+    each row to width/step windows in one projection, and the count is
+    the same single-shuffle partial/final aggregate as the tumbling
+    form.
+
+    Output: (key, win_start_ms, n) — win_start_ms = window start in
+    epoch ms, one row per (key, covering window).
+    """
+    if width_ms % step_ms:
+        raise ValueError("step must divide width")
+    w = F.window(
+        F.expr("timestamp_micros(ts DIV 1000)"),
+        f"{width_ms} milliseconds",
+        f"{step_ms} milliseconds",
+    )
+    return (
+        events.select(F.col("event_type").alias("key"), w.alias("w"))
+        .groupBy("key", "w")
+        .agg(F.count("*").alias("n"))
+        .select("key", F.unix_millis(F.col("w.start")).alias("win_start_ms"), "n")
+    )
