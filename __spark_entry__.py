@@ -894,6 +894,22 @@ def _q_stream_max_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("key", "ltw", F.round("val", 6).alias("max_val"))
 
 
+def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-based sessionization (session_window + watermark,
+    append mode) run to completion; oracle = batch sessions whose
+    (end + gap) the final watermark passed."""
+    from myasynstreamjoin_spark.streaming.windowed import (
+        run_stream_to_table,
+        stream_events,
+        stream_sessions,
+    )
+
+    _prep(spark)
+    return run_stream_to_table(
+        stream_sessions(stream_events(spark, sf_dir)), spark
+    )
+
+
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.functions.multimodal import (
         decode_media,
@@ -990,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_min_count_zero": _q_stream_min_count_zero,
         "q_stream_dedup": _q_stream_dedup,                # streaming dedup → windowed count
         "q_stream_max_window": _q_stream_max_window,      # A4 via generalized stateful op
+        "q_stream_sessions": _q_stream_sessions,          # streaming session windows
     }
 
 
@@ -1788,6 +1805,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT key, ltw, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM parsed GROUP BY key, ltw
             HAVING (ltw + 1) * {CFG.lgw_ms} <= (SELECT wm_ms FROM wm)
+        """,
+        "q_stream_sessions": f"""
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+            flagged AS (
+              SELECT *, CASE WHEN ts_us - lag(ts_us) OVER (
+                       PARTITION BY user_id ORDER BY ts_us)
+                     > 14400000000 THEN 1 ELSE 0 END AS is_new
+              FROM e),
+            sess AS (
+              SELECT *, sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts_us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM flagged),
+            wm AS (SELECT max(epoch_ns(ts)) // 1000000 - {3_600_000} AS wm_ms FROM events)
+            SELECT user_id, min(ts_us) AS session_start,
+                   max(ts_us) AS session_end,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, sid
+            HAVING max(ts_us) // 1000 + 14400000 <= (SELECT wm_ms FROM wm)
         """,
         "q_stream_max_window": f"""
             WITH parsed AS (

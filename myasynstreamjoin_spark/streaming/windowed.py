@@ -238,3 +238,36 @@ def run_stream_to_table(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def stream_sessions(
+    events: DataFrame,
+    gap: str = "4 hours",
+    gap_ms: int = 14_400_000,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Streaming gap-based sessionization: the identical
+    `session_window` call as the batch operator (operators/sessions.py)
+    under a watermark — session state merges as events arrive and is
+    emitted + evicted once the watermark passes session end + gap
+    (append mode). A window shape the reference cannot express at all
+    (tumbling-only ltw, SURVEY.md §2.6 T1), and in Spark the streaming
+    form is the same single-exchange plan as batch.
+
+    Output: (user_id, session_start, session_end, n_events) — epoch-µs
+    bounds, one row per closed session.
+    """
+    parsed = events.select(
+        F.expr("timestamp_micros(ts DIV 1000)").alias("etime"),
+        "user_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+    ).withWatermark("etime", cfg.watermark_delay)
+    return (
+        parsed.groupBy("user_id", F.session_window("etime", gap).alias("__sw"))
+        .agg(
+            F.min("ts_us").alias("session_start"),
+            F.max("ts_us").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .drop("__sw")
+    )
