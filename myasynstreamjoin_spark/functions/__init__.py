@@ -1,3 +1,21 @@
-from myasynstreamjoin_spark.functions import dedup, multimodal, similarity, text
+from myasynstreamjoin_spark.functions import (
+    cluster,
+    dedup,
+    embeddings,
+    json_ops,
+    multimodal,
+    pipeline,
+    similarity,
+    text,
+)
 
-__all__ = ["text", "dedup", "similarity", "multimodal"]
+__all__ = [
+    "text",
+    "dedup",
+    "similarity",
+    "multimodal",
+    "cluster",
+    "embeddings",
+    "json_ops",
+    "pipeline",
+]

@@ -1,15 +1,27 @@
+from myasynstreamjoin_spark.streaming.dedup import stream_distinct_user_counts
 from myasynstreamjoin_spark.streaming.feedback import adaptive_count_stream
-from myasynstreamjoin_spark.streaming.stateful import stateful_min_count
+from myasynstreamjoin_spark.streaming.stateful import (
+    stateful_min_count,
+    stateful_window_value,
+)
 from myasynstreamjoin_spark.streaming.windowed import (
+    run_stream_to_parquet,
     run_stream_to_table,
     stream_events,
+    stream_min_count_join,
     stream_min_count_per_window,
+    stream_sessions,
 )
 
 __all__ = [
     "stream_events",
     "stream_min_count_per_window",
+    "stream_min_count_join",
+    "stream_sessions",
+    "stream_distinct_user_counts",
     "run_stream_to_table",
+    "run_stream_to_parquet",
     "stateful_min_count",
+    "stateful_window_value",
     "adaptive_count_stream",
 ]
