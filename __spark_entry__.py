@@ -492,6 +492,81 @@ def _q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.tpch import bilateral_trade
+
+    _prep(spark)
+    return bilateral_trade(
+        tables.load_table(spark, sf_dir, "lineitem"),
+        tables.load_table(spark, sf_dir, "orders"),
+        tables.load_table(spark, sf_dir, "customer"),
+        tables.load_table(spark, sf_dir, "supplier"),
+        tables.load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.tpch import returned_item_revenue
+
+    _prep(spark)
+    return returned_item_revenue(
+        tables.load_table(spark, sf_dir, "customer"),
+        tables.load_table(spark, sf_dir, "orders"),
+        tables.load_table(spark, sf_dir, "lineitem"),
+        tables.load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.tpch import late_shipment_mode_split
+
+    _prep(spark)
+    return late_shipment_mode_split(
+        tables.load_table(spark, sf_dir, "orders"),
+        tables.load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.tpch import order_count_distribution
+
+    _prep(spark)
+    return order_count_distribution(
+        tables.load_table(spark, sf_dir, "customer"),
+        tables.load_table(spark, sf_dir, "orders"),
+    )
+
+
+def _q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.tpch import top_suppliers
+
+    _prep(spark)
+    return top_suppliers(
+        tables.load_table(spark, sf_dir, "lineitem"),
+        tables.load_table(spark, sf_dir, "supplier"),
+    )
+
+
+def _q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.tpch import brand_bracket_revenue
+
+    _prep(spark)
+    return brand_bracket_revenue(
+        tables.load_table(spark, sf_dir, "lineitem"),
+        tables.load_table(spark, sf_dir, "part"),
+    )
+
+
+def _q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.tpch import idle_rich_customers
+
+    _prep(spark)
+    return idle_rich_customers(
+        tables.load_table(spark, sf_dir, "customer"),
+        tables.load_table(spark, sf_dir, "orders"),
+    )
+
+
 def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.operators.stats import approx_distinct_audit
 
@@ -966,6 +1041,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q18": _q_tpch_q18,
         "q_tpch_q3": _q_tpch_q3,
         "q_tpch_q4": _q_tpch_q4,
+        "q_tpch_q7": _q_tpch_q7,
+        "q_tpch_q10": _q_tpch_q10,
+        "q_tpch_q12": _q_tpch_q12,
+        "q_tpch_q13": _q_tpch_q13,
+        "q_tpch_q15": _q_tpch_q15,
+        "q_tpch_q19": _q_tpch_q19,
+        "q_tpch_q22": _q_tpch_q22,
         "q_approx_distinct": _q_approx_distinct,
         "q_event_pivot": _q_event_pivot,
         "q_percentiles": _q_percentiles,
@@ -1419,6 +1501,103 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l_orderkey = o_orderkey
                             AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
             GROUP BY o_orderpriority
+        """,
+        "q_tpch_q7": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                  * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                        AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON n1.n_nationkey = s_nationkey
+            JOIN nation n2 ON n2.n_nationkey = c_nationkey
+            WHERE year(l_shipdate) BETWEEN 1995 AND 1997
+              AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+            GROUP BY 1, 2, 3
+        """,
+        "q_tpch_q10": """
+            WITH per_cust AS (
+              SELECT o_custkey,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS rev_d
+              FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate <  TIMESTAMP '1996-04-01'
+              GROUP BY o_custkey)
+            SELECT c_custkey, c_name, n_name,
+                   round(c_acctbal, 2) AS c_acctbal,
+                   CAST(round(rev_d, 2) AS DOUBLE) AS revenue
+            FROM per_cust
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "q_tpch_q12": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+            GROUP BY l_returnflag
+        """,
+        "q_tpch_q13": """
+            WITH per_cust AS (
+              SELECT o_custkey, count(*) AS n_orders
+              FROM orders WHERE o_orderpriority <> '1-URGENT'
+              GROUP BY o_custkey)
+            SELECT coalesce(n_orders, 0) AS c_count, count(*) AS custdist
+            FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+            GROUP BY 1
+        """,
+        "q_tpch_q15": """
+            WITH per_supp AS (
+              SELECT l_suppkey,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS rev_d
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name,
+                   CAST(round(rev_d, 2) AS DOUBLE) AS total_revenue
+            FROM per_supp JOIN supplier ON s_suppkey = l_suppkey
+            WHERE rev_d = (SELECT max(rev_d) FROM per_supp)
+        """,
+        "q_tpch_q19": """
+            SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                  * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                        AS DOUBLE) AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q_tpch_q22": """
+            WITH pos AS (
+              SELECT sum(CAST(c_acctbal AS DECIMAL(18,4))) AS sum_bal,
+                     CAST(count(*) AS DECIMAL(18,4)) AS n_bal
+              FROM customer WHERE c_acctbal > 0.0)
+            SELECT c_mktsegment,
+                   count(*) AS n_customers,
+                   CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+                     AS total_acctbal
+            FROM customer, pos
+            WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n_bal > sum_bal
+              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_mktsegment
         """,
         "q_approx_distinct": """
             SELECT event_type,

@@ -1,0 +1,331 @@
+"""Further TPC-H-shaped relational coverage (Q7/Q10/Q12/Q13/Q15/Q19/Q22).
+
+Continues operators/relational.py (Q1/Q3/Q4/Q5/Q6/Q14/Q17/Q18 shapes
+live there): the reference engine has no SQL layer at all
+(SURVEY.md §2.4 "missing" list), so the relational surface is defined
+by what a general engine's users run — the TPC-H query shapes the
+fixture tables can express. Adaptations to the fixture schema (no
+l_shipmode/l_commitdate/partsupp/c_phone) are documented per function.
+
+Scale stance shared by all plans here:
+- facts (lineitem, orders) are never broadcast and never collected;
+- dimensions and small derived sets are broadcast explicitly;
+- aggregates run partial→final (map-side combine before any shuffle);
+- money math stays DECIMAL until the final rounded DOUBLE projection
+  so Spark and the DuckDB oracle agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dec(c: str) -> Column:
+    return F.col(c).cast("decimal(18,4)")
+
+
+def _revenue() -> Column:
+    return _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+
+
+def bilateral_trade(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_3",
+    nation_b: str = "NATION_7",
+    y_from: int = 1995,
+    y_to: int = 1997,
+) -> DataFrame:
+    """TPC-H Q7 shape: shipped revenue between two nations, by supplier
+    nation, customer nation, and ship year — only the (a→b) and (b→a)
+    directions survive.
+
+    Scale: nation is filtered to the two names BEFORE joining, so the
+    supplier→nation and customer→nation joins are broadcast hash joins
+    that also act as semi-filters — suppliers/customers outside the
+    pair never reach the fact joins. lineitem⋈orders is the one big
+    shuffle; the pair-direction predicate prunes before the final
+    4-group aggregate.
+
+    Output: (supp_nation, cust_nation, l_year, revenue).
+    """
+    pair = nation.where(F.col("n_name").isin(nation_a, nation_b))
+    supp = (
+        supplier.join(
+            F.broadcast(pair), supplier["s_nationkey"] == pair["n_nationkey"]
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        customer.join(
+            F.broadcast(pair), customer["c_nationkey"] == pair["n_nationkey"]
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = lineitem.where(
+        (F.year("l_shipdate") >= y_from) & (F.year("l_shipdate") <= y_to)
+    )
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .where(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_revenue()).alias("rev_d"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            F.round(F.col("rev_d"), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+def returned_item_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: the top-k customers by revenue lost to returned
+    items (l_returnflag = 'R') for one quarter of orders.
+
+    Scale: the quarter filter cuts orders ~25×; returned lineitem rows
+    join that subset on orderkey (the one big shuffle — AQE handles any
+    hot order keys). The per-customer aggregate output is at most
+    |customer| rows; customer and nation attribution joins run on that
+    aggregated (small) side, with nation broadcast. Top-k is
+    orderBy+limit = TakeOrderedAndProject, tie-broken by c_custkey so
+    the k rows are engine-portable.
+
+    Output: (c_custkey, c_name, n_name, c_acctbal, revenue) — k rows.
+    """
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_hi).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.where(F.col("l_returnflag") == "R")
+    per_cust = (
+        li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.sum(_revenue()).alias("rev_d"))
+    )
+    return (
+        per_cust.join(customer, per_cust["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round(F.col("c_acctbal"), 2).alias("c_acctbal"),
+            F.round(F.col("rev_d"), 2).cast("double").alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+def late_shipment_mode_split(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    late_days: int = 90,
+) -> DataFrame:
+    """TPC-H Q12 shape: per line class, how many badly late lines came
+    from high- vs low-priority orders. The fixture has no
+    l_shipmode/l_commitdate/l_receiptdate, so the mode column is
+    l_returnflag and "late" is l_shipdate > o_orderdate + late_days
+    (the same lateness rule as the Q4 shape in relational.py).
+
+    Scale: both sides project only their join key + 2 columns before
+    the shuffle join; the conditional counts are one partial→final
+    aggregate to 3 rows. The ship-date range predicate is pushed to the
+    lineitem scan.
+
+    Output: (l_returnflag, high_line_count, low_line_count).
+    """
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    ords = orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def order_count_distribution(
+    customer: DataFrame,
+    orders: DataFrame,
+    exclude_priority: str = "1-URGENT",
+) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of orders-per-customer,
+    including customers with zero orders — the canonical left-outer
+    join + double aggregation. The original excludes special-comment
+    orders; the fixture has no o_comment, so one priority class is
+    excluded instead (the point is a filtered outer join, not the
+    predicate text).
+
+    Scale: counting orders per custkey BEFORE the outer join keeps the
+    join input at |distinct custkey| rows instead of |orders| rows, and
+    the second aggregate (histogram of counts) is tiny. Spark picks a
+    shuffle join on custkey for the outer join; no row explosion exists
+    at any scale because both sides are already unique per key.
+
+    Output: (c_count, custdist).
+    """
+    per_cust = (
+        orders.where(F.col("o_orderpriority") != exclude_priority)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        customer.join(per_cust, customer["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+def top_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose shipped revenue over one
+    quarter equals the maximum — the revenue-view + scalar-max query.
+
+    Scale: one shuffle builds the per-supplier revenue aggregate; the
+    global max is a one-row aggregate of THAT (never of the fact), and
+    the equality filter is a broadcast join of the one-row max back
+    onto the per-supplier rows. The max compare happens in DECIMAL, so
+    exact ties are found identically on any engine — an equality on
+    rounded DOUBLE would be engine-dependent.
+
+    Output: (s_suppkey, s_name, total_revenue) — usually 1 row.
+    """
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+    )
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(_revenue()).alias("rev_d"))
+    mx = per_supp.agg(F.max("rev_d").alias("max_rev"))
+    return (
+        per_supp.join(F.broadcast(mx), per_supp["rev_d"] == mx["max_rev"])
+        .join(F.broadcast(supplier), per_supp["l_suppkey"] == supplier["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_d"), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def brand_bracket_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brackets: tuple[tuple[str, int, float], ...] = (
+        ("Brand#12", 5, 1.0),
+        ("Brand#23", 10, 10.0),
+        ("Brand#25", 15, 20.0),
+    ),
+) -> DataFrame:
+    """TPC-H Q19 shape: revenue from lineitems matching ANY of several
+    (brand, max size, quantity bracket) conjunctions — the disjunctive-
+    predicate query that exercises OR handling in the optimizer. Each
+    bracket keeps parts of one brand with p_size in [1, max_size] and
+    lines with l_quantity in [qty, qty+10].
+
+    Scale: the brand disjunction (p_brand IN (...)) is pushed to the
+    part scan, shrinking the dimension before broadcast; the quantity
+    range union l_quantity BETWEEN min(lo) AND max(hi) is pushed to the
+    lineitem scan as a residual bound, and the exact per-brand bracket
+    predicate evaluates after the broadcast join. One row out.
+
+    Output: (revenue) — one row.
+    """
+    brands = [b for b, _, _ in brackets]
+    p = part.where(F.col("p_brand").isin(brands)).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    qty_lo = min(q for _, _, q in brackets)
+    qty_hi = max(q + 10.0 for _, _, q in brackets)
+    li = lineitem.where(
+        (F.col("l_quantity") >= qty_lo) & (F.col("l_quantity") <= qty_hi)
+    )
+    cond = F.lit(False)
+    for brand, max_size, qty in brackets:
+        cond = cond | (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= max_size)
+            & (F.col("l_quantity") >= qty)
+            & (F.col("l_quantity") <= qty + 10.0)
+        )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .where(cond)
+        .agg(F.round(F.sum(_revenue()), 2).cast("double").alias("revenue"))
+    )
+
+
+def idle_rich_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    min_bal: float = 0.0,
+) -> DataFrame:
+    """TPC-H Q22 shape: per market segment, customers whose balance
+    beats the average positive balance and who never placed an order —
+    the scalar-average subquery + anti-join query. The fixture has no
+    c_phone country codes, so c_mktsegment plays the segment role.
+
+    Scale: the global average is a one-row aggregate broadcast into the
+    filter (no correlated rescan); the "above average" compare is
+    cross-multiplied into DECIMAL (bal·n > sum, the Q17 trick) so no
+    float division decides a boundary row differently per engine. The
+    anti join against orders shuffles only custkeys — with orders
+    pre-projected to its distinct o_custkey set, the wire carries keys,
+    not orders. Output is one row per segment.
+
+    Output: (c_mktsegment, n_customers, total_acctbal).
+    """
+    pos = customer.where(F.col("c_acctbal") > min_bal).agg(
+        F.sum(_dec("c_acctbal")).alias("sum_bal"),
+        F.count("*").cast("decimal(18,4)").alias("n_bal"),
+    )
+    rich = (
+        customer.join(F.broadcast(pos))
+        .where(_dec("c_acctbal") * F.col("n_bal") > F.col("sum_bal"))
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    order_keys = orders.select("o_custkey").distinct()
+    return (
+        rich.join(order_keys, rich["c_custkey"] == order_keys["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("total_acctbal"),
+        )
+    )

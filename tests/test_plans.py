@@ -180,3 +180,52 @@ def test_runtime_bloom_filter_can_inject(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q10_takeordered_and_pushdown(spark, sf_dir):
+    from myasynstreamjoin_spark.operators.tpch import returned_item_revenue
+
+    df = returned_item_revenue(
+        tables.load_table(spark, sf_dir, "customer"),
+        tables.load_table(spark, sf_dir, "orders"),
+        tables.load_table(spark, sf_dir, "lineitem"),
+        tables.load_table(spark, sf_dir, "nation"),
+    )
+    plan = simple_plan(df)
+    # top-k is a heap merge; the returnflag and quarter filters reach
+    # their scans so the fact join input is pre-pruned.
+    assert "TakeOrderedAndProject" in plan
+    scans = scan_report(df)
+    assert any("l_returnflag" in s["pushed_filters"] for s in scans)
+    assert any("o_orderdate" in s["pushed_filters"] for s in scans)
+
+
+def test_q19_pushes_brand_disjunction_to_part_scan(spark, sf_dir):
+    from myasynstreamjoin_spark.operators.tpch import brand_bracket_revenue
+
+    df = brand_bracket_revenue(
+        tables.load_table(spark, sf_dir, "lineitem"),
+        tables.load_table(spark, sf_dir, "part"),
+    )
+    assert has_broadcast_join(df)
+    scans = scan_report(df)
+    # brand IN-list prunes the dimension scan; the quantity envelope
+    # bounds the fact scan before the join evaluates exact brackets.
+    assert any("p_brand" in s["pushed_filters"] for s in scans)
+    assert any("l_quantity" in s["pushed_filters"] for s in scans)
+
+
+def test_q22_anti_join_on_distinct_keys(spark, sf_dir):
+    from myasynstreamjoin_spark.operators.tpch import idle_rich_customers
+
+    df = idle_rich_customers(
+        tables.load_table(spark, sf_dir, "customer"),
+        tables.load_table(spark, sf_dir, "orders"),
+    )
+    plan = simple_plan(df)
+    assert "LeftAnti" in plan
+    # the orders side of the anti join carries only o_custkey
+    assert any(
+        s["read_schema"].strip("struct<>").startswith("o_custkey")
+        for s in scan_report(df)
+    )
