@@ -317,6 +317,76 @@ def _q_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_latest_event_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same compaction via the O(1)-state max_by aggregate — must pick
+    the identical survivors as the window form (shared oracle)."""
+    from myasynstreamjoin_spark.operators.relational import latest_snapshot_maxby
+
+    _prep(spark)
+    ev = tables.load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts DIV 1000")
+    )
+    return latest_snapshot_maxby(ev, order_cols=("ts_us", "event_id")).select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+    )
+
+
+def _q_rank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.relational import balance_rank_features
+
+    _prep(spark)
+    return balance_rank_features(tables.load_table(spark, sf_dir, "customer"))
+
+
+def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.relational import pricing_grouping_sets
+
+    _prep(spark)
+    return pricing_grouping_sets(tables.load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.stats import approx_percentile_audit
+
+    _prep(spark)
+    return approx_percentile_audit(tables.load_table(spark, sf_dir, "events"))
+
+
+def _q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.tpch import national_market_share
+
+    _prep(spark)
+    return national_market_share(
+        tables.load_table(spark, sf_dir, "lineitem"),
+        tables.load_table(spark, sf_dir, "orders"),
+        tables.load_table(spark, sf_dir, "customer"),
+        tables.load_table(spark, sf_dir, "supplier"),
+        tables.load_table(spark, sf_dir, "nation"),
+        tables.load_table(spark, sf_dir, "region"),
+        tables.load_table(spark, sf_dir, "part"),
+    )
+
+
+def _q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows (reference: tumbling only) run to
+    completion; oracle = batch hop-expansion restricted to windows the
+    final watermark closed."""
+    from myasynstreamjoin_spark.streaming.windowed import (
+        run_stream_to_table,
+        stream_events,
+        stream_sliding_counts,
+    )
+
+    _prep(spark)
+    return run_stream_to_table(
+        stream_sliding_counts(stream_events(spark, sf_dir)), spark
+    )
+
+
 def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.functions.pipeline import chunk_documents
 
@@ -1021,6 +1091,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_pricing": _q_rollup_pricing,
         "q_cube_pricing": _q_cube_pricing,
         "q_latest_event": _q_latest_event,
+        "q_latest_event_maxby": _q_latest_event_maxby,
+        "q_rank_features": _q_rank_features,
+        "q_grouping_sets": _q_grouping_sets,
+        "q_approx_percentile": _q_approx_percentile,
         "q_json_props": _q_json_props,
         "q_event_gaps": _q_event_gaps,
         "q_tpch_q14": _q_tpch_q14,
@@ -1042,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q3": _q_tpch_q3,
         "q_tpch_q4": _q_tpch_q4,
         "q_tpch_q7": _q_tpch_q7,
+        "q_tpch_q8": _q_tpch_q8,
         "q_tpch_q10": _q_tpch_q10,
         "q_tpch_q12": _q_tpch_q12,
         "q_tpch_q13": _q_tpch_q13,
@@ -1089,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_dedup": _q_stream_dedup,                # streaming dedup → windowed count
         "q_stream_max_window": _q_stream_max_window,      # A4 via generalized stateful op
         "q_stream_sessions": _q_stream_sessions,          # streaming session windows
+        "q_stream_sliding": _q_stream_sliding,            # streaming sliding windows
     }
 
 
@@ -1363,6 +1439,39 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WHERE rn = 1
         """,
+        "q_latest_event_maxby": """
+            SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+                   round(value, 6) AS value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                               ORDER BY epoch_us(ts) DESC,
+                                                        event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "q_rank_features": """
+            SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS c_acctbal,
+                   ntile(4) OVER w AS tile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume
+            FROM customer
+            WINDOW w AS (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal ASC, c_custkey ASC)
+        """,
+        "q_grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                   CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), ())
+        """,
+        "q_approx_percentile": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.50), 6) AS p50_exact,
+                   TRUE AS approx_ok
+            FROM events GROUP BY event_type
+        """,
         "q_topk_per_group": """
             SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS c_acctbal, rn
             FROM (
@@ -1519,6 +1628,29 @@ def oracle_sql() -> dict[str, str]:
                 OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
             GROUP BY 1, 2, 3
         """,
+        "q_tpch_q8": """
+            WITH region_cust AS (
+              SELECT c_custkey FROM customer
+              JOIN nation ON n_nationkey = c_nationkey
+              JOIN region ON r_regionkey = n_regionkey
+              WHERE r_name = 'ASIA')
+            SELECT year(o_orderdate) AS o_year,
+                   round(CAST(sum(CASE WHEN n_name = 'NATION_3'
+                                       THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                                            * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                         / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+                         6) AS mkt_share
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            WHERE year(o_orderdate) BETWEEN 1995 AND 1997
+              AND o_custkey IN (SELECT c_custkey FROM region_cust)
+            GROUP BY 1
+        """,
         "q_tpch_q10": """
             WITH per_cust AS (
               SELECT o_custkey,
@@ -1596,7 +1728,9 @@ def oracle_sql() -> dict[str, str]:
                      AS total_acctbal
             FROM customer, pos
             WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n_bal > sum_bal
-              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '1999-01-01')
             GROUP BY c_mktsegment
         """,
         "q_approx_distinct": """
@@ -2004,6 +2138,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM sess GROUP BY user_id, sid
             HAVING max(ts_us) // 1000 + 14400000 <= (SELECT wm_ms FROM wm)
+        """,
+        "q_stream_sliding": f"""
+            WITH e AS (SELECT event_type AS key,
+                              epoch_ns(ts) // 1000000 AS ms
+                       FROM events),
+            x AS (SELECT key, ms, unnest(generate_series(0, 1)) AS k FROM e),
+            wm AS (SELECT max(epoch_ns(ts)) // 1000000 - {3_600_000} AS wm_ms
+                   FROM events)
+            SELECT key,
+                   (ms // {CFG.lgw_ms} - k) * {CFG.lgw_ms} AS win_start_ms,
+                   count(*) AS n
+            FROM x GROUP BY 1, 2
+            HAVING win_start_ms + {2 * CFG.lgw_ms} <= (SELECT wm_ms FROM wm)
         """,
         "q_stream_max_window": f"""
             WITH parsed AS (

@@ -499,6 +499,83 @@ def latest_snapshot(
     )
 
 
+def latest_snapshot_maxby(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """latest_snapshot's O(1)-state form: max_by of the full row struct
+    over the (order_cols) struct — ONE aggregate instead of a per-key
+    sort + row_number. Struct comparison is lexicographic, so the
+    survivor is identical to the window form's.
+
+    Scale: this is the shape to prefer at extreme per-key cardinality —
+    aggregate state is a single row per key (partial max_by combines
+    map-side), where row_number must buffer/sort each key's partition.
+    Same single shuffle on the key either way.
+
+    Output: the latest full row per key (same schema as the input).
+    """
+    ord_ = F.struct(*[F.col(c) for c in order_cols])
+    row = F.max_by(F.struct(*[F.col(c) for c in events.columns]), ord_)
+    return events.groupBy(F.col(key_col).alias("__k")).agg(row.alias("__r")).select("__r.*")
+
+
+def balance_rank_features(customer: DataFrame, buckets: int = 4) -> DataFrame:
+    """Ranking-function coverage beyond row_number (SURVEY.md §2.4
+    "missing: window (analytic) functions"): per market segment, each
+    customer's quartile (ntile), percent_rank, and cume_dist by account
+    balance — the feature-engineering shape for per-group normalized
+    rank features. The order is totalized with the key so every engine
+    assigns identical ranks.
+
+    Scale: one shuffle on the partition key; each function is O(1)
+    per row once the partition is sorted — all three share one sort.
+
+    Output: (c_mktsegment, c_custkey, c_acctbal, tile, pct_rank, cume).
+    """
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    return customer.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round(F.col("c_acctbal"), 2).alias("c_acctbal"),
+        F.ntile(buckets).over(w).alias("tile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def pricing_grouping_sets(lineitem: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS — the irregular lattice rollup/cube can't
+    express: ((returnflag, linestatus), (returnflag), ()) skips the
+    (linestatus)-only set a cube would compute. Spark expands the sets
+    after partial aggregation, so the fact is still scanned once.
+
+    Output: (l_returnflag, l_linestatus, gid, sum_qty, n).
+    """
+    return (
+        lineitem.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.sum(_dec("l_quantity")).alias("sq"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "gid",
+            F.round(F.col("sq"), 2).cast("double").alias("sum_qty"),
+            "n",
+        )
+    )
+
+
 def promo_revenue(lineitem: DataFrame, part: DataFrame,
                   month: str = "1997-09") -> DataFrame:
     """TPC-H Q14 shape: share of one month's revenue from promo parts —

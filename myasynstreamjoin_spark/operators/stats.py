@@ -118,3 +118,39 @@ def approx_distinct_audit(
             ).alias("approx_ok"),
         )
     )
+
+
+def approx_percentile_audit(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    accuracy: int = 10_000,
+    tolerance: float = 0.05,
+) -> DataFrame:
+    """Sketch-vs-exact audit for quantiles, the percentile twin of
+    approx_distinct_audit: per group, the exact median next to a flag
+    asserting the approx_percentile estimate (Greenwald-Khanna at
+    ``accuracy``) landed within ``tolerance``·(p75−p25) of it.
+
+    At 100 TB exact percentile sort-aggregates every group value;
+    the GK sketch keeps O(accuracy) state per group and merges
+    map-side — this audit measures the cheap path's error against the
+    spread (IQR), not the magnitude, so uniform-near-zero columns don't
+    trivially pass. Both aggregates run in the same single pass.
+
+    Output: (group, p50_exact, approx_ok).
+    """
+    pct = F.expr(f"percentile({value_col}, array(0.25D, 0.5D, 0.75D))")
+    apx = F.expr(f"approx_percentile({value_col}, 0.5D, {accuracy})")
+    return (
+        df.groupBy(group_col)
+        .agg(pct.alias("__p"), apx.alias("__apx"))
+        .select(
+            group_col,
+            F.round(F.col("__p")[1], 6).alias("p50_exact"),
+            (
+                F.abs(F.col("__apx") - F.col("__p")[1])
+                <= F.lit(tolerance) * (F.col("__p")[2] - F.col("__p")[0])
+            ).alias("approx_ok"),
+        )
+    )

@@ -295,11 +295,14 @@ def idle_rich_customers(
     customer: DataFrame,
     orders: DataFrame,
     min_bal: float = 0.0,
+    since: str = "1999-01-01",
 ) -> DataFrame:
     """TPC-H Q22 shape: per market segment, customers whose balance
-    beats the average positive balance and who never placed an order —
-    the scalar-average subquery + anti-join query. The fixture has no
-    c_phone country codes, so c_mktsegment plays the segment role.
+    beats the average positive balance and who placed no order since
+    ``since`` — the scalar-average subquery + anti-join query. The
+    fixture has no c_phone country codes, so c_mktsegment plays the
+    segment role, and the recency cutoff keeps the lapsed set non-empty
+    (the fixture's order generator touches every customer eventually).
 
     Scale: the global average is a one-row aggregate broadcast into the
     filter (no correlated rescan); the "above average" compare is
@@ -320,12 +323,89 @@ def idle_rich_customers(
         .where(_dec("c_acctbal") * F.col("n_bal") > F.col("sum_bal"))
         .select("c_custkey", "c_mktsegment", "c_acctbal")
     )
-    order_keys = orders.select("o_custkey").distinct()
+    order_keys = (
+        orders.where(F.col("o_orderdate") >= F.lit(since).cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
     return (
         rich.join(order_keys, rich["c_custkey"] == order_keys["o_custkey"], "left_anti")
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_customers"),
             F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+def national_market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    target_nation: str = "NATION_3",
+    region_name: str = "ASIA",
+    p_type: str = "PROMO",
+    y_from: int = 1995,
+    y_to: int = 1997,
+) -> DataFrame:
+    """TPC-H Q8 shape: within one region's customers buying one part
+    type, the share of revenue supplied by one nation, per order year —
+    the two-level conditional-ratio aggregate.
+
+    Scale: part (filtered by type) and the region's nation set broadcast
+    into the fact joins; the target-nation flag rides each surviving
+    row, so the share is a single conditional/total aggregate per year —
+    no second pass, no self-join. The share division happens on the
+    2-row-per-year aggregate, in DOUBLE only after DECIMAL sums.
+
+    Output: (o_year, mkt_share).
+    """
+    p = part.where(F.col("p_type") == p_type).select("p_partkey")
+    region_nations = (
+        nation.join(
+            F.broadcast(region.where(F.col("r_name") == region_name)),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .select("n_nationkey")
+    )
+    cust = customer.join(
+        F.broadcast(region_nations),
+        customer["c_nationkey"] == region_nations["n_nationkey"],
+    ).select("c_custkey")
+    supp = supplier.join(
+        F.broadcast(nation.where(F.col("n_name") == target_nation)),
+        supplier["s_nationkey"] == nation["n_nationkey"],
+    ).select(F.col("s_suppkey").alias("target_suppkey"))
+    li = lineitem.join(F.broadcast(p), lineitem["l_partkey"] == p["p_partkey"])
+    ords = orders.where(
+        (F.year("o_orderdate") >= y_from) & (F.year("o_orderdate") <= y_to)
+    )
+    rev = _revenue()
+    joined = (
+        li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
+        .join(F.broadcast(cust), ords["o_custkey"] == cust["c_custkey"], "left_semi")
+        .join(
+            F.broadcast(supp),
+            li["l_suppkey"] == supp["target_suppkey"],
+            "left",
+        )
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("target_suppkey").isNotNull(), rev).otherwise(
+                F.lit(0).cast("decimal(18,4)")
+            )).alias("nat_rev"),
+            F.sum(rev).alias("all_rev"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.col("nat_rev").cast("double") / F.col("all_rev").cast("double"), 6
+            ).alias("mkt_share"),
         )
     )

@@ -271,3 +271,44 @@ def stream_sessions(
         )
         .drop("__sw")
     )
+
+
+def stream_sliding_counts(
+    events: DataFrame,
+    hops: int = 2,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Streaming sliding-window counts: per key, overlapping windows of
+    ``hops``·lgw width sliding by lgw — each event lands in ``hops``
+    windows. The reference's window model is tumbling-only (T1,
+    state/cluster/naive/HashJoin.scala:50); sliding windows fall out of
+    the same engine-managed state machinery: Spark expands each row
+    into its ``hops`` window assignments BEFORE the stateful agg, and
+    append mode emits/evicts a window once the watermark passes its
+    end — identical semantics to the batch operator
+    (operators/grouping.py sliding path) restricted to closed windows.
+
+    State scale: live state is (#keys × hops) rows per open slide
+    position — bounded by the watermark exactly like tumbling state.
+
+    Output: (key, win_start_ms, n).
+    """
+    width_ms = cfg.lgw_ms * hops
+    parsed = events.select(
+        F.expr("timestamp_micros(ts DIV 1000)").alias("etime"),
+        F.col("event_type").alias("key"),
+    ).withWatermark("etime", cfg.watermark_delay)
+    return (
+        parsed.groupBy(
+            "key",
+            F.window(
+                "etime", f"{width_ms} milliseconds", f"{cfg.lgw_ms} milliseconds"
+            ).alias("w"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            "key",
+            F.unix_millis(F.col("w.start")).alias("win_start_ms"),
+            "n",
+        )
+    )
