@@ -387,6 +387,28 @@ def _q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs (src2+) sharing an 8-gram
+    with a 'benchmark' doc (src0/src1)."""
+    from myasynstreamjoin_spark.functions.dedup import contamination_pairs
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    bench_sources = ("src0", "src1")
+    return contamination_pairs(
+        docs.where(~F.col("source").isin(*bench_sources)),
+        docs.where(F.col("source").isin(*bench_sources)),
+        k=8,
+    )
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.functions.text import repetition_stats
+
+    _prep(spark)
+    return repetition_stats(tables.load_table(spark, sf_dir, "documents"))
+
+
 def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.functions.pipeline import chunk_documents
 
@@ -1142,6 +1164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_langid": _q_langid,
         "q_fingerprint": _q_fingerprint,
         "q_dedup_exact": _q_dedup_exact,
+        "q_contamination": _q_contamination,
+        "q_repetition": _q_repetition,
         "q_ngram_jaccard": _q_ngram_jaccard,
         "q_dedup_clusters": _q_dedup_clusters,
         "q_minhash_pairs": _q_minhash_pairs,              # rows-only
@@ -1927,6 +1951,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5({_DOC_NORM}) AS fp, min(doc_id) AS keep_id,
                    count(*) AS n_copies
             FROM documents GROUP BY 1
+        """,
+        "q_contamination": f"""
+            WITH grams AS (
+              SELECT doc_id, source, unnest(list_distinct(
+                CASE WHEN len({_DOC_TOKENS}) >= 8 THEN
+                  list_transform(generate_series(1, len({_DOC_TOKENS}) - 7),
+                    i -> array_to_string(({_DOC_TOKENS})[i:i+7], ' '))
+                ELSE [array_to_string({_DOC_TOKENS}, ' ')] END)) AS g
+              FROM documents),
+            bench AS (SELECT doc_id AS bench_id, g FROM grams
+                      WHERE source IN ('src0', 'src1')),
+            train AS (SELECT doc_id AS train_id, g FROM grams
+                      WHERE source NOT IN ('src0', 'src1'))
+            SELECT train_id, bench_id, count(*) AS n_shared
+            FROM train JOIN bench USING (g)
+            GROUP BY 1, 2
+        """,
+        "q_repetition": f"""
+            WITH g AS (
+              SELECT doc_id,
+                     CASE WHEN len({_DOC_TOKENS}) >= 3 THEN
+                       list_transform(generate_series(1, len({_DOC_TOKENS}) - 2),
+                         i -> array_to_string(({_DOC_TOKENS})[i:i+2], ' '))
+                     ELSE [array_to_string({_DOC_TOKENS}, ' ')] END AS grams
+              FROM documents)
+            SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+                   round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                         / len(grams), 6) AS rep_ratio
+            FROM g
         """,
         "q_ngram_jaccard": f"""
             WITH sh AS ({_SHINGLES}),

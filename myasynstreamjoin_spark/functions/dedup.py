@@ -230,17 +230,17 @@ def minhash_lsh_pairs(
     # without changing any Jaccard value (see shingle_docs).
     shingled = shingle_docs(docs, k, hashed=True).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(docs, n_hashes, k, shingled=shingled, pre_hashed=True)
+    # Multi-arg xxhash64 over the band's signature slots directly — no
+    # per-band string rendering (the same no-intermediate-strings trick
+    # as hashed shingles; band identity is still exact).
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
             F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col("sig").getItem(b * rows_per_band + r).cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
+                *[
+                    F.col("sig").getItem(b * rows_per_band + r)
+                    for r in range(rows_per_band)
+                ]
             ).alias("bh"),
         )
         for b in range(bands)
@@ -301,3 +301,42 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     for i in range(bits):
         sig = sig + F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
     return voted.select("doc_id", sig.alias("simhash"))
+
+
+def contamination_pairs(
+    train: DataFrame,
+    bench: DataFrame,
+    k: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: training documents sharing at least
+    ``min_shared`` distinct word k-grams with a held-out/benchmark
+    document — the overlap check an LLM data pipeline runs before a
+    corpus ships (k≈8-13 word n-grams is the published convention for
+    eval-contamination scans).
+
+    Scale: both corpora reduce to (gram-hash, id) pairs — 8-byte keys
+    via the same multi-arg-xxhash64 shingle path as MinHash — and meet
+    in ONE equi-join on the hash. The benchmark side is tiny by
+    definition (eval sets), so Spark broadcasts it and the 100 TB train
+    side never shuffles; per-pair gram counts come out of the one
+    post-join aggregate. A k-gram shared by half the corpus would blow
+    up the join the same way a hot shingle does in ngram_jaccard_pairs;
+    at production scale cap benchmark-gram document frequency first.
+
+    Output: (train_id, bench_id, n_shared).
+    """
+    t = (
+        shingle_docs(train, k, hashed=True)
+        .select(F.col("doc_id").alias("train_id"), F.explode("sh").alias("g"))
+    )
+    b = (
+        shingle_docs(bench, k, hashed=True)
+        .select(F.col("doc_id").alias("bench_id"), F.explode("sh").alias("g"))
+    )
+    return (
+        t.join(F.broadcast(b), "g")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

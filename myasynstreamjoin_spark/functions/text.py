@@ -182,3 +182,36 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
         .select("doc_id", "term", "rn", "tf", "df",
                 F.round("s", 6).alias("score"))
     )
+
+
+def repetition_stats(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Intra-document repetition: the fraction of word k-grams that are
+    repeats of an earlier k-gram in the same document — the standard
+    "repetitive junk" quality signal (boilerplate, keyword stuffing,
+    decoding loops score high).
+
+    Pure per-row array expressions (token slice hashes → distinct
+    count), no shuffle at all: the 100 TB form is a map-only pass that
+    composes with any downstream filter. Short documents (< k tokens)
+    count as one whole-text gram with zero repetition.
+
+    Output: (doc_id, n_grams, rep_ratio).
+    """
+    toks = tokens("text")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    gram = lambda i: F.xxhash64(  # noqa: E731
+        *[F.element_at(toks, i + j + 1) for j in range(k)]
+    )
+    grams = F.when(n >= k, F.transform(idx, gram)).otherwise(
+        F.array(F.xxhash64(F.concat_ws(" ", toks)))
+    )
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return docs.select(
+        "doc_id",
+        total.cast("long").alias("n_grams"),
+        F.round(
+            (total - distinct).cast("double") / total.cast("double"), 6
+        ).alias("rep_ratio"),
+    )

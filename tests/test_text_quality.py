@@ -1,0 +1,48 @@
+"""Crafted-input tests for the text-quality / decontamination operators
+(oracle parity covers the fixture tables; these pin the semantics on
+documents constructed to hit the boundaries)."""
+
+from __future__ import annotations
+
+from myasynstreamjoin_spark.functions.dedup import contamination_pairs
+from myasynstreamjoin_spark.functions.text import repetition_stats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_contamination_finds_planted_overlap_only(spark):
+    phrase = "the quick brown fox jumps over the lazy dog tonight"
+    bench = _docs(spark, [(1, f"benchmark question: {phrase} answer")])
+    train = _docs(
+        spark,
+        [
+            (10, f"prefix words here {phrase} suffix words"),  # contains 8-gram
+            (11, "completely different text with no overlap at all here"),
+            (12, "the quick brown fox jumps over seven lazy dogs"),  # < 8 shared
+        ],
+    )
+    got = {
+        (r.train_id, r.bench_id): r.n_shared
+        for r in contamination_pairs(train, bench, k=8).collect()
+    }
+    assert set(got) == {(10, 1)}
+    # phrase has 10 tokens → 3 shared 8-grams
+    assert got[(10, 1)] == 3
+
+
+def test_repetition_ratio_boundaries(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c a b c a b c"),     # 9 toks → 7 grams, 3 distinct
+            (2, "all tokens unique in this document"),
+            (3, "tiny doc"),              # < k tokens → 1 gram, no repeats
+        ],
+    )
+    got = {r.doc_id: (r.n_grams, r.rep_ratio) for r in
+           repetition_stats(docs, k=3).collect()}
+    assert got[1] == (7, round(4 / 7, 6))
+    assert got[2][1] == 0.0
+    assert got[3] == (1, 0.0)
