@@ -659,6 +659,24 @@ def _q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.tpch import waiting_suppliers
+
+    _prep(spark)
+    return waiting_suppliers(
+        tables.load_table(spark, sf_dir, "lineitem"),
+        tables.load_table(spark, sf_dir, "orders"),
+        tables.load_table(spark, sf_dir, "supplier"),
+    )
+
+
+def _q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.relational import rolling_order_revenue
+
+    _prep(spark)
+    return rolling_order_revenue(tables.load_table(spark, sf_dir, "orders"))
+
+
 def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.operators.stats import approx_distinct_audit
 
@@ -1144,7 +1162,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q13": _q_tpch_q13,
         "q_tpch_q15": _q_tpch_q15,
         "q_tpch_q19": _q_tpch_q19,
+        "q_tpch_q21": _q_tpch_q21,
         "q_tpch_q22": _q_tpch_q22,
+        "q_rolling_revenue": _q_rolling_revenue,
         "q_approx_distinct": _q_approx_distinct,
         "q_event_pivot": _q_event_pivot,
         "q_percentiles": _q_percentiles,
@@ -1740,6 +1760,45 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q_tpch_q21": """
+            WITH f AS (
+              SELECT l_orderkey, l_suppkey,
+                     max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                              THEN 1 ELSE 0 END) AS is_late
+              FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+              WHERE o_orderstatus = 'F'
+              GROUP BY 1, 2),
+            per_order AS (
+              SELECT l_orderkey, count(*) AS n_supp,
+                     sum(is_late) AS n_late_supp
+              FROM f GROUP BY 1)
+            SELECT s_suppkey, s_name, count(*) AS numwait
+            FROM f
+            JOIN per_order USING (l_orderkey)
+            JOIN supplier ON s_suppkey = l_suppkey
+            WHERE f.is_late = 1 AND n_supp > 1 AND n_late_supp = 1
+            GROUP BY 1, 2
+            ORDER BY numwait DESC, s_name ASC
+            LIMIT 10
+        """,
+        "q_rolling_revenue": """
+            WITH base AS (
+              SELECT o_custkey, o_orderkey,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) AS day_d,
+                     CAST(o_totalprice AS DECIMAL(18,4)) AS p
+              FROM orders)
+            SELECT o_custkey, o_orderkey, day_d,
+                   CAST(round(sum(p) OVER (
+                     PARTITION BY o_custkey ORDER BY day_d ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                     AS DOUBLE) AS run_total,
+                   CAST(round(sum(p) OVER (
+                     PARTITION BY o_custkey ORDER BY day_d
+                     RANGE BETWEEN 89 PRECEDING AND CURRENT ROW), 2)
+                     AS DOUBLE) AS trailing_total
+            FROM base
         """,
         "q_tpch_q22": """
             WITH pos AS (

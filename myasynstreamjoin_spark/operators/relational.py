@@ -641,3 +641,47 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         for c in cols
     ]
     return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def rolling_order_revenue(
+    orders: DataFrame,
+    trailing_days: int = 90,
+) -> DataFrame:
+    """Window-frame coverage (running + RANGE frames — the analytic
+    shapes row_number/lag can't express): per customer in order-date
+    order, the cumulative revenue to date (ROWS frame, totalized order
+    so ties are deterministic) and the trailing ``trailing_days``-day
+    revenue (RANGE frame over days-since-epoch — peers by VALUE
+    distance, not row position).
+
+    Scale: one shuffle on the partition key; both frames share the one
+    per-partition sort. The RANGE frame's running aggregate is O(n) per
+    partition (sliding-window add/evict), never O(n²). Money sums stay
+    DECIMAL inside the frames.
+
+    Output: (o_custkey, o_orderkey, day_d, run_total, trailing_total).
+    """
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    base = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        day.cast("long").alias("day_d"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("__p"),
+    )
+    w_rows = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("day_d"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_range = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("day_d"))
+        .rangeBetween(-(trailing_days - 1), Window.currentRow)
+    )
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        "day_d",
+        F.round(F.sum("__p").over(w_rows), 2).cast("double").alias("run_total"),
+        F.round(F.sum("__p").over(w_range), 2).cast("double").alias("trailing_total"),
+    )

@@ -409,3 +409,59 @@ def national_market_share(
             ).alias("mkt_share"),
         )
     )
+
+
+def waiting_suppliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    late_days: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+    finalized multi-supplier orders, ranked by how often. The original's
+    double correlated EXISTS/NOT-EXISTS self-join on lineitem is
+    re-expressed as one per-order aggregate — supplier counts and
+    late-supplier counts per order — then a filter (n_supp > 1,
+    n_late_supp = 1); identical semantics, one pass over lineitem
+    instead of three. "Late" is l_shipdate > o_orderdate + late_days
+    (fixture has no l_commitdate/l_receiptdate).
+
+    Scale: lineitem joins the filtered orders once on orderkey, then
+    ONE shuffle to the per-(order, supplier) aggregate and a tiny
+    per-order rollup; the reference EXISTS form would scan and shuffle
+    lineitem three times. Supplier names attach by broadcast; top-k is
+    TakeOrderedAndProject with s_name tiebreak.
+
+    Output: (s_suppkey, s_name, numwait) — k rows.
+    """
+    f_orders = orders.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = lineitem.join(f_orders, lineitem["l_orderkey"] == f_orders["o_orderkey"])
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+    ).cast("int")
+    per_order_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(late).alias("is_late")
+    )
+    per_order = per_order_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("is_late").alias("n_late_supp"),
+    )
+    sole_late = (
+        per_order_supp.where(F.col("is_late") == 1)
+        .join(
+            per_order.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
+            "l_orderkey",
+        )
+    )
+    return (
+        sole_late.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier["s_suppkey"])
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(k)
+    )
