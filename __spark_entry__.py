@@ -387,6 +387,43 @@ def _q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment join → windowed agg; oracle =
+    the same join in batch, restricted to watermark-closed windows."""
+    from myasynstreamjoin_spark.streaming.windowed import (
+        run_stream_to_table,
+        stream_enriched_segment_counts,
+        stream_events,
+    )
+
+    _prep(spark)
+    return run_stream_to_table(
+        stream_enriched_segment_counts(
+            stream_events(spark, sf_dir),
+            tables.load_table(spark, sf_dir, "customer"),
+        ),
+        spark,
+    )
+
+
+def _q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-output-mode running leaderboard (sort+limit in a
+    streaming query); the final trigger's table equals the batch
+    answer over the full stream — no watermark cutoff."""
+    from myasynstreamjoin_spark.streaming.windowed import (
+        run_stream_to_table,
+        stream_events,
+        stream_type_topk,
+    )
+
+    _prep(spark)
+    return run_stream_to_table(
+        stream_type_topk(stream_events(spark, sf_dir)),
+        spark,
+        output_mode="complete",
+    )
+
+
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: train docs (src2+) sharing an 8-gram
     with a 'benchmark' doc (src0/src1)."""
@@ -1209,6 +1246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_max_window": _q_stream_max_window,      # A4 via generalized stateful op
         "q_stream_sessions": _q_stream_sessions,          # streaming session windows
         "q_stream_sliding": _q_stream_sliding,            # streaming sliding windows
+        "q_stream_enrich": _q_stream_enrich,              # stream-static broadcast join
+        "q_stream_topk": _q_stream_topk,                  # complete-mode sort+limit
     }
 
 
@@ -2250,6 +2289,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM sess GROUP BY user_id, sid
             HAVING max(ts_us) // 1000 + 14400000 <= (SELECT wm_ms FROM wm)
+        """,
+        "q_stream_enrich": f"""
+            WITH parsed AS (
+              SELECT c_mktsegment,
+                     (epoch_ns(ts) // 1000000) // {CFG.lgw_ms} AS ltw,
+                     value
+              FROM events JOIN customer ON c_custkey = user_id),
+            wm AS (SELECT max(epoch_ns(ts)) // 1000000 - {3_600_000} AS wm_ms
+                   FROM events)
+            SELECT c_mktsegment, ltw, count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM parsed GROUP BY 1, 2
+            HAVING (ltw + 1) * {CFG.lgw_ms} <= (SELECT wm_ms FROM wm)
+        """,
+        "q_stream_topk": """
+            SELECT event_type AS key, count(*) AS n
+            FROM events GROUP BY 1
+            ORDER BY n DESC, key ASC LIMIT 3
         """,
         "q_stream_sliding": f"""
             WITH e AS (SELECT event_type AS key,

@@ -198,6 +198,7 @@ def run_stream_to_table(
     spark: SparkSession,
     checkpoint_dir: str | None = None,
     state_partitions: int | None = 4,
+    output_mode: str = "append",
 ) -> DataFrame:
     """Run a streaming DataFrame to completion over its (finite) file
     source and return the materialized result as a batch DataFrame
@@ -224,7 +225,7 @@ def run_stream_to_table(
         )
     try:
         q = (
-            streaming_df.writeStream.outputMode("append")
+            streaming_df.writeStream.outputMode(output_mode)
             .format("memory")
             .queryName(name)
             .option("checkpointLocation", checkpoint)
@@ -311,4 +312,70 @@ def stream_sliding_counts(
             F.unix_millis(F.col("w.start")).alias("win_start_ms"),
             "n",
         )
+    )
+
+
+def stream_enriched_segment_counts(
+    events: DataFrame,
+    customer: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Stream-static enrichment join → windowed aggregation: the
+    streaming events enrich against the static customer dimension
+    (broadcast hash join — the stream side never shuffles for the
+    join), then aggregate per (market segment, tumbling window) under
+    the watermark in append mode.
+
+    This is the canonical production composition the reference could
+    not express (its only "dimension" was the port id baked into each
+    record): in Spark the static side is planned per micro-batch, so a
+    dimension table updated in place is re-read batch-over-batch
+    without restarting the query. State is bounded exactly as in any
+    windowed agg; the join itself is stateless.
+
+    Output: (c_mktsegment, ltw, n_events, total_value).
+    """
+    parsed = events.select(
+        F.expr("timestamp_micros(ts DIV 1000)").alias("etime"),
+        "user_id",
+        "value",
+    ).withWatermark("etime", cfg.watermark_delay)
+    dim = customer.select("c_custkey", "c_mktsegment")
+    return (
+        parsed.join(F.broadcast(dim), parsed["user_id"] == dim["c_custkey"])
+        .groupBy(
+            "c_mktsegment",
+            F.window("etime", f"{cfg.lgw_ms} milliseconds").alias("w"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "c_mktsegment",
+            F.floor(F.unix_millis(F.col("w.start")) / cfg.lgw_ms)
+            .cast("long")
+            .alias("ltw"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_type_topk(events: DataFrame, k: int = 3) -> DataFrame:
+    """Complete-output-mode streaming: running top-k event types by
+    total count over the whole stream. Complete mode re-emits the full
+    (tiny) aggregate each trigger, which is what makes sort+limit legal
+    in a streaming query — neither is allowed in append mode. No
+    watermark: state is one row per key, bounded by key cardinality,
+    the right trade for a running leaderboard.
+
+    Output: (key, n) — k rows, the final trigger's table.
+    """
+    return (
+        events.select(F.col("event_type").alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(k)
     )
