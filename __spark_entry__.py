@@ -424,6 +424,22 @@ def _q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with a time-interval bound; the finite
+    ts-ordered replay has no late data, so every qualifying pair emits
+    and the final table equals the batch interval join."""
+    from myasynstreamjoin_spark.streaming.windowed import (
+        run_stream_to_table,
+        stream_events,
+        stream_interval_join,
+    )
+
+    _prep(spark)
+    return run_stream_to_table(
+        stream_interval_join(stream_events(spark, sf_dir)), spark
+    )
+
+
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: train docs (src2+) sharing an 8-gram
     with a 'benchmark' doc (src0/src1)."""
@@ -1248,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_sliding": _q_stream_sliding,            # streaming sliding windows
         "q_stream_enrich": _q_stream_enrich,              # stream-static broadcast join
         "q_stream_topk": _q_stream_topk,                  # complete-mode sort+limit
+        "q_stream_interval_join": _q_stream_interval_join,  # interval stream-stream join
     }
 
 
@@ -2302,6 +2319,18 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS total_value
             FROM parsed GROUP BY 1, 2
             HAVING (ltw + 1) * {CFG.lgw_ms} <= (SELECT wm_ms FROM wm)
+        """,
+        "q_stream_interval_join": """
+            WITH c AS (SELECT user_id, event_id AS click_id,
+                              epoch_us(ts) AS click_ts_us
+                       FROM events WHERE event_type = 'click'),
+            p AS (SELECT user_id, event_id AS purchase_id,
+                         epoch_us(ts) AS purchase_ts_us
+                  FROM events WHERE event_type = 'purchase')
+            SELECT c.user_id, click_id, purchase_id, click_ts_us, purchase_ts_us
+            FROM c JOIN p ON c.user_id = p.user_id
+                         AND purchase_ts_us >= click_ts_us
+                         AND purchase_ts_us < click_ts_us + 3600000000
         """,
         "q_stream_topk": """
             SELECT event_type AS key, count(*) AS n

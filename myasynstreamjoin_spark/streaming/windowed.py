@@ -379,3 +379,60 @@ def stream_type_topk(events: DataFrame, k: int = 3) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("key"))
         .limit(k)
     )
+
+
+def stream_interval_join(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "1 hour",
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Genuine stream-stream inner join with a time-interval condition:
+    each left event (click) pairs with every right event (purchase) by
+    the same user landing in [left_ts, left_ts + within). The reference
+    never materializes joined rows at all (SURVEY.md §2.5 — join
+    results are only counted); this is the full row-producing join,
+    streaming.
+
+    Both sides carry watermarks and the join condition bounds
+    right-time against left-time, which is exactly what lets Spark
+    evict join state: a buffered left row is droppable once the right
+    watermark passes left_ts + within. Without the interval bound the
+    state would be unbounded — the condition is the scale design.
+
+    Output: (user_id, click_id, purchase_id, click_ts_us, purchase_ts_us).
+    """
+    left = (
+        events.where(F.col("event_type") == left_type)
+        .select(
+            F.expr("timestamp_micros(ts DIV 1000)").alias("l_time"),
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("click_id"),
+            F.expr("ts DIV 1000").alias("click_ts_us"),
+        )
+        .withWatermark("l_time", cfg.watermark_delay)
+    )
+    right = (
+        events.where(F.col("event_type") == right_type)
+        .select(
+            F.expr("timestamp_micros(ts DIV 1000)").alias("r_time"),
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.expr("ts DIV 1000").alias("purchase_ts_us"),
+        )
+        .withWatermark("r_time", cfg.watermark_delay)
+    )
+    return left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_time") >= F.col("l_time"))
+        & (F.col("r_time") < F.col("l_time") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    ).select(
+        F.col("l_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts_us",
+        "purchase_ts_us",
+    )
