@@ -440,6 +440,36 @@ def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change log → SCD2 validity intervals (full-history counterpart
+    of q_latest_event's keep-last compaction)."""
+    from myasynstreamjoin_spark.operators.relational import scd2_intervals
+
+    _prep(spark)
+    ev = tables.load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts DIV 1000")
+    )
+    return scd2_intervals(ev)
+
+
+def _q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer interval stream-stream join. The oracle's null rows
+    are cut at the engine's GLOBAL watermark — the min across BOTH
+    filtered streams' watermark nodes (the last click, not the last
+    event, governs here), minus the interval bound; Spark truncates
+    event-time stats to ms before subtracting the delay."""
+    from myasynstreamjoin_spark.streaming.windowed import (
+        run_stream_to_table,
+        stream_events,
+        stream_interval_join_outer,
+    )
+
+    _prep(spark)
+    return run_stream_to_table(
+        stream_interval_join_outer(stream_events(spark, sf_dir)), spark
+    )
+
+
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: train docs (src2+) sharing an 8-gram
     with a 'benchmark' doc (src0/src1)."""
@@ -1185,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cube_pricing": _q_cube_pricing,
         "q_latest_event": _q_latest_event,
         "q_latest_event_maxby": _q_latest_event_maxby,
+        "q_scd2": _q_scd2,
         "q_rank_features": _q_rank_features,
         "q_grouping_sets": _q_grouping_sets,
         "q_approx_percentile": _q_approx_percentile,
@@ -1265,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_enrich": _q_stream_enrich,              # stream-static broadcast join
         "q_stream_topk": _q_stream_topk,                  # complete-mode sort+limit
         "q_stream_interval_join": _q_stream_interval_join,  # interval stream-stream join
+        "q_stream_interval_join_outer": _q_stream_interval_join_outer,  # + outer null emission
     }
 
 
@@ -1538,6 +1570,15 @@ def oracle_sql() -> dict[str, str]:
                                                         event_id DESC) AS rn
                   FROM events)
             WHERE rn = 1
+        """,
+        "q_scd2": """
+            SELECT user_id, event_type,
+                   epoch_us(ts) AS valid_from_us,
+                   lead(epoch_us(ts)) OVER w AS valid_to_us,
+                   lead(epoch_us(ts)) OVER w IS NULL AS is_current
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY epoch_us(ts) ASC, event_id ASC)
         """,
         "q_latest_event_maxby": """
             SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
@@ -2331,6 +2372,29 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN p ON c.user_id = p.user_id
                          AND purchase_ts_us >= click_ts_us
                          AND purchase_ts_us < click_ts_us + 3600000000
+        """,
+        "q_stream_interval_join_outer": """
+            WITH c AS (SELECT user_id, event_id AS click_id,
+                              epoch_us(ts) AS click_ts_us
+                       FROM events WHERE event_type = 'click'),
+            p AS (SELECT user_id, event_id AS purchase_id,
+                         epoch_us(ts) AS purchase_ts_us
+                  FROM events WHERE event_type = 'purchase'),
+            wm AS (SELECT least((SELECT (max(click_ts_us) // 1000) * 1000 FROM c),
+                                (SELECT (max(purchase_ts_us) // 1000) * 1000 FROM p))
+                          - 3600000000 AS wm_us),
+            m AS (SELECT c.user_id, click_id, purchase_id,
+                         click_ts_us, purchase_ts_us
+                  FROM c JOIN p ON c.user_id = p.user_id
+                               AND purchase_ts_us >= click_ts_us
+                               AND purchase_ts_us < click_ts_us + 3600000000)
+            SELECT * FROM m
+            UNION ALL
+            SELECT user_id, click_id, CAST(NULL AS BIGINT) AS purchase_id,
+                   click_ts_us, CAST(NULL AS BIGINT) AS purchase_ts_us
+            FROM c
+            WHERE click_id NOT IN (SELECT click_id FROM m)
+              AND click_ts_us + 3600000000 <= (SELECT wm_us FROM wm)
         """,
         "q_stream_topk": """
             SELECT event_type AS key, count(*) AS n

@@ -685,3 +685,34 @@ def rolling_order_revenue(
         F.round(F.sum("__p").over(w_rows), 2).cast("double").alias("run_total"),
         F.round(F.sum("__p").over(w_range), 2).cast("double").alias("trailing_total"),
     )
+
+
+def scd2_intervals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts_us", "event_id"),
+    attr_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build: turn a change log into
+    validity intervals — each change row becomes [valid_from, valid_to)
+    with valid_to = the next change's timestamp (NULL while current).
+    latest_snapshot's sibling: that op keeps only the last row; this
+    one keeps the full history, queryable as-of any time with a range
+    predicate.
+
+    Scale: one shuffle on the key, one per-key sort shared by lead()
+    and the is_current flag. Joining facts as-of a time against the
+    result is then a range join (operators/rangejoin.py) — no
+    per-fact sort.
+
+    Output: (key, *attrs, valid_from_us, valid_to_us, is_current).
+    """
+    w = Window.partitionBy(key_col).orderBy(*[F.asc(c) for c in order_cols])
+    first_ord = order_cols[0]
+    return events.select(
+        key_col,
+        *attr_cols,
+        F.col(first_ord).alias("valid_from_us"),
+        F.lead(F.col(first_ord)).over(w).alias("valid_to_us"),
+        F.lead(F.col(first_ord)).over(w).isNull().alias("is_current"),
+    )

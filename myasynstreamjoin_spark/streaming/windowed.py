@@ -436,3 +436,59 @@ def stream_interval_join(
         "click_ts_us",
         "purchase_ts_us",
     )
+
+
+def stream_interval_join_outer(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "1 hour",
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Left-outer variant of stream_interval_join: clicks with no
+    purchase in [click, click + within) still emit — with NULL
+    purchase columns — once the watermark proves no future match can
+    arrive (wm past click + within). Matched pairs emit as they join.
+
+    The outer side is why the watermark is mandatory here, not just a
+    state-size optimization: without it the engine could never declare
+    a left row unmatched. Finite-replay consequence (mirrored in the
+    oracle): unmatched clicks in the last watermark-delay + within of
+    the stream never expire and are withheld, exactly as a live query
+    would hold them.
+
+    Output: (user_id, click_id, purchase_id?, click_ts_us, purchase_ts_us?).
+    """
+    left = (
+        events.where(F.col("event_type") == left_type)
+        .select(
+            F.expr("timestamp_micros(ts DIV 1000)").alias("l_time"),
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("click_id"),
+            F.expr("ts DIV 1000").alias("click_ts_us"),
+        )
+        .withWatermark("l_time", cfg.watermark_delay)
+    )
+    right = (
+        events.where(F.col("event_type") == right_type)
+        .select(
+            F.expr("timestamp_micros(ts DIV 1000)").alias("r_time"),
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.expr("ts DIV 1000").alias("purchase_ts_us"),
+        )
+        .withWatermark("r_time", cfg.watermark_delay)
+    )
+    return left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_time") >= F.col("l_time"))
+        & (F.col("r_time") < F.col("l_time") + F.expr(f"INTERVAL {within}")),
+        "left_outer",
+    ).select(
+        F.col("l_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts_us",
+        "purchase_ts_us",
+    )
