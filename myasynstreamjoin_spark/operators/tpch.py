@@ -66,8 +66,11 @@ def bilateral_trade(
         )
         .select("c_custkey", F.col("n_name").alias("cust_nation"))
     )
+    # Range form, not year(): a function-wrapped predicate can't reach
+    # the parquet scan; the equivalent timestamp range prunes row groups.
     li = lineitem.where(
-        (F.year("l_shipdate") >= y_from) & (F.year("l_shipdate") <= y_to)
+        (F.col("l_shipdate") >= F.lit(f"{y_from}-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{y_to + 1}-01-01").cast("timestamp"))
     )
     return (
         li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
@@ -382,7 +385,8 @@ def national_market_share(
     ).select(F.col("s_suppkey").alias("target_suppkey"))
     li = lineitem.join(F.broadcast(p), lineitem["l_partkey"] == p["p_partkey"])
     ords = orders.where(
-        (F.year("o_orderdate") >= y_from) & (F.year("o_orderdate") <= y_to)
+        (F.col("o_orderdate") >= F.lit(f"{y_from}-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(f"{y_to + 1}-01-01").cast("timestamp"))
     )
     rev = _revenue()
     joined = (

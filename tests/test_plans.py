@@ -229,3 +229,36 @@ def test_q22_anti_join_on_distinct_keys(spark, sf_dir):
         s["read_schema"].strip("struct<>").startswith("o_custkey")
         for s in scan_report(df)
     )
+
+
+def test_q7_pushes_date_range_and_broadcasts_pair(spark, sf_dir):
+    from myasynstreamjoin_spark.operators.tpch import bilateral_trade
+
+    df = bilateral_trade(
+        tables.load_table(spark, sf_dir, "lineitem"),
+        tables.load_table(spark, sf_dir, "orders"),
+        tables.load_table(spark, sf_dir, "customer"),
+        tables.load_table(spark, sf_dir, "supplier"),
+        tables.load_table(spark, sf_dir, "nation"),
+    )
+    assert has_broadcast_join(df)
+    # the ship-year bound must reach the lineitem scan as a range
+    # (a year()-wrapped predicate would not push)
+    assert any("l_shipdate" in s["pushed_filters"] for s in scan_report(df))
+
+
+def test_q8_pushes_order_range_and_type_filter(spark, sf_dir):
+    from myasynstreamjoin_spark.operators.tpch import national_market_share
+
+    df = national_market_share(
+        tables.load_table(spark, sf_dir, "lineitem"),
+        tables.load_table(spark, sf_dir, "orders"),
+        tables.load_table(spark, sf_dir, "customer"),
+        tables.load_table(spark, sf_dir, "supplier"),
+        tables.load_table(spark, sf_dir, "nation"),
+        tables.load_table(spark, sf_dir, "region"),
+        tables.load_table(spark, sf_dir, "part"),
+    )
+    scans = scan_report(df)
+    assert any("o_orderdate" in s["pushed_filters"] for s in scans)
+    assert any("p_type" in s["pushed_filters"] for s in scans)
