@@ -132,6 +132,18 @@ def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(fixtures.keyed_values(spark, sf_dir, CFG), "key", CFG)
 
 
+def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11's sketched form: Count-Min heavy-hitter detection audited
+    against the exact 0.2·total/m rule (CMS never under-counts, so
+    every exact heavy key must be detected)."""
+    from myasynstreamjoin_spark.operators.stats import cms_heavy_hitters_audit
+
+    _prep(spark)
+    return cms_heavy_hitters_audit(
+        fixtures.keyed_values(spark, sf_dir, CFG), "key", CFG
+    )
+
+
 def _q_skew_p1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.operators.stats import skew_p1
 
@@ -1202,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_max_window": _q_max_window,                    # A4
         "q_sum_window": _q_sum_window,                    # A5-ish (sum)
         "q_heavy_hitters": _q_heavy_hitters,              # A11
+        "q_cms_heavy_hitters": _q_cms_heavy_hitters,      # A11 sketched (CMS)
         "q_skew_p1": _q_skew_p1,                          # A12
         "q_batch_stats": _q_batch_stats,                  # A10
         "q_star_count": _q_star_count,                    # J2
@@ -1382,6 +1395,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_type AS key, count(*) AS cnt FROM events GROUP BY 1),
             t AS (SELECT count(*) AS total FROM events)
             SELECT key, cnt FROM counts, t WHERE cnt > 0.2 * total / 12
+        """,
+        "q_cms_heavy_hitters": """
+            WITH counts AS (
+              SELECT event_type AS key, count(*) AS cnt FROM events GROUP BY 1),
+            t AS (SELECT count(*) AS total FROM events)
+            SELECT key, cnt, cnt AS cms_est, TRUE AS detected
+            FROM counts, t WHERE cnt > 0.2 * total / 12
         """,
         "q_skew_p1": """
             WITH counts AS (SELECT count(*) AS cnt FROM events GROUP BY event_type)

@@ -154,3 +154,48 @@ def approx_percentile_audit(
             ).alias("approx_ok"),
         )
     )
+
+
+def cms_heavy_hitters_audit(
+    df: DataFrame,
+    key: str = "key",
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Sketched heavy-hitter detection (the "CMS for sketched version"
+    SURVEY.md §2.4 A11 names) audited against the exact rule: for every
+    exact heavy key, the Count-Min estimate must also clear the
+    threshold (CMS never under-counts, so sketched detection can only
+    over-select — the safe direction for skew salting).
+
+    Scale story: the exact path shuffles one row per distinct key; the
+    sketch is a fixed (eps, confidence)-sized table built in one pass
+    with per-partition merge — at 100 TB with hundreds of millions of
+    keys it is the only viable per-micro-batch detector, and this audit
+    measures its overshoot on real data instead of trusting the bound.
+    The sketch itself is driver-sized by construction (that is the
+    point of a sketch); no data rows reach the driver.
+
+    Output: (key, cnt, cms_est, detected) — exact heavy keys only.
+    """
+    # PySpark doesn't surface Dataset.stat().countMinSketch — call the
+    # JVM implementation through the gateway (same executor-side
+    # one-pass build + partition merge as the Scala API).
+    jdf = df.select(F.col(key).cast("string").alias("__k"))._jdf
+    sketch = jdf.stat().countMinSketch("__k", eps, confidence, seed)
+    exact = heavy_hitters(df, key, cfg)
+    total = df.count()
+    thresh = cfg.hh_threshold * total / cfg.n_mappers
+    rows = exact.collect()  # ≤ n_mappers/hh_threshold keys by the rule
+    spark = df.sparkSession
+    out = [
+        (r[key], r["cnt"], int(sketch.estimateCount(str(r[key]))))
+        for r in rows
+    ]
+    res = spark.createDataFrame(out, f"{key} string, cnt long, cms_est long")
+    return res.select(
+        key, "cnt", "cms_est",
+        (F.col("cms_est").cast("double") > F.lit(thresh)).alias("detected"),
+    )
