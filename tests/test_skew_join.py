@@ -1,0 +1,64 @@
+"""Runtime proof of the AQE skew-join path (SURVEY.md §2.3 X7/X13's
+batch-join answer): a join with one pathologically hot key gets its
+oversized shuffle partition SPLIT at runtime — the engine-level
+replacement for the reference's hand-built heavy-hitter partitioners.
+Asserted on the adaptive executed plan, not on configuration."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_aqe_splits_skewed_join_partition(spark, tmp_path):
+    # one hot key (~200k rows) among 200 uniform keys (~100 rows each)
+    hot = spark.range(200_000).select(
+        F.lit("HOT").alias("k"), F.col("id").alias("payload")
+    )
+    tail = spark.range(20_000).select(
+        F.concat(F.lit("k"), (F.col("id") % 200).cast("string")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    left_path = str(tmp_path / "left")
+    right_path = str(tmp_path / "right")
+    hot.union(tail).write.parquet(left_path)
+    (
+        spark.range(5_000)
+        .select(
+            F.when(F.col("id") % 2 == 0, F.lit("HOT"))
+            .otherwise(F.concat(F.lit("k"), (F.col("id") % 200).cast("string")))
+            .alias("k"),
+            F.col("id").alias("r_payload"),
+        )
+        .write.parquet(right_path)
+    )
+
+    overrides = {
+        # force a shuffle join and make the hot partition count as skewed
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        joined = spark.read.parquet(left_path).join(
+            spark.read.parquet(right_path), "k"
+        )
+        # Execute THIS DataFrame's QueryExecution (count()/write would
+        # plan their own query and leave joined's adaptive plan
+        # unfinalized) so AQE finalizes it with runtime stats.
+        qe = joined._jdf.queryExecution()
+        assert qe.toRdd().count() > 0
+        plan = qe.executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        # AQE marks the rewritten join and the split partitions
+        assert "skew=true" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
