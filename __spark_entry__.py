@@ -482,6 +482,17 @@ def _q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative distributed k-means fit (rows-only: DuckDB can't
+    replay Lloyd iterations; invariants pinned in tests/test_kmeans.py)."""
+    from myasynstreamjoin_spark.functions.similarity import kmeans_fit
+
+    _prep(spark)
+    return kmeans_fit(
+        tables.load_table(spark, sf_dir, "embeddings"), k=8, n_iters=6
+    )
+
+
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: train docs (src2+) sharing an 8-gram
     with a 'benchmark' doc (src0/src1)."""
@@ -1292,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simsearch_ivf": _q_simsearch_ivf,              # rows-only
         "q_simsearch_multi": _q_simsearch_multi,
         "q_ann_recall": _q_ann_recall,                    # rows-only
+        "q_kmeans": _q_kmeans,                            # rows-only (iterative)
         "q_embed_neardup_exact": _q_embed_neardup_exact,
         "q_embed_neardup_lsh": _q_embed_neardup_lsh,      # rows-only
         "q_multimodal_meta": _q_multimodal_meta,
