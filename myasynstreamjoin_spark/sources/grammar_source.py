@@ -1,0 +1,148 @@
+"""Custom Python DataSource emitting the reference's Kafka text grammar.
+
+The reference ingests packed text messages `"ts port word;ts port
+word;…"` from Kafka (S1, stateless/cluster/HashJoin.scala:64-66); the
+container has no broker, so this source provides the same wire format
+as a first-class `spark.read.format("ref_grammar")` / `readStream`
+source (PySpark 4 DataSource API). Records are deterministic
+(seeded per partition), so tests can assert exact aggregates, and the
+batch and streaming readers emit identical data — the
+streaming-batch-equivalence property the engine's whole test strategy
+leans on.
+
+Envelope mirrors Kafka: (partition INT, offset BIGINT, value STRING);
+`sources.fixtures.decode_packed_lines` parses `value` into F1 rows.
+
+Scale notes: the batch reader fans out one InputPartition per
+configured partition (generation runs on executors, not the driver);
+the stream reader is a SimpleDataSourceStreamReader (driver-side
+prototype — per-partition offsets belong in a full streamReader, noted
+in the class docstring) — the test rig's volumes are tiny by design.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+DEFAULT_KEYS = "A,B,C,D,E,F"  # stream.json:11 demo key space
+
+
+def _records(seed: int, part: int, offset: int, n_msgs: int,
+             recs_per_msg: int, n_ports: int, keys: list[str],
+             lgw_ms: int) -> list[tuple[int, int, str]]:
+    """Deterministic packed messages for one (partition, offset) range:
+    timestamps advance lgw_ms/recs_per_msg per record so every window
+    receives records from every port (the async-join completeness path
+    is exercised, not starved)."""
+    out = []
+    for m in range(n_msgs):
+        # seed per MESSAGE (not per call) so any chunking of the offset
+        # range — one batch read vs N micro-batches — emits identical
+        # records (batch/stream equivalence is asserted in tests)
+        rng = random.Random(f"{seed}:{part}:{offset + m}")
+        base_ts = (offset + m) * lgw_ms
+        recs = []
+        for r in range(recs_per_msg):
+            ts = base_ts + (r * lgw_ms) // recs_per_msg
+            port = (part + r) % n_ports
+            word = rng.choice(keys)
+            recs.append(f"{ts} {port} {word}")
+        out.append((part, offset + m, ";".join(recs)))
+    return out
+
+
+class _GrammarPartition(InputPartition):
+    def __init__(self, part: int):
+        self.part = part
+
+
+class GrammarBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.opts = options
+
+    def partitions(self):
+        return [
+            _GrammarPartition(p)
+            for p in range(int(self.opts.get("partitions", "2")))
+        ]
+
+    def read(self, partition: _GrammarPartition):
+        o = self.opts
+        yield from _records(
+            seed=int(o.get("seed", "42")),
+            part=partition.part,
+            offset=0,
+            n_msgs=int(o.get("messages", "100")),
+            recs_per_msg=int(o.get("records_per_message", "8")),
+            n_ports=int(o.get("ports", "3")),
+            keys=o.get("keys", DEFAULT_KEYS).split(","),
+            lgw_ms=int(o.get("lgw_ms", "1000")),
+        )
+
+
+class GrammarStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batched replay of the SAME records the batch reader emits:
+    each trigger advances the offset by ``messages_per_batch`` until
+    ``messages`` is exhausted, then returns empty batches — a finite
+    stream whose union of outputs equals the batch read exactly."""
+
+    def __init__(self, options):
+        self.opts = options
+
+    def initialOffset(self):
+        return {"msg": 0}
+
+    def read(self, start: dict):
+        o = self.opts
+        total = int(o.get("messages", "100"))
+        per_batch = int(o.get("messages_per_batch", "25"))
+        begin = start["msg"]
+        end = min(begin + per_batch, total)
+        rows = []
+        for part in range(int(o.get("partitions", "2"))):
+            rows.extend(
+                _records(
+                    seed=int(o.get("seed", "42")),
+                    part=part,
+                    offset=begin,
+                    n_msgs=end - begin,
+                    recs_per_msg=int(o.get("records_per_message", "8")),
+                    n_ports=int(o.get("ports", "3")),
+                    keys=o.get("keys", DEFAULT_KEYS).split(","),
+                    lgw_ms=int(o.get("lgw_ms", "1000")),
+                )
+            )
+        return (iter(rows), {"msg": end})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows, _ = self.read(start)
+        return rows
+
+
+class GrammarDataSource(DataSource):
+    """`format("ref_grammar")`: the reference's Kafka wire format as a
+    native batch + streaming source."""
+
+    @classmethod
+    def name(cls):
+        return "ref_grammar"
+
+    def schema(self):
+        return "partition INT, offset BIGINT, value STRING"
+
+    def reader(self, schema):
+        return GrammarBatchReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return GrammarStreamReader(self.options)
+
+
+def register_grammar_source(spark) -> None:
+    spark.dataSource.register(GrammarDataSource)
