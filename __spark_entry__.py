@@ -493,6 +493,30 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_grammar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 end-to-end: the reference's packed Kafka text grammar served
+    by the custom Python DataSource, decoded by the tested codec, and
+    aggregated by the stateless async-join operator (rows-only: the
+    generator is engine-side, DuckDB can't call it; batch≡stream and
+    decode round-trips are pytest-asserted)."""
+    from myasynstreamjoin_spark.operators.asyn_join import min_count_per_key
+    from myasynstreamjoin_spark.sources.grammar_source import (
+        register_grammar_source,
+    )
+
+    _prep(spark)
+    register_grammar_source(spark)
+    raw = (
+        spark.read.format("ref_grammar")
+        .options(messages="200", records_per_message="8", partitions="4")
+        .load()
+    )
+    pw = fixtures.decode_packed_lines(
+        raw.select(F.col("value").alias("payload"))
+    )
+    return min_count_per_key(pw)
+
+
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: train docs (src2+) sharing an 8-gram
     with a 'benchmark' doc (src0/src1)."""
@@ -1232,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_star_count_hypercube": _q_star_count_hypercube,  # J3/X13 analog
         "q_star_join": _q_star_join,                      # J2 on relational tables
         "q_parse_pipeline": _q_parse_pipeline,            # P1-P7
+        "q_grammar_ingest": _q_grammar_ingest,            # S1 rows-only (python source)
         # SQL-layer coverage the reference lacked (SURVEY.md §2.4 "missing")
         "q_topk_revenue": _q_topk_revenue,
         "q_tpch_q1": _q_tpch_q1,
