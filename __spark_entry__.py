@@ -517,6 +517,18 @@ def _q_grammar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return min_count_per_key(pw)
 
 
+def _q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse relational time-series cosine: similar users by daily
+    activity series (threshold boundary is a float compare — crafted
+    to sit far from any pair at fixture scale)."""
+    from myasynstreamjoin_spark.operators.timeseries import series_cosine_pairs
+
+    _prep(spark)
+    return series_cosine_pairs(
+        tables.load_table(spark, sf_dir, "events"), threshold=0.8
+    )
+
+
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: train docs (src2+) sharing an 8-gram
     with a 'benchmark' doc (src0/src1)."""
@@ -1328,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simsearch_ivf": _q_simsearch_ivf,              # rows-only
         "q_simsearch_multi": _q_simsearch_multi,
         "q_ann_recall": _q_ann_recall,                    # rows-only
+        "q_ts_similarity": _q_ts_similarity,
         "q_kmeans": _q_kmeans,                            # rows-only (iterative)
         "q_embed_neardup_exact": _q_embed_neardup_exact,
         "q_embed_neardup_lsh": _q_embed_neardup_lsh,      # rows-only
@@ -2164,6 +2177,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5({_DOC_NORM}) AS fp, min(doc_id) AS keep_id,
                    count(*) AS n_copies
             FROM documents GROUP BY 1
+        """,
+        "q_ts_similarity": """
+            WITH s AS (
+              SELECT user_id AS u,
+                     (epoch_ns(ts) // 1000000) // 86400000 AS b,
+                     sum(value) AS sv
+              FROM events GROUP BY 1, 2),
+            n AS (SELECT u, sqrt(sum(sv * sv)) AS nrm FROM s GROUP BY 1),
+            d AS (SELECT a.u AS user_a, c.u AS user_b, sum(a.sv * c.sv) AS dot
+                  FROM s a JOIN s c USING (b) WHERE a.u < c.u GROUP BY 1, 2)
+            SELECT user_a, user_b,
+                   round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+            FROM d JOIN n na ON na.u = user_a JOIN n nb ON nb.u = user_b
+            WHERE dot / (na.nrm * nb.nrm) >= 0.8
         """,
         "q_contamination": f"""
             WITH grams AS (
