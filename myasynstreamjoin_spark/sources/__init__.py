@@ -1,4 +1,8 @@
 from myasynstreamjoin_spark.sources.tables import TABLE_NAMES, load_table, register_views
+from myasynstreamjoin_spark.sources.grammar_source import (
+    GrammarDataSource,
+    register_grammar_source,
+)
 from myasynstreamjoin_spark.sources.fixtures import (
     keyed_values,
     ported_words,
@@ -14,4 +18,6 @@ __all__ = [
     "keyed_values",
     "star_rel",
     "with_window",
+    "GrammarDataSource",
+    "register_grammar_source",
 ]

@@ -8,9 +8,14 @@ from myasynstreamjoin_spark.streaming.windowed import (
     run_stream_to_parquet,
     run_stream_to_table,
     stream_events,
+    stream_enriched_segment_counts,
+    stream_interval_join,
+    stream_interval_join_outer,
     stream_min_count_join,
     stream_min_count_per_window,
     stream_sessions,
+    stream_sliding_counts,
+    stream_type_topk,
 )
 
 __all__ = [
@@ -18,6 +23,11 @@ __all__ = [
     "stream_min_count_per_window",
     "stream_min_count_join",
     "stream_sessions",
+    "stream_sliding_counts",
+    "stream_enriched_segment_counts",
+    "stream_type_topk",
+    "stream_interval_join",
+    "stream_interval_join_outer",
     "stream_distinct_user_counts",
     "run_stream_to_table",
     "run_stream_to_parquet",
