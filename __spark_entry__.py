@@ -812,6 +812,66 @@ def _q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.tpch import min_cost_part_supplier
+
+    _prep(spark)
+    return min_cost_part_supplier(
+        tables.load_table(spark, sf_dir, "lineitem"),
+        tables.load_table(spark, sf_dir, "part"),
+        tables.load_table(spark, sf_dir, "supplier"),
+        tables.load_table(spark, sf_dir, "nation"),
+        tables.load_table(spark, sf_dir, "region"),
+    )
+
+
+def _q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.tpch import product_type_profit
+
+    _prep(spark)
+    return product_type_profit(
+        tables.load_table(spark, sf_dir, "lineitem"),
+        tables.load_table(spark, sf_dir, "orders"),
+        tables.load_table(spark, sf_dir, "part"),
+        tables.load_table(spark, sf_dir, "supplier"),
+        tables.load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.tpch import important_part_values
+
+    _prep(spark)
+    return important_part_values(
+        tables.load_table(spark, sf_dir, "lineitem"),
+        tables.load_table(spark, sf_dir, "supplier"),
+        tables.load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.tpch import supplier_count_by_part
+
+    _prep(spark)
+    return supplier_count_by_part(
+        tables.load_table(spark, sf_dir, "lineitem"),
+        tables.load_table(spark, sf_dir, "part"),
+        tables.load_table(spark, sf_dir, "supplier"),
+    )
+
+
+def _q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.tpch import excess_inventory_suppliers
+
+    _prep(spark)
+    return excess_inventory_suppliers(
+        tables.load_table(spark, sf_dir, "lineitem"),
+        tables.load_table(spark, sf_dir, "part"),
+        tables.load_table(spark, sf_dir, "supplier"),
+        tables.load_table(spark, sf_dir, "nation"),
+    )
+
+
 def _q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.operators.relational import rolling_order_revenue
 
@@ -1309,6 +1369,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q19": _q_tpch_q19,
         "q_tpch_q21": _q_tpch_q21,
         "q_tpch_q22": _q_tpch_q22,
+        "q_tpch_q2": _q_tpch_q2,
+        "q_tpch_q9": _q_tpch_q9,
+        "q_tpch_q11": _q_tpch_q11,
+        "q_tpch_q16": _q_tpch_q16,
+        "q_tpch_q20": _q_tpch_q20,
         "q_rolling_revenue": _q_rolling_revenue,
         "q_approx_distinct": _q_approx_distinct,
         "q_event_pivot": _q_event_pivot,
@@ -1948,6 +2013,99 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY numwait DESC, s_name ASC
             LIMIT 10
+        """,
+        "q_tpch_q2": """
+            WITH pt AS (
+              SELECT p_partkey FROM part
+              WHERE p_type = 'SMALL' AND p_size <= 15),
+            rn AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'),
+            cost AS (
+              SELECT l_partkey, l_suppkey,
+                     min(CAST(l_extendedprice AS DECIMAL(18,4))) AS cost_d
+              FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM pt)
+                AND l_suppkey IN (SELECT s_suppkey FROM rn)
+              GROUP BY 1, 2),
+            mc AS (
+              SELECT l_partkey AS mc_partkey, min(cost_d) AS min_cost_d
+              FROM cost GROUP BY 1)
+            SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+                   cost.l_partkey AS p_partkey,
+                   CAST(round(cost_d, 2) AS DOUBLE) AS supply_cost
+            FROM cost
+            JOIN mc ON cost.l_partkey = mc.mc_partkey
+                   AND cost.cost_d = mc.min_cost_d
+            JOIN rn ON cost.l_suppkey = rn.s_suppkey
+            ORDER BY s_acctbal DESC, s_name ASC, p_partkey ASC
+            LIMIT 100
+        """,
+        "q_tpch_q9": """
+            SELECT n_name AS nation,
+                   CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+                   CAST(round(sum(
+                     CAST(l_extendedprice AS DECIMAL(12,4))
+                       * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))
+                     - CAST(p_retailprice AS DECIMAL(10,4))
+                       * CAST(l_quantity AS DECIMAL(6,2))
+                       * CAST(0.6 AS DECIMAL(2,1))), 2) AS DOUBLE) AS sum_profit
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN orders ON o_orderkey = l_orderkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY 1, 2
+        """,
+        "q_tpch_q11": """
+            WITH per_part AS (
+              SELECT l_partkey,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS value_d
+              FROM lineitem
+              WHERE l_suppkey IN (
+                SELECT s_suppkey FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_7')
+              GROUP BY 1),
+            tot AS (SELECT sum(value_d) AS total_d FROM per_part)
+            SELECT l_partkey, CAST(round(value_d, 2) AS DOUBLE) AS value
+            FROM per_part, tot
+            WHERE value_d > total_d * CAST(0.001 AS DECIMAL(7,6))
+        """,
+        "q_tpch_q16": """
+            SELECT p_brand, p_type, p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+                  WHERE l_suppkey NOT IN (
+                    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)) link
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#4' AND p_type <> 'ECONOMY'
+              AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+            GROUP BY 1, 2, 3
+        """,
+        "q_tpch_q20": """
+            WITH pairs AS (
+              SELECT l_partkey, l_suppkey,
+                     sum(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty,
+                     sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                               AND l_shipdate < TIMESTAMP '1997-01-01'
+                              THEN CAST(l_quantity AS DECIMAL(12,2))
+                              ELSE CAST(0 AS DECIMAL(12,2)) END) AS year_qty
+              FROM lineitem
+              WHERE l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+              GROUP BY 1, 2)
+            SELECT s_suppkey, s_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+              AND s_suppkey IN (SELECT l_suppkey FROM pairs
+                                WHERE year_qty > 0
+                                  AND total_qty > 2 * year_qty)
         """,
         "q_rolling_revenue": """
             WITH base AS (

@@ -469,3 +469,286 @@ def waiting_suppliers(
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(k)
     )
+
+
+def min_cost_part_supplier(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    p_type: str = "SMALL",
+    size_max: int = 15,
+    region_name: str = "EUROPE",
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q2 shape: for each part of one type (and bounded size),
+    the region supplier offering it at the minimum cost — the
+    correlated-min subquery query. The fixture has no partsupp, so the
+    part↔supplier cost relation is derived from lineitem: cost of
+    (part, supplier) = min line price ever shipped for that pair.
+
+    Scale: the derived cost relation aggregates lineitem once on
+    (l_partkey, l_suppkey) — the only fact-sized shuffle. The part
+    filter and the region's supplier set both broadcast into it (each
+    also acting as a semi-filter), the per-part min is an aggregate of
+    the already-small cost relation, and the winning rows come back via
+    a broadcast equality join on the DECIMAL min (exact ties on any
+    engine, unlike a rounded-DOUBLE compare). Top-k is
+    TakeOrderedAndProject with a full deterministic tiebreak.
+
+    Output: (s_acctbal, s_name, n_name, p_partkey, supply_cost) — ≤k rows.
+    """
+    pt = part.where(
+        (F.col("p_type") == p_type) & (F.col("p_size") <= size_max)
+    ).select("p_partkey")
+    rn = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.where(F.col("r_name") == region_name)),
+                    nation["n_regionkey"] == region["r_regionkey"],
+                ).select("n_nationkey", "n_name")
+            ),
+            supplier["s_nationkey"] == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        lineitem.join(F.broadcast(pt), lineitem["l_partkey"] == pt["p_partkey"])
+        .join(
+            F.broadcast(rn.select("s_suppkey")),
+            lineitem["l_suppkey"] == rn["s_suppkey"],
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(_dec("l_extendedprice")).alias("cost_d"))
+    )
+    min_cost = cost.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("cost_d").alias("min_cost_d")
+    )
+    return (
+        cost.join(
+            F.broadcast(min_cost),
+            (cost["l_partkey"] == min_cost["mc_partkey"])
+            & (cost["cost_d"] == min_cost["min_cost_d"]),
+        )
+        .join(F.broadcast(rn), cost["l_suppkey"] == rn["s_suppkey"])
+        .select(
+            F.round(F.col("s_acctbal"), 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("cost_d"), 2).cast("double").alias("supply_cost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("s_name"), F.asc("p_partkey")
+        )
+        .limit(k)
+    )
+
+
+def product_type_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_substr: str = "widget",
+) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per order year for
+    parts whose name contains a substring. The fixture has no
+    ps_supplycost, so unit cost is 60% of p_retailprice — the shape
+    (fact revenue minus dimension-priced cost, grouped by a dimension
+    attribute and a derived year) is what matters.
+
+    Scale: the name filter shrinks part before broadcast; supplier
+    (with its nation name attached via broadcast) also broadcasts.
+    lineitem⋈orders on orderkey is the one big shuffle; profit math
+    stays in small-precision DECIMAL (no scale-loss truncation at
+    p=38, so Spark and DuckDB agree bit-for-bit) until the final
+    rounded DOUBLE.
+
+    Output: (nation, o_year, sum_profit).
+    """
+    p = part.where(F.col("p_name").contains(name_substr)).select(
+        "p_partkey", F.col("p_retailprice").cast("decimal(10,4)").alias("unit_price")
+    )
+    s = (
+        supplier.join(
+            F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"]
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,4)") * (
+        F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)")
+    )
+    cost = (
+        F.col("unit_price")
+        * F.col("l_quantity").cast("decimal(6,2)")
+        * F.lit(0.6).cast("decimal(2,1)")
+    )
+    return (
+        lineitem.join(F.broadcast(p), lineitem["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), lineitem["l_suppkey"] == s["s_suppkey"])
+        .join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(rev - cost).alias("profit_d"))
+        .select(
+            "nation",
+            "o_year",
+            F.round(F.col("profit_d"), 2).cast("double").alias("sum_profit"),
+        )
+    )
+
+
+def important_part_values(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    target_nation: str = "NATION_7",
+    fraction: float = 0.001,
+) -> DataFrame:
+    """TPC-H Q11 shape: parts whose shipped value from one nation's
+    suppliers exceeds a fraction of that nation's total shipped value —
+    the scalar-subquery-threshold (GROUP BY ... HAVING > scalar) query.
+    Value is summed l_extendedprice (fixture has no ps_supplycost ×
+    ps_availqty).
+
+    Scale: the nation's supplier set broadcasts as a semi-filter into
+    the lineitem scan, so only that nation's lines shuffle (once, on
+    partkey). The grand total is a one-row aggregate OF THE PER-PART
+    AGGREGATE (not a second fact scan), broadcast into the threshold
+    filter; the compare runs in DECIMAL (value > total × fraction) so
+    the boundary part is engine-portable.
+
+    Output: (l_partkey, value).
+    """
+    supp = (
+        supplier.join(
+            F.broadcast(nation.where(F.col("n_name") == target_nation)),
+            supplier["s_nationkey"] == nation["n_nationkey"],
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        lineitem.join(
+            F.broadcast(supp), lineitem["l_suppkey"] == supp["s_suppkey"], "left_semi"
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("value_d"))
+    )
+    total = per_part.agg(F.sum("value_d").alias("total_d"))
+    frac = F.lit(fraction).cast("decimal(7,6)")
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("value_d") > F.col("total_d") * frac)
+        .select(
+            "l_partkey",
+            F.round(F.col("value_d"), 2).cast("double").alias("value"),
+        )
+    )
+
+
+def supplier_count_by_part(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    excl_brand: str = "Brand#4",
+    excl_type: str = "ECONOMY",
+    sizes: tuple[int, ...] = (5, 10, 15, 20, 25, 30, 35, 40),
+) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers ship each
+    (brand, type, size) part class, excluding one brand, one type, and
+    "complained-about" suppliers (no s_comment in the fixture, so
+    negative account balance plays that role). The part↔supplier link
+    is lineitem's distinct (l_partkey, l_suppkey) pairs (no partsupp).
+
+    Scale: part's exclusion predicates and the size IN-list are pushed
+    to its scan; the excluded-supplier set is tiny and anti-broadcast.
+    The distinct on (partkey, suppkey) and the count-distinct per class
+    are the two shuffles — both on already-reduced data; lineitem
+    itself is projected to two int columns before its shuffle.
+
+    Output: (p_brand, p_type, p_size, supplier_cnt).
+    """
+    p = part.where(
+        (F.col("p_brand") != excl_brand)
+        & (F.col("p_type") != excl_type)
+        & (F.col("p_size").isin(list(sizes)))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    link = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(bad_supp),
+            lineitem["l_suppkey"] == bad_supp["s_suppkey"],
+            "left_anti",
+        )
+        .distinct()
+    )
+    return (
+        link.join(F.broadcast(p), link["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def excess_inventory_suppliers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_prefix: str = "small",
+    y_from: str = "1996-01-01",
+    y_to: str = "1997-01-01",
+    target_nation: str = "NATION_3",
+) -> DataFrame:
+    """TPC-H Q20 shape: one nation's suppliers holding excess stock of
+    parts matching a name prefix — the nested-semi-join chain
+    (supplier ⋉ partsupp ⋉ (part, shipped-qty threshold)). Without
+    ps_availqty, "stock" is the pair's all-time shipped quantity and
+    the Q20 predicate availqty > ½ · year-qty becomes
+    total_qty > 2 × year_qty (with the pair active in the year).
+
+    Scale: the prefix-filtered part set broadcasts as a semi-filter
+    into lineitem, so only matching-part lines reach the one shuffle —
+    the (partkey, suppkey) aggregate, which computes both the all-time
+    and in-year quantities in a single pass (conditional sum) instead
+    of two scans. The qualifying pair set reduces to distinct suppkeys
+    before the final broadcast semi-join onto the nation's suppliers.
+
+    Output: (s_suppkey, s_name).
+    """
+    p = part.where(F.col("p_name").startswith(name_prefix)).select("p_partkey")
+    in_year = (
+        (F.col("l_shipdate") >= F.lit(y_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(y_to).cast("timestamp"))
+    ).cast("int")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    pairs = (
+        lineitem.join(
+            F.broadcast(p), lineitem["l_partkey"] == p["p_partkey"], "left_semi"
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(qty).alias("total_qty"),
+            F.sum(F.when(in_year == 1, qty).otherwise(F.lit(0).cast("decimal(12,2)"))).alias(
+                "year_qty"
+            ),
+        )
+        .where(
+            (F.col("year_qty") > 0)
+            & (F.col("total_qty") > F.lit(2).cast("decimal(2,0)") * F.col("year_qty"))
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    ns = supplier.join(
+        F.broadcast(nation.where(F.col("n_name") == target_nation)),
+        supplier["s_nationkey"] == nation["n_nationkey"],
+    )
+    return (
+        ns.join(F.broadcast(pairs), ns["s_suppkey"] == pairs["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+    )

@@ -262,3 +262,54 @@ def test_q8_pushes_order_range_and_type_filter(spark, sf_dir):
     scans = scan_report(df)
     assert any("o_orderdate" in s["pushed_filters"] for s in scans)
     assert any("p_type" in s["pushed_filters"] for s in scans)
+
+
+def test_q2_single_fact_shuffle_and_broadcast_min(spark, sf_dir):
+    from myasynstreamjoin_spark.operators.tpch import min_cost_part_supplier
+
+    df = min_cost_part_supplier(
+        tables.load_table(spark, sf_dir, "lineitem"),
+        tables.load_table(spark, sf_dir, "part"),
+        tables.load_table(spark, sf_dir, "supplier"),
+        tables.load_table(spark, sf_dir, "nation"),
+        tables.load_table(spark, sf_dir, "region"),
+    )
+    # the correlated min resolves via broadcast joins — lineitem
+    # shuffles once, for the (partkey, suppkey) cost aggregate
+    assert has_broadcast_join(df)
+    plan = simple_plan(df)
+    assert "SortMergeJoin" not in plan
+    # part filters reach the scan before any join
+    assert any("p_type" in s["pushed_filters"] for s in scan_report(df))
+
+
+def test_q9_broadcasts_both_dims(spark, sf_dir):
+    from myasynstreamjoin_spark.operators.tpch import product_type_profit
+
+    df = product_type_profit(
+        tables.load_table(spark, sf_dir, "lineitem"),
+        tables.load_table(spark, sf_dir, "orders"),
+        tables.load_table(spark, sf_dir, "part"),
+        tables.load_table(spark, sf_dir, "supplier"),
+        tables.load_table(spark, sf_dir, "nation"),
+    )
+    assert has_broadcast_join(df)
+    # only the lineitem⋈orders join may shuffle facts; dims broadcast,
+    # then one partial→final aggregate — bounded exchange count
+    assert n_shuffles(df) <= 3
+
+
+def test_q20_semi_filters_before_the_pair_aggregate(spark, sf_dir):
+    from myasynstreamjoin_spark.operators.tpch import excess_inventory_suppliers
+
+    df = excess_inventory_suppliers(
+        tables.load_table(spark, sf_dir, "lineitem"),
+        tables.load_table(spark, sf_dir, "part"),
+        tables.load_table(spark, sf_dir, "supplier"),
+        tables.load_table(spark, sf_dir, "nation"),
+    )
+    plan = simple_plan(df)
+    # the part prefix filter enters lineitem as a broadcast SEMI join
+    # (no full join materializing part columns onto fact rows)
+    assert "LeftSemi" in plan
+    assert has_broadcast_join(df)
