@@ -383,6 +383,28 @@ def _q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update-output-mode windowed counts, run to completion and
+    compacted to the final value per (key, window). Unlike every
+    append-mode streaming query here, the oracle has NO watermark
+    cutoff: update mode emits evolving counts for still-open windows
+    too, so the compacted log equals the full batch aggregate."""
+    from myasynstreamjoin_spark.streaming.windowed import (
+        compact_update_log,
+        run_stream_to_table,
+        stream_events,
+        stream_update_type_counts,
+    )
+
+    _prep(spark)
+    log = run_stream_to_table(
+        stream_update_type_counts(stream_events(spark, sf_dir)),
+        spark,
+        output_mode="update",
+    )
+    return compact_update_log(log)
+
+
 def _q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sliding windows (reference: tumbling only) run to
     completion; oracle = batch hop-expansion restricted to windows the
@@ -1420,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_dedup": _q_stream_dedup,                # streaming dedup → windowed count
         "q_stream_max_window": _q_stream_max_window,      # A4 via generalized stateful op
         "q_stream_sessions": _q_stream_sessions,          # streaming session windows
+        "q_stream_update": _q_stream_update,              # update-output-mode windowed counts
         "q_stream_sliding": _q_stream_sliding,            # streaming sliding windows
         "q_stream_enrich": _q_stream_enrich,              # stream-static broadcast join
         "q_stream_topk": _q_stream_topk,                  # complete-mode sort+limit
@@ -2642,6 +2665,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS key, count(*) AS n
             FROM events GROUP BY 1
             ORDER BY n DESC, key ASC LIMIT 3
+        """,
+        "q_stream_update": f"""
+            SELECT event_type AS key,
+                   (epoch_ns(ts) // 1000000) // {CFG.lgw_ms} AS ltw,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
         """,
         "q_stream_sliding": f"""
             WITH e AS (SELECT event_type AS key,

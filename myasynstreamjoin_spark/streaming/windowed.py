@@ -506,3 +506,52 @@ def stream_interval_join_outer(
         "click_ts_us",
         "purchase_ts_us",
     )
+
+
+def stream_update_type_counts(
+    events: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Update-output-mode windowed counts: per (key, tumbling lgw
+    window), the running count, re-emitted every trigger the count
+    changes. Append mode (the rest of this module) only releases a
+    window once the watermark closes it; update mode streams the
+    window's evolving value — the reference has no analog (its state
+    emits exactly once, on punctuation), so this is engine-forward
+    surface: the mode a live dashboard over the same state would use.
+
+    The sink sees an upsert LOG (memory/file sinks append each
+    update); the latest row per (key, window) is the truth. Because a
+    count under in-order replay is monotone nondecreasing, max(n)
+    compacts the log exactly — `compact_update_log` below does this
+    batch-side, which is also the 100 TB pattern: update sinks feed a
+    keyed store (or a log compacted by `latest_event`-style max_by),
+    never a plain append table.
+
+    Output (pre-compaction): (key, ltw, n) — one row per update.
+    """
+    parsed = events.select(
+        F.expr("timestamp_micros(ts DIV 1000)").alias("etime"),
+        F.col("event_type").alias("key"),
+    ).withWatermark("etime", cfg.watermark_delay)
+    return (
+        parsed.groupBy(
+            "key", F.window("etime", f"{cfg.lgw_ms} milliseconds").alias("w")
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            "key",
+            (F.unix_millis(F.col("w.start")) / F.lit(cfg.lgw_ms))
+            .cast("long")
+            .alias("ltw"),
+            "n",
+        )
+    )
+
+
+def compact_update_log(log: DataFrame) -> DataFrame:
+    """Collapse an update-mode sink log to its final value per
+    (key, ltw). Counts are monotone under in-order replay, so max(n)
+    IS the last update — an O(1)-state aggregate, no window/sort
+    needed (same reasoning as operators/relational.py latest_event_maxby).
+    """
+    return log.groupBy("key", "ltw").agg(F.max("n").alias("n"))
