@@ -32,7 +32,8 @@ def series_cosine_pairs(
 ) -> DataFrame:
     """User pairs whose bucketed activity series have cosine similarity
     ≥ threshold. Series = sum(value) per (user, ts-bucket); ts is
-    epoch-ns (the engine's nanosAsLong convention).
+    epoch-ns (the engine's logical time model, normalized at load by
+    sources.tables.normalize_epoch_ns).
 
     Output: (user_a, user_b, cos_sim) with user_a < user_b.
     """

@@ -6,11 +6,14 @@ Design notes for scale (local[32] here, 1000-executor cluster target):
   partitioners (SURVEY.md §2.3 X5-X12).
 - UTC session timezone so timestamp arithmetic agrees with the DuckDB
   oracle (naive UTC timestamps).
-- ``spark.sql.legacy.parquet.nanosAsLong=true``: the driver's
-  ``events.parquet`` stores TIMESTAMP(NANOS), which Spark 4 otherwise
-  refuses to read; with the flag the column surfaces as BIGINT epoch-ns,
-  which is exactly the reference's time model (BigInt epoch timestamps,
-  state/cluster/naive/HashJoin.scala:50).
+- ``spark.sql.legacy.parquet.nanosAsLong=true``: robustness flag for
+  TIMESTAMP(NANOS) parquet (which Spark 4 otherwise refuses to read) —
+  with it, a nanos column surfaces as BIGINT epoch-ns. The engine does
+  NOT depend on the parquet physical type: the driver currently ships
+  ``events.ts`` as timestamp[us], and ``sources.tables.normalize_epoch_ns``
+  converts whatever arrives to the engine's BIGINT epoch-ns time model
+  (the reference's BigInt epoch timestamps,
+  state/cluster/naive/HashJoin.scala:50) at the load boundary.
 - Arrow enabled for the Pandas-UDF slow paths (similarity, multimodal).
 """
 

@@ -11,7 +11,7 @@ This module maps the driver's ``events`` table onto those schemas with
 the canonical derivations fixed in FIXTURES.md §2, so the Spark queries
 and the DuckDB oracles agree exactly:
 
-  ts      events.ts        (BIGINT epoch-ns — see session.py nanosAsLong)
+  ts      events.ts        (BIGINT epoch-ns — normalized at load, tables.normalize_epoch_ns)
   source  CAST(user_id % 3 AS INT)
   key     event_type
   value   CAST(value AS INT)

@@ -12,6 +12,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLE_NAMES = (
     "region",
@@ -28,6 +30,39 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Engine time model: BIGINT epoch-nanoseconds, matching the reference's
+# BigInt epoch timestamps (state/cluster/naive/HashJoin.scala:50). The
+# driver's parquet physical type for these columns has drifted between
+# regenerations (TIMESTAMP(NANOS) → timestamp[us]); the engine must not
+# depend on the physical type, so these columns are normalized to
+# epoch-ns at the load boundary — the ONLY place dtype is inspected.
+EPOCH_NS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def normalize_epoch_ns(df: DataFrame, cols: tuple[str, ...] = ("ts",)) -> DataFrame:
+    """Normalize event-time columns to the engine's BIGINT epoch-ns.
+
+    Accepts any physical encoding the driver has shipped so far:
+    - BIGINT (TIMESTAMP(NANOS) parquet surfaced via ``nanosAsLong``, or
+      an engine-written long column): passes through untouched.
+    - TIMESTAMP / TIMESTAMP_NTZ (timestamp[us] parquet): projected to
+      ``unix_micros * 1000``. NTZ wall-clocks are interpreted as UTC
+      (session tz is pinned to UTC in session.py), which is exactly what
+      DuckDB's ``epoch_ns(ts)`` does on naive timestamps — so oracle
+      hashes are unchanged.
+
+    Pure projection — no shuffle, stays in whole-stage codegen, and the
+    column-pruned scan still reads only the referenced columns.
+    """
+    for c in cols:
+        if c in df.columns and isinstance(
+            df.schema[c].dataType, (T.TimestampType, T.TimestampNTZType)
+        ):
+            df = df.withColumn(
+                c, (F.unix_micros(F.col(c).cast("timestamp")) * F.lit(1000)).cast("long")
+            )
+    return df
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one of the driver tables from ``{sf_dir}/{name}.parquet``.
@@ -35,10 +70,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Column pruning and predicate pushdown happen automatically: callers
     should select/filter on the returned DataFrame and let Catalyst
     push into the scan (verify with plans.explain.scan_report).
+
+    Event-time columns are normalized to BIGINT epoch-ns here (see
+    ``normalize_epoch_ns``) so every downstream operator sees one
+    logical schema regardless of the parquet physical type.
     """
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    cols = EPOCH_NS_COLUMNS.get(name)
+    return normalize_epoch_ns(df, cols) if cols else df
 
 
 def rebalance(df: DataFrame, partitions: int | None = None) -> DataFrame:

@@ -10,14 +10,17 @@ is simply: compute skew stats → evaluate the X8 cost model → run the
 chosen physical aggregation → record the decision. No side channels;
 the decision trace is returned to the caller.
 
-Per-batch outputs are themselves aggregates (key-cardinality-bounded),
-so accumulating them on the driver mirrors the reference's
-``foreachRDD(_.collect())`` sink (S3) without ever collecting row data.
+Driver memory is bounded over an UNBOUNDED stream: per-batch partial
+counts are folded into one running per-key total as they arrive
+(O(#keys), not O(#batches × #keys)), and the decision trace is a
+bounded ring buffer — a stream that runs for months cannot grow either
+structure past its cap.
 """
 
 from __future__ import annotations
 
 import tempfile
+from collections import deque
 from typing import Any
 
 import pandas as pd
@@ -32,15 +35,16 @@ def adaptive_count_stream(
     sf_dir: str,
     cfg: EngineConfig = DEFAULT_CONFIG,
     lam: float = 1.0,
+    max_decisions: int = 10_000,
 ) -> tuple[DataFrame, list[dict[str, Any]]]:
     """Stream the events table; per micro-batch choose hash vs salted
-    aggregation by the fitted cost model and run it; merge the per-batch
-    partial counts at the end.
+    aggregation by the fitted cost model and run it; fold each batch's
+    partial counts into a running total as it completes.
 
     Returns ``(merged_counts, decisions)`` where merged_counts has
     schema (key, cnt) equal to the batch grouped count over the whole
-    input, and decisions is one record per micro-batch:
-    {batch_id, strategy, p1, m_total}.
+    input, and decisions is one record per micro-batch (most recent
+    ``max_decisions`` retained): {batch_id, strategy, p1, m_total}.
     """
     from myasynstreamjoin_spark.operators.cost_model import batch_strategy
     from myasynstreamjoin_spark.operators.skew import split_skew_agg
@@ -48,8 +52,8 @@ def adaptive_count_stream(
 
     kv = stream_events(spark, sf_dir).select(F.col("event_type").alias("key"))
 
-    decisions: list[dict[str, Any]] = []
-    partials: list[pd.DataFrame] = []
+    decisions: deque[dict[str, Any]] = deque(maxlen=max_decisions)
+    running: list[pd.DataFrame] = []  # 0 or 1 element: the folded total
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         row = batch_strategy(batch_df, "key", cfg, lam).collect()[0]
@@ -65,7 +69,14 @@ def adaptive_count_stream(
             out = batch_df.groupBy("key").agg(F.count("*").cast("long").alias("cnt"))
         else:
             out = split_skew_agg(batch_df, ["key"], {"cnt": ("count", "*")}, cfg=cfg)
-        partials.append(out.toPandas())
+        # eager fold: driver holds one per-key total, never the batch log
+        frames = running + [out.toPandas()]
+        running.clear()
+        running.append(
+            pd.concat(frames, ignore_index=True)
+            .groupby("key", as_index=False)["cnt"]
+            .sum()
+        )
 
     q = (
         kv.writeStream.foreachBatch(process)
@@ -77,13 +88,8 @@ def adaptive_count_stream(
     finally:
         q.stop()
 
-    if not partials:
+    if not running:
         merged = spark.createDataFrame([], "key string, cnt long")
     else:
-        pdf = (
-            pd.concat(partials, ignore_index=True)
-            .groupby("key", as_index=False)["cnt"]
-            .sum()
-        )
-        merged = spark.createDataFrame(pdf)
-    return merged, decisions
+        merged = spark.createDataFrame(running[0])
+    return merged, list(decisions)

@@ -35,11 +35,19 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from myasynstreamjoin_spark.config import DEFAULT_CONFIG, EngineConfig
+from myasynstreamjoin_spark.sources.tables import normalize_epoch_ns
 
+# The ENGINE's logical events schema: ts is BIGINT epoch-ns (the
+# reference's BigInt time model, state/cluster/naive/HashJoin.scala:50).
+# Used for engine-written files and createDataFrame fixtures. The
+# driver's parquet physical type for ts has drifted across
+# regenerations (nanos-as-long vs timestamp[us]); ``stream_events``
+# infers the on-disk schema from the parquet footer and normalizes to
+# this logical schema, so do NOT use EVENTS_SCHEMA to read driver files.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # epoch-ns (nanosAsLong)
+        T.StructField("ts", T.LongType(), True),  # epoch-ns (engine logical type)
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),
@@ -52,9 +60,16 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a file stream (the test-rig replacement for
     the reference's Kafka direct stream, stateless/cluster/HashJoin.scala:64-65;
     swap for readStream.format("kafka") in production — see sources.kafka).
+
+    readStream requires an explicit schema; rather than hardcoding the
+    parquet physical type (which the driver has changed between rounds),
+    read it from the parquet footer via a batch-read handle, then
+    normalize ``ts`` to the engine's BIGINT epoch-ns. Footer-only read —
+    no data scan.
     """
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    file_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(file_schema)
         .option("maxFilesPerTrigger", 1)
         # events.parquet is a single file; FileStreamSource forces
         # basePath to the source path unless it's a glob, and then
@@ -62,6 +77,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("basePath", sf_dir)
         .parquet(f"{sf_dir}/events.parquet*")
     )
+    return normalize_epoch_ns(raw, ("ts",))
 
 
 def stream_min_count_per_window(
@@ -379,10 +395,18 @@ def stream_enriched_segment_counts(
 def stream_type_topk(events: DataFrame, k: int = 3) -> DataFrame:
     """Complete-output-mode streaming: running top-k event types by
     total count over the whole stream. Complete mode re-emits the full
-    (tiny) aggregate each trigger, which is what makes sort+limit legal
-    in a streaming query — neither is allowed in append mode. No
-    watermark: state is one row per key, bounded by key cardinality,
-    the right trade for a running leaderboard.
+    aggregate each trigger, which is what makes sort+limit legal in a
+    streaming query — neither is allowed in append mode.
+
+    WRITTEN BOUND (do not use where it doesn't hold): state and
+    per-trigger re-emission are O(|distinct key|) — here event_type,
+    cardinality ≤ ~10. This operator is for LOW-CARDINALITY running
+    leaderboards only and is deliberately excluded from the headline
+    bench set. For high-cardinality keys (user_id at 100 TB) complete
+    mode is the wrong tool: use update-mode windowed counts
+    (``stream_update_type_counts``) compacted batch-side, or a
+    foreachBatch top-k merge over watermark-evicted window aggregates —
+    both keep state bounded by live windows, not total key count.
 
     Output: (key, n) — k rows, the final trigger's table.
     """

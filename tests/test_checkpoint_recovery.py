@@ -11,6 +11,7 @@ import shutil
 from pyspark.sql import functions as F
 
 from myasynstreamjoin_spark.session import prepare_session
+from myasynstreamjoin_spark.sources import tables
 from myasynstreamjoin_spark.streaming.windowed import EVENTS_SCHEMA
 
 
@@ -21,7 +22,9 @@ def test_restart_from_checkpoint_is_exactly_once(spark, sf_dir, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     src.mkdir()
 
-    ev = spark.read.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    # load_table normalizes ts; the halves written below are
+    # engine-logical (EVENTS_SCHEMA) parquet.
+    ev = tables.load_table(spark, sf_dir, "events")
     half1 = ev.where(F.col("event_id") % 2 == 0)
     half2 = ev.where(F.col("event_id") % 2 == 1)
     n_total = ev.count()

@@ -18,6 +18,7 @@ import time
 from pyspark.sql import functions as F
 
 from myasynstreamjoin_spark.session import prepare_session
+from myasynstreamjoin_spark.sources import tables
 from myasynstreamjoin_spark.streaming.windowed import EVENTS_SCHEMA
 
 
@@ -25,7 +26,9 @@ def test_late_rows_dropped_with_one_batch_lag_and_counted(spark, sf_dir, tmp_pat
     prepare_session(spark)
     src = tmp_path / "src"
     src.mkdir()
-    ev = spark.read.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    # load_table normalizes ts to epoch-ns long; the thirds written below
+    # are therefore engine-logical (EVENTS_SCHEMA) parquet.
+    ev = tables.load_table(spark, sf_dir, "events")
     qs = ev.agg(
         F.expr("percentile(ts, 0.34D)").alias("a"),
         F.expr("percentile(ts, 0.67D)").alias("b"),

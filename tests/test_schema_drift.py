@@ -1,0 +1,84 @@
+"""Dtype-drift guard: the driver regenerates the test parquet between
+rounds and has already changed ``events.ts``'s physical type once
+(TIMESTAMP(NANOS) → timestamp[us]), which silently broke 27 components
+in round 2. This test pins the ENGINE's post-load logical schema for
+every driver table, so the next physical-type drift fails one obvious
+test instead of dozens of confusing ones.
+
+The contract under test: whatever the parquet physical types are,
+``tables.load_table`` presents one stable logical schema — in
+particular ``events.ts`` is BIGINT epoch-ns (the reference's BigInt
+time model, state/cluster/naive/HashJoin.scala:50) and its VALUES agree
+with DuckDB's ``epoch_ns(ts)``, which is what every oracle uses.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import types as T
+
+from myasynstreamjoin_spark.sources import tables
+from myasynstreamjoin_spark.streaming.windowed import stream_events
+
+# Engine-logical types after load_table normalization. Only columns the
+# engine does arithmetic on are pinned — string/double payload columns
+# may drift without breaking anything.
+EXPECTED = {
+    "events": {
+        "event_id": T.LongType(),
+        "ts": T.LongType(),  # epoch-ns, ALWAYS — the load-boundary guarantee
+        "user_id": T.LongType(),
+        "event_type": T.StringType(),
+        "value": T.DoubleType(),
+        "props": T.StringType(),
+    },
+    "orders": {"o_orderkey": T.LongType(), "o_custkey": T.LongType()},
+    "lineitem": {"l_orderkey": T.LongType(), "l_quantity": T.DoubleType()},
+    "customer": {"c_custkey": T.LongType()},
+    "documents": {"doc_id": T.LongType(), "text": T.StringType()},
+    "embeddings": {
+        "vec_id": T.LongType(),
+        "embedding": T.ArrayType(T.FloatType(), True),
+    },
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED))
+def test_post_load_logical_schema(spark, sf_dir, name):
+    df = tables.load_table(spark, sf_dir, name)
+    got = {f.name: f.dataType for f in df.schema.fields}
+    for col, dtype in EXPECTED[name].items():
+        assert col in got, f"{name}.{col} missing from driver parquet"
+        assert got[col] == dtype, (
+            f"{name}.{col}: engine expects {dtype}, load_table produced "
+            f"{got[col]} — parquet physical type drifted and "
+            f"normalize_epoch_ns does not cover it"
+        )
+
+
+def test_events_ts_values_match_duckdb_epoch_ns(spark, sf_dir):
+    """The normalized ts values (not just the type) must equal DuckDB's
+    epoch_ns(ts) on the same file — this is the oracle contract every
+    windowed query depends on."""
+    got = (
+        tables.load_table(spark, sf_dir, "events")
+        .selectExpr("min(ts) AS lo", "max(ts) AS hi", "sum(ts % 1000000007) AS s")
+        .collect()[0]
+    )
+    want = duckdb.sql(
+        "SELECT min(epoch_ns(ts)) AS lo, max(epoch_ns(ts)) AS hi,"
+        " sum(epoch_ns(ts) % 1000000007) AS s"
+        f" FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()
+    assert (got["lo"], got["hi"], int(got["s"])) == (want[0], want[1], int(want[2]))
+
+
+def test_stream_events_matches_batch_schema(spark, sf_dir):
+    """The streaming source must present the same logical schema as the
+    batch loader — same normalization, both boundaries."""
+    batch = tables.load_table(spark, sf_dir, "events").schema
+    stream = stream_events(spark, sf_dir).schema
+    assert {f.name: f.dataType for f in stream.fields} == {
+        f.name: f.dataType for f in batch.fields
+    }

@@ -7,6 +7,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from myasynstreamjoin_spark.config import DEFAULT_CONFIG as CFG
+from myasynstreamjoin_spark.sources import tables
 from myasynstreamjoin_spark.streaming.dedup import stream_distinct_user_counts
 from myasynstreamjoin_spark.streaming.windowed import (
     EVENTS_SCHEMA,
@@ -65,7 +66,7 @@ def test_stream_dedup_equals_batch_distinct(spark, sf_dir):
             stream_distinct_user_counts(stream_events(spark, sf_dir), CFG), spark
         ).collect()
     }
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = tables.load_table(spark, sf_dir, "events")
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
     wm_ms = max_ts // 1_000_000 - DELAY_MS
     batch = {

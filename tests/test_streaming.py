@@ -124,7 +124,9 @@ def test_generalized_stateful_folds_equal_batch(spark, sf_dir):
 
     from myasynstreamjoin_spark.streaming.stateful import stateful_window_value
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from myasynstreamjoin_spark.sources import tables
+
+    ev = tables.load_table(spark, sf_dir, "events")
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
     wm_ms = max_ts // 1_000_000 - DELAY_MS
     parsed = ev.select(
