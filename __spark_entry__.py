@@ -185,6 +185,29 @@ def _q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_star_join_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materializing hypercube star join (DuplicateHHJoin.scala:75-115
+    with the row replication finished): per-key cardinality of the
+    ACTUALLY MATERIALIZED 3-way join over distinct filtered payloads —
+    the restriction bounds the per-key cross product so the row
+    materialization is feasible at any SF; the oracle is the
+    counts-product over the same restricted set."""
+    from myasynstreamjoin_spark.operators.star_join import star_join_hypercube_rows
+
+    _prep(spark)
+    d = (
+        fixtures.star_rel(spark, sf_dir, CFG)
+        .select("key", "rel", "value")
+        .where(F.col("value") % 8 == 0)
+        .distinct()
+    )
+    return (
+        star_join_hypercube_rows(d, cfg=CFG)
+        .groupBy("key")
+        .agg(F.count("*").alias("card"))
+    )
+
+
 def _q_parse_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1-P7 parse pipeline: encode F1 rows into the reference's packed
     "ts source key;…" Kafka payloads, decode with explode+split+cast,
@@ -1453,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans": _q_kmeans,                            # rows-only (iterative)
         "q_embed_neardup_exact": _q_embed_neardup_exact,
         "q_embed_neardup_lsh": _q_embed_neardup_lsh,      # rows-only
+        "q_star_join_cube": _q_star_join_cube,            # materializing hypercube join (J3/X13)
         # remaining streaming queries
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
         "q_stream_min_count_zero": _q_stream_min_count_zero,
@@ -1576,6 +1600,26 @@ def oracle_sql() -> dict[str, str]:
             WITH per_rel AS (
               SELECT event_type AS key, CAST(user_id % 3 AS INT) AS rel, count(*) AS cnt
               FROM events GROUP BY 1, 2),
+            wide AS (
+              SELECT key,
+                     max(CASE WHEN rel = 0 THEN cnt END) AS c0,
+                     max(CASE WHEN rel = 1 THEN cnt END) AS c1,
+                     max(CASE WHEN rel = 2 THEN cnt END) AS c2
+              FROM per_rel GROUP BY key)
+            SELECT key, CAST(c0 * c1 * c2 AS BIGINT) AS card
+            FROM wide WHERE c0 IS NOT NULL AND c1 IS NOT NULL AND c2 IS NOT NULL
+        """,
+        # The materializing hypercube join must equal the counts-product
+        # over the same distinct filtered payload set: each (x0,x1,x2)
+        # triple meets in exactly one cube cell, so count(*) per key of
+        # the materialized rows IS c0*c1*c2.
+        "q_star_join_cube": """
+            WITH d AS (
+              SELECT DISTINCT event_type AS key, CAST(user_id % 3 AS INT) AS rel,
+                     CAST(floor(value) AS INT) AS x
+              FROM events WHERE CAST(floor(value) AS INT) % 8 = 0),
+            per_rel AS (
+              SELECT key, rel, count(*) AS cnt FROM d GROUP BY 1, 2),
             wide AS (
               SELECT key,
                      max(CASE WHEN rel = 0 THEN cnt END) AS c0,
