@@ -1162,6 +1162,44 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster"))
 
 
+def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup pipeline to its actual product: near-dup pairs →
+    connected components → ONE canonical survivor per cluster (max
+    n_chars, ties → min doc_id) plus all unclustered docs — the
+    surviving training corpus."""
+    from myasynstreamjoin_spark.functions.cluster import (
+        connected_components,
+        dedup_survivors,
+    )
+    from myasynstreamjoin_spark.functions.dedup import ngram_jaccard_pairs
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.2)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    clusters = cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster")
+    )
+    return dedup_survivors(docs, clusters)
+
+
+def _q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampling: sample each source at the
+    rate that makes the output approximate 50/25/25 across
+    src0/src1/src2 (sources too small for their weight keep all rows —
+    rate capped at 1)."""
+    from myasynstreamjoin_spark.functions.pipeline import domain_mixture_sample
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return domain_mixture_sample(
+        docs,
+        "source",
+        {"src0": 0.5, "src1": 0.25, "src2": 0.25},
+        target_total=60,
+    ).select("doc_id", "source", "n_chars")
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.functions.dedup import minhash_lsh_pairs
 
@@ -1477,6 +1515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_neardup_exact": _q_embed_neardup_exact,
         "q_embed_neardup_lsh": _q_embed_neardup_lsh,      # rows-only
         "q_star_join_cube": _q_star_join_cube,            # materializing hypercube join (J3/X13)
+        "q_dedup_survivors": _q_dedup_survivors,          # pairs → clusters → canonical corpus
+        "q_domain_mix": _q_domain_mix,                    # target-mixture deterministic sampling
         # remaining streaming queries
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
         "q_stream_min_count_zero": _q_stream_min_count_zero,
@@ -2498,6 +2538,49 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a)
             SELECT node AS doc_id, min(r) AS cluster FROM reach GROUP BY 1
+        """,
+        "q_dedup_survivors": f"""
+            WITH RECURSIVE sh AS ({_SHINGLES}),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+            ix AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM ix a JOIN ix b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT doc_a, doc_b FROM common
+              JOIN sizes na ON na.doc_id = doc_a
+              JOIN sizes nb ON nb.doc_id = doc_b
+              WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= 0.2),
+            sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+            reach AS (
+              SELECT a AS node, a AS r FROM sym
+              UNION
+              SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+            cl AS (SELECT node AS doc_id, min(r) AS cluster FROM reach GROUP BY 1),
+            ranked AS (
+              SELECT d.doc_id, d.n_chars,
+                     row_number() OVER (PARTITION BY cl.cluster
+                                        ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+              FROM cl JOIN documents d USING (doc_id))
+            SELECT doc_id, n_chars, TRUE AS is_cluster_rep FROM ranked WHERE rk = 1
+            UNION ALL
+            SELECT d.doc_id, d.n_chars, FALSE AS is_cluster_rep
+            FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM cl)
+        """,
+        "q_domain_mix": """
+            WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+            w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.25)),
+            rates AS (
+              SELECT counts.source,
+                     least(1.0, wt * 60.0 / n) AS rate
+              FROM counts JOIN w USING (source))
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN rates USING (source)
+            WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 4)) AS INT)
+                  % 65536 < rate * 65536
         """,
         "q_simsearch": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

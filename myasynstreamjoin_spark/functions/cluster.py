@@ -64,3 +64,46 @@ def connected_components(
             return labels.select(F.col("a").alias("node"),
                                  F.col("label").alias("component"))
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Canonicalization: collapse each near-dup cluster to ONE surviving
+    document and pass unclustered documents through — the final step of
+    the dedup pipeline (pairs → components → survivors), producing the
+    actual training corpus.
+
+    Representative rule, deterministic and engine-portable: highest
+    ``quality_col`` wins, ties broken by smallest ``id_col`` — a window
+    rank, identical semantics in any SQL engine, so the oracle can
+    replay the selection exactly (no arg_max tie ambiguity).
+
+    Scale shape: the window partitions by cluster (dedup clusters are
+    small blobs — no skew concern), the pass-through side is a
+    left-anti join on the cluster membership table, which at 100 TB is
+    orders of magnitude smaller than the corpus (only docs with ≥1
+    near-dup edge appear in it).
+
+    Output: (doc_id, quality_col, is_cluster_rep) — one row per
+    surviving document.
+    """
+    from pyspark.sql import Window
+
+    member = clusters.select(id_col, "cluster")
+    scored = member.join(docs.select(id_col, quality_col), id_col)
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    reps = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(id_col, quality_col, F.lit(True).alias("is_cluster_rep"))
+    )
+    singles = docs.join(member, id_col, "left_anti").select(
+        id_col, quality_col, F.lit(False).alias("is_cluster_rep")
+    )
+    return singles.unionByName(reps)

@@ -65,6 +65,62 @@ def hash_split(
     return df.withColumn(split_col, chain)
 
 
+def domain_mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    target_total: int,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    n_buckets: int = 65_536,
+) -> DataFrame:
+    """Sample each source (domain) at the rate that makes the OUTPUT
+    approximate a target mixture — the domain-reweighting step of a
+    training-data pipeline ("20% code, 30% web, 50% books" over sources
+    with wildly different raw sizes).
+
+    Per source s: rate_s = min(1, weight_s · target_total / count_s);
+    a row survives iff its deterministic md5 bucket of (id + salt)
+    falls below rate_s · n_buckets. ``n_buckets`` must stay ≤ 65536 —
+    hash_bucket draws 16 bits, so larger values silently lose
+    resolution. Properties:
+    - reproducible across runs/engines (hash, not rand()) — the oracle
+      replays the exact survivor set;
+    - a source too small for its target weight keeps ALL its rows
+      (rate capped at 1) rather than upsampling — the standard
+      epoch-repeat decision is left to the caller;
+    - changing ``salt`` draws an independent sample.
+
+    Scale shape: one tiny per-source count aggregation broadcast back
+    onto the scan — the corpus itself never shuffles; the filter runs
+    scan-side. Sources absent from ``weights`` are dropped (rate 0).
+
+    Output: the surviving rows of ``df`` (schema unchanged).
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(weights.items())],
+        f"{source_col} string, __w double",
+    )
+    counts = df.groupBy(source_col).agg(F.count("*").alias("__n"))
+    rates = counts.join(wdf, source_col).select(
+        source_col,
+        F.least(
+            F.lit(1.0), F.col("__w") * F.lit(float(target_total)) / F.col("__n")
+        ).alias("__rate"),
+    )
+    bucket = hash_bucket(
+        F.concat(F.col(id_col).cast("string"), F.lit(salt)), n_buckets
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .where(bucket < F.col("__rate") * n_buckets)
+        .drop("__rate")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     token_col: Column | str,

@@ -130,3 +130,60 @@ def test_quantize_int8_bounds_and_roundtrip(spark, sf_dir):
         ).alias("worst_scaled")
     )
     assert joined.first()["worst_scaled"] <= 0.5 + 1e-6
+
+
+def test_domain_mixture_rates_and_determinism(spark):
+    from myasynstreamjoin_spark.functions.pipeline import domain_mixture_sample
+
+    # big: 1000 rows, small: 40 rows. Target 50/50 of 200 total →
+    # big rate 0.1, small rate 2.5 → capped at 1 (keeps all 40 rows).
+    df = spark.range(0, 1040).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, "big").otherwise("small").alias("source"),
+    )
+    out = domain_mixture_sample(
+        df, "source", {"big": 0.5, "small": 0.5}, target_total=200
+    )
+    by_src = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src["small"] == 40, "undersized source must keep every row (rate cap)"
+    assert 60 <= by_src["big"] <= 140, f"big source ~100 expected, got {by_src['big']}"
+    # deterministic: the same call yields the same survivor set
+    again = domain_mixture_sample(
+        df, "source", {"big": 0.5, "small": 0.5}, target_total=200
+    )
+    assert {r["doc_id"] for r in out.collect()} == {r["doc_id"] for r in again.collect()}
+    # a different salt draws a different (but same-sized-ish) sample
+    other = domain_mixture_sample(
+        df, "source", {"big": 0.5, "small": 0.5}, target_total=200, salt="fold2"
+    )
+    assert {r["doc_id"] for r in out.collect()} != {r["doc_id"] for r in other.collect()}
+
+
+def test_domain_mixture_drops_unweighted_sources(spark):
+    from myasynstreamjoin_spark.functions.pipeline import domain_mixture_sample
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "keep").otherwise("drop").alias("source"),
+    )
+    out = domain_mixture_sample(df, "source", {"keep": 1.0}, target_total=50)
+    assert {r["source"] for r in out.select("source").distinct().collect()} == {"keep"}
+
+
+def test_dedup_survivors_selection(spark):
+    from myasynstreamjoin_spark.functions.cluster import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (5, 99)],
+        "doc_id long, n_chars long",
+    )
+    # cluster A = {1,2,3} (reps: max n_chars 30, tie → min id 2);
+    # cluster B = {4}; doc 5 unclustered.
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "doc_id long, cluster long"
+    )
+    got = {
+        (r["doc_id"], r["is_cluster_rep"])
+        for r in dedup_survivors(docs, clusters).collect()
+    }
+    assert got == {(2, True), (4, True), (5, False)}
