@@ -42,6 +42,34 @@ SESSION_CONFS: dict[str, str] = {
 }
 
 
+# Opt-in confs for LONG-RUNNING / LARGE-STATE streaming deployments.
+# Not in SESSION_CONFS because the default HDFS-backed provider is
+# faster for the finite local replays the tests and bench run (RocksDB
+# pays JNI + compaction overhead per micro-batch); at 100 TB the
+# trade inverts: RocksDB keeps state off-heap and spills to local disk,
+# so executor memory bounds working set, not total state, and changelog
+# checkpointing ships deltas instead of full snapshots.
+STREAMING_SCALE_CONFS: dict[str, str] = {
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+}
+
+
+def prepare_streaming_scale(spark: SparkSession) -> SparkSession:
+    """Apply the large-state streaming confs (RocksDB state store +
+    changelog checkpointing). Call before ``writeStream.start()`` on a
+    production deployment; the provider is locked into the checkpoint
+    at query start. Verified against the HDFS-backed default by
+    tests/test_streaming.py::test_rocksdb_state_store_equivalence."""
+    for k, v in STREAMING_SCALE_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
+
+
 def prepare_session(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
     """Apply the engine's runtime SQL confs to an existing session.
 

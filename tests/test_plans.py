@@ -313,3 +313,15 @@ def test_q20_semi_filters_before_the_pair_aggregate(spark, sf_dir):
     # (no full join materializing part columns onto fact rows)
     assert "LeftSemi" in plan
     assert has_broadcast_join(df)
+
+
+def test_topk_revenue_is_heap_merge_not_global_sort(spark, sf_dir):
+    """The headline top-k query must plan as TakeOrderedAndProject (a
+    per-partition heap + driver merge of k rows) — a global Sort before
+    a Limit would shuffle the whole aggregate at 100 TB."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["q_topk_revenue"](spark, sf_dir)
+    plan = simple_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert has_broadcast_join(df)  # customer dim broadcasts

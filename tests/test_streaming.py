@@ -151,3 +151,37 @@ def test_generalized_stateful_folds_equal_batch(spark, sf_dir):
         assert got, fold
         for k, v in batch.items():
             assert math.isclose(got[k], v, rel_tol=1e-9), (fold, k)
+
+
+def test_rocksdb_state_store_equivalence(spark, sf_dir, ripe_filter):
+    """The large-state deployment config (RocksDB provider + changelog
+    checkpointing, session.prepare_streaming_scale) must produce the
+    identical converged table as the default HDFS-backed provider —
+    state-store choice is an executor-local detail, never semantics."""
+    from myasynstreamjoin_spark.session import prepare_streaming_scale
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    prepare_streaming_scale(spark)
+    try:
+        got = {
+            tuple(r)
+            for r in run_stream_to_table(
+                stream_min_count_per_window(stream_events(spark, sf_dir), CFG), spark
+            ).collect()
+        }
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        )
+    batch = {
+        tuple(r)
+        for r in min_count_per_window(
+            fixtures.ported_words(spark, sf_dir, CFG), CFG
+        ).collect()
+    }
+    assert got == ripe_filter(batch)
+    assert got
