@@ -1162,6 +1162,16 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster"))
 
 
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span fraction (exact-substring dedup
+    signal at 8-token span granularity) — the quality score a pipeline
+    thresholds to drop boilerplate-heavy documents."""
+    from myasynstreamjoin_spark.functions.dedup import dup_span_stats
+
+    _prep(spark)
+    return dup_span_stats(tables.load_table(spark, sf_dir, "documents"), k=8)
+
+
 def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup pipeline to its actual product: near-dup pairs →
     connected components → ONE canonical survivor per cluster (max
@@ -1517,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_star_join_cube": _q_star_join_cube,            # materializing hypercube join (J3/X13)
         "q_dedup_survivors": _q_dedup_survivors,          # pairs → clusters → canonical corpus
         "q_domain_mix": _q_domain_mix,                    # target-mixture deterministic sampling
+        "q_dup_spans": _q_dup_spans,                      # exact-substring dup fraction per doc
         # remaining streaming queries
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
         "q_stream_min_count_zero": _q_stream_min_count_zero,
@@ -2569,6 +2580,28 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT d.doc_id, d.n_chars, FALSE AS is_cluster_rep
             FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM cl)
+        """,
+        "q_dup_spans": f"""
+            WITH sp AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len({_DOC_TOKENS}) >= 8 THEN
+                  list_transform(generate_series(1, len({_DOC_TOKENS}) - 7),
+                    i -> {_DOC_TOKENS}[i]   || ' ' || {_DOC_TOKENS}[i+1] || ' ' ||
+                         {_DOC_TOKENS}[i+2] || ' ' || {_DOC_TOKENS}[i+3] || ' ' ||
+                         {_DOC_TOKENS}[i+4] || ' ' || {_DOC_TOKENS}[i+5] || ' ' ||
+                         {_DOC_TOKENS}[i+6] || ' ' || {_DOC_TOKENS}[i+7])
+                ELSE [array_to_string({_DOC_TOKENS}, ' ')] END)) AS span
+              FROM documents),
+            span_df AS (
+              SELECT span FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+            dup AS (
+              SELECT sp.doc_id, count(*) AS n_dup_spans
+              FROM sp JOIN span_df USING (span) GROUP BY 1),
+            totals AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1)
+            SELECT t.doc_id, t.n_spans,
+                   CAST(coalesce(d.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+                   round(coalesce(d.n_dup_spans, 0) * 1.0 / t.n_spans, 4) AS dup_frac
+            FROM totals t LEFT JOIN dup d USING (doc_id)
         """,
         "q_domain_mix": """
             WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),

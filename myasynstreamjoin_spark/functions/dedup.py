@@ -97,6 +97,47 @@ def shingle_docs(docs: DataFrame, k: int = 3, hashed: bool = False) -> DataFrame
     return rebalance(docs).select("doc_id", sh.alias("sh"))
 
 
+def dup_span_stats(docs: DataFrame, k: int = 8, min_df: int = 2) -> DataFrame:
+    """Per-document duplicated-span fraction: how much of each document
+    consists of exact k-token spans that also appear in ≥ ``min_df``
+    documents — the substring-level dedup signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" §4's
+    ExactSubstr, at span rather than suffix-array granularity) used to
+    FILTER boilerplate-heavy docs rather than drop whole near-dups.
+
+    Distinct from ngram_jaccard_pairs (pairwise whole-doc similarity):
+    this is a per-doc quality score with no pair enumeration at all —
+    one explode, one span-frequency aggregation, one semi-join back.
+    Scale shape: span document-frequency is a hash groupBy (map-side
+    combined); the explode is rebalanced like every shingle pass; at
+    100 TB use shingle_docs(hashed=True) spans — string spans are kept
+    here so an external oracle can replay the exact computation.
+
+    Output: (doc_id, n_spans, n_dup_spans, dup_frac) — n_spans counts
+    DISTINCT spans per doc; dup_frac = n_dup_spans / n_spans.
+    """
+    # persisted: three consumers branch from the exploded span table
+    # (LRU-evicted like the other shingle passes in this module)
+    ex = shingle_docs(docs, k).select(
+        "doc_id", F.explode("sh").alias("span")
+    ).persist()
+    span_df = ex.groupBy("span").agg(F.countDistinct("doc_id").alias("__df"))
+    dup = (
+        ex.join(span_df.where(F.col("__df") >= min_df), "span")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_spans"))
+    )
+    totals = ex.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    return totals.join(dup, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.round(
+            F.coalesce("n_dup_spans", F.lit(0)) / F.col("n_spans"), 4
+        ).alias("dup_frac"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     k: int = 3,
