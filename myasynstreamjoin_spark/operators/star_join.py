@@ -16,6 +16,8 @@ lets Catalyst/AQE pick broadcast + skew-split strategies.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -177,6 +179,81 @@ def star_join_hypercube_rows(
     return r0.join(r1, ["key", "cell"], "inner").join(
         r2, ["key", "cell"], "inner"
     ).select("key", "x0", "x1", "x2")
+
+
+def plan_cube_dims(
+    star: DataFrame,
+    n_rels: int = 3,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    m: int | None = None,
+) -> list[dict]:
+    """The reference's per-heavy-key cube-dimension allocation
+    (DuplicateHHJoin.scala:248-281), the planning half of the hypercube
+    join: split ``m`` workers across heavy keys proportionally to
+    √(join size), then shape each key's cube so cell loads balance.
+
+    Per heavy key h with per-relation counts (M1, M2, M3) and join
+    product P = M1·M2·M3:
+      mh = ⌊√P / Σ_h √P · m⌋          workers for h   (:252)
+      (mh < 1 → "fake" heavy hitter, dropped            :254-257)
+      t  = (P / mh²)^⅓                                  (:260)
+      m_r = ⌈mh · t / M_r⌉ per dim                      (:261-263)
+      while Π m_r > mh: decrement the largest dim       (:264-273)
+
+    Driver-side by design, like the reference (it runs in foreachRDD on
+    the driver): heavy hitters are pigeonhole-bounded to < m/θ keys
+    (stats.heavy_hitters), so the collect is a plan-choice-sized
+    result, never data. Feed the result's (mx, my, mz) into
+    ``star_join_hypercube_rows(cube=...)`` per key group, or use the
+    uniform default when key skew is homogeneous.
+
+    Returns one dict per surviving heavy key:
+    {key, mh, mx, my, mz} with Π dims ≤ mh and Σ mh ≤ m.
+    """
+    from myasynstreamjoin_spark.operators.stats import heavy_hitters
+
+    m = m or cfg.n_mappers
+    heavy = heavy_hitters(star, "key", cfg).select("key")
+    per_rel = (
+        star.join(F.broadcast(heavy), "key")
+        .groupBy("key", "rel")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cols = [
+        F.max(F.when(F.col("rel") == r, F.col("cnt"))).alias(f"c{r}")
+        for r in range(n_rels)
+    ]
+    rows = per_rel.groupBy("key").agg(*cols).collect()  # < m/θ rows
+
+    stats = []
+    for r in rows:
+        counts = [r[f"c{i}"] or 0 for i in range(n_rels)]
+        if all(c > 0 for c in counts):
+            prod = 1
+            for c in counts:
+                prod *= c
+            stats.append((r["key"], counts, prod))
+    tmp1 = sum(p ** 0.5 for _, _, p in stats)
+    if tmp1 == 0:
+        return []
+
+    out: list[dict] = []
+    for key, counts, prod in stats:
+        mh = int(prod ** 0.5 / tmp1 * m)
+        if mh < 1:
+            continue  # fake heavy hitter (:254-257)
+        t = (prod / (mh * mh)) ** (1.0 / 3.0)
+        dims = [max(1, math.ceil(mh * t / c)) for c in counts]
+        while dims[0] * dims[1] * dims[2] > mh:
+            dims[dims.index(max(dims))] -= 1
+            if max(dims) == 0:
+                break  # ":275-277 hash base 0 — cube degenerate"
+        if min(dims) < 1:
+            continue
+        out.append(
+            {"key": key, "mh": mh, "mx": dims[0], "my": dims[1], "mz": dims[2]}
+        )
+    return out
 
 
 def star_join_count(

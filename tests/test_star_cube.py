@@ -84,3 +84,31 @@ def test_heavy_work_spreads_over_cells(spark):
         .collect()
     )
     assert len(per_bucket) == 2
+
+
+def test_plan_cube_dims_reference_allocation(spark):
+    """The cube-dimension planner reproduces the reference's invariants:
+    workers split ∝ √(join size), Π dims ≤ mh per key, Σ mh ≤ m, and
+    sub-1-worker keys are dropped as fake heavy hitters."""
+    from myasynstreamjoin_spark.operators.star_join import plan_cube_dims
+
+    rows = []
+    # 'big': 24 rows/rel; 'mid': 8 rows/rel → both heavy under n_mappers=1
+    # threshold (0.2·96 rows), with big's join product 27× mid's.
+    for r in range(3):
+        for x in range(24):
+            rows.append((r, 0, "big", x))
+        for x in range(8):
+            rows.append((r, 0, "mid", x))
+    star = spark.createDataFrame(rows, "rel int, ts long, key string, value int")
+    plans = plan_cube_dims(star, cfg=CFG, m=12)
+    by_key = {p["key"]: p for p in plans}
+    assert set(by_key) <= {"big", "mid"}
+    assert "big" in by_key
+    assert sum(p["mh"] for p in plans) <= 12
+    for p in plans:
+        assert p["mx"] * p["my"] * p["mz"] <= p["mh"]
+        assert min(p["mx"], p["my"], p["mz"]) >= 1
+    # √-proportional split: √(24³) : √(8³) ≈ 5.2 : 1 of 12 workers
+    if "mid" in by_key:
+        assert by_key["big"]["mh"] > by_key["mid"]["mh"]
