@@ -39,28 +39,46 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 EPOCH_NS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+def _ntz_epoch_ns(col: str) -> str:
+    """SQL expression: TIMESTAMP_NTZ wall clock → epoch-ns as UTC,
+    INDEPENDENT of spark.sql.session.timeZone. A plain
+    ``unix_micros(CAST(ntz AS TIMESTAMP))`` reinterprets the wall clock
+    in the session tz (silently shifting epochs when a caller runs
+    non-UTC); field extraction is tz-free on NTZ and exact
+    (EXTRACT SECOND is DECIMAL with the full fractional part —
+    0 mismatches vs the cast form under UTC, verified over the whole
+    fixture)."""
+    return (
+        f"(unix_date(CAST({col} AS DATE)) * 86400000000L"
+        f" + hour({col}) * 3600000000L + minute({col}) * 60000000L"
+        f" + CAST(EXTRACT(SECOND FROM {col}) * 1000000 AS LONG)) * 1000"
+    )
+
+
 def normalize_epoch_ns(df: DataFrame, cols: tuple[str, ...] = ("ts",)) -> DataFrame:
     """Normalize event-time columns to the engine's BIGINT epoch-ns.
 
     Accepts any physical encoding the driver has shipped so far:
     - BIGINT (TIMESTAMP(NANOS) parquet surfaced via ``nanosAsLong``, or
       an engine-written long column): passes through untouched.
-    - TIMESTAMP / TIMESTAMP_NTZ (timestamp[us] parquet): projected to
-      ``unix_micros * 1000``. NTZ wall-clocks are interpreted as UTC
-      (session tz is pinned to UTC in session.py), which is exactly what
-      DuckDB's ``epoch_ns(ts)`` does on naive timestamps — so oracle
-      hashes are unchanged.
+    - TIMESTAMP_NTZ (timestamp[us] parquet, the current driver format):
+      wall clock treated as UTC via tz-independent field extraction —
+      exactly DuckDB's ``epoch_ns(ts)`` on naive timestamps, so oracle
+      hashes are unchanged, and immune to a caller's session timezone.
+    - TIMESTAMP (tz-aware): ``unix_micros`` directly (an instant needs
+      no tz interpretation).
 
     Pure projection — no shuffle, stays in whole-stage codegen, and the
     column-pruned scan still reads only the referenced columns.
     """
     for c in cols:
-        if c in df.columns and isinstance(
-            df.schema[c].dataType, (T.TimestampType, T.TimestampNTZType)
-        ):
-            df = df.withColumn(
-                c, (F.unix_micros(F.col(c).cast("timestamp")) * F.lit(1000)).cast("long")
-            )
+        if c not in df.columns:
+            continue
+        dtype = df.schema[c].dataType
+        if isinstance(dtype, T.TimestampNTZType):
+            df = df.withColumn(c, F.expr(_ntz_epoch_ns(c)).cast("long"))
+        elif isinstance(dtype, T.TimestampType):
+            df = df.withColumn(c, (F.unix_micros(F.col(c)) * F.lit(1000)).cast("long"))
     return df
 
 

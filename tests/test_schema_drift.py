@@ -82,3 +82,25 @@ def test_stream_events_matches_batch_schema(spark, sf_dir):
     assert {f.name: f.dataType for f in stream.fields} == {
         f.name: f.dataType for f in batch.fields
     }
+
+
+def test_normalization_is_timezone_independent(spark, sf_dir):
+    """A caller running a non-UTC session timezone must get the same
+    epoch-ns values — the NTZ wall clock is defined as UTC by the
+    fixture contract, not by whoever loads it."""
+    ref = (
+        tables.load_table(spark, sf_dir, "events")
+        .selectExpr("sum(ts % 1000000007) AS s")
+        .collect()[0]["s"]
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        got = (
+            tables.load_table(spark, sf_dir, "events")
+            .selectExpr("sum(ts % 1000000007) AS s")
+            .collect()[0]["s"]
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert int(got) == int(ref)
