@@ -144,6 +144,10 @@ def star_join_hypercube_rows(
     heavy = heavy_hitters(star, "key", cfg).select(
         "key", F.lit(True).alias("is_heavy")
     )
+    # NOT persisted: the three relation slices re-derive this branch,
+    # but each slice's scan prunes to its own rel and the heavy set is
+    # a broadcast — measured, caching the pre-explode corpus here costs
+    # more than the recomputation (and wouldn't be viable at 100 TB).
     tagged = star.join(F.broadcast(heavy), "key", "left").select(
         "key",
         "rel",
