@@ -1193,6 +1193,24 @@ def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_survivors(docs, clusters)
 
 
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pipeline step: score every document, then keep docs at
+    or above the corpus's exact 10th-percentile quality — the
+    dynamic-threshold filter (threshold from the data, not a constant)
+    a cleaning pipeline runs before training. The 1-row threshold is
+    broadcast; the corpus passes once."""
+    from myasynstreamjoin_spark.functions.text import quality_score
+
+    _prep(spark)
+    q = quality_score(tables.load_table(spark, sf_dir, "documents"))
+    thr = q.agg(F.round(F.expr("percentile(quality, 0.1D)"), 6).alias("thr"))
+    return (
+        q.join(F.broadcast(thr))
+        .where(F.col("quality") >= F.col("thr"))
+        .select("doc_id", "quality")
+    )
+
+
 def _q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic domain-mixture sampling: sample each source at the
     rate that makes the output approximate 50/25/25 across
@@ -1528,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_survivors": _q_dedup_survivors,          # pairs → clusters → canonical corpus
         "q_domain_mix": _q_domain_mix,                    # target-mixture deterministic sampling
         "q_dup_spans": _q_dup_spans,                      # exact-substring dup fraction per doc
+        "q_quality_filter": _q_quality_filter,            # dynamic percentile-threshold filter
         # remaining streaming queries
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
         "q_stream_min_count_zero": _q_stream_min_count_zero,
@@ -2602,6 +2621,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(d.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
                    round(coalesce(d.n_dup_spans, 0) * 1.0 / t.n_spans, 4) AS dup_frac
             FROM totals t LEFT JOIN dup d USING (doc_id)
+        """,
+        "q_quality_filter": f"""
+            WITH q AS (
+              SELECT doc_id,
+                     round((CAST(len(list_distinct({_DOC_TOKENS})) AS DOUBLE)
+                            / len({_DOC_TOKENS}))
+                           * least(len({_DOC_TOKENS}) / 50.0, 1.0), 6) AS quality
+              FROM documents),
+            t AS (SELECT round(quantile_cont(quality, 0.1), 6) AS thr FROM q)
+            SELECT doc_id, quality FROM q, t WHERE quality >= thr
         """,
         "q_domain_mix": """
             WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
