@@ -1845,7 +1845,7 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY epoch_us(ts), event_id) AS gap
               FROM events)
             SELECT user_id, count(*) AS n_gaps,
-                   round(avg(gap), 4) AS avg_gap_us,
+                   CAST(sum(gap) // count(*) AS BIGINT) AS avg_gap_us,
                    max(gap) AS max_gap_us
             FROM g WHERE gap IS NOT NULL GROUP BY user_id
         """,

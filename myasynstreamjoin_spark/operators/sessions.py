@@ -67,8 +67,15 @@ def event_gaps(events: DataFrame) -> DataFrame:
         .withColumn("gap", F.col("ts_us") - F.lag("ts_us").over(w))
         .where(F.col("gap").isNotNull())
     )
+    # avg at µs resolution via exact integer division, NOT
+    # round(avg(),4): round() on a double is tie-fragile across engines
+    # (Spark rounds the shortest decimal repr, others the exact binary
+    # value — observed flipping the 4th decimal at 10× SF), and double
+    # accumulation order adds its own ulp noise. sum(long) DIV count is
+    # exact arithmetic end to end — identical on every engine at every
+    # scale.
     return gapped.groupBy("user_id").agg(
         F.count("*").alias("n_gaps"),
-        F.round(F.avg("gap"), 4).alias("avg_gap_us"),
+        F.expr("CAST(sum(gap) DIV count(*) AS LONG)").alias("avg_gap_us"),
         F.max("gap").alias("max_gap_us"),
     )
