@@ -47,22 +47,43 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return with_fp.join(survivors, ["__fp", "doc_id"], "left_semi").drop("__fp")
 
 
+def _shingles_of_tokens(toks: Column, k: int, hashed: bool) -> Column:
+    """k-gram shingle array over an ALREADY-MATERIALIZED token-array
+    column. The caller must project the tokenization into a real column
+    first: referencing the `tokens(...)` expression tree from inside
+    the transform() lambda re-evaluates the regex split once per
+    element_at reference (k per gram per row — measured 20 s for a
+    5000-doc shingle pass at sf0.1 that runs in ~1 s materialized;
+    common-subexpression elimination does not reach into higher-order
+    function bodies).
+    """
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    if hashed:
+        gram = lambda i: F.xxhash64(  # noqa: E731
+            *[F.element_at(toks, i + j + 1) for j in range(k)]
+        )
+        short = F.array(F.xxhash64(F.concat_ws(" ", toks)))
+    else:
+        gram = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+        )
+        short = F.array(F.concat_ws(" ", toks))
+    return F.array_distinct(F.when(n >= k, F.transform(idx, gram)).otherwise(short))
+
+
 def shingles(col: Column | str, k: int = 3) -> Column:
     """Word k-gram shingles of normalized text, de-duplicated.
 
     Built with transform over an index sequence — stays in codegen, no
     UDF. Documents shorter than k tokens yield their whole text as the
     single shingle.
+
+    NOTE: this single-expression form re-tokenizes per gram reference;
+    prefer ``shingle_docs`` (which materializes the token array first)
+    anywhere the input is more than a handful of rows.
     """
-    toks = tokens(col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
-    )
-    return F.array_distinct(
-        F.when(n >= k, F.transform(idx, gram)).otherwise(F.array(F.concat_ws(" ", toks)))
-    )
+    return _shingles_of_tokens(tokens(col), k, hashed=False)
 
 
 def shingle_docs(docs: DataFrame, k: int = 3, hashed: bool = False) -> DataFrame:
@@ -71,30 +92,43 @@ def shingle_docs(docs: DataFrame, k: int = 3, hashed: bool = False) -> DataFrame
     consumers branch from it — the explode is the expensive part and
     Spark otherwise recomputes it per branch.
 
+    The tokenization is materialized BEFORE the gram transform by
+    putting the rebalance exchange BETWEEN them (a bare projection
+    doesn't survive — CollapseProject re-inlines it into the lambda,
+    and the split expression then re-runs once per element_at
+    reference, k× per gram: measured 21 s → ~1 s for the sf0.1 k=8
+    pass). The exchange is also semantically where the rebalance
+    belongs: it evens out work BEFORE the amplifying transform.
+
     ``hashed=True`` replaces each shingle string with a 64-bit hash —
     set equality (and therefore Jaccard) is preserved up to 64-bit
     collisions (~n²/2⁶⁵: irrelevant even at 100 TB corpus scale), while
     the cached footprint shrinks ~4× and downstream joins key on
     8-byte longs instead of ~25-byte strings. The hash is multi-arg
     ``xxhash64(tok_i, …, tok_{i+k-1})`` over the token slice directly —
-    the k-gram strings are never materialized, which makes the shingle
-    pass another ~3× cheaper cold / ~15% warm than hash-after-concat
-    (measured at sf0.1: 3.7 s → 1.2 s cold, 0.97 s → 0.81 s warm).
+    the k-gram strings are never materialized.
     """
-    if not hashed:
-        return rebalance(docs).select("doc_id", shingles("text", k).alias("sh"))
-    toks = tokens("text")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    gram = lambda i: F.xxhash64(  # noqa: E731
-        *[F.element_at(toks, i + j + 1) for j in range(k)]
-    )
-    sh = F.array_distinct(
-        F.when(n >= k, F.transform(idx, gram)).otherwise(
-            F.array(F.xxhash64(F.concat_ws(" ", toks)))
+    # text IS NOT NULL: guarantees sh is never null/empty (short docs
+    # fall to the single-shingle branch), which is what makes
+    # explode_outer ≡ explode for consumers — see note below.
+    toked = rebalance(
+        docs.where(F.col("text").isNotNull()).select(
+            "doc_id", tokens("text").alias("__t")
         )
     )
-    return rebalance(docs).select("doc_id", sh.alias("sh"))
+    return toked.select(
+        "doc_id", _shingles_of_tokens(F.col("__t"), k, hashed).alias("sh")
+    )
+
+
+# CONSUMER NOTE: explode the `sh` array with explode_outer, NOT explode.
+# A plain explode makes Catalyst infer a `size(sh) > 0` filter
+# (InferFiltersFromGenerate) and push it below the rebalance exchange,
+# re-inlining the ENTIRE shingle expression with the tokenizing split
+# substituted into every element_at reference — measured 21 s vs ~3 s
+# for the sf0.1 k=8 pass. sh is non-empty by construction (null text
+# filtered, short docs yield one shingle), so outer ≡ inner here and
+# the inferred filter would never drop a row anyway.
 
 
 def dup_span_stats(docs: DataFrame, k: int = 8, min_df: int = 2) -> DataFrame:
@@ -119,7 +153,7 @@ def dup_span_stats(docs: DataFrame, k: int = 8, min_df: int = 2) -> DataFrame:
     # persisted: three consumers branch from the exploded span table
     # (LRU-evicted like the other shingle passes in this module)
     ex = shingle_docs(docs, k).select(
-        "doc_id", F.explode("sh").alias("span")
+        "doc_id", F.explode_outer("sh").alias("span")
     ).persist()
     span_df = ex.groupBy("span").agg(F.countDistinct("doc_id").alias("__df"))
     dup = (
@@ -164,7 +198,7 @@ def ngram_jaccard_pairs(
     # unchanged (see shingle_docs).
     sh = (
         shingle_docs(docs, k, hashed=True)
-        .select("doc_id", F.explode("sh").alias("shingle"))
+        .select("doc_id", F.explode_outer("sh").alias("shingle"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -369,11 +403,11 @@ def contamination_pairs(
     """
     t = (
         shingle_docs(train, k, hashed=True)
-        .select(F.col("doc_id").alias("train_id"), F.explode("sh").alias("g"))
+        .select(F.col("doc_id").alias("train_id"), F.explode_outer("sh").alias("g"))
     )
     b = (
         shingle_docs(bench, k, hashed=True)
-        .select(F.col("doc_id").alias("bench_id"), F.explode("sh").alias("g"))
+        .select(F.col("doc_id").alias("bench_id"), F.explode_outer("sh").alias("g"))
     )
     return (
         t.join(F.broadcast(b), "g")
