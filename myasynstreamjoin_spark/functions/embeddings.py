@@ -37,7 +37,16 @@ def l2_normalize(
     """
     v = F.col(vec_col)
     norm = F.sqrt(dot(v, v))
-    unit = F.transform(v, lambda x: F.round(x.cast("double") / norm, decimals))
+    # zip against array_repeat(norm) rather than capturing `norm` in a
+    # transform lambda: higher-order lambdas re-evaluate captured outer
+    # expressions per ELEMENT (no CSE in interpreted HOFs), turning the
+    # O(d) norm into O(d²) per row — invisible at d=64, ruinous at
+    # production embedding widths. array_repeat evaluates norm once.
+    unit = F.zip_with(
+        v,
+        F.array_repeat(norm, F.size(v)),
+        lambda x, nrm: F.round(x.cast("double") / nrm, decimals),
+    )
     return embs.select(
         F.col(id_col),
         F.round(norm, decimals).alias("norm"),
@@ -62,7 +71,13 @@ def quantize_int8(
         v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
     )
     scale = F.lit(127.0) / amax
-    q = F.transform(v, lambda x: F.round(x.cast("double") * scale).cast("int"))
+    # zip, don't capture: see l2_normalize — a captured `scale` would
+    # re-run the O(d) max-abs aggregate once per element.
+    q = F.zip_with(
+        v,
+        F.array_repeat(scale, F.size(v)),
+        lambda x, s: F.round(x.cast("double") * s).cast("int"),
+    )
     return embs.select(
         F.col(id_col),
         F.round(scale, 6).alias("scale"),
