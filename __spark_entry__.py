@@ -712,7 +712,17 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join: per order, how many lineitems (any order) shipped
     within 2 days of its order date. Bucketized equi-join — no
-    nested-loop cross product."""
+    nested-loop cross product.
+
+    Pre-aggregation rewrite (the scale-critical half of the pattern):
+    every order's window overlaps every other's, so joining raw
+    lineitems is inherently quasi-quadratic (~200 M intermediate pairs
+    at sf0.1 for a 150 k-row answer). Because the consumer only COUNTS,
+    points collapse to (day, cnt) first — |distinct days| rows — and
+    the range join matches day-counts to windows, weighting by cnt.
+    Same result, intermediate shrinks ~500× (27 s → sub-second at
+    sf0.1); the identity-preserving pairs form remains `range_join`'s
+    direct output for consumers that need the rows."""
     from myasynstreamjoin_spark.operators.rangejoin import range_join
 
     _prep(spark)
@@ -721,12 +731,17 @@ def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("start_d"),
     ).withColumn("end_d", F.col("start_d") + F.lit(2))
-    li = tables.load_table(spark, sf_dir, "lineitem").select(
-        F.datediff(F.col("l_shipdate").cast("date"), epoch).alias("ship_d")
+    li_days = (
+        tables.load_table(spark, sf_dir, "lineitem")
+        .select(F.datediff(F.col("l_shipdate").cast("date"), epoch).alias("ship_d"))
+        .groupBy("ship_d")
+        .agg(F.count("*").alias("day_cnt"))
     )
-    pairs = range_join(li, o, point_col="ship_d", start_col="start_d",
+    pairs = range_join(li_days, o, point_col="ship_d", start_col="start_d",
                        end_col="end_d", bucket_width=4)
-    return pairs.groupBy("o_orderkey").agg(F.count("*").alias("n_shipped"))
+    return pairs.groupBy("o_orderkey").agg(
+        F.sum("day_cnt").cast("long").alias("n_shipped")
+    )
 
 
 def _q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
