@@ -4,6 +4,7 @@ from myasynstreamjoin_spark.streaming.stateful import (
     stateful_min_count,
     stateful_window_value,
 )
+from myasynstreamjoin_spark.streaming.tws import tws_available, tws_min_count
 from myasynstreamjoin_spark.streaming.windowed import (
     run_stream_to_parquet,
     run_stream_to_table,
@@ -33,5 +34,7 @@ __all__ = [
     "run_stream_to_parquet",
     "stateful_min_count",
     "stateful_window_value",
+    "tws_min_count",
+    "tws_available",
     "adaptive_count_stream",
 ]
