@@ -75,6 +75,12 @@ def prepare_session(spark: SparkSession, shuffle_partitions: int | None = None) 
 
     Called by every driver-facing query so the contract works even when
     the harness constructs its own SparkSession.
+
+    Shuffle partitions are deliberately NOT adjusted unless the caller
+    asks: measured on a vanilla low-core session, the stock 200 + AQE
+    coalescing beat a slots-proportional setting on shuffle-heavy
+    queries (finer map-side splits, AQE shrinks the rest) — resist the
+    folk fix of downsizing it on behalf of the session owner.
     """
     for k, v in SESSION_CONFS.items():
         try:
