@@ -1226,6 +1226,19 @@ def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap: keep at most 7 docs per source by
+    deterministic hash order — the absolute-size complement of the
+    rate-based mixture sampler."""
+    from myasynstreamjoin_spark.functions.pipeline import sample_k_per_group
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return sample_k_per_group(docs, "source", k=7).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def _q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic domain-mixture sampling: sample each source at the
     rate that makes the output approximate 50/25/25 across
@@ -1562,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_domain_mix": _q_domain_mix,                    # target-mixture deterministic sampling
         "q_dup_spans": _q_dup_spans,                      # exact-substring dup fraction per doc
         "q_quality_filter": _q_quality_filter,            # dynamic percentile-threshold filter
+        "q_group_cap": _q_group_cap,                      # fixed-k per-group deterministic cap
         # remaining streaming queries
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
         "q_stream_min_count_zero": _q_stream_min_count_zero,
@@ -2636,6 +2650,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(d.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
                    round(coalesce(d.n_dup_spans, 0) * 1.0 / t.n_spans, 4) AS dup_frac
             FROM totals t LEFT JOIN dup d USING (doc_id)
+        """,
+        "q_group_cap": """
+            WITH ranked AS (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || 'cap') ASC,
+                                doc_id ASC) AS rk
+              FROM documents)
+            SELECT doc_id, source, n_chars FROM ranked WHERE rk <= 7
         """,
         "q_quality_filter": f"""
             WITH q AS (

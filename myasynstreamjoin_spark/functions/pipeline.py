@@ -121,6 +121,46 @@ def domain_mixture_sample(
     )
 
 
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Deterministic fixed-size sample: keep (at most) ``k`` rows per
+    group, chosen by hash order — the per-domain document cap a corpus
+    pipeline applies so no single source dominates, with every property
+    rand()-based sampling lacks: reproducible across runs/engines/stage
+    retries, and stable under data growth for rows that keep their hash
+    rank.
+
+    The complement of ``domain_mixture_sample`` (rate-based, output
+    mixture targets): this bounds ABSOLUTE per-group size. Uses the
+    portable md5 ordering (hash string, then id tiebreak) so an
+    external oracle replays the exact survivor set.
+
+    Scale shape: one window rank per group — a single shuffle on the
+    group key; groups are domains/sources (few, large), so AQE's skew
+    handling applies to any hot group. For k ≫ memory-per-task use a
+    two-phase rank (bucket pre-filter) instead; at the document-cap
+    sizes this is built for (k ≤ millions) the window is fine.
+
+    Output: the surviving rows (schema unchanged).
+    """
+    from pyspark.sql import Window
+
+    order_key = F.md5(
+        F.encode(F.concat(F.col(id_col).cast("string"), F.lit(salt)), "UTF-8")
+    )
+    w = Window.partitionBy(group_col).orderBy(order_key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     token_col: Column | str,

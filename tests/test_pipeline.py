@@ -187,3 +187,20 @@ def test_dedup_survivors_selection(spark):
         for r in dedup_survivors(docs, clusters).collect()
     }
     assert got == {(2, True), (4, True), (5, False)}
+
+
+def test_sample_k_per_group_cap_and_determinism(spark):
+    from myasynstreamjoin_spark.functions.pipeline import sample_k_per_group
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("src")
+    )
+    out = sample_k_per_group(df, "src", k=10)
+    sizes = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 10 for n in sizes.values())
+    # deterministic across invocations
+    again = sample_k_per_group(df, "src", k=10)
+    assert {r["doc_id"] for r in out.collect()} == {r["doc_id"] for r in again.collect()}
+    # a group smaller than k keeps everything
+    small = df.where(F.col("doc_id") < 5)
+    assert sample_k_per_group(small, "src", k=10).count() == 5
