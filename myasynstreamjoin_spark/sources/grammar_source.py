@@ -13,11 +13,11 @@ leans on.
 Envelope mirrors Kafka: (partition INT, offset BIGINT, value STRING);
 `sources.fixtures.decode_packed_lines` parses `value` into F1 rows.
 
-Scale notes: the batch reader fans out one InputPartition per
-configured partition (generation runs on executors, not the driver);
-the stream reader is a SimpleDataSourceStreamReader (driver-side
-prototype — per-partition offsets belong in a full streamReader, noted
-in the class docstring) — the test rig's volumes are tiny by design.
+Scale notes: BOTH readers fan out one InputPartition per configured
+partition and generate ON THE EXECUTORS — the streaming side is a full
+``DataSourceStreamReader`` (driver plans offset ranges; executors
+read), the same shape a production partitioned source uses. Nothing
+rows through the driver.
 """
 
 from __future__ import annotations
@@ -27,8 +27,8 @@ import random
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
-    SimpleDataSourceStreamReader,
 )
 
 DEFAULT_KEYS = "A,B,C,D,E,F"  # stream.json:11 demo key space
@@ -87,43 +87,68 @@ class GrammarBatchReader(DataSourceReader):
         )
 
 
-class GrammarStreamReader(SimpleDataSourceStreamReader):
-    """Micro-batched replay of the SAME records the batch reader emits:
-    each trigger advances the offset by ``messages_per_batch`` until
-    ``messages`` is exhausted, then returns empty batches — a finite
-    stream whose union of outputs equals the batch read exactly."""
+class _GrammarRange(InputPartition):
+    def __init__(self, part: int, begin: int, end: int):
+        self.part = part
+        self.begin = begin
+        self.end = end
+
+
+class GrammarStreamReader(DataSourceStreamReader):
+    """Partitioned micro-batched replay of the SAME records the batch
+    reader emits: each trigger advances the virtual head by
+    ``messages_per_batch`` until ``messages`` is exhausted, then
+    returns empty batches — a finite stream whose union of outputs
+    equals the batch read exactly.
+
+    Full (non-Simple) stream reader: ``partitions(start, end)`` plans
+    one InputPartition per configured source partition and ``read``
+    runs ON THE EXECUTORS — per-partition offsets and distributed
+    generation, the production source shape (the earlier
+    SimpleDataSourceStreamReader funneled every record through the
+    driver). ``commit`` re-syncs the head after a checkpoint restart so
+    the head never lags the committed offset for more than one
+    (empty) trigger.
+    """
 
     def __init__(self, options):
         self.opts = options
+        self._head = 0
 
     def initialOffset(self):
         return {"msg": 0}
 
-    def read(self, start: dict):
-        o = self.opts
-        total = int(o.get("messages", "100"))
-        per_batch = int(o.get("messages_per_batch", "25"))
-        begin = start["msg"]
-        end = min(begin + per_batch, total)
-        rows = []
-        for part in range(int(o.get("partitions", "2"))):
-            rows.extend(
-                _records(
-                    seed=int(o.get("seed", "42")),
-                    part=part,
-                    offset=begin,
-                    n_msgs=end - begin,
-                    recs_per_msg=int(o.get("records_per_message", "8")),
-                    n_ports=int(o.get("ports", "3")),
-                    keys=o.get("keys", DEFAULT_KEYS).split(","),
-                    lgw_ms=int(o.get("lgw_ms", "1000")),
-                )
-            )
-        return (iter(rows), {"msg": end})
+    def latestOffset(self):
+        total = int(self.opts.get("messages", "100"))
+        per_batch = int(self.opts.get("messages_per_batch", "25"))
+        self._head = min(self._head + per_batch, total)
+        return {"msg": self._head}
 
-    def readBetweenOffsets(self, start: dict, end: dict):
-        rows, _ = self.read(start)
-        return rows
+    def partitions(self, start: dict, end: dict):
+        begin, stop = start["msg"], end["msg"]
+        if stop <= begin:
+            return [_GrammarRange(0, begin, begin)]  # empty batch
+        return [
+            _GrammarRange(p, begin, stop)
+            for p in range(int(self.opts.get("partitions", "2")))
+        ]
+
+    def read(self, partition: _GrammarRange):
+        o = self.opts
+        yield from _records(
+            seed=int(o.get("seed", "42")),
+            part=partition.part,
+            offset=partition.begin,
+            n_msgs=partition.end - partition.begin,
+            recs_per_msg=int(o.get("records_per_message", "8")),
+            n_ports=int(o.get("ports", "3")),
+            keys=o.get("keys", DEFAULT_KEYS).split(","),
+            lgw_ms=int(o.get("lgw_ms", "1000")),
+        )
+
+    def commit(self, end: dict) -> None:
+        # restart recovery: never let the head lag a committed offset
+        self._head = max(self._head, end["msg"])
 
 
 class GrammarDataSource(DataSource):
@@ -140,7 +165,7 @@ class GrammarDataSource(DataSource):
     def reader(self, schema):
         return GrammarBatchReader(self.options)
 
-    def simpleStreamReader(self, schema):
+    def streamReader(self, schema):
         return GrammarStreamReader(self.options)
 
 
