@@ -70,3 +70,25 @@ def test_split_skew_agg_equals_plain_agg(spark, rows):
     got = {(r["key"], r["cnt"]) for r in split_skew_agg(
         df, ["key"], {"cnt": ("count", "*")}, fanout=8).collect()}
     assert got == plain
+
+
+def test_reference_config_window_width(spark):
+    """The literal reference configuration (1000 ms logic slots,
+    stream.json:10) must flow through the window-assignment path: the
+    rescaled 1 h default is a fixture choice, not a hardcode."""
+    from pyspark.sql import functions as F
+
+    from myasynstreamjoin_spark.config import REFERENCE_CONFIG
+    from myasynstreamjoin_spark.sources.fixtures import with_window
+
+    assert REFERENCE_CONFIG.lgw_ms == 1000
+    df = spark.createDataFrame(
+        [(999_999_999, "a"), (1_000_000_000, "b"), (2_500_000_000, "c")],
+        "ts long, key string",
+    )
+    got = {
+        (r["key"], r["ltw"])
+        for r in with_window(df, REFERENCE_CONFIG).collect()
+    }
+    # 1000 ms = 1e9 ns per window: 0.999… s → window 0, 1 s → 1, 2.5 s → 2
+    assert got == {("a", 0), ("b", 1), ("c", 2)}
