@@ -1226,6 +1226,17 @@ def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling over the embeddings
+    table: 4 pseudo-random partners per anchor via bucket
+    representatives — no cross join, no rand()."""
+    from myasynstreamjoin_spark.functions.pipeline import negative_pairs
+
+    _prep(spark)
+    embs = tables.load_table(spark, sf_dir, "embeddings")
+    return negative_pairs(embs, k=4, n_buckets=64, id_col="vec_id")
+
+
 def _q_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap: keep at most 7 docs per source by
     deterministic hash order — the absolute-size complement of the
@@ -1576,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_spans": _q_dup_spans,                      # exact-substring dup fraction per doc
         "q_quality_filter": _q_quality_filter,            # dynamic percentile-threshold filter
         "q_group_cap": _q_group_cap,                      # fixed-k per-group deterministic cap
+        "q_negative_pairs": _q_negative_pairs,            # contrastive negative sampling
         # remaining streaming queries
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
         "q_stream_min_count_zero": _q_stream_min_count_zero,
@@ -2650,6 +2662,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(d.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
                    round(coalesce(d.n_dup_spans, 0) * 1.0 / t.n_spans, 4) AS dup_frac
             FROM totals t LEFT JOIN dup d USING (doc_id)
+        """,
+        "q_negative_pairs": """
+            WITH b AS (
+              SELECT vec_id,
+                     CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR) || 'neg'), 1, 4)) AS INT)
+                       % 64 AS bkt
+              FROM embeddings),
+            reps AS (SELECT bkt, min(vec_id) AS neg_id FROM b GROUP BY bkt),
+            slots(slot) AS (VALUES (1), (2), (3), (4))
+            SELECT a.vec_id AS anchor_id, r.neg_id, s.slot
+            FROM b a
+            CROSS JOIN slots s
+            JOIN reps r ON r.bkt = (a.bkt + s.slot) % 64
+            WHERE r.neg_id <> a.vec_id
         """,
         "q_group_cap": """
             WITH ranked AS (

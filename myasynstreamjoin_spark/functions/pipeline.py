@@ -161,6 +161,52 @@ def sample_k_per_group(
     )
 
 
+def negative_pairs(
+    df: DataFrame,
+    k: int = 4,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: pair
+    every anchor row with ``k`` pseudo-random partners, without a cross
+    join and without rand().
+
+    Mechanism: rows hash into ``n_buckets`` buckets; each bucket elects
+    a representative (min id — deterministic); an anchor's negatives
+    are the representatives of its next ``k`` cyclically-offset
+    buckets. Hash placement makes the pairing effectively random w.r.t.
+    any data attribute, while staying reproducible across runs/engines/
+    retries (the oracle replays it exactly) — the property rand()-based
+    negative samplers lack, and the reason a re-executed stage can't
+    silently change the training set.
+
+    Scale shape: representatives are one tiny aggregate (``n_buckets``
+    rows) broadcast to the k-exploded anchors — the corpus itself
+    never shuffles. Self-pairs are dropped (an anchor that IS its
+    offset bucket's representative yields k-1 pairs).
+
+    Output: (anchor_id, neg_id, slot) with slot in [1, k].
+    """
+    bucket = hash_bucket(
+        F.concat(F.col(id_col).cast("string"), F.lit(salt)), n_buckets
+    )
+    with_b = df.select(F.col(id_col), bucket.alias("__b"))
+    reps = with_b.groupBy("__b").agg(F.min(id_col).alias("neg_id"))
+    anchors = with_b.select(
+        F.col(id_col).alias("anchor_id"),
+        "__b",
+        F.explode(F.array(*[F.lit(j) for j in range(1, k + 1)])).alias("slot"),
+    ).withColumn("__nb", (F.col("__b") + F.col("slot")) % n_buckets)
+    return (
+        anchors.join(
+            F.broadcast(reps.withColumnRenamed("__b", "__nb")), "__nb"
+        )
+        .where(F.col("neg_id") != F.col("anchor_id"))
+        .select("anchor_id", "neg_id", "slot")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     token_col: Column | str,

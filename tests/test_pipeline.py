@@ -204,3 +204,24 @@ def test_sample_k_per_group_cap_and_determinism(spark):
     # a group smaller than k keeps everything
     small = df.where(F.col("doc_id") < 5)
     assert sample_k_per_group(small, "src", k=10).count() == 5
+
+
+def test_negative_pairs_shape_and_determinism(spark):
+    from myasynstreamjoin_spark.functions.pipeline import negative_pairs
+
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    out = negative_pairs(df, k=4, n_buckets=32)
+    rows = out.collect()
+    # every anchor gets k pairs except self-pair drops (rare, bounded)
+    per_anchor = {r["anchor_id"]: 0 for r in rows}
+    for r in rows:
+        per_anchor[r["anchor_id"]] += 1
+        assert r["neg_id"] != r["anchor_id"]
+        assert 1 <= r["slot"] <= 4
+    assert all(3 <= n <= 4 for n in per_anchor.values())
+    assert len(per_anchor) == 500
+    # deterministic
+    again = {tuple(r) for r in negative_pairs(df, k=4, n_buckets=32).collect()}
+    assert {tuple(r) for r in rows} == again
+    # negatives are spread: many distinct partners used overall
+    assert out.select("neg_id").distinct().count() >= 20
