@@ -2660,7 +2660,8 @@ def oracle_sql() -> dict[str, str]:
             totals AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1)
             SELECT t.doc_id, t.n_spans,
                    CAST(coalesce(d.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
-                   round(coalesce(d.n_dup_spans, 0) * 1.0 / t.n_spans, 4) AS dup_frac
+                   CAST(coalesce(d.n_dup_spans, 0) AS DOUBLE)
+                     / CAST(t.n_spans AS DOUBLE) AS dup_frac
             FROM totals t LEFT JOIN dup d USING (doc_id)
         """,
         "q_negative_pairs": """

@@ -162,12 +162,17 @@ def dup_span_stats(docs: DataFrame, k: int = 8, min_df: int = 2) -> DataFrame:
         .agg(F.count("*").alias("n_dup_spans"))
     )
     totals = ex.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    # dup_frac: single exact-integer division, NOT round(double, 4) —
+    # round() on a double is tie-fragile across engines (see
+    # operators/sessions.py event_gaps); division of exact long
+    # operands is one correctly-rounded IEEE op, identical everywhere.
     return totals.join(dup, "doc_id", "left").select(
         "doc_id",
         "n_spans",
         F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
-        F.round(
-            F.coalesce("n_dup_spans", F.lit(0)) / F.col("n_spans"), 4
+        (
+            F.coalesce("n_dup_spans", F.lit(0)).cast("double")
+            / F.col("n_spans").cast("double")
         ).alias("dup_frac"),
     )
 

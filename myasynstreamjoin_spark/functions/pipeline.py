@@ -99,6 +99,11 @@ def domain_mixture_sample(
     """
     if not weights:
         raise ValueError("weights must be non-empty")
+    if n_buckets > 65_536:
+        # hash_bucket draws 16 bits; a larger bucket count would make
+        # `bucket < rate * n_buckets` true for rates ≥ 65536/n_buckets
+        # — silently keeping everything instead of sampling.
+        raise ValueError(f"n_buckets must be <= 65536, got {n_buckets}")
     spark = df.sparkSession
     wdf = spark.createDataFrame(
         [(k, float(v)) for k, v in sorted(weights.items())],

@@ -246,17 +246,18 @@ def plan_cube_dims(
         mh = int(prod ** 0.5 / tmp1 * m)
         if mh < 1:
             continue  # fake heavy hitter (:254-257)
-        t = (prod / (mh * mh)) ** (1.0 / 3.0)
+        t = (prod / (mh * mh)) ** (1.0 / n_rels)
         dims = [max(1, math.ceil(mh * t / c)) for c in counts]
-        while dims[0] * dims[1] * dims[2] > mh:
+        while math.prod(dims) > mh:
             dims[dims.index(max(dims))] -= 1
             if max(dims) == 0:
                 break  # ":275-277 hash base 0 — cube degenerate"
         if min(dims) < 1:
             continue
-        out.append(
-            {"key": key, "mh": mh, "mx": dims[0], "my": dims[1], "mz": dims[2]}
-        )
+        plan = {"key": key, "mh": mh, "dims": tuple(dims)}
+        if n_rels == 3:  # reference-shaped aliases for the 3-way case
+            plan.update({"mx": dims[0], "my": dims[1], "mz": dims[2]})
+        out.append(plan)
     return out
 
 

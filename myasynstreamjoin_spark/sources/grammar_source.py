@@ -106,14 +106,24 @@ class GrammarStreamReader(DataSourceStreamReader):
     runs ON THE EXECUTORS — per-partition offsets and distributed
     generation, the production source shape (the earlier
     SimpleDataSourceStreamReader funneled every record through the
-    driver). ``commit`` re-syncs the head after a checkpoint restart so
-    the head never lags the committed offset for more than one
-    (empty) trigger.
+    driver).
+
+    Restart safety: the in-memory head resets with the reader, so after
+    a checkpoint restart Spark can hand this reader a START offset
+    ahead of anything it has generated, and later batches can carry a
+    STALE start (the empty post-restart batch's logged end). A
+    monotone committed-floor — raised by every ``partitions`` start and
+    every ``commit`` — clamps generation: ``begin = max(start, floor)``
+    never re-emits a committed message and never skips an uncommitted
+    replay (a replayed batch's start equals its original start, which
+    is ≥ every committed offset). Exactly-once replay is asserted by
+    ``tests/test_grammar_source.py::test_stream_restart_no_duplicates``.
     """
 
     def __init__(self, options):
         self.opts = options
         self._head = 0
+        self._floor = 0  # highest offset known committed / planned-from
 
     def initialOffset(self):
         return {"msg": 0}
@@ -121,11 +131,13 @@ class GrammarStreamReader(DataSourceStreamReader):
     def latestOffset(self):
         total = int(self.opts.get("messages", "100"))
         per_batch = int(self.opts.get("messages_per_batch", "25"))
-        self._head = min(self._head + per_batch, total)
+        self._head = min(max(self._head, self._floor) + per_batch, total)
         return {"msg": self._head}
 
     def partitions(self, start: dict, end: dict):
-        begin, stop = start["msg"], end["msg"]
+        self._floor = max(self._floor, start["msg"])
+        begin = max(start["msg"], self._floor)
+        stop = max(end["msg"], begin)
         if stop <= begin:
             return [_GrammarRange(0, begin, begin)]  # empty batch
         return [
@@ -147,7 +159,7 @@ class GrammarStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        # restart recovery: never let the head lag a committed offset
+        self._floor = max(self._floor, end["msg"])
         self._head = max(self._head, end["msg"])
 
 
