@@ -1226,6 +1226,14 @@ def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view→click→purchase funnel depth per user."""
+    from myasynstreamjoin_spark.operators.sessions import funnel_depth
+
+    _prep(spark)
+    return funnel_depth(tables.load_table(spark, sf_dir, "events"))
+
+
 def _q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive negative sampling over the embeddings
     table: 4 pseudo-random partners per anchor via bucket
@@ -1588,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_filter": _q_quality_filter,            # dynamic percentile-threshold filter
         "q_group_cap": _q_group_cap,                      # fixed-k per-group deterministic cap
         "q_negative_pairs": _q_negative_pairs,            # contrastive negative sampling
+        "q_funnel": _q_funnel,                            # strictly-ordered funnel depth
         # remaining streaming queries
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
         "q_stream_min_count_zero": _q_stream_min_count_zero,
@@ -2663,6 +2672,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(d.n_dup_spans, 0) AS DOUBLE)
                      / CAST(t.n_spans AS DOUBLE) AS dup_frac
             FROM totals t LEFT JOIN dup d USING (doc_id)
+        """,
+        "q_funnel": """
+            WITH e AS (
+              SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events),
+            u AS (SELECT DISTINCT user_id FROM e),
+            v AS (
+              SELECT u.user_id,
+                     min(CASE WHEN e.event_type = 'view' THEN e.ts END) AS t_view
+              FROM u JOIN e USING (user_id) GROUP BY 1),
+            c AS (
+              SELECT v.user_id, v.t_view,
+                     min(CASE WHEN e.event_type = 'click' AND e.ts > v.t_view
+                         THEN e.ts END) AS t_click
+              FROM v JOIN e USING (user_id) GROUP BY 1, 2),
+            p AS (
+              SELECT c.user_id, c.t_view, c.t_click,
+                     min(CASE WHEN e.event_type = 'purchase' AND e.ts > c.t_click
+                         THEN e.ts END) AS t_purchase
+              FROM c JOIN e USING (user_id) GROUP BY 1, 2, 3)
+            SELECT user_id,
+                   CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+                             WHEN t_click IS NOT NULL THEN 2
+                             WHEN t_view IS NOT NULL THEN 1
+                             ELSE 0 END AS INT) AS depth,
+                   t_view, t_click, t_purchase
+            FROM p
         """,
         "q_negative_pairs": """
             WITH b AS (

@@ -79,3 +79,57 @@ def event_gaps(events: DataFrame) -> DataFrame:
         F.expr("CAST(sum(gap) DIV count(*) AS LONG)").alias("avg_gap_us"),
         F.max("gap").alias("max_gap_us"),
     )
+
+
+def funnel_depth(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strictly-ordered funnel analysis: per user, how far through the
+    ``steps`` sequence they progressed, where each step must occur
+    STRICTLY AFTER the previous step's first completion (the standard
+    product-analytics funnel — a purchase before any click does not
+    count as depth 3).
+
+    Relational formulation: one conditional-min aggregation per step,
+    each conditioned on the previous step's timestamp carried through
+    a join on the user key. #steps passes over the events table, each
+    a map-side-combined aggregate joined to a |users|-row table — at
+    100 TB the per-step join is broadcast-or-shuffle on the user key
+    and the events scan is column-pruned to three columns; no window
+    sort, no per-user collect.
+
+    Output: (user_id, depth, t_s0, t_s1, ... ) — first-completion
+    timestamps (null beyond the reached depth).
+    """
+    e = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("etype"),
+    )
+    acc = e.select("user_id").distinct()
+    prev_t: Column | None = None
+    t_cols: list[str] = []
+    for i, step in enumerate(steps):
+        tname = f"t_{step}"
+        cond = F.col("etype") == step
+        if prev_t is not None:
+            cond = cond & (F.col("ts") > prev_t)
+        stage = (
+            e.join(acc, "user_id")
+            .groupBy("user_id", *t_cols)
+            .agg(F.min(F.when(cond, F.col("ts"))).alias(tname))
+        )
+        acc = stage
+        prev_t = F.col(tname)
+        t_cols.append(tname)
+    # deepest-reached step wins: each wrap puts a DEEPER step's check
+    # outermost, so the final expression tests t_purchase before t_click
+    # before t_view
+    depth = F.lit(0)
+    for i, tname in enumerate(t_cols):
+        depth = F.when(F.col(tname).isNotNull(), i + 1).otherwise(depth)
+    return acc.select("user_id", depth.cast("int").alias("depth"), *t_cols)

@@ -72,3 +72,26 @@ def test_range_join_no_nested_loop(spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan, plan
     assert "Cartesian" not in plan, plan
+
+
+def test_funnel_strict_order_semantics(spark):
+    """Depth counts only steps completed strictly AFTER the previous
+    step's first completion — an out-of-order purchase doesn't count,
+    and the deepest reached step (not the first) determines depth."""
+    from myasynstreamjoin_spark.operators.sessions import funnel_depth
+
+    rows = [
+        # user 1: full ordered funnel → 3
+        (1, 100, "view"), (1, 200, "click"), (1, 300, "purchase"),
+        # user 2: purchase BEFORE its click → stops at 2
+        (2, 100, "view"), (2, 300, "click"), (2, 200, "purchase"),
+        # user 3: click before any view → depth 1 (view only)
+        (3, 200, "view"), (3, 100, "click"),
+        # user 4: never viewed → 0
+        (4, 100, "click"), (4, 200, "purchase"),
+        # user 5: second click after view counts even though first was early
+        (5, 150, "view"), (5, 100, "click"), (5, 250, "click"), (5, 400, "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    got = {r["user_id"]: r["depth"] for r in funnel_depth(ev).collect()}
+    assert got == {1: 3, 2: 2, 3: 1, 4: 0, 5: 3}
