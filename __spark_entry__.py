@@ -1234,6 +1234,14 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_depth(tables.load_table(spark, sf_dir, "events"))
 
 
+def _q_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the events table."""
+    from myasynstreamjoin_spark.operators.sessions import cohort_retention
+
+    _prep(spark)
+    return cohort_retention(tables.load_table(spark, sf_dir, "events"))
+
+
 def _q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive negative sampling over the embeddings
     table: 4 pseudo-random partners per anchor via bucket
@@ -1597,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_group_cap": _q_group_cap,                      # fixed-k per-group deterministic cap
         "q_negative_pairs": _q_negative_pairs,            # contrastive negative sampling
         "q_funnel": _q_funnel,                            # strictly-ordered funnel depth
+        "q_cohorts": _q_cohorts,                          # weekly cohort retention
         # remaining streaming queries
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
         "q_stream_min_count_zero": _q_stream_min_count_zero,
@@ -2672,6 +2681,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(d.n_dup_spans, 0) AS DOUBLE)
                      / CAST(t.n_spans AS DOUBLE) AS dup_frac
             FROM totals t LEFT JOIN dup d USING (doc_id)
+        """,
+        "q_cohorts": """
+            WITH e AS (
+              SELECT user_id AS u, epoch_ns(ts) // 604800000000000 AS w
+              FROM events),
+            first AS (SELECT u, min(w) AS cohort FROM e GROUP BY u),
+            activity AS (SELECT DISTINCT u, w FROM e),
+            sizes AS (SELECT cohort, count(*) AS cohort_n FROM first GROUP BY cohort),
+            r AS (
+              SELECT f.cohort, a.w - f.cohort AS "offset",
+                     count(DISTINCT a.u) AS n_active
+              FROM activity a JOIN first f USING (u)
+              GROUP BY 1, 2)
+            SELECT r.cohort, r."offset",
+                   CAST(r.n_active AS BIGINT) AS n_active,
+                   CAST(s.cohort_n AS BIGINT) AS cohort_n,
+                   CAST(r.n_active AS DOUBLE) / CAST(s.cohort_n AS DOUBLE) AS retention
+            FROM r JOIN sizes s USING (cohort)
         """,
         "q_funnel": """
             WITH e AS (

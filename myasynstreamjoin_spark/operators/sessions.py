@@ -133,3 +133,52 @@ def funnel_depth(
     for i, tname in enumerate(t_cols):
         depth = F.when(F.col(tname).isNotNull(), i + 1).otherwise(depth)
     return acc.select("user_id", depth.cast("int").alias("depth"), *t_cols)
+
+
+def cohort_retention(
+    events: DataFrame,
+    period_ns: int = 7 * 86_400_000_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: group users by their first-activity period
+    (weekly by default) and report, for each (cohort, period offset),
+    how many cohort members were active and the retention fraction —
+    the standard growth-analytics table, the behavioral complement of
+    ``funnel_depth``.
+
+    Scale shape: first-activity is one min-aggregate per user; activity
+    is a distinct projection per (user, period); both shuffle on the
+    user key and the final rollup is (|cohorts| × |offsets|) rows.
+    Retention is an exact-integer-operand division (deterministic
+    across engines — see the event_gaps rounding note).
+
+    Output: (cohort, offset, n_active, cohort_n, retention) where
+    cohort is the first-activity period id and offset >= 0.
+    """
+    w = F.expr(f"CAST({ts_col} DIV {period_ns} AS LONG)")
+    first = (
+        events.select(F.col(user_col).alias("u"), w.alias("w"))
+        .groupBy("u")
+        .agg(F.min("w").alias("cohort"))
+    )
+    activity = events.select(
+        F.col(user_col).alias("u"), w.alias("w")
+    ).distinct()
+    sizes = first.groupBy("cohort").agg(F.count("*").alias("cohort_n"))
+    return (
+        activity.join(first, "u")
+        .select("u", "cohort", (F.col("w") - F.col("cohort")).alias("offset"))
+        .groupBy("cohort", "offset")
+        .agg(F.count_distinct("u").alias("n_active"))
+        .join(sizes, "cohort")
+        .select(
+            "cohort",
+            "offset",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cohort_n").cast("long").alias("cohort_n"),
+            (
+                F.col("n_active").cast("double") / F.col("cohort_n").cast("double")
+            ).alias("retention"),
+        )
+    )
