@@ -543,9 +543,10 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_grammar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 end-to-end: the reference's packed Kafka text grammar served
     by the custom Python DataSource, decoded by the tested codec, and
-    aggregated by the stateless async-join operator (rows-only: the
-    generator is engine-side, DuckDB can't call it; batch≡stream and
-    decode round-trips are pytest-asserted)."""
+    aggregated by the stateless async-join operator. The generator's
+    key choice is a per-record md5 (grammar_source._records), so the
+    DuckDB oracle regenerates the identical record set in SQL and
+    verifies the aggregate values — not just that rows ran."""
     from myasynstreamjoin_spark.operators.asyn_join import min_count_per_key
     from myasynstreamjoin_spark.sources.grammar_source import (
         register_grammar_source,
@@ -1216,9 +1217,28 @@ def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; the corpus passes once."""
     from myasynstreamjoin_spark.functions.text import quality_score
 
+    from pyspark.sql import Window
+
     _prep(spark)
     q = quality_score(tables.load_table(spark, sf_dir, "documents"))
-    thr = q.agg(F.round(F.expr("percentile(quality, 0.1D)"), 6).alias("thr"))
+    # Threshold = the exact (k+1)-th smallest quality, k = floor(n/10):
+    # a strict order statistic in integer arithmetic, NOT an
+    # interpolated percentile — percentile()/quantile_cont() can differ
+    # by 1 ulp across engines and a round() near the tie boundary flips
+    # boundary docs. Computed over the DISTINCT-value table (quality is
+    # rounded to 6 decimals in [0,1] → ≤ 1e6+1 rows), so the
+    # unpartitioned cumulative window is bounded regardless of corpus
+    # size; both threshold frames broadcast back and the corpus passes
+    # once.
+    n_k = q.agg(F.floor(F.count("*") / 10).alias("k"))
+    vals = q.groupBy("quality").agg(F.count("*").alias("c"))
+    w = Window.orderBy("quality").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = vals.select("quality", F.sum("c").over(w).alias("cc"))
+    thr = (
+        cum.join(F.broadcast(n_k))
+        .where(F.col("cc") >= F.col("k") + 1)
+        .agg(F.min("quality").alias("thr"))
+    )
     return (
         q.join(F.broadcast(thr))
         .where(F.col("quality") >= F.col("thr"))
@@ -1284,6 +1304,9 @@ def _q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash LSH near-dup pairs in replayable mode: md5_32
+    shingle hashes and exact band keys, so the DuckDB oracle reproduces
+    the identical signatures → candidates → verified pairs."""
     from myasynstreamjoin_spark.functions.dedup import minhash_lsh_pairs
 
     _prep(spark)
@@ -1292,6 +1315,7 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hashes=32,
         bands=8,
         verify_threshold=0.2,
+        replayable=True,
     )
 
 
@@ -1482,8 +1506,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_oracle_parity.py mirror (same DuckDB check, sf0.001).
     # The head therefore holds the highest-value surface: the full
     # reference operator inventory, every event-time query, the
-    # LLM-pipeline flagships, and three streaming queries. TPC-H beyond
-    # Q1/Q3/Q14 and the remaining variants sit in the tail.
+    # LLM-pipeline flagships (incl. funnel/cohort analytics), and three
+    # streaming queries — and EVERY head entry is oracle-backed (the
+    # former rows-only trio now replays via md5-based hashing). TPC-H
+    # beyond Q1 and the remaining variants sit in the tail.
     return {
         # --- driver-verified head (positions 1-49) ---
         # reference operator inventory (SURVEY.md §2)
@@ -1504,7 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_star_count_hypercube": _q_star_count_hypercube,  # J3/X13 analog
         "q_star_join": _q_star_join,                      # J2 on relational tables
         "q_parse_pipeline": _q_parse_pipeline,            # P1-P7
-        "q_grammar_ingest": _q_grammar_ingest,            # S1 rows-only (python source)
+        "q_grammar_ingest": _q_grammar_ingest,            # S1 (md5 generator → SQL-replayable)
         # cost-model strategy selection (X8/X11/X12)
         "q_cost_model_batch": _q_cost_model_batch,
         "q_cost_model_window": _q_cost_model_window,
@@ -1520,8 +1546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # headline SQL shapes
         "q_topk_revenue": _q_topk_revenue,
         "q_tpch_q1": _q_tpch_q1,
-        "q_tpch_q3": _q_tpch_q3,
-        "q_tpch_q14": _q_tpch_q14,
+        "q_funnel": _q_funnel,                            # strictly-ordered funnel depth
+        "q_cohorts": _q_cohorts,                          # weekly cohort retention
         # LLM-pipeline flagships (text / dedup / similarity / multimodal)
         "q_textstats": _q_textstats,
         "q_quality": _q_quality,
@@ -1530,8 +1556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": _q_dedup_exact,
         "q_contamination": _q_contamination,
         "q_ngram_jaccard": _q_ngram_jaccard,
-        "q_minhash_pairs": _q_minhash_pairs,              # rows-only
-        "q_simhash": _q_simhash,                          # rows-only
+        "q_minhash_pairs": _q_minhash_pairs,              # replayable-mode LSH (md5_32)
+        "q_simhash": _q_simhash,                          # md5_32 signatures → SQL-replayable
         "q_dedup_clusters": _q_dedup_clusters,
         "q_simsearch": _q_simsearch,
         "q_simsearch_multi": _q_simsearch_multi,
@@ -1557,6 +1583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_regional_revenue": _q_regional_revenue,
         "q_sampled_revenue": _q_sampled_revenue,
         "q_customers_no_orders": _q_customers_no_orders,
+        "q_tpch_q3": _q_tpch_q3,
+        "q_tpch_q14": _q_tpch_q14,
         "q_tpch_q6": _q_tpch_q6,
         "q_tpch_q17": _q_tpch_q17,
         "q_tpch_q18": _q_tpch_q18,
@@ -1604,8 +1632,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_filter": _q_quality_filter,            # dynamic percentile-threshold filter
         "q_group_cap": _q_group_cap,                      # fixed-k per-group deterministic cap
         "q_negative_pairs": _q_negative_pairs,            # contrastive negative sampling
-        "q_funnel": _q_funnel,                            # strictly-ordered funnel depth
-        "q_cohorts": _q_cohorts,                          # weekly cohort retention
         # remaining streaming queries
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
         "q_stream_min_count_zero": _q_stream_min_count_zero,
@@ -1640,12 +1666,28 @@ _SHINGLES = f"""
         list_transform(generate_series(1, len({_DOC_TOKENS}) - 2),
           i -> {_DOC_TOKENS}[i] || ' ' || {_DOC_TOKENS}[i+1] || ' ' || {_DOC_TOKENS}[i+2])
       ELSE [array_to_string({_DOC_TOKENS}, ' ')] END)) AS shingle
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
 """
+# ^ the IS NOT NULL mirrors shingle_docs (functions/dedup.py), which
+# drops null-text docs so its shingle arrays are non-empty by
+# construction. The current fixture ships no NULL text (pinned in
+# tests/test_schema_drift.py), but the oracle must track the operator's
+# definition, not the fixture's accident.
+
+#: Oracle-replayable 32-bit hash (functions.dedup.md5_32 in SQL): the
+#: first 8 hex digits of md5 as a BIGINT in [0, 2³²).
+_MD5_32 = "CAST(('0x' || substring(md5({x}), 1, 8)) AS BIGINT)"
 
 
 def oracle_sql() -> dict[str, str]:
+    from myasynstreamjoin_spark.functions.dedup import minhash_coeffs
     from myasynstreamjoin_spark.operators.zorder import zvalue_sql
+
+    # the same seed-42 affine coefficients the Spark MinHash uses,
+    # embedded as literals so DuckDB replays the identical signatures
+    mh_coef = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_coeffs(32))
+    )
 
     sw = ", ".join(
         f"'{w}'"
@@ -2568,7 +2610,7 @@ def oracle_sql() -> dict[str, str]:
                   list_transform(generate_series(1, len({_DOC_TOKENS}) - 7),
                     i -> array_to_string(({_DOC_TOKENS})[i:i+7], ' '))
                 ELSE [array_to_string({_DOC_TOKENS}, ' ')] END)) AS g
-              FROM documents),
+              FROM documents WHERE text IS NOT NULL),
             bench AS (SELECT doc_id AS bench_id, g FROM grams
                       WHERE source IN ('src0', 'src1')),
             train AS (SELECT doc_id AS train_id, g FROM grams
@@ -2605,6 +2647,86 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes na ON na.doc_id = doc_a
             JOIN sizes nb ON nb.doc_id = doc_b
             WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= 0.2
+        """,
+        # Replays the ENGINE's MinHash LSH exactly: md5_32 shingle
+        # hashes (collisions included), the seed-42 affine signature,
+        # exact band-slot keys, and exact Jaccard over the hashed
+        # shingle sets for candidates only. The all-pairs `common` CTE
+        # is oracle-side convenience, not the engine's plan.
+        "q_minhash_pairs": f"""
+            WITH sh0 AS ({_SHINGLES}),
+            sh AS (SELECT DISTINCT doc_id,
+                     {_MD5_32.format(x='shingle')} AS h
+                   FROM sh0),
+            coef(i, a, b) AS (VALUES {mh_coef}),
+            sig AS (
+              SELECT doc_id, i, min((a * h + b) % 4294967311) AS mv
+              FROM sh CROSS JOIN coef GROUP BY 1, 2),
+            bands AS (
+              SELECT doc_id, i // 4 AS band,
+                     string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i) AS bkey
+              FROM sig GROUP BY 1, 2),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bkey = b.bkey
+                   AND a.doc_id < b.doc_id),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS n_common
+              FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT c.doc_a, c.doc_b,
+                   round(CAST(n_common AS DOUBLE)
+                         / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
+            FROM cand c
+            JOIN common USING (doc_a, doc_b)
+            JOIN sizes na ON na.doc_id = c.doc_a
+            JOIN sizes nb ON nb.doc_id = c.doc_b
+            WHERE CAST(n_common AS DOUBLE)
+                  / (na.n_sh + nb.n_sh - n_common) >= 0.2
+        """,
+        "q_simhash": f"""
+            WITH t AS (
+              SELECT doc_id, unnest(list_distinct({_DOC_TOKENS})) AS tok
+              FROM documents),
+            h AS (SELECT doc_id, {_MD5_32.format(x='tok')} AS hv FROM t),
+            bits AS (SELECT unnest(generate_series(0, 31)) AS i),
+            votes AS (
+              SELECT doc_id, i,
+                     sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM h CROSS JOIN bits GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << i
+                            ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY 1
+        """,
+        # Regenerates the grammar DataSource's record set in SQL: the
+        # source's key choice is md5("seed:part:msg:rec") % |keys|
+        # (grammar_source._records), so the oracle enumerates the same
+        # (partition, message, record) grid and aggregates identically.
+        # Literals pin _q_grammar_ingest's options: 4 partitions × 200
+        # messages × 8 records, 3 ports, seed 42, keys A-F.
+        "q_grammar_ingest": f"""
+            WITH recs AS (
+              SELECT p.part, m.m, r.r
+              FROM (SELECT unnest(generate_series(0, 3)) AS part) p,
+                   (SELECT unnest(generate_series(0, 199)) AS m) m,
+                   (SELECT unnest(generate_series(0, 7)) AS r) r),
+            rows_ AS (
+              SELECT (part + r) % 3 AS source,
+                     {_MD5_32.format(
+                         x="'42:' || CAST(part AS VARCHAR) || ':' || "
+                           "CAST(m AS VARCHAR) || ':' || CAST(r AS VARCHAR)"
+                     )} % 6 AS ki
+              FROM recs),
+            keys(ki, key) AS (VALUES (0, 'A'), (1, 'B'), (2, 'C'),
+                                     (3, 'D'), (4, 'E'), (5, 'F')),
+            per_source AS (
+              SELECT k.key, source, count(*) AS cnt
+              FROM rows_ JOIN keys k USING (ki) GROUP BY 1, 2)
+            SELECT key, min(cnt) AS min_cnt FROM per_source GROUP BY 1
         """,
         "q_dedup_clusters": f"""
             WITH RECURSIVE sh AS ({_SHINGLES}),
@@ -2669,7 +2791,7 @@ def oracle_sql() -> dict[str, str]:
                          {_DOC_TOKENS}[i+4] || ' ' || {_DOC_TOKENS}[i+5] || ' ' ||
                          {_DOC_TOKENS}[i+6] || ' ' || {_DOC_TOKENS}[i+7])
                 ELSE [array_to_string({_DOC_TOKENS}, ' ')] END)) AS span
-              FROM documents),
+              FROM documents WHERE text IS NOT NULL),
             span_df AS (
               SELECT span FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
             dup AS (
@@ -2757,7 +2879,17 @@ def oracle_sql() -> dict[str, str]:
                             / len({_DOC_TOKENS}))
                            * least(len({_DOC_TOKENS}) / 50.0, 1.0), 6) AS quality
               FROM documents),
-            t AS (SELECT round(quantile_cont(quality, 0.1), 6) AS thr FROM q)
+            -- threshold = exact (k+1)-th smallest quality, k = n // 10:
+            -- strict order statistic (integer arithmetic), mirroring the
+            -- Spark side — NOT quantile_cont, whose interpolation can
+            -- differ by 1 ulp across engines
+            n AS (SELECT count(*) // 10 AS k FROM q),
+            vals AS (SELECT quality, count(*) AS c FROM q GROUP BY 1),
+            cum AS (SELECT quality,
+                           sum(c) OVER (ORDER BY quality
+                                        ROWS UNBOUNDED PRECEDING) AS cc
+                    FROM vals),
+            t AS (SELECT min(quality) AS thr FROM cum, n WHERE cc >= k + 1)
             SELECT doc_id, quality FROM q, t WHERE quality >= thr
         """,
         "q_domain_mix": """

@@ -24,6 +24,29 @@ from myasynstreamjoin_spark.functions.text import normalized, tokens
 from myasynstreamjoin_spark.sources.tables import rebalance
 
 
+def md5_32(c: Column) -> Column:
+    """Oracle-replayable 32-bit hash: the first 8 hex digits of md5 as a
+    long in [0, 2³²). An external SQL engine computes the identical
+    value (DuckDB: ``CAST('0x' || substring(md5(x), 1, 8) AS BIGINT)``),
+    which is what lets MinHash/SimHash signatures — and therefore their
+    LSH candidate sets — be verified by an independent oracle. md5 is
+    ~2× the cost of xxhash64 but still JVM-side codegen; use xxhash64
+    where replayability doesn't matter."""
+    return F.conv(F.substring(F.md5(F.encode(c, "UTF-8")), 1, 8), 16, 10).cast("long")
+
+
+def minhash_coeffs(n_hashes: int) -> list[tuple[int, int]]:
+    """The (aᵢ, bᵢ) affine MinHash coefficients, fixed by seed 42.
+    Factored out so oracle SQL builders can embed the same literals."""
+    import random
+
+    rng = random.Random(42)
+    return [
+        (rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30))
+        for _ in range(n_hashes)
+    ]
+
+
 def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Group documents by exact normalized content; per group report the
     survivor (min doc_id) and the copy count.
@@ -47,7 +70,7 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return with_fp.join(survivors, ["__fp", "doc_id"], "left_semi").drop("__fp")
 
 
-def _shingles_of_tokens(toks: Column, k: int, hashed: bool) -> Column:
+def _shingles_of_tokens(toks: Column, k: int, hashed: bool | str) -> Column:
     """k-gram shingle array over an ALREADY-MATERIALIZED token-array
     column. The caller must project the tokenization into a real column
     first: referencing the `tokens(...)` expression tree from inside
@@ -59,7 +82,18 @@ def _shingles_of_tokens(toks: Column, k: int, hashed: bool) -> Column:
     """
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    if hashed:
+    if hashed == "md5":
+        # oracle-replayable: 32-bit md5 of the k-gram STRING (the gram
+        # string materializes transiently inside the hash call; the
+        # stored array is still 8-byte longs). Collisions (~n²/2³³ per
+        # corpus) are part of the operator's definition — the oracle
+        # computes the same md5 values, so both engines collide
+        # identically.
+        gram = lambda i: md5_32(  # noqa: E731
+            F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])
+        )
+        short = F.array(md5_32(F.concat_ws(" ", toks)))
+    elif hashed:
         gram = lambda i: F.xxhash64(  # noqa: E731
             *[F.element_at(toks, i + j + 1) for j in range(k)]
         )
@@ -86,7 +120,7 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     return _shingles_of_tokens(tokens(col), k, hashed=False)
 
 
-def shingle_docs(docs: DataFrame, k: int = 3, hashed: bool = False) -> DataFrame:
+def shingle_docs(docs: DataFrame, k: int = 3, hashed: bool | str = False) -> DataFrame:
     """(doc_id, sh) with sh the deduplicated shingle array, rebalanced
     for the downstream explode. Persist the result when several
     consumers branch from it — the explode is the expensive part and
@@ -99,6 +133,10 @@ def shingle_docs(docs: DataFrame, k: int = 3, hashed: bool = False) -> DataFrame
     reference, k× per gram: measured 21 s → ~1 s for the sf0.1 k=8
     pass). The exchange is also semantically where the rebalance
     belongs: it evens out work BEFORE the amplifying transform.
+
+    ``hashed="md5"`` replaces each shingle string with the 32-bit
+    ``md5_32`` hash instead — slower to build than xxhash64 but
+    bit-replayable by an external SQL oracle (see ``md5_32``).
 
     ``hashed=True`` replaces each shingle string with a 64-bit hash —
     set equality (and therefore Jaccard) is preserved up to 64-bit
@@ -150,31 +188,38 @@ def dup_span_stats(docs: DataFrame, k: int = 8, min_df: int = 2) -> DataFrame:
     Output: (doc_id, n_spans, n_dup_spans, dup_frac) — n_spans counts
     DISTINCT spans per doc; dup_frac = n_dup_spans / n_spans.
     """
-    # persisted: three consumers branch from the exploded span table
-    # (LRU-evicted like the other shingle passes in this module)
+    # persisted: three consumers branch from the exploded span table.
+    # The per-doc RESULT (4 narrow columns, one row per document — tiny
+    # next to the exploded spans) is materialized eagerly below so the
+    # cache can be released before returning: without that, repeated
+    # calls in a long-lived session accumulate cached span partitions
+    # until LRU pressure evicts them.
     ex = shingle_docs(docs, k).select(
         "doc_id", F.explode_outer("sh").alias("span")
     ).persist()
-    span_df = ex.groupBy("span").agg(F.countDistinct("doc_id").alias("__df"))
-    dup = (
-        ex.join(span_df.where(F.col("__df") >= min_df), "span")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_dup_spans"))
-    )
-    totals = ex.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
-    # dup_frac: single exact-integer division, NOT round(double, 4) —
-    # round() on a double is tie-fragile across engines (see
-    # operators/sessions.py event_gaps); division of exact long
-    # operands is one correctly-rounded IEEE op, identical everywhere.
-    return totals.join(dup, "doc_id", "left").select(
-        "doc_id",
-        "n_spans",
-        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
-        (
-            F.coalesce("n_dup_spans", F.lit(0)).cast("double")
-            / F.col("n_spans").cast("double")
-        ).alias("dup_frac"),
-    )
+    try:
+        span_df = ex.groupBy("span").agg(F.countDistinct("doc_id").alias("__df"))
+        dup = (
+            ex.join(span_df.where(F.col("__df") >= min_df), "span")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_dup_spans"))
+        )
+        totals = ex.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+        # dup_frac: single exact-integer division, NOT round(double, 4) —
+        # round() on a double is tie-fragile across engines (see
+        # operators/sessions.py event_gaps); division of exact long
+        # operands is one correctly-rounded IEEE op, identical everywhere.
+        return totals.join(dup, "doc_id", "left").select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            (
+                F.coalesce("n_dup_spans", F.lit(0)).cast("double")
+                / F.col("n_spans").cast("double")
+            ).alias("dup_frac"),
+        ).localCheckpoint(eager=True)
+    finally:
+        ex.unpersist()
 
 
 def ngram_jaccard_pairs(
@@ -235,37 +280,36 @@ def minhash_signatures(
     n_hashes: int = 32,
     k: int = 3,
     shingled: DataFrame | None = None,
-    pre_hashed: bool = False,
+    pre_hashed: bool | str = False,
 ) -> DataFrame:
     """MinHash signature per document: for seed i, min over shingles of
     a seeded hash of the shingle. Whole computation is array expressions
     over the shingle array — one projection, no shuffle, no UDF.
 
-    ``pre_hashed``: the ``shingled`` frame already carries xxhash64
-    longs (shingle_docs(hashed=True)), so the per-shingle string hash
-    is skipped.
+    ``pre_hashed``: the ``shingled`` frame already carries hash longs —
+    ``True`` for xxhash64 longs (shingle_docs(hashed=True), folded to
+    32 bits here), ``"md5"`` for md5_32 longs (already 32-bit, used
+    verbatim so an oracle can replay the signature).
 
     Output: (doc_id, sig ARRAY<BIGINT>[n_hashes]).
     """
-    import random
-
-    # Universal-hash MinHash: xxhash64 each shingle ONCE (reduced to
+    # Universal-hash MinHash: hash each shingle ONCE (reduced to
     # 32 bits), then n_hashes affine transforms (aᵢ·h + bᵢ) mod p —
     # long arithmetic instead of n_hashes string hashes per shingle.
     # aᵢ < 2³⁰ keeps aᵢ·h < 2⁶² (ANSI mode: long overflow throws).
     p = 4294967311  # prime > 2^32
-    rng = random.Random(42)
-    coeffs = [(rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30)) for _ in range(n_hashes)]
+    coeffs = minhash_coeffs(n_hashes)
     base = (
         shingled.select("doc_id", F.col("sh").alias("__sh"))
         if shingled is not None
         else rebalance(docs).select("doc_id", shingles("text", k).alias("__sh"))
     )
-    to32 = (
-        (lambda s: F.pmod(s, F.lit(1 << 32)))
-        if pre_hashed
-        else (lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)))
-    )
+    if pre_hashed == "md5":
+        to32 = lambda s: s  # noqa: E731  (md5_32 values are already 32-bit)
+    elif pre_hashed:
+        to32 = lambda s: F.pmod(s, F.lit(1 << 32))  # noqa: E731
+    else:
+        to32 = lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32))  # noqa: E731
     hashed = base.select(
         "doc_id", F.transform(F.col("__sh"), to32).alias("__h")
     )
@@ -286,6 +330,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     k: int = 3,
     verify_threshold: float | None = 0.5,
+    replayable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH: split each signature
     into ``bands`` bands of n_hashes/bands rows; documents colliding on
@@ -295,6 +340,15 @@ def minhash_lsh_pairs(
     Candidate generation is groupBy(band, band_hash) — a single shuffle
     whose width is #docs × bands small rows, the property that makes
     MinHash the scale path where all-pairs Jaccard is quadratic.
+
+    ``replayable=True`` switches every engine-internal hash for its
+    oracle-replayable form: shingles become md5_32 longs (used verbatim
+    as the MinHash input), and band identity is the EXACT slot tuple
+    (rendered ``concat_ws(',')``) instead of an xxhash64 of it — so an
+    external SQL engine reproduces the identical candidate set and the
+    identical verified pairs, hash collisions included. Costs ~md5 vs
+    xxhash64 per shingle plus wider band-join keys (~40 B strings vs
+    8 B longs); the plan shape is unchanged.
 
     Output: (doc_a, doc_b[, jaccard]).
     """
@@ -308,21 +362,25 @@ def minhash_lsh_pairs(
     # self-joins lose the cached-stats plan). Hashed long shingles keep
     # the cache build cheap (1.2 s vs 4.1 s for strings at sf0.1)
     # without changing any Jaccard value (see shingle_docs).
-    shingled = shingle_docs(docs, k, hashed=True).persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = minhash_signatures(docs, n_hashes, k, shingled=shingled, pre_hashed=True)
-    # Multi-arg xxhash64 over the band's signature slots directly — no
-    # per-band string rendering (the same no-intermediate-strings trick
-    # as hashed shingles; band identity is still exact).
+    mode = "md5" if replayable else True
+    shingled = shingle_docs(docs, k, hashed=mode).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures(docs, n_hashes, k, shingled=shingled, pre_hashed=mode)
+    # Band identity: multi-arg xxhash64 over the band's signature slots
+    # directly — no per-band string rendering (the same
+    # no-intermediate-strings trick as hashed shingles). Replayable
+    # mode renders the exact slot tuple instead, so an oracle groups on
+    # the identical key.
+    def band_key(b: int) -> Column:
+        slots = [
+            F.col("sig").getItem(b * rows_per_band + r)
+            for r in range(rows_per_band)
+        ]
+        if replayable:
+            return F.concat_ws(",", *[s.cast("string") for s in slots])
+        return F.xxhash64(*slots)
+
     band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[
-                    F.col("sig").getItem(b * rows_per_band + r)
-                    for r in range(rows_per_band)
-                ]
-            ).alias("bh"),
-        )
+        F.struct(F.lit(b).alias("band"), band_key(b).alias("bh"))
         for b in range(bands)
     ]
     exploded = sigs.select(
@@ -361,6 +419,9 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
 
     Implemented as explode(tokens) → per-bit conditional sums →
     recombine. ``bits`` capped at 32 to keep the agg column count sane.
+    The per-token hash is ``md5_32`` (not xxhash64) so an external SQL
+    oracle computes bit-identical signatures — the same engine-choice
+    trade as ``fingerprint`` (functions/text.py).
 
     Output: (doc_id, simhash BIGINT).
     """
@@ -369,7 +430,7 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     tok = rebalance(docs).select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
     )
-    h = F.xxhash64("tok")
+    h = md5_32(F.col("tok"))
     votes = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -22,7 +22,7 @@ rows through the driver.
 
 from __future__ import annotations
 
-import random
+import hashlib
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -43,16 +43,25 @@ def _records(seed: int, part: int, offset: int, n_msgs: int,
     is exercised, not starved)."""
     out = []
     for m in range(n_msgs):
-        # seed per MESSAGE (not per call) so any chunking of the offset
-        # range — one batch read vs N micro-batches — emits identical
-        # records (batch/stream equivalence is asserted in tests)
-        rng = random.Random(f"{seed}:{part}:{offset + m}")
+        # key choice is a PER-RECORD md5 of "seed:part:msg:rec" — no
+        # sequential RNG state, so (a) any chunking of the offset range
+        # (one batch read vs N micro-batches) emits identical records
+        # (batch/stream equivalence is asserted in tests), and (b) the
+        # expected aggregate is replayable by an external SQL oracle
+        # (DuckDB md5 over the same strings — see q_grammar_ingest's
+        # oracle), closing the driver's rows-only gap on this source.
         base_ts = (offset + m) * lgw_ms
         recs = []
         for r in range(recs_per_msg):
             ts = base_ts + (r * lgw_ms) // recs_per_msg
             port = (part + r) % n_ports
-            word = rng.choice(keys)
+            h = int(
+                hashlib.md5(
+                    f"{seed}:{part}:{offset + m}:{r}".encode()
+                ).hexdigest()[:8],
+                16,
+            )
+            word = keys[h % len(keys)]
             recs.append(f"{ts} {port} {word}")
         out.append((part, offset + m, ";".join(recs)))
     return out
