@@ -25,6 +25,26 @@ from myasynstreamjoin_spark.streaming.windowed import stream_events
 # engine does arithmetic on are pinned — string/double payload columns
 # may drift without breaking anything.
 EXPECTED = {
+    "region": {"r_regionkey": T.IntegerType(), "r_name": T.StringType()},
+    "nation": {
+        "n_nationkey": T.IntegerType(),
+        "n_name": T.StringType(),
+        "n_regionkey": T.IntegerType(),
+    },
+    "supplier": {
+        "s_suppkey": T.LongType(),
+        "s_name": T.StringType(),
+        "s_nationkey": T.IntegerType(),
+        "s_acctbal": T.DoubleType(),
+    },
+    "part": {
+        "p_partkey": T.LongType(),
+        "p_name": T.StringType(),
+        "p_brand": T.StringType(),
+        "p_type": T.StringType(),
+        "p_size": T.IntegerType(),
+        "p_retailprice": T.DoubleType(),
+    },
     "events": {
         "event_id": T.LongType(),
         "ts": T.LongType(),  # epoch-ns, ALWAYS — the load-boundary guarantee
@@ -33,13 +53,48 @@ EXPECTED = {
         "value": T.DoubleType(),
         "props": T.StringType(),
     },
-    "orders": {"o_orderkey": T.LongType(), "o_custkey": T.LongType()},
-    "lineitem": {"l_orderkey": T.LongType(), "l_quantity": T.DoubleType()},
-    "customer": {"c_custkey": T.LongType()},
-    "documents": {"doc_id": T.LongType(), "text": T.StringType()},
+    "orders": {
+        "o_orderkey": T.LongType(),
+        "o_custkey": T.LongType(),
+        "o_orderstatus": T.StringType(),
+        "o_totalprice": T.DoubleType(),
+        # date arithmetic in the TPC-H shapes is NTZ + DuckDB-mirrored;
+        # a drift to instant-typed TIMESTAMP would shift epochs under
+        # non-UTC sessions, so the NTZ-ness itself is pinned
+        "o_orderdate": T.TimestampNTZType(),
+        "o_orderpriority": T.StringType(),
+    },
+    "lineitem": {
+        "l_orderkey": T.LongType(),
+        "l_partkey": T.LongType(),
+        "l_suppkey": T.LongType(),
+        "l_linenumber": T.IntegerType(),
+        "l_quantity": T.DoubleType(),
+        "l_extendedprice": T.DoubleType(),
+        "l_discount": T.DoubleType(),
+        "l_tax": T.DoubleType(),
+        "l_returnflag": T.StringType(),
+        "l_linestatus": T.StringType(),
+        "l_shipdate": T.TimestampNTZType(),
+    },
+    "customer": {
+        "c_custkey": T.LongType(),
+        "c_name": T.StringType(),
+        "c_nationkey": T.IntegerType(),
+        "c_acctbal": T.DoubleType(),
+        "c_mktsegment": T.StringType(),
+    },
+    "documents": {
+        "doc_id": T.LongType(),
+        "text": T.StringType(),
+        "lang": T.StringType(),
+        "source": T.StringType(),
+        "n_chars": T.LongType(),
+    },
     "embeddings": {
         "vec_id": T.LongType(),
         "embedding": T.ArrayType(T.FloatType(), True),
+        "label": T.IntegerType(),
     },
 }
 
@@ -55,6 +110,24 @@ def test_post_load_logical_schema(spark, sf_dir, name):
             f"{got[col]} — parquet physical type drifted and "
             f"normalize_epoch_ns does not cover it"
         )
+
+
+def test_documents_text_never_null(spark, sf_dir):
+    """shingle_docs drops NULL-text docs (so its shingle arrays are
+    non-empty by construction) and the oracle CTEs mirror the filter —
+    but several NON-shingle consumers (text_stats, simhash, quality)
+    read text unfiltered. If the driver ever regenerates the fixture
+    with NULL text, this fails first with an obvious message instead of
+    a scatter of parity mismatches (the round-2 regression class)."""
+    n = (
+        tables.load_table(spark, sf_dir, "documents")
+        .where("text IS NULL")
+        .count()
+    )
+    assert n == 0, (
+        f"driver fixture now ships {n} NULL-text documents — audit every "
+        "text consumer that does not go through shingle_docs"
+    )
 
 
 def test_events_ts_values_match_duckdb_epoch_ns(spark, sf_dir):
