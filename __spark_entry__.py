@@ -624,6 +624,22 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode end-to-end: documents become genuine WAV/PPM/
+    BMP payloads (text bytes as the body, correct binary headers), and
+    ``decode_media_headers`` parses the actual bytes — no fake path, no
+    codec stub. Every extracted field is an arithmetic function of
+    octet_length(text), so the oracle predicts the full output."""
+    from myasynstreamjoin_spark.functions.multimodal import (
+        decode_media_headers,
+        synthetic_media,
+    )
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return decode_media_headers(synthetic_media(docs))
+
+
 def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.operators.relational import topk_per_group
 
@@ -1613,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": _q_pack_sequences,
         "q_chunk_docs": _q_chunk_docs,
         "q_frame_sample": _q_frame_sample,
+        "q_media_decode": _q_media_decode,                # REAL WAV/PPM/BMP header decode
         "q_pii_scrub": _q_pii_scrub,
         "q_embed_norm": _q_embed_norm,
         "q_embed_quant": _q_embed_quant,
@@ -2942,6 +2959,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames,
                    CAST(64 * (ceil(strlen(text) / 64.0) - 1) AS BIGINT) AS last_offset
             FROM documents WHERE strlen(text) > 0
+        """,
+        # Predicts decode_media_headers(synthetic_media(documents)):
+        # every header field the REAL byte-parser extracts is an
+        # arithmetic function of strlen(text) and doc_id % 3 (the
+        # format selector) — see functions/multimodal.py layouts.
+        "q_media_decode": """
+            WITH m AS (SELECT doc_id, doc_id % 3 AS kind,
+                              strlen(text) AS nb
+                       FROM documents)
+            SELECT doc_id AS media_id,
+                   CASE kind WHEN 0 THEN 'wav' WHEN 1 THEN 'ppm'
+                        ELSE 'bmp' END AS fmt,
+                   CAST(CASE kind WHEN 0 THEN NULL WHEN 1 THEN 16
+                        ELSE 8 END AS INT) AS width,
+                   CAST(CASE kind WHEN 0 THEN NULL
+                        WHEN 1 THEN greatest(1, nb // 48)
+                        ELSE greatest(1, nb // 24) END AS INT) AS height,
+                   CAST(CASE kind WHEN 0 THEN 1 ELSE 3 END AS INT)
+                     AS n_channels,
+                   CAST(CASE kind WHEN 0 THEN 8 WHEN 1 THEN 8
+                        ELSE 24 END AS INT) AS bit_depth,
+                   CAST(CASE kind WHEN 0 THEN nb ELSE NULL END AS BIGINT)
+                     AS n_frames,
+                   CAST(CASE kind WHEN 0 THEN 8000 ELSE NULL END AS INT)
+                     AS sample_rate_hz,
+                   CAST(CASE kind WHEN 0 THEN nb * 1000 // 8000
+                        ELSE NULL END AS BIGINT) AS duration_ms
+            FROM m
         """,
         "q_chunk_docs": f"""
             WITH t AS (
