@@ -1442,6 +1442,34 @@ def _q_stream_min_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 as a genuine stream: grammar DataSource (partitioned
+    executor-side generation, 8 micro-batches) → packed-line decode →
+    flagship windowed min-count. Workload is the fixed deterministic
+    grammar grid (source-machinery measurement, independent of sf_dir);
+    the oracle regenerates the grid in SQL and applies the final-
+    watermark emission rule."""
+    from myasynstreamjoin_spark.config import EngineConfig
+    from myasynstreamjoin_spark.streaming.windowed import (
+        run_stream_to_table,
+        stream_grammar_min_count,
+    )
+
+    _prep(spark)
+    cfg = EngineConfig(lgw_ms=1000, watermark_delay="2 seconds")
+    return run_stream_to_table(
+        stream_grammar_min_count(
+            spark, cfg,
+            messages="200", records_per_message="8", partitions="4",
+            messages_per_batch="50",  # 4 micro-batches: multi-batch
+            # replay semantics at half the fixed per-batch overhead
+            # (the result table is chunk-invariant — watermark rule is
+            # the global max — asserted by test_stream_read_equals_batch)
+        ),
+        spark,
+    )
+
+
 def _q_stream_min_count_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 as a genuine multi-way stream-stream join (the BASELINE.json
     approach): per-source windowed-agg streams inner-joined on
@@ -1650,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_group_cap": _q_group_cap,                      # fixed-k per-group deterministic cap
         "q_negative_pairs": _q_negative_pairs,            # contrastive negative sampling
         # remaining streaming queries
+        "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
         "q_stream_min_count_zero": _q_stream_min_count_zero,
         "q_stream_max_window": _q_stream_max_window,      # A4 via generalized stateful op
@@ -2744,6 +2773,38 @@ def oracle_sql() -> dict[str, str]:
               SELECT k.key, source, count(*) AS cnt
               FROM rows_ JOIN keys k USING (ki) GROUP BY 1, 2)
             SELECT key, min(cnt) AS min_cnt FROM per_source GROUP BY 1
+        """,
+        # Streaming form of the same grid: per (key, window=msg) counts
+        # with the final-watermark emission rule (windows whose end ≤
+        # global max event-time − 2 s delay emit; the rest stay in
+        # state). ts of record (m, r) = m·1000 + (r·1000)//8 < (m+1)·1000
+        # → window id IS m.
+        "q_stream_grammar": f"""
+            WITH recs AS (
+              SELECT p.part, m.m, r.r
+              FROM (SELECT unnest(generate_series(0, 3)) AS part) p,
+                   (SELECT unnest(generate_series(0, 199)) AS m) m,
+                   (SELECT unnest(generate_series(0, 7)) AS r) r),
+            rows_ AS (
+              SELECT m * 1000 + (r * 1000) // 8 AS ts_ms,
+                     m AS ltw,
+                     (part + r) % 3 AS source,
+                     {_MD5_32.format(
+                         x="'42:' || CAST(part AS VARCHAR) || ':' || "
+                           "CAST(m AS VARCHAR) || ':' || CAST(r AS VARCHAR)"
+                     )} % 6 AS ki
+              FROM recs),
+            keys(ki, key) AS (VALUES (0, 'A'), (1, 'B'), (2, 'C'),
+                                     (3, 'D'), (4, 'E'), (5, 'F')),
+            wm AS (SELECT max(ts_ms) - 2000 AS wm_ms FROM rows_),
+            per_source AS (
+              SELECT k.key, ltw, source, count(*) AS cnt
+              FROM rows_ JOIN keys k USING (ki) GROUP BY 1, 2, 3)
+            SELECT key, CAST(ltw AS BIGINT) AS ltw,
+                   CAST(min(cnt) AS BIGINT) AS min_cnt
+            FROM per_source GROUP BY key, ltw
+            HAVING count(*) = 3
+               AND (ltw + 1) * 1000 <= (SELECT wm_ms FROM wm)
         """,
         "q_dedup_clusters": f"""
             WITH RECURSIVE sh AS ({_SHINGLES}),

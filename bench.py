@@ -46,6 +46,8 @@ HEADLINE = [
     "q_simsearch",            # brute-force cosine top-k
     "q_embed_neardup_lsh",    # LSH-bucketed embedding near-dup
     "q_stream_min_count_window",  # Structured Streaming flagship
+    "q_stream_grammar",       # S1 grammar DataSource stream (fixed grid; measures
+                              # the partitioned Python-source + decode machinery)
 ]
 
 

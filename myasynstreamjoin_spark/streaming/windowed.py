@@ -98,6 +98,13 @@ def stream_min_count_per_window(
         (F.col("user_id") % cfg.n_sources).cast("int").alias("source"),
         F.col("event_type").alias("key"),
     )
+    return _windowed_min_count(with_time, cfg)
+
+
+def _windowed_min_count(with_time: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """The flagship windowed-min-count aggregation over any
+    (etime TIMESTAMP, source INT, key STRING) stream — shared by the
+    events file stream and the grammar DataSource stream."""
     per_source_cols = [
         F.count(F.when(F.col("source") == r, 1)).alias(f"c{r}")
         for r in range(cfg.n_sources)
@@ -116,6 +123,35 @@ def stream_min_count_per_window(
         F.floor(F.unix_millis(F.col("w.start")) / cfg.lgw_ms).cast("long").alias("ltw"),
         min_cnt.cast("long").alias("min_cnt"),
     )
+
+
+def stream_grammar_min_count(
+    spark: SparkSession,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    **grammar_opts: str,
+) -> DataFrame:
+    """S1 end-to-end as a STREAM: the reference's packed Kafka wire
+    format served by the partitioned grammar DataSourceStreamReader
+    (executors generate; driver only plans offsets), decoded by the
+    packed-line codec, aggregated by the flagship windowed min-count.
+    This is the closest in-sandbox analog of the reference's actual
+    topology (Kafka direct stream → flatMap parse → windowed state,
+    stateless/cluster/HashJoin.scala:64-66) with engine-managed
+    watermarks instead of punctuations."""
+    from myasynstreamjoin_spark.sources.fixtures import decode_packed_lines
+    from myasynstreamjoin_spark.sources.grammar_source import (
+        register_grammar_source,
+    )
+
+    register_grammar_source(spark)
+    raw = spark.readStream.format("ref_grammar").options(**grammar_opts).load()
+    pw = decode_packed_lines(raw.select(F.col("value").alias("payload")))
+    with_time = pw.select(
+        F.expr("timestamp_millis(ts)").alias("etime"),
+        F.col("source").cast("int").alias("source"),
+        "key",
+    )
+    return _windowed_min_count(with_time, cfg)
 
 
 def stream_min_count_join(
