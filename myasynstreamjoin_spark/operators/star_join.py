@@ -109,8 +109,9 @@ def star_cardinality_hypercube(
 
 def star_join_hypercube_rows(
     star: DataFrame,
-    cube: tuple[int, int, int] = (2, 2, 2),
+    cube: tuple[int, int, int] | str = "auto",
     cfg: EngineConfig = DEFAULT_CONFIG,
+    m: int | None = None,
 ) -> DataFrame:
     """Materializing hypercube ("shares") 3-way star join — the exact
     mechanism of star-join-stateless/cluster/DuplicateHHJoin.scala:75-115,
@@ -136,8 +137,26 @@ def star_join_hypercube_rows(
     AQE skew-join generalized to a multi-way join, where Spark's
     two-table skew splitting doesn't reach.
 
+    ``cube="auto"`` (the default) sizes a cube PER heavy key with the
+    reference's adaptive allocation (``plan_cube_dims``,
+    DuplicateHHJoin.scala:248-281): workers split ∝ √(join size), dims
+    shaped to each key's per-relation counts. ``m`` is the worker
+    budget (default cfg.n_mappers). A static tuple applies one uniform
+    cube to every heavy key (the reference's :75-103 fixed-shares
+    form).
+
     Output: (key, x0, x1, x2) — one row per joined triple.
     """
+    if cube == "auto":
+        return _hypercube_rows_auto(star, cfg, m)
+    return _hypercube_rows_static(star, cube, cfg)
+
+
+def _hypercube_rows_static(
+    star: DataFrame,
+    cube: tuple[int, int, int],
+    cfg: EngineConfig,
+) -> DataFrame:
     from myasynstreamjoin_spark.operators.stats import heavy_hitters
 
     mx, my, mz = cube
@@ -177,6 +196,95 @@ def star_join_hypercube_rows(
             .select("key", F.col("x").alias(payload_alias), cell_arr.alias("cells"))
             .withColumn("cell", F.explode("cells"))
             .drop("cells")
+        )
+
+    r0, r1, r2 = (rel_slice(r, f"x{r}") for r in range(3))
+    return r0.join(r1, ["key", "cell"], "inner").join(
+        r2, ["key", "cell"], "inner"
+    ).select("key", "x0", "x1", "x2")
+
+
+def _hypercube_rows_auto(
+    star: DataFrame, cfg: EngineConfig, m: int | None
+) -> DataFrame:
+    """Per-key adaptive cubes: ``plan_cube_dims`` (the reference's
+    driver-side foreachRDD allocation) chooses (mx, my, mz) per heavy
+    key; the tiny plan table broadcasts onto the data and the cell
+    planes are enumerated DYNAMICALLY with sequence/transform (dims are
+    columns now, not Python ints). Keys without a plan — light keys and
+    sub-1-worker "fake" heavy hitters (DuplicateHHJoin.scala:254-257) —
+    coalesce to a 1×1×1 cube, which is exactly the single-cell
+    unreplicated path.
+
+    Exactly-once still holds per key: all three relations read the SAME
+    broadcast dims, so a triple meets in the one cell
+    (h0(x0), h1(x1), h2(x2)) of ITS key's cube. The per-element lambda
+    work is O(1) arithmetic (the captured coord/dims re-evaluate per
+    cell, but each is a pmod/attribute — nothing amplifying; see
+    SCALE.md HOF rules)."""
+    from pyspark.sql import types as T
+
+    plans = plan_cube_dims(star, 3, cfg, m)
+    spark = star.sparkSession
+    schema = T.StructType(
+        [
+            T.StructField("key", star.schema["key"].dataType),
+            T.StructField("mx", T.IntegerType()),
+            T.StructField("my", T.IntegerType()),
+            T.StructField("mz", T.IntegerType()),
+        ]
+    )
+    plan_df = spark.createDataFrame(
+        [(p["key"], p["mx"], p["my"], p["mz"]) for p in plans], schema
+    )
+    tagged = star.join(F.broadcast(plan_df), "key", "left").select(
+        "key",
+        "rel",
+        F.floor("value").cast("int").alias("x"),
+        F.coalesce("mx", F.lit(1)).alias("mx"),
+        F.coalesce("my", F.lit(1)).alias("my"),
+        F.coalesce("mz", F.lit(1)).alias("mz"),
+    )
+
+    def rel_cells(r: int):
+        mx, my, mz = F.col("mx"), F.col("my"), F.col("mz")
+        coord = F.pmod(F.xxhash64(F.col("x"), F.lit(11 + r)), (mx, my, mz)[r])
+        one = F.lit(1)
+        if r == 0:
+            return F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), my - one),
+                    lambda j: F.transform(
+                        F.sequence(F.lit(0), mz - one),
+                        lambda k: (coord * my + j) * mz + k,
+                    ),
+                )
+            )
+        if r == 1:
+            return F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), mx - one),
+                    lambda i: F.transform(
+                        F.sequence(F.lit(0), mz - one),
+                        lambda k: (i * my + coord) * mz + k,
+                    ),
+                )
+            )
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), mx - one),
+                lambda i: F.transform(
+                    F.sequence(F.lit(0), my - one),
+                    lambda j: (i * my + j) * mz + coord,
+                ),
+            )
+        )
+
+    def rel_slice(r: int, payload_alias: str) -> DataFrame:
+        return tagged.where(F.col("rel") == r).select(
+            "key",
+            F.col("x").alias(payload_alias),
+            F.explode(rel_cells(r)).alias("cell"),
         )
 
     r0, r1, r2 = (rel_slice(r, f"x{r}") for r in range(3))

@@ -36,7 +36,7 @@ def test_cardinality_matches_counts_product(spark):
     star = _star(spark)
     got = {
         (r["key"], r["card"])
-        for r in star_join_hypercube_rows(star, cfg=CFG)
+        for r in star_join_hypercube_rows(star, cube=(2, 2, 2), cfg=CFG)
         .groupBy("key")
         .agg(F.count("*").alias("card"))
         .collect()
@@ -52,7 +52,7 @@ def test_each_triple_materializes_exactly_once(spark):
     (key, x0, x1, x2) triples equals the plain per-key cross join."""
     star = _star(spark)
     got = sorted(
-        tuple(r) for r in star_join_hypercube_rows(star, cfg=CFG).collect()
+        tuple(r) for r in star_join_hypercube_rows(star, cube=(2, 2, 2), cfg=CFG).collect()
     )
     rels = [
         star.where(F.col("rel") == r).select("key", F.col("value").alias(f"x{r}"))
@@ -73,7 +73,7 @@ def test_heavy_work_spreads_over_cells(spark):
     # Re-derive the cell assignment the operator uses and count distinct
     # cells actually holding hh triples: with cube (2,2,2) and 12
     # distinct payloads per rel, every one of the 8 cells is hit w.h.p.
-    rows = star_join_hypercube_rows(star, cfg=CFG)
+    rows = star_join_hypercube_rows(star, cube=(2, 2, 2), cfg=CFG)
     # cells aren't in the output; assert indirectly via even split:
     # each (x0 % 2) bucket holds part of the result, so no single
     # reducer saw all 1728 heavy rows.
@@ -112,3 +112,42 @@ def test_plan_cube_dims_reference_allocation(spark):
     # √-proportional split: √(24³) : √(8³) ≈ 5.2 : 1 of 12 workers
     if "mid" in by_key:
         assert by_key["big"]["mh"] > by_key["mid"]["mh"]
+
+
+def test_auto_cube_picks_data_dependent_dims(spark):
+    """cube='auto' (the default) must choose per-key dims from the data:
+    for the skewed fixture with m=12 the planner lands on a NON-uniform
+    cube (the while-loop decrement makes dims unequal), and the
+    materialized join is still exactly the plain per-key cross join."""
+    from myasynstreamjoin_spark.operators.star_join import plan_cube_dims
+
+    star = _star(spark)
+    plans = {p["key"]: p for p in plan_cube_dims(star, cfg=CFG, m=12)}
+    assert set(plans) == {"hh"}
+    dims = (plans["hh"]["mx"], plans["hh"]["my"], plans["hh"]["mz"])
+    assert plans["hh"]["mh"] == 12
+    assert 1 < plans["hh"]["mx"] * plans["hh"]["my"] * plans["hh"]["mz"] <= 12
+    assert len(set(dims)) > 1  # shaped to the counts, not a uniform cube
+
+    got = sorted(
+        tuple(r)
+        for r in star_join_hypercube_rows(star, cfg=CFG, m=12).collect()
+    )
+    rels = [
+        star.where(F.col("rel") == r).select("key", F.col("value").alias(f"x{r}"))
+        for r in range(3)
+    ]
+    plain = rels[0].join(rels[1], "key").join(rels[2], "key")
+    want = sorted(tuple(r) for r in plain.select("key", "x0", "x1", "x2").collect())
+    assert got == want
+
+
+def test_auto_cube_no_heavy_keys_degenerates_to_plain_join(spark):
+    """A uniform (no heavy hitter) input must take the single-cell path
+    everywhere under auto sizing — no replication, correct join."""
+    rows = [
+        (r, 0, key, x) for r in range(3) for key in ("a", "b", "c") for x in range(2)
+    ]
+    star = spark.createDataFrame(rows, "rel int, ts long, key string, value int")
+    out = star_join_hypercube_rows(star, cfg=EngineConfig(n_mappers=12), m=12)
+    assert out.count() == 3 * 8  # 3 keys × 2³ triples each
