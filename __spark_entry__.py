@@ -1289,6 +1289,54 @@ def _q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_pairs(embs, k=4, n_buckets=64, id_col="vec_id")
 
 
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 documents for a 3-term query — lexical
+    retrieval (eval-set mining / RAG lookup) as one DataFrame plan."""
+    from myasynstreamjoin_spark.functions.retrieval import bm25_topk
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["the", "data", "model"], k=10)
+
+
+def _q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 terms by document frequency with
+    corpus tf and a df-ratio stopword flag."""
+    from myasynstreamjoin_spark.functions.retrieval import vocab_stats
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return vocab_stats(docs, top_n=50, stopword_df_ratio=0.5)
+
+
+def _q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered EXACT decontamination: train docs (src2+)
+    sharing no 8-gram with the src0/src1 'benchmark' docs. The oracle
+    is the plain string-gram anti-join — the Bloom is a constant-size
+    prefilter that cannot change the answer."""
+    from myasynstreamjoin_spark.functions.dedup import bloom_decontaminate
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    bench_sources = ("src0", "src1")
+    return bloom_decontaminate(
+        docs.where(~F.col("source").isin(*bench_sources)),
+        docs.where(F.col("source").isin(*bench_sources)),
+        k=8,
+    )
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic near-dup pairs: deterministic seed
+    clustering (8 lowest-id vectors) then within-cluster exact cosine
+    at 0.4 (the fixture's neardup threshold convention)."""
+    from myasynstreamjoin_spark.functions.similarity import semantic_dedup_pairs
+
+    _prep(spark)
+    embs = tables.load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(embs, n_seeds=8, threshold=0.4)
+
+
 def _q_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap: keep at most 7 docs per source by
     deterministic hash order — the absolute-size complement of the
@@ -1677,6 +1725,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_filter": _q_quality_filter,            # dynamic percentile-threshold filter
         "q_group_cap": _q_group_cap,                      # fixed-k per-group deterministic cap
         "q_negative_pairs": _q_negative_pairs,            # contrastive negative sampling
+        "q_bm25": _q_bm25,                                # Okapi BM25 lexical retrieval
+        "q_vocab": _q_vocab,                              # DF vocabulary / stopword scan
+        "q_bloom_decontaminate": _q_bloom_decontaminate,  # Bloom-prefiltered exact anti-join
+        "q_semantic_dedup": _q_semantic_dedup,            # SemDeDup cluster-then-pair dedup
         # remaining streaming queries
         "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
@@ -2949,6 +3001,96 @@ def oracle_sql() -> dict[str, str]:
                                 doc_id ASC) AS rk
               FROM documents)
             SELECT doc_id, source, n_chars FROM ranked WHERE rk <= 7
+        """,
+        # Literals pin _q_bm25's query/params: terms (the,data,model),
+        # k1=1.2, b=0.75, Lucene idf, top-10 by (round4 score desc, id).
+        "q_bm25": f"""
+            WITH toks AS (SELECT doc_id, {_DOC_TOKENS} AS t FROM documents),
+            lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+            corpus AS (SELECT count(*) AS n_docs,
+                              CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl
+                       FROM toks),
+            post AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+              WHERE term IN ('the', 'data', 'model')
+              GROUP BY doc_id, term),
+            dfs AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM post GROUP BY term)
+            SELECT p.doc_id,
+                   round(sum(
+                     ln(1 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                     * (p.tf * (1.2 + 1.0))
+                     / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / c.avgdl))
+                   ), 4) AS score
+            FROM post p
+            JOIN dfs d USING (term)
+            JOIN lens l USING (doc_id)
+            CROSS JOIN corpus c
+            GROUP BY p.doc_id
+            ORDER BY score DESC, p.doc_id
+            LIMIT 10
+        """,
+        "q_vocab": f"""
+            WITH ex AS (SELECT doc_id, unnest({_DOC_TOKENS}) AS term
+                        FROM documents),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            s AS (SELECT term, count(DISTINCT doc_id) AS df,
+                         count(*) AS tf
+                  FROM ex GROUP BY term)
+            SELECT term, df, tf,
+                   CAST(df AS DOUBLE) / n.n_docs > 0.5 AS stopword
+            FROM s CROSS JOIN n
+            ORDER BY df DESC, term
+            LIMIT 50
+        """,
+        # The oracle is the exact string-gram anti-join: the Bloom
+        # prefilter in the Spark plan is correctness-neutral by design.
+        "q_bloom_decontaminate": f"""
+            WITH grams AS (
+              SELECT doc_id, source, unnest(list_distinct(
+                CASE WHEN len({_DOC_TOKENS}) >= 8 THEN
+                  list_transform(generate_series(1, len({_DOC_TOKENS}) - 7),
+                    i -> array_to_string(({_DOC_TOKENS})[i:i+7], ' '))
+                ELSE [array_to_string({_DOC_TOKENS}, ' ')] END)) AS g
+              FROM documents WHERE text IS NOT NULL),
+            bench AS (SELECT DISTINCT g FROM grams
+                      WHERE source IN ('src0', 'src1')),
+            contaminated AS (
+              SELECT DISTINCT doc_id FROM grams
+              WHERE source NOT IN ('src0', 'src1')
+                AND g IN (SELECT g FROM bench))
+            SELECT doc_id FROM documents
+            WHERE source NOT IN ('src0', 'src1')
+              AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        # Seeds = 8 lowest vec_ids; assignment argmax on round-6 cosine
+        # (ties to lowest seed); pair filter on round-4 cosine >= 0.4.
+        "q_semantic_dedup": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            seeds AS (SELECT vec_id AS seed_id, e AS se FROM v
+                      ORDER BY vec_id LIMIT 8),
+            asg AS (
+              SELECT v.vec_id, v.e, s.seed_id,
+                     round(list_dot_product(v.e, s.se)
+                           / (sqrt(list_dot_product(v.e, v.e))
+                              * sqrt(list_dot_product(s.se, s.se))), 6) AS c
+              FROM v CROSS JOIN seeds s),
+            best AS (
+              SELECT vec_id, e, seed_id AS cluster,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY c DESC, seed_id) AS rn
+              FROM asg),
+            a AS (SELECT * FROM best WHERE rn = 1),
+            pairs AS (
+              SELECT x.cluster, x.vec_id AS id_a, y.vec_id AS id_b,
+                     round(list_dot_product(x.e, y.e)
+                           / (sqrt(list_dot_product(x.e, x.e))
+                              * sqrt(list_dot_product(y.e, y.e))), 4) AS cos
+              FROM a x JOIN a y
+                ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
+            SELECT cluster, id_a, id_b, cos FROM pairs WHERE cos >= 0.4
         """,
         "q_quality_filter": f"""
             WITH q AS (

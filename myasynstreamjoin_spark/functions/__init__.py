@@ -5,6 +5,7 @@ from myasynstreamjoin_spark.functions import (
     json_ops,
     multimodal,
     pipeline,
+    retrieval,
     similarity,
     text,
 )
@@ -18,4 +19,5 @@ __all__ = [
     "embeddings",
     "json_ops",
     "pipeline",
+    "retrieval",
 ]

@@ -481,3 +481,115 @@ def contamination_pairs(
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    k: int = 8,
+    m_bits: int = 1 << 17,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-prefiltered exact decontamination: the training documents
+    that share NO word k-gram with any benchmark document — i.e. the
+    docs `contamination_pairs` would pass. The answer is EXACT (equal
+    to the anti-join); the Bloom filter is purely a constant-size
+    prefilter, so false positives cost extra verification work but
+    never change the result.
+
+    Why a Bloom at 100 TB: `contamination_pairs` broadcasts the bench
+    gram SET, which works while eval suites are small, but a
+    decontamination sweep against a large held-out corpus can carry
+    ~10⁸ distinct grams (~1 GB as a broadcast set). The Bloom bitmap is
+    ``m_bits`` regardless of bench size (16 KiB/128 Kib here; size
+    m ≈ 10× |bench grams| for ~1 % FPR at 4 hashes in production).
+    Train grams test against the bitmap in-scan (map-side, codegen),
+    so only Bloom-POSITIVE grams — true matches plus the ~1 % FPR —
+    reach the exact verification join. The big side is pruned BEFORE
+    the shuffle, which is the whole game at scale.
+
+    Mechanics (all JVM-side): gram hashes are the collision-free
+    64-bit ``xxhash64`` shingles (the oracle checks the RESULT via an
+    exact string-gram anti-join, so the hash itself never needs to be
+    replayed — 32-bit md5_32 would add ~n²/2³³ false contaminations at
+    corpus scale for nothing); double hashing
+    ``pos_i = (h1 + i·h2) mod m`` with h2 forced odd (m is a power of
+    two) gives ``n_hashes`` bit positions. The bitmap is built as
+    per-64-bit-word OR-masks aggregated to ONE row holding a
+    map<word, mask> (≤ m/64 entries), then crossJoin-broadcast to the
+    train scan; membership unrolls to ``n_hashes`` element_at+bitwise
+    tests — no HOF lambdas, no Python.
+
+    Output: (doc_id) of surviving (uncontaminated) train docs.
+    """
+    one = F.lit(1).cast("long")
+
+    def positions(g: Column) -> list[Column]:
+        h1 = F.pmod(g, F.lit(m_bits))
+        # h2 from the HIGH bits (h1 already consumed the low ones) with
+        # a small multiplier so the product stays < 2^34 — ANSI mode
+        # makes a long overflow an error, not a wrap. Forced odd =>
+        # relatively prime to the power-of-two m.
+        h2 = F.pmod(
+            F.pmod(F.shiftright(g, 15), F.lit(m_bits)) * F.lit(0x85EB),
+            F.lit(m_bits),
+        ).bitwiseOR(one)
+        return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(n_hashes)]
+
+    bench_grams = (
+        shingle_docs(bench, k, hashed=True)
+        .select(F.explode_outer("sh").alias("g"))
+        .distinct()
+    )
+    pos = bench_grams.select(
+        F.explode(F.array(*positions(F.col("g")))).alias("p")
+    ).distinct()
+    words = pos.select(
+        (F.col("p") / 64).cast("int").alias("word"),
+        F.pmod(F.col("p"), F.lit(64)).cast("int").alias("bit"),
+    )
+    # <= m_bits/64 rows fold into one map row; the single-reducer final
+    # aggregate is over word-masks, not grams, so it is O(m), not O(bench).
+    # PySpark's F.shiftleft only takes a literal shift count, so the
+    # column-valued shifts go through F.expr on named columns.
+    mask_of_bit = F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+    bitmap = (
+        words.groupBy("word")
+        .agg(F.bit_or(mask_of_bit).alias("mask"))
+        .groupBy()
+        .agg(F.map_from_entries(F.collect_list(F.struct("word", "mask"))).alias("bm"))
+    )
+
+    tg = shingle_docs(train, k, hashed=True).select(
+        "doc_id", F.explode_outer("sh").alias("g")
+    )
+    proj = [F.col("doc_id"), F.col("g")]
+    for i, p in enumerate(positions(F.col("g"))):
+        proj.append((p / 64).cast("int").alias(f"__w{i}"))
+        proj.append(F.pmod(p, F.lit(64)).cast("int").alias(f"__b{i}"))
+    tests = [
+        F.coalesce(F.element_at(F.col("bm"), F.col(f"__w{i}")), F.lit(0).cast("long"))
+        .bitwiseAND(F.expr(f"shiftleft(CAST(1 AS BIGINT), __b{i})"))
+        != 0
+        for i in range(n_hashes)
+    ]
+    member = tests[0]
+    for t_ in tests[1:]:
+        member = member & t_
+    candidates = (
+        tg.select(*proj)
+        .crossJoin(F.broadcast(bitmap))
+        .where(member)
+        .select("doc_id", "g")
+    )
+    # Exact verification on Bloom-positives only: a gram-level semi-join
+    # against the true bench gram set. |candidates| ≈ |true matches| +
+    # FPR·|train grams|, so this join is tiny relative to the corpus.
+    contaminated = (
+        candidates.join(bench_grams, "g", "left_semi").select("doc_id").distinct()
+    )
+    return (
+        train.select("doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id")
+    )

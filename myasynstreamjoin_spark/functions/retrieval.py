@@ -1,0 +1,130 @@
+"""Lexical retrieval over the document corpus: BM25 ranking and
+document-frequency vocabulary/stopword analysis.
+
+Beyond-reference surface (SURVEY.md §7 phase 5 family): the reference
+engine ships word-count-style aggregation (`stateless/WordCount.scala`)
+but no ranking; a training-data pipeline needs lexical retrieval for
+eval-set mining, near-duplicate triage, and RAG-style chunk lookup.
+Both operators here are pure DataFrame plans — tokenization, term
+statistics, and scoring all stay in whole-stage codegen; no Python
+runs per row.
+
+Scale stance:
+- the corpus is scanned once and exploded to (doc_id, token) pairs;
+  query terms are filtered out BEFORE any shuffle (`isin` on a
+  literal handful of terms), so the post-explode volume for scoring
+  is |matching postings|, not |corpus tokens|;
+- corpus-level constants (N, avgdl) are one-row aggregates
+  crossJoin-broadcast back — never a driver collect;
+- per-term document frequencies are a tiny aggregate (≤ |query|
+  rows) and broadcast into the scoring join;
+- top-k uses orderBy+limit, which Spark executes as
+  TakeOrderedAndProject — per-partition heaps, no global sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from myasynstreamjoin_spark.functions.text import tokens
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k documents for a bag-of-words query.
+
+    Uses the Lucene-style non-negative idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` and the standard saturating
+    term-frequency component; all arithmetic in double precision so an
+    external SQL oracle reproduces the scores bit-for-bit.
+
+    Plan shape: one corpus scan computes (doc_id, dl) and the exploded
+    postings restricted to ``query_terms``; df comes from a
+    countDistinct over those postings (≤ |query| rows, broadcast);
+    N/avgdl from a one-row aggregate (broadcast). The final ranking is
+    TakeOrderedAndProject. The corpus is never shuffled on a wide key
+    — only the postings for the query's terms move.
+
+    Output: (doc_id, score) — score rounded to 4 for cross-engine
+    hash stability; ties broken by doc_id.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    lens = toks.select("doc_id", F.size("toks").alias("dl"))
+
+    postings = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    corpus = lens.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * (F.lit(k1) + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        postings.join(F.broadcast(df_), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_part).alias("s"))
+        .select("doc_id", F.round("s", 4).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+
+
+def vocab_stats(
+    docs: DataFrame,
+    top_n: int = 50,
+    stopword_df_ratio: float = 0.5,
+) -> DataFrame:
+    """Corpus vocabulary: the ``top_n`` terms by document frequency
+    with their corpus term frequency and a stopword flag
+    (df/N > ``stopword_df_ratio``) — the DF scan a pipeline runs to
+    build a stopword list or prune a tokenizer vocabulary.
+
+    Plan shape: one explode, one (term) aggregate combining
+    count(=corpus tf) and countDistinct(doc_id) (=df), one one-row
+    N aggregate broadcast in. Partial aggregation (map-side combine)
+    keeps the shuffle at |vocab|, not |tokens|. Ranking is
+    TakeOrderedAndProject on (df desc, term asc).
+
+    Output: (term, df, tf, stopword).
+    """
+    exploded = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    stats = (
+        exploded.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count("*").alias("tf"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "df",
+            "tf",
+            (F.col("df").cast("double") / F.col("n_docs") > stopword_df_ratio).alias(
+                "stopword"
+            ),
+        )
+    )
+    return stats.orderBy(F.col("df").desc(), F.col("term")).limit(top_n)

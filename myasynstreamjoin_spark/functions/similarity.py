@@ -592,3 +592,74 @@ def _kmeans_fit_inner(embeddings, k, n_iters, tol, vec_col, id_col):
             F.round(F.sum("__d2"), 4).alias("inertia"),
         )
     )
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    n_seeds: int = 8,
+    threshold: float = 0.98,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-shaped semantic near-duplicate pairs (Abbas et al.
+    2023, arXiv:2303.09540): partition the embedding space into
+    clusters, then search for high-cosine pairs ONLY within a cluster —
+    all-pairs work bounded by the largest cluster instead of N².
+
+    This variant is deterministic and oracle-replayable: the cluster
+    "centroids" are the ``n_seeds`` lowest-id vectors (a fixed seed
+    set, not iterated k-means — `kmeans_fit` is the iterative path),
+    each vector is assigned to its highest-cosine seed (ties to the
+    lowest seed id; cosines rounded to 6 before the argmax so a 1-ulp
+    cross-engine drift cannot flip an assignment), and pairs are
+    verified with exact cosine at ``threshold``.
+
+    Scale: seeds are a broadcast nested-loop against the scan (no
+    shuffle, |seeds| rows per vector); the argmax is a partial-agg
+    groupBy (shuffles N combined rows, not N×seeds); the pair join
+    shuffles each cluster to one place — same skew exposure as an LSH
+    bucket, so a hot cluster wants the bucket-cap treatment
+    `embedding_neardup_pairs` documents.
+
+    Output: (cluster, id_a, id_b, cos).
+    """
+    seeds = F.broadcast(
+        embeddings.orderBy(id_col)
+        .limit(n_seeds)
+        .select(
+            F.col(id_col).alias("seed_id"), F.col(vec_col).alias("seed_vec")
+        )
+    )
+    assigned = (
+        embeddings.crossJoin(seeds)
+        .select(
+            id_col,
+            vec_col,
+            "seed_id",
+            F.round(cosine(F.col(vec_col), F.col("seed_vec")), 6).alias("c"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("c"),
+                    (-F.col("seed_id")).alias("ns"),
+                    F.col("seed_id").alias("sid"),
+                )
+            )["sid"].alias("cluster"),
+            F.any_value(F.col(vec_col)).alias("v"),
+        )
+    )
+    a = assigned.select(
+        F.col("cluster"), F.col(id_col).alias("id_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        F.col("cluster"), F.col(id_col).alias("id_b"), F.col("v").alias("vb")
+    )
+    cos = F.round(cosine(F.col("va"), F.col("vb")), 4)
+    return (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("cluster", "id_a", "id_b", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,119 @@
+"""Unit invariants for this round's corpus operators: BM25 retrieval,
+vocabulary stats, Bloom-prefiltered decontamination, and SemDeDup-style
+semantic near-dup pairs. (Value-level parity vs DuckDB is covered by
+test_oracle_parity.py; these pin the operator-level guarantees the
+oracle can't express — e.g. that the Bloom prefilter is
+correctness-neutral at ANY false-positive rate.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from myasynstreamjoin_spark.functions.dedup import bloom_decontaminate, shingle_docs
+from myasynstreamjoin_spark.functions.retrieval import bm25_topk, vocab_stats
+from myasynstreamjoin_spark.functions.similarity import (
+    cosine,
+    semantic_dedup_pairs,
+)
+
+BENCH = ("src0", "src1")
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def exact_survivors(docs, k=8):
+    """Ground truth: string-level gram anti-join, no Bloom anywhere."""
+    g = shingle_docs(docs, k, hashed=False)
+    train = docs.where(~F.col("source").isin(*BENCH))
+    bg = (
+        g.join(docs.where(F.col("source").isin(*BENCH)), "doc_id", "left_semi")
+        .select(F.explode_outer("sh").alias("gram"))
+        .distinct()
+    )
+    tg = g.join(train, "doc_id", "left_semi").select(
+        "doc_id", F.explode_outer("sh").alias("gram")
+    )
+    contaminated = tg.join(bg, "gram", "left_semi").select("doc_id").distinct()
+    return train.select("doc_id").join(contaminated, "doc_id", "left_anti")
+
+
+@pytest.mark.parametrize("m_bits,n_hashes", [(1 << 17, 4), (1 << 8, 2)])
+def test_bloom_equals_exact_antijoin(docs, m_bits, n_hashes):
+    """The Bloom is a prefilter only: even a saturated 256-bit filter
+    (every membership test ~always positive) must verify false
+    positives away and return the exact anti-join."""
+    got = bloom_decontaminate(
+        docs.where(~F.col("source").isin(*BENCH)),
+        docs.where(F.col("source").isin(*BENCH)),
+        k=8,
+        m_bits=m_bits,
+        n_hashes=n_hashes,
+    )
+    want = exact_survivors(docs)
+    assert sorted(r.doc_id for r in got.collect()) == sorted(
+        r.doc_id for r in want.collect()
+    )
+
+
+def test_bm25_topk_bound_and_order(docs):
+    rows = bm25_topk(docs, ["the", "data", "model"], k=5).collect()
+    assert len(rows) <= 5
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_bm25_unmatched_query_is_empty(docs):
+    assert bm25_topk(docs, ["zzzznotaword"], k=5).count() == 0
+
+
+def test_vocab_stopword_flag_consistent(docs):
+    n_docs = docs.count()
+    rows = vocab_stats(docs, top_n=20, stopword_df_ratio=0.5).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert r.stopword == (r.df / n_docs > 0.5)
+        assert r.tf >= r.df >= 1
+
+
+def test_semantic_dedup_invariants(embs):
+    thr = 0.3
+    pairs = semantic_dedup_pairs(embs, n_seeds=4, threshold=thr).collect()
+    seed_ids = {r.vec_id for r in embs.orderBy("vec_id").limit(4).collect()}
+    for r in pairs:
+        assert r.id_a < r.id_b
+        assert r.cos >= thr
+        assert r.cluster in seed_ids
+    # every emitted pair really is high-cosine (re-check against the
+    # raw vectors, independent of the cluster assignment path)
+    if pairs:
+        a = embs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+        b = embs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+        ids = {(r.id_a, r.id_b) for r in pairs}
+        recomputed = {
+            (r.id_a, r.id_b): r.c
+            for r in a.crossJoin(b)
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.round(cosine("va", "vb"), 4).alias("c"))
+            .collect()
+            if (r.id_a, r.id_b) in ids
+        }
+        for (ia, ib), c in recomputed.items():
+            assert c >= thr, (ia, ib, c)
+
+
+def test_semantic_dedup_pairs_share_cluster_only(embs):
+    """Pairs straddling two clusters must not be emitted even when
+    their cosine clears the threshold (bounded-work contract)."""
+    pairs = semantic_dedup_pairs(embs, n_seeds=4, threshold=0.0)
+    n_all = embs.count()
+    assert pairs.count() < n_all * (n_all - 1) / 2
