@@ -1492,7 +1492,7 @@ def _q_stream_min_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_stream_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 as a genuine stream: grammar DataSource (partitioned
-    executor-side generation, 8 micro-batches) → packed-line decode →
+    executor-side generation, 4 micro-batches) → packed-line decode →
     flagship windowed min-count. Workload is the fixed deterministic
     grammar grid (source-machinery measurement, independent of sf_dir);
     the oracle regenerates the grid in SQL and applies the final-

@@ -43,6 +43,19 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2norm(a) * l2norm(b))
 
 
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine() with the two norms already materialized as columns.
+
+    Bit-identical to `cosine` (same double ops in the same order: the
+    norm folds just run once per VECTOR instead of once per PAIR), so
+    oracles written against `cosine` still match. In a pair join this
+    removes 2 of the 3 higher-order-function folds per emitted pair —
+    the folds are interpreted per-element, so at 10⁶⁺ pairs they are
+    the dominant cost (measured: the sf1-probe semantic-dedup pass
+    spends ~⅔ of its pair-stage time in the two norm folds)."""
+    return dot(a, b) / (na * nb)
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_id: int = 0,
@@ -60,15 +73,16 @@ def cosine_topk(
     Output: (vec_id, cos) — cos rounded for hash stability.
     """
     q = embeddings.where(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("__q")
+        F.col(vec_col).alias("__q"), l2norm(vec_col).alias("__qn")
+    )
+    # query norm folded once in the 1-row broadcast, not per corpus row
+    cos = cosine_with_norms(
+        F.col(vec_col), F.col("__q"), l2norm(vec_col), F.col("__qn")
     )
     scored = (
         embeddings.crossJoin(F.broadcast(q))
         .where(F.col(id_col) != query_id)
-        .select(
-            id_col,
-            F.round(cosine(F.col(vec_col), F.col("__q")), 4).alias("cos"),
-        )
+        .select(id_col, F.round(cos, 4).alias("cos"))
     )
     return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
 
@@ -235,13 +249,20 @@ def exact_embedding_pairs(
     # cosine evaluations run at the probe's scan parallelism — one task,
     # for a small-on-disk embeddings file — unless spread first.
     a = rebalance(embeddings).select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2norm(vec_col).alias("na"),
     )
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2norm(vec_col).alias("nb"),
+    )
+    cos = cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"))
+        .select("id_a", "id_b", F.round(cos, 4).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
 
@@ -269,19 +290,28 @@ def embedding_neardup_pairs(
     # per-row dot products AND — because the small build side broadcasts —
     # the per-pair cosines downstream, which inherit the probe side's
     # partitioning (measured 3.3× at sf0.1: 5.3s → 1.6s).
-    bucketed = with_lsh_bucket(
-        rebalance(embeddings), dim, n_planes, seed, vec_col
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bucketed = (
+        with_lsh_bucket(rebalance(embeddings), dim, n_planes, seed, vec_col)
+        .withColumn("__n", l2norm(vec_col))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "lsh_bucket"
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("__n").alias("na"),
+        "lsh_bucket",
     )
     b = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "lsh_bucket"
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("__n").alias("nb"),
+        "lsh_bucket",
     )
+    cos = cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return (
         a.join(b, "lsh_bucket")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"))
+        .select("id_a", "id_b", F.round(cos, 4).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
 
@@ -305,16 +335,21 @@ def cosine_topk_multi(
     Output: (query_id, vec_id, cos, rank), rank 1..k per query.
     """
     q = embeddings.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__q"),
+        l2norm(vec_col).alias("__qn"),
+    )
+    # per-query norms folded once in the broadcast; per-row norm folded
+    # once per (row × query) — hoisting it per-row as well would need a
+    # pre-projection, not worth it at |queries| ≥ 2 since the saving is
+    # the same single fold either way
+    cos = cosine_with_norms(
+        F.col(vec_col), F.col("__q"), l2norm(vec_col), F.col("__qn")
     )
     scored = (
         embeddings.crossJoin(F.broadcast(q))
         .where(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            id_col,
-            F.round(cosine(F.col(vec_col), F.col("__q")), 4).alias("cos"),
-        )
+        .select("query_id", id_col, F.round(cos, 4).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
     return (
@@ -596,10 +631,11 @@ def _kmeans_fit_inner(embeddings, k, n_iters, tol, vec_col, id_col):
 
 def semantic_dedup_pairs(
     embeddings: DataFrame,
-    n_seeds: int = 8,
+    n_seeds: int | None = 8,
     threshold: float = 0.98,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    kernel: str = "sql",
 ) -> DataFrame:
     """SemDeDup-shaped semantic near-duplicate pairs (Abbas et al.
     2023, arXiv:2303.09540): partition the embedding space into
@@ -619,24 +655,63 @@ def semantic_dedup_pairs(
     groupBy (shuffles N combined rows, not N×seeds); the pair join
     shuffles each cluster to one place — same skew exposure as an LSH
     bucket, so a hot cluster wants the bucket-cap treatment
-    `embedding_neardup_pairs` documents.
+    `embedding_neardup_pairs` documents. Per-vector norms are computed
+    ONCE before the joins (`cosine_with_norms`) — the norm folds are
+    the dominant per-pair cost otherwise.
+
+    ``n_seeds=None`` auto-scales to ~√N (one bounded count as the
+    control-plane read): expected cluster size √N makes assignment
+    work (N·√N dots) and pair work (N·√N/2 dots) balance, which is
+    what bounds the quadratic term. A STATIC seed count is a
+    scale-killer — measured 128 s at 20 k vectors with 8 seeds
+    (2.5 k-vector clusters → 25 M pair cosines) vs ~4 s auto-scaled.
+
+    ``kernel="arrow"`` swaps both stages for Arrow-batched numpy
+    kernels (`mapInPandas` matmul assignment + per-cluster
+    `applyInPandas` pair matmul) — the 100 TB path: the SQL kernel's
+    per-element interpreted folds dominate at ≥10⁶ pairs (measured
+    23.8 s SQL vs ~3 s arrow on the 20 k-vector sf1 probe). numpy sums
+    pairwise instead of sequentially, so assignments/cosines can drift
+    by ~1 ulp vs the SQL kernel — use "sql" (the default) where an
+    external oracle replays the arithmetic, "arrow" at scale.
 
     Output: (cluster, id_a, id_b, cos).
     """
+    if n_seeds is None:
+        import math
+
+        n_seeds = max(8, math.isqrt(embeddings.count()))
+    if kernel == "arrow":
+        return _semantic_dedup_pairs_arrow(
+            embeddings, n_seeds, threshold, vec_col, id_col
+        )
+    if kernel != "sql":
+        raise ValueError(f"unknown kernel {kernel!r} (expected 'sql' or 'arrow')")
     seeds = F.broadcast(
         embeddings.orderBy(id_col)
         .limit(n_seeds)
         .select(
-            F.col(id_col).alias("seed_id"), F.col(vec_col).alias("seed_vec")
+            F.col(id_col).alias("seed_id"),
+            F.col(vec_col).alias("seed_vec"),
+            l2norm(vec_col).alias("seed_n"),
         )
     )
     assigned = (
-        embeddings.crossJoin(seeds)
+        embeddings.select(
+            id_col, vec_col, l2norm(vec_col).alias("__n")
+        )
+        .crossJoin(seeds)
         .select(
             id_col,
             vec_col,
+            "__n",
             "seed_id",
-            F.round(cosine(F.col(vec_col), F.col("seed_vec")), 6).alias("c"),
+            F.round(
+                cosine_with_norms(
+                    F.col(vec_col), F.col("seed_vec"), F.col("__n"), F.col("seed_n")
+                ),
+                6,
+            ).alias("c"),
         )
         .groupBy(id_col)
         .agg(
@@ -648,18 +723,103 @@ def semantic_dedup_pairs(
                 )
             )["sid"].alias("cluster"),
             F.any_value(F.col(vec_col)).alias("v"),
+            F.any_value(F.col("__n")).alias("n"),
         )
     )
     a = assigned.select(
-        F.col("cluster"), F.col(id_col).alias("id_a"), F.col("v").alias("va")
+        F.col("cluster"),
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
     )
     b = assigned.select(
-        F.col("cluster"), F.col(id_col).alias("id_b"), F.col("v").alias("vb")
+        F.col("cluster"),
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
     )
-    cos = F.round(cosine(F.col("va"), F.col("vb")), 4)
+    cos = F.round(
+        cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 4
+    )
     return (
         a.join(b, "cluster")
         .where(F.col("id_a") < F.col("id_b"))
         .select("cluster", "id_a", "id_b", cos.alias("cos"))
         .where(F.col("cos") >= threshold)
+    )
+
+
+def _semantic_dedup_pairs_arrow(
+    embeddings: DataFrame,
+    n_seeds: int,
+    threshold: float,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Arrow-kernel body of `semantic_dedup_pairs`: same algorithm,
+    numpy matmuls instead of SQL folds.
+
+    The seed matrix is a bounded driver read (n_seeds·dim floats —
+    √N·d even in auto mode) shipped to executors inside the UDF
+    closure, i.e. an ordinary broadcast. Assignment is one
+    `mapInPandas` pass (batch × seeds matmul); pairs are one
+    `applyInPandas` per cluster (within-group matmul), so the shuffle
+    is the same single exchange-on-cluster as the SQL kernel.
+    """
+    import pandas as pd
+
+    seed_rows = (
+        embeddings.orderBy(id_col).limit(n_seeds).select(id_col, vec_col).collect()
+    )
+    seed_ids = np.array([r[0] for r in seed_rows], dtype=np.int64)
+    S = np.array([r[1] for r in seed_rows], dtype=np.float64)
+    Sn = np.linalg.norm(S, axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            Xn = np.linalg.norm(X, axis=1)
+            C = np.round((X @ S.T) / np.outer(Xn, Sn), 6)
+            # argmax returns the FIRST max index; seed_ids is sorted
+            # ascending, so ties resolve to the lowest seed id — the
+            # same rule as the SQL kernel's struct-max.
+            idx = C.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "cluster": seed_ids[idx],
+                    "id": pdf[id_col].to_numpy(dtype="int64"),
+                    "v": pdf[vec_col],
+                }
+            )
+
+    assigned = embeddings.select(id_col, vec_col).mapInPandas(
+        assign, schema="cluster long, id long, v array<float>"
+    )
+
+    def pairs(pdf):
+        ids = pdf["id"].to_numpy(dtype="int64")
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.array(pdf["v"].to_numpy()[order].tolist(), dtype=np.float64)
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"cluster": [], "id_a": [], "id_b": [], "cos": []}
+            ).astype({"cluster": "int64", "id_a": "int64", "id_b": "int64",
+                      "cos": "float64"})
+        Xn = np.linalg.norm(X, axis=1)
+        C = np.round((X @ X.T) / np.outer(Xn, Xn), 4)
+        ia, ib = np.triu_indices(n, k=1)
+        keep = C[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "cluster": np.full(int(keep.sum()), pdf["cluster"].iloc[0]),
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cos": C[ia[keep], ib[keep]],
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        pairs, schema="cluster long, id_a long, id_b long, cos double"
     )

@@ -117,3 +117,25 @@ def test_semantic_dedup_pairs_share_cluster_only(embs):
     pairs = semantic_dedup_pairs(embs, n_seeds=4, threshold=0.0)
     n_all = embs.count()
     assert pairs.count() < n_all * (n_all - 1) / 2
+
+
+def test_semantic_dedup_arrow_kernel_equals_sql(embs):
+    """The Arrow (numpy matmul) kernel must produce the same pair set
+    as the oracle-checked SQL kernel; cosines may differ by numpy's
+    pairwise-vs-sequential summation only (≤1e-3 after round-4)."""
+    sql_rows = {
+        (r.cluster, r.id_a, r.id_b): r.cos
+        for r in semantic_dedup_pairs(embs, 8, 0.3).collect()
+    }
+    ar_rows = {
+        (r.cluster, r.id_a, r.id_b): r.cos
+        for r in semantic_dedup_pairs(embs, 8, 0.3, kernel="arrow").collect()
+    }
+    assert set(sql_rows) == set(ar_rows)
+    for k2, v in sql_rows.items():
+        assert abs(v - ar_rows[k2]) <= 1e-3
+
+
+def test_semantic_dedup_rejects_unknown_kernel(embs):
+    with pytest.raises(ValueError):
+        semantic_dedup_pairs(embs, 8, 0.3, kernel="nope")

@@ -1,0 +1,66 @@
+"""Build the sf1-equivalent stress-probe tables (SCALE.md §stress).
+
+Replicates sf0.1's documents/embeddings 10× into REPLICAS disjoint
+"shards" so the corpus grows without changing its duplicate-rate
+profile:
+
+- documents: every token gets a per-replica prefix (``r3_the``), so
+  replicas share no vocabulary — cross-replica docs are NOT near-dups,
+  exactly like growing a real corpus with fresh content. Within a
+  replica the dup structure of sf0.1 is preserved verbatim.
+- embeddings: components are rotated by the replica index (a norm-
+  preserving permutation), so cross-replica cosines are ~random while
+  each replica keeps sf0.1's neighborhood structure.
+
+doc_id/vec_id are offset per replica to stay unique. Output is plain
+parquet under .scratch/sf1ish/ (gitignored scratch — regenerate any
+time; this script is the reproducibility record).
+
+Usage: python tools/make_scale_probe.py [src_dir] [out_dir] [replicas]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+OUT = sys.argv[2] if len(sys.argv) > 2 else ".scratch/sf1ish"
+REPLICAS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+os.makedirs(OUT, exist_ok=True)
+con = duckdb.connect()
+con.execute(f"CREATE VIEW docs AS SELECT * FROM read_parquet('{SRC}/documents.parquet')")
+con.execute(
+    f"CREATE VIEW embs AS SELECT * FROM read_parquet('{SRC}/embeddings.parquet')"
+)
+n_docs = con.sql("SELECT max(doc_id) + 1 FROM docs").fetchone()[0]
+n_vecs = con.sql("SELECT max(vec_id) + 1 FROM embs").fetchone()[0]
+dim = con.sql("SELECT len(embedding) FROM embs LIMIT 1").fetchone()[0]
+
+con.execute(
+    f"""
+    COPY (
+      SELECT d.doc_id + r.r * {n_docs} AS doc_id,
+             regexp_replace('r' || r.r || '_' || d.text, '(\\s+)',
+                            '\\1r' || r.r || '_', 'g') AS text,
+             d.lang, d.source, d.n_chars
+      FROM docs d CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
+    ) TO '{OUT}/documents.parquet' (FORMAT PARQUET)
+    """
+)
+con.execute(
+    f"""
+    COPY (
+      SELECT e.vec_id + r.r * {n_vecs} AS vec_id,
+             CAST(e.embedding[(r.r % {dim}) + 1:] || e.embedding[1:(r.r % {dim})]
+                  AS FLOAT[]) AS embedding,
+             e.label
+      FROM embs e CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
+    ) TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)
+    """
+)
+for t in ("documents", "embeddings"):
+    print(t, con.sql(f"SELECT count(*) FROM read_parquet('{OUT}/{t}.parquet')").fetchone()[0])
