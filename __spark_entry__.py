@@ -647,6 +647,15 @@ def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_group(tables.load_table(spark, sf_dir, "customer"), k=3)
 
 
+def _q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-purchase: top-20 part pairs by shared-order
+    count, baskets deduped and bounded."""
+    from myasynstreamjoin_spark.operators.relational import copurchase_pairs
+
+    _prep(spark)
+    return copurchase_pairs(tables.load_table(spark, sf_dir, "lineitem"), k=20)
+
+
 def _q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.operators.relational import distinct_users_per_type
 
@@ -1492,7 +1501,7 @@ def _q_stream_min_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_stream_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 as a genuine stream: grammar DataSource (partitioned
-    executor-side generation, 4 micro-batches) → packed-line decode →
+    executor-side generation, 2 micro-batches) → packed-line decode →
     flagship windowed min-count. Workload is the fixed deterministic
     grammar grid (source-machinery measurement, independent of sf_dir);
     the oracle regenerates the grid in SQL and applies the final-
@@ -1509,9 +1518,11 @@ def _q_stream_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_grammar_min_count(
             spark, cfg,
             messages="200", records_per_message="8", partitions="4",
-            messages_per_batch="50",  # 4 micro-batches: multi-batch
-            # replay semantics at half the fixed per-batch overhead
-            # (the result table is chunk-invariant — watermark rule is
+            messages_per_batch="100",  # 2 micro-batches: the minimum
+            # that still exercises multi-batch replay; each batch costs
+            # ~1.8 s fixed (Python-source planning + state commit), so
+            # fewer batches = less constant overhead in bench (the
+            # result table is chunk-invariant — watermark rule is
             # the global max — asserted by test_stream_read_equals_batch)
         ),
         spark,
@@ -1669,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_props": _q_json_props,
         "q_profile": _q_profile,
         "q_topk_per_group": _q_topk_per_group,
+        "q_copurchase": _q_copurchase,                    # market-basket pair counts
         "q_distinct_users": _q_distinct_users,
         "q_repeat_customers": _q_repeat_customers,
         "q_churned_customers": _q_churned_customers,
@@ -2098,6 +2110,24 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.50), 6) AS p50_exact,
                    TRUE AS approx_ok
             FROM events GROUP BY event_type
+        """,
+        "q_copurchase": """
+            WITH items AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            bounded AS (
+              SELECT l_orderkey FROM items
+              GROUP BY l_orderkey HAVING count(*) <= 64),
+            pairs AS (
+              SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                     count(*) AS n_orders
+              FROM items a
+              JOIN items b ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey
+              JOIN bounded ON a.l_orderkey = bounded.l_orderkey
+              GROUP BY 1, 2)
+            SELECT part_a, part_b, n_orders FROM pairs
+            ORDER BY n_orders DESC, part_a, part_b
+            LIMIT 20
         """,
         "q_topk_per_group": """
             SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS c_acctbal, rn

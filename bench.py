@@ -45,6 +45,9 @@ HEADLINE = [
     "q_ngram_jaccard",        # inverted-index Jaccard
     "q_simsearch",            # brute-force cosine top-k
     "q_embed_neardup_lsh",    # LSH-bucketed embedding near-dup
+    "q_bm25",                 # BM25 lexical retrieval
+    "q_bloom_decontaminate",  # Bloom-prefiltered exact decontamination
+    "q_semantic_dedup",       # SemDeDup cluster-then-pair (SQL kernel)
     "q_stream_min_count_window",  # Structured Streaming flagship
     "q_stream_grammar",       # S1 grammar DataSource stream (fixed grid; measures
                               # the partitioned Python-source + decode machinery)
@@ -64,6 +67,24 @@ def main() -> int:
     # first timed dedup query. The benchmarked sf_dir is untouched.
     for wq in ("q_word_count", "q_minhash_pairs"):
         contract.queries()[wq](spark, "/root/testdata/sf0.001").count()
+    # Warm the Python-DataSource streaming machinery (worker pool,
+    # source registration, state store) with an 8-message grammar
+    # stream — a different, tiny workload, so the timed
+    # q_stream_grammar measures the 200-message grid, not cold-start.
+    from myasynstreamjoin_spark.config import EngineConfig
+    from myasynstreamjoin_spark.streaming.windowed import (
+        run_stream_to_table,
+        stream_grammar_min_count,
+    )
+
+    run_stream_to_table(
+        stream_grammar_min_count(
+            spark, EngineConfig(lgw_ms=1000, watermark_delay="2 seconds"),
+            messages="8", records_per_message="8", partitions="2",
+            messages_per_batch="8",
+        ),
+        spark,
+    ).count()
     spark.catalog.clearCache()
 
     queries = contract.queries()
