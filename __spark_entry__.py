@@ -656,6 +656,37 @@ def _q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return copurchase_pairs(tables.load_table(spark, sf_dir, "lineitem"), k=20)
 
 
+def _q_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining: top-20 consecutive 3-event-type
+    paths across users (ordered by ts, event_id ties)."""
+    from myasynstreamjoin_spark.operators.sessions import top_event_sequences
+
+    _prep(spark)
+    return top_event_sequences(tables.load_table(spark, sf_dir, "events"), n=3, k=20)
+
+
+def _q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations over orders: 4 row-level
+    predicates + a key-uniqueness check, all in ONE wide aggregate
+    (one scan regardless of rule count). The price-cap rule is
+    deliberately violated by the data — violations are counted, not
+    raised."""
+    from myasynstreamjoin_spark.operators.relational import expectations
+
+    _prep(spark)
+    orders = tables.load_table(spark, sf_dir, "orders")
+    return expectations(
+        orders,
+        checks=[
+            ("price_positive", F.col("o_totalprice") > 0),
+            ("price_under_cap", F.col("o_totalprice") <= 300000),
+            ("custkey_not_null", F.col("o_custkey").isNotNull()),
+            ("status_known", F.col("o_orderstatus").isin("O", "F", "P")),
+        ],
+        unique_cols=["o_orderkey"],
+    )
+
+
 def _q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.operators.relational import distinct_users_per_type
 
@@ -1639,7 +1670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cost_model_window": _q_cost_model_window,
         # event-time / relational-window surface (all ts-arithmetic paths)
         "q_latest_event": _q_latest_event,
-        "q_latest_event_maxby": _q_latest_event_maxby,
+        "q_bm25": _q_bm25,                                # Okapi BM25 lexical retrieval
         "q_scd2": _q_scd2,
         "q_event_gaps": _q_event_gaps,
         "q_sliding_count": _q_sliding_count,
@@ -1681,6 +1712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_profile": _q_profile,
         "q_topk_per_group": _q_topk_per_group,
         "q_copurchase": _q_copurchase,                    # market-basket pair counts
+        "q_event_sequences": _q_event_sequences,          # sequential-pattern n-grams
+        "q_expectations": _q_expectations,                # declarative data-quality checks
         "q_distinct_users": _q_distinct_users,
         "q_repeat_customers": _q_repeat_customers,
         "q_churned_customers": _q_churned_customers,
@@ -1737,7 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_filter": _q_quality_filter,            # dynamic percentile-threshold filter
         "q_group_cap": _q_group_cap,                      # fixed-k per-group deterministic cap
         "q_negative_pairs": _q_negative_pairs,            # contrastive negative sampling
-        "q_bm25": _q_bm25,                                # Okapi BM25 lexical retrieval
+        "q_latest_event_maxby": _q_latest_event_maxby,    # max_by twin of q_latest_event
         "q_vocab": _q_vocab,                              # DF vocabulary / stopword scan
         "q_bloom_decontaminate": _q_bloom_decontaminate,  # Bloom-prefiltered exact anti-join
         "q_semantic_dedup": _q_semantic_dedup,            # SemDeDup cluster-then-pair dedup
@@ -2110,6 +2143,48 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.50), 6) AS p50_exact,
                    TRUE AS approx_ok
             FROM events GROUP BY event_type
+        """,
+        "q_event_sequences": """
+            WITH seqs AS (
+              SELECT user_id,
+                     list(event_type ORDER BY ts, event_id) AS types
+              FROM events GROUP BY user_id),
+            grams AS (
+              SELECT unnest(list_transform(
+                       generate_series(1, len(types) - 2),
+                       i -> types[i] || '>' || types[i+1] || '>' || types[i+2]
+                     )) AS seq
+              FROM seqs WHERE len(types) >= 3)
+            SELECT seq, count(*) AS n_occurrences FROM grams
+            GROUP BY seq ORDER BY n_occurrences DESC, seq LIMIT 20
+        """,
+        # One UNION-ALL branch per expectation; mirrors the single-agg
+        # Spark plan's per-check conditional sums.
+        "q_expectations": """
+            SELECT 'price_positive' AS check,
+                   CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+                   sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) = 0 AS passed
+            FROM orders
+            UNION ALL
+            SELECT 'price_under_cap',
+                   CAST(sum(CASE WHEN o_totalprice <= 300000 THEN 0 ELSE 1 END) AS BIGINT),
+                   sum(CASE WHEN o_totalprice <= 300000 THEN 0 ELSE 1 END) = 0
+            FROM orders
+            UNION ALL
+            SELECT 'custkey_not_null',
+                   CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT),
+                   sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) = 0
+            FROM orders
+            UNION ALL
+            SELECT 'status_known',
+                   CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS BIGINT),
+                   sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) = 0
+            FROM orders
+            UNION ALL
+            SELECT 'unique:o_orderkey',
+                   CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT),
+                   count(o_orderkey) = count(DISTINCT o_orderkey)
+            FROM orders
         """,
         "q_copurchase": """
             WITH items AS (

@@ -763,3 +763,47 @@ def copurchase_pairs(
     return pairs.orderBy(
         F.col("n_orders").desc(), F.col("part_a"), F.col("part_b")
     ).limit(k)
+
+
+def expectations(
+    df: DataFrame,
+    checks: list[tuple[str, Column]],
+    unique_cols: list[str] | None = None,
+) -> DataFrame:
+    """Declarative data-quality expectations — the assertion pass a
+    pipeline runs before publishing a table: each check is a row-level
+    predicate; a row that fails it counts as a violation. Optional
+    ``unique_cols`` adds a uniqueness expectation per listed column
+    (row-count == distinct-count).
+
+    One scan, ONE wide aggregate for every check (violations are
+    conditional sums, uniqueness is count vs count_distinct in the
+    same agg) — never a job per rule; a 100 TB expectation suite must
+    not rescan per check. The per-check rows come out of an explicit
+    stack of the 1-row aggregate.
+
+    Output: (check, n_violations, passed) — one row per check.
+    """
+    aggs: list[Column] = []
+    names: list[str] = []
+    for name, pred in checks:
+        names.append(name)
+        aggs.append(
+            F.sum(F.when(pred, 0).otherwise(1)).cast("long").alias(f"__v_{name}")
+        )
+    for c in unique_cols or []:
+        name = f"unique:{c}"
+        names.append(name)
+        aggs.append(
+            (F.count(c) - F.countDistinct(c)).cast("long").alias(f"__v_{name}")
+        )
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(name).alias("check"),
+            F.col(f"__v_{name}").alias("n_violations"),
+            (F.col(f"__v_{name}") == 0).alias("passed"),
+        )
+        for name in names
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("e")).select("e.*")

@@ -182,3 +182,58 @@ def cohort_retention(
             ).alias("retention"),
         )
     )
+
+
+def top_event_sequences(
+    events: DataFrame,
+    n: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Sequential-pattern mining, n-gram flavor: the top-``k``
+    length-``n`` consecutive event-type sequences across all users —
+    the "common paths" scan behind funnel design and next-event
+    features.
+
+    Plan shape: ONE shuffle builds each user's time-ordered type array
+    (collect_list + array_sort on (ts, event_id) — partial-agg
+    combines map-side); the n-gram expansion is the same
+    materialize-then-transform pattern as `shingle_docs` (the token
+    array crosses an exchange before the gram lambda so the sort isn't
+    re-evaluated per element — SCALE.md's HOF-capture rule); the gram
+    count is the only other shuffle and the ranking is
+    TakeOrderedAndProject. Per-user arrays are bounded by user
+    activity; a pathological always-on user would need the per-group
+    cap treatment (`sample_k_per_group`) upstream.
+
+    Output: (seq, n_occurrences) — seq as 'a>b>c', ties broken by seq.
+    """
+    from myasynstreamjoin_spark.sources.tables import rebalance
+
+    per_user = rebalance(
+        events.groupBy("user_id").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ).alias("types")
+        )
+    )
+    sz = F.size("types")
+    idx = F.sequence(F.lit(0), sz - n)
+    grams = per_user.where(sz >= n).select(
+        F.explode_outer(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    ">", *[F.element_at("types", i + j + 1) for j in range(n)]
+                ),
+            )
+        ).alias("seq")
+    )
+    return (
+        grams.groupBy("seq")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("seq"))
+        .limit(k)
+    )
