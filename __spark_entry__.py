@@ -1377,6 +1377,18 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_pairs(embs, n_seeds=8, threshold=0.4)
 
 
+def _q_semantic_dedup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB kernel of q_semantic_dedup: numpy-matmul assignment
+    + per-cluster pair matmul. Same pair set as the SQL kernel
+    (pytest-pinned); cosines can drift ~1 ulp (numpy pairwise sums),
+    so this entry is rows-only — the SQL twin carries the oracle."""
+    from myasynstreamjoin_spark.functions.similarity import semantic_dedup_pairs
+
+    _prep(spark)
+    embs = tables.load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(embs, n_seeds=8, threshold=0.4, kernel="arrow")
+
+
 def _q_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap: keep at most 7 docs per source by
     deterministic hash order — the absolute-size complement of the
@@ -1774,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab": _q_vocab,                              # DF vocabulary / stopword scan
         "q_bloom_decontaminate": _q_bloom_decontaminate,  # Bloom-prefiltered exact anti-join
         "q_semantic_dedup": _q_semantic_dedup,            # SemDeDup cluster-then-pair dedup
+        "q_semantic_dedup_arrow": _q_semantic_dedup_arrow,  # rows-only (Arrow kernel twin)
         # remaining streaming queries
         "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join

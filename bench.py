@@ -47,7 +47,8 @@ HEADLINE = [
     "q_embed_neardup_lsh",    # LSH-bucketed embedding near-dup
     "q_bm25",                 # BM25 lexical retrieval
     "q_bloom_decontaminate",  # Bloom-prefiltered exact decontamination
-    "q_semantic_dedup",       # SemDeDup cluster-then-pair (SQL kernel)
+    "q_semantic_dedup_arrow",  # SemDeDup cluster-then-pair (Arrow scale kernel;
+                              # the SQL twin carries the DuckDB oracle)
     "q_stream_min_count_window",  # Structured Streaming flagship
     "q_stream_grammar",       # S1 grammar DataSource stream (fixed grid; measures
                               # the partitioned Python-source + decode machinery)
