@@ -656,6 +656,17 @@ def _q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return copurchase_pairs(tables.load_table(spark, sf_dir, "lineitem"), k=20)
 
 
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase graph, 3 integer-microunit value
+    iterations unrolled into one plan (operators/graph.py)."""
+    from myasynstreamjoin_spark.operators.graph import pagerank_copurchase
+
+    _prep(spark)
+    return pagerank_copurchase(
+        tables.load_table(spark, sf_dir, "lineitem"), n_iters=3, k=20
+    )
+
+
 def _q_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential-pattern mining: top-20 consecutive 3-event-type
     paths across users (ordered by ts, event_id ties)."""
@@ -1725,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_per_group": _q_topk_per_group,
         "q_copurchase": _q_copurchase,                    # market-basket pair counts
         "q_event_sequences": _q_event_sequences,          # sequential-pattern n-grams
+        "q_pagerank": _q_pagerank,                        # integer-exact PageRank
         "q_expectations": _q_expectations,                # declarative data-quality checks
         "q_distinct_users": _q_distinct_users,
         "q_repeat_customers": _q_repeat_customers,
@@ -1833,6 +1845,43 @@ _SHINGLES = f"""
 #: Oracle-replayable 32-bit hash (functions.dedup.md5_32 in SQL): the
 #: first 8 hex digits of md5 as a BIGINT in [0, 2³²).
 _MD5_32 = "CAST(('0x' || substring(md5({x}), 1, 8)) AS BIGINT)"
+
+
+def _pagerank_sql(n_iters: int = 3, damping_pct: int = 85, k: int = 20) -> str:
+    """Unrolled integer-microunit PageRank (operators/graph.py): one
+    CTE pair (contribution sum, rank update) per iteration — every
+    operation is BIGINT //, so both engines compute identical bits."""
+    mass = 1_000_000_000_000
+    base = [
+        "WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),",
+        "bounded AS (SELECT l_orderkey FROM items"
+        " GROUP BY l_orderkey HAVING count(*) <= 64),",
+        "edges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst"
+        " FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey"
+        " AND a.l_partkey <> b.l_partkey"
+        " JOIN bounded ON a.l_orderkey = bounded.l_orderkey),",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),",
+        "nodes AS (SELECT DISTINCT src AS part FROM edges),",
+        "nn AS (SELECT count(*) AS n FROM nodes),",
+        f"r0 AS (SELECT part, {mass} // nn.n AS r FROM nodes, nn)",
+    ]
+    for t in range(1, n_iters + 1):
+        base.append(
+            f", c{t} AS (SELECT e.dst, sum(r.r // d.deg) AS s"
+            f" FROM edges e JOIN deg d ON e.src = d.src"
+            f" JOIN r{t-1} r ON e.src = r.part GROUP BY e.dst)"
+        )
+        base.append(
+            f", r{t} AS (SELECT nodes.part,"
+            f" {100 - damping_pct} * {mass} // (100 * nn.n)"
+            f" + ({damping_pct} * coalesce(c{t}.s, 0)) // 100 AS r"
+            f" FROM nodes LEFT JOIN c{t} ON nodes.part = c{t}.dst, nn)"
+        )
+    base.append(
+        f"SELECT part, round(CAST(r AS DOUBLE) / {mass}, 6) AS rank"
+        f" FROM r{n_iters} ORDER BY rank DESC, part LIMIT {k}"
+    )
+    return "\n".join(base)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2157,6 +2206,7 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS approx_ok
             FROM events GROUP BY event_type
         """,
+        "q_pagerank": _pagerank_sql(),
         "q_event_sequences": """
             WITH seqs AS (
               SELECT user_id,

@@ -139,3 +139,29 @@ def test_semantic_dedup_arrow_kernel_equals_sql(embs):
 def test_semantic_dedup_rejects_unknown_kernel(embs):
     with pytest.raises(ValueError):
         semantic_dedup_pairs(embs, 8, 0.3, kernel="nope")
+
+
+def test_pagerank_invariants(spark, sf_dir):
+    """Integer-microunit PageRank: ranks positive, total mass within
+    floor-division loss of 1.0, degree-correlated head."""
+    from myasynstreamjoin_spark.operators.graph import pagerank_copurchase
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    top = pagerank_copurchase(li, n_iters=3, k=1_000_000).collect()
+    assert len(top) > 0
+    assert all(r.rank > 0 for r in top)
+    total = sum(r.rank for r in top)
+    # floor division only ever LOSES mass, bounded by ~|nodes|+|edges|
+    # micro-units per iteration
+    assert 0.9 <= total <= 1.0 + 1e-9
+
+
+def test_event_sequences_bound(spark, sf_dir):
+    from myasynstreamjoin_spark.operators.sessions import top_event_sequences
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = top_event_sequences(ev, n=3, k=10).collect()
+    assert 0 < len(rows) <= 10
+    counts = [r.n_occurrences for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(len(r.seq.split(">")) == 3 for r in rows)
