@@ -62,5 +62,41 @@ con.execute(
     ) TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)
     """
 )
-for t in ("documents", "embeddings"):
+# lineitem/events: disjoint key spaces per replica (orderkey/partkey/
+# user_id/event_id offsets), so graph and sequence structure grows the
+# way a real corpus does — more entities, same per-entity density.
+n_ord = con.sql("SELECT max(l_orderkey) + 1 FROM read_parquet('%s/lineitem.parquet')" % SRC).fetchone()[0]
+n_part = con.sql("SELECT max(l_partkey) + 1 FROM read_parquet('%s/lineitem.parquet')" % SRC).fetchone()[0]
+con.execute(
+    f"""
+    COPY (
+      SELECT l.* REPLACE (l.l_orderkey + r.r * {n_ord} AS l_orderkey,
+                          l.l_partkey + r.r * {n_part} AS l_partkey)
+      FROM read_parquet('{SRC}/lineitem.parquet') l
+      CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
+    ) TO '{OUT}/lineitem.parquet' (FORMAT PARQUET)
+    """
+)
+con.execute(
+    f"""
+    COPY (
+      SELECT o.* REPLACE (o.o_orderkey + r.r * {n_ord} AS o_orderkey)
+      FROM read_parquet('{SRC}/orders.parquet') o
+      CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
+    ) TO '{OUT}/orders.parquet' (FORMAT PARQUET)
+    """
+)
+n_usr = con.sql("SELECT max(user_id) + 1 FROM read_parquet('%s/events.parquet')" % SRC).fetchone()[0]
+n_ev = con.sql("SELECT max(event_id) + 1 FROM read_parquet('%s/events.parquet')" % SRC).fetchone()[0]
+con.execute(
+    f"""
+    COPY (
+      SELECT e.* REPLACE (e.event_id + r.r * {n_ev} AS event_id,
+                          e.user_id + r.r * {n_usr} AS user_id)
+      FROM read_parquet('{SRC}/events.parquet') e
+      CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
+    ) TO '{OUT}/events.parquet' (FORMAT PARQUET)
+    """
+)
+for t in ("documents", "embeddings", "lineitem", "orders", "events"):
     print(t, con.sql(f"SELECT count(*) FROM read_parquet('{OUT}/{t}.parquet')").fetchone()[0])

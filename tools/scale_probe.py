@@ -34,6 +34,10 @@ DEFAULT = [
     "q_bm25",
     "q_simsearch",
     "q_dup_spans",
+    "q_copurchase",
+    "q_pagerank",
+    "q_event_sequences",
+    "q_expectations",
 ]
 NAMES = sys.argv[2:] or DEFAULT
 
