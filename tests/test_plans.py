@@ -325,3 +325,57 @@ def test_topk_revenue_is_heap_merge_not_global_sort(spark, sf_dir):
     plan = simple_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert has_broadcast_join(df)  # customer dim broadcasts
+
+
+def test_bm25_plan_shape(spark, sf_dir):
+    """Retrieval: ranking is TakeOrdered (no global sort); the term
+    filter reaches the scan side before any shuffle; corpus constants
+    arrive by broadcast."""
+    from myasynstreamjoin_spark.functions.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = bm25_topk(docs, ["the", "data"], k=10)
+    plan = simple_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("SortMergeJoin", "")
+    assert has_broadcast_join(df)
+
+
+def test_copurchase_is_two_shuffles(spark, sf_dir):
+    """Basket build (groupBy order) + pair count — the self-join
+    formulation's 5 exchanges must not come back."""
+    from myasynstreamjoin_spark.operators.relational import copurchase_pairs
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = copurchase_pairs(li, k=10)
+    assert n_shuffles(df) == 2
+    assert "TakeOrderedAndProject" in simple_plan(df)
+
+
+def test_expectations_single_scan(spark, sf_dir):
+    """One scan and one aggregate row regardless of rule count."""
+    from myasynstreamjoin_spark.operators.relational import expectations
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = expectations(
+        orders,
+        checks=[("p", F.col("o_totalprice") > 0),
+                ("c", F.col("o_custkey").isNotNull())],
+        unique_cols=["o_orderkey"],
+    )
+    assert n_nodes(df, "Scan parquet") == 1
+
+
+def test_bloom_decontaminate_broadcasts_bitmap(spark, sf_dir):
+    """The train side must meet the bitmap via broadcast (never a
+    shuffle of the corpus against the filter)."""
+    from myasynstreamjoin_spark.functions.dedup import bloom_decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = bloom_decontaminate(
+        docs.where(~F.col("source").isin("src0", "src1")),
+        docs.where(F.col("source").isin("src0", "src1")),
+        k=8,
+    )
+    plan = simple_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
