@@ -667,6 +667,26 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-filter eval: confusion matrix of the stopword-ratio
+    langid heuristic against the labeled lang column."""
+    from myasynstreamjoin_spark.functions.text import langid_eval
+
+    _prep(spark)
+    return langid_eval(tables.load_table(spark, sf_dir, "documents"))
+
+
+def _q_domain_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus comparison: top-20 terms over-represented in src0/src1
+    vs the rest by add-1 log-odds (exact integer counts)."""
+    from myasynstreamjoin_spark.functions.retrieval import log_odds_terms
+
+    _prep(spark)
+    return log_odds_terms(
+        tables.load_table(spark, sf_dir, "documents"), ("src0", "src1"), k=20
+    )
+
+
 def _q_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential-pattern mining: top-20 consecutive 3-event-type
     paths across users (ordered by ts, event_id ties)."""
@@ -1737,6 +1757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_copurchase": _q_copurchase,                    # market-basket pair counts
         "q_event_sequences": _q_event_sequences,          # sequential-pattern n-grams
         "q_pagerank": _q_pagerank,                        # integer-exact PageRank
+        "q_langid_eval": _q_langid_eval,                  # langid confusion matrix
+        "q_domain_terms": _q_domain_terms,                # log-odds corpus comparison
         "q_expectations": _q_expectations,                # declarative data-quality checks
         "q_distinct_users": _q_distinct_users,
         "q_repeat_customers": _q_repeat_customers,
@@ -2207,6 +2229,40 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "q_pagerank": _pagerank_sql(),
+        "q_langid_eval": f"""
+            WITH scored AS (
+              SELECT doc_id,
+                     round(CAST(len(list_filter(list_distinct({_DOC_TOKENS}),
+                                                x -> x IN ({sw}))) AS DOUBLE)
+                           / len(list_distinct({_DOC_TOKENS})), 6) AS en_ratio
+              FROM documents),
+            pred AS (
+              SELECT doc_id,
+                     CASE WHEN en_ratio > 0.05 THEN 'en' ELSE 'other' END
+                       AS lang_guess
+              FROM scored)
+            SELECT d.lang, p.lang_guess, count(*) AS n_docs
+            FROM documents d JOIN pred p USING (doc_id)
+            GROUP BY 1, 2
+        """,
+        "q_domain_terms": f"""
+            WITH toks AS (
+              SELECT source IN ('src0', 'src1') AS in_a,
+                     unnest({_DOC_TOKENS}) AS term
+              FROM documents),
+            counts AS (
+              SELECT term,
+                     sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS a,
+                     sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS b
+              FROM toks GROUP BY term),
+            tot AS (SELECT sum(a) AS ta, sum(b) AS tb FROM counts)
+            SELECT term,
+                   round(ln((a + 1.0) / (ta - a + 1.0))
+                         - ln((b + 1.0) / (tb - b + 1.0)), 4) AS log_odds
+            FROM counts, tot
+            ORDER BY log_odds DESC, term
+            LIMIT 20
+        """,
         "q_event_sequences": """
             WITH seqs AS (
               SELECT user_id,

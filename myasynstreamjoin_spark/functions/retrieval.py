@@ -128,3 +128,47 @@ def vocab_stats(
         )
     )
     return stats.orderBy(F.col("df").desc(), F.col("term")).limit(top_n)
+
+
+def log_odds_terms(
+    docs: DataFrame,
+    side_a_sources: Sequence[str],
+    k: int = 20,
+) -> DataFrame:
+    """Corpus comparison: the ``k`` terms most over-represented in the
+    ``side_a_sources`` slice vs the rest, by add-1-smoothed log-odds —
+    the domain-drift / slice-characterization scan (Monroe et al.
+    2008's "Fightin' Words" statistic, without the prior variance
+    term).
+
+    score(t) = ln((a+1)/(A−a+1)) − ln((b+1)/(B−b+1)) with a/b the
+    term's token counts in each side and A/B the side totals. Counts
+    are exact integers, so the doubles (and therefore the ranking)
+    replay bit-for-bit in an external engine.
+
+    Plan: one explode, per-term conditional sums in ONE aggregate
+    (shuffle at |vocab|), totals re-aggregated from the per-term rows
+    (no second corpus scan) and broadcast back, TakeOrdered ranking.
+
+    Output: (term, log_odds) — rounded to 4; ties broken by term.
+    """
+    sides = docs.select(
+        F.col("source").isin(*side_a_sources).alias("in_a"),
+        F.explode(tokens("text")).alias("term"),
+    )
+    counts = sides.groupBy("term").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("long").alias("b"),
+    )
+    totals = counts.agg(
+        F.sum("a").cast("long").alias("ta"), F.sum("b").cast("long").alias("tb")
+    )
+    score = F.log(
+        (F.col("a") + F.lit(1.0)) / (F.col("ta") - F.col("a") + F.lit(1.0))
+    ) - F.log((F.col("b") + F.lit(1.0)) / (F.col("tb") - F.col("b") + F.lit(1.0)))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select("term", F.round(score, 4).alias("log_odds"))
+        .orderBy(F.col("log_odds").desc(), F.col("term"))
+        .limit(k)
+    )

@@ -222,3 +222,21 @@ def repetition_stats(docs: DataFrame, k: int = 3) -> DataFrame:
             (total - distinct).cast("double") / total.cast("double"), 6
         ).alias("rep_ratio"),
     )
+
+
+def langid_eval(docs: DataFrame, threshold: float = 0.05) -> DataFrame:
+    """Confusion matrix of `lang_id` against the labeled ``lang``
+    column — the eval pass a pipeline runs when tuning a language
+    filter (which labeled languages leak through the 'en' gate).
+
+    One scan (the heuristic is computed in the same projection as the
+    label), one count aggregate at |langs|×|guesses| cardinality.
+
+    Output: (lang, lang_guess, n_docs).
+    """
+    return (
+        lang_id(docs, threshold)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n_docs"))
+    )
