@@ -38,6 +38,9 @@ DEFAULT = [
     "q_pagerank",
     "q_event_sequences",
     "q_expectations",
+    "q_stream_min_count_window",
+    "q_stream_dedup",
+    "q_stream_sessions",
 ]
 NAMES = sys.argv[2:] or DEFAULT
 
