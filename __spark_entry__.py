@@ -408,6 +408,28 @@ def _q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quality monitoring: per-window violation counts of
+    three rules over the events stream, append-mode (final-watermark
+    emission rule in the oracle)."""
+    from myasynstreamjoin_spark.streaming.windowed import (
+        run_stream_to_table,
+        stream_events,
+        stream_window_expectations,
+    )
+
+    _prep(spark)
+    checks = [
+        ("value_nonneg", F.col("value") >= 0),
+        ("value_under_100", F.col("value") <= 100),
+        ("type_known", F.col("event_type").isNotNull()),
+    ]
+    return run_stream_to_table(
+        stream_window_expectations(stream_events(spark, sf_dir), checks),
+        spark,
+    )
+
+
 def _q_stream_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Update-output-mode windowed counts, run to completion and
     compacted to the final value per (key, window). Unlike every
@@ -1826,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
         "q_stream_min_count_zero": _q_stream_min_count_zero,
         "q_stream_max_window": _q_stream_max_window,      # A4 via generalized stateful op
+        "q_stream_expectations": _q_stream_expectations,  # per-window quality monitoring
         "q_stream_update": _q_stream_update,              # update-output-mode windowed counts
         "q_stream_sliding": _q_stream_sliding,            # streaming sliding windows
         "q_stream_enrich": _q_stream_enrich,              # stream-static broadcast join
@@ -3518,6 +3541,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN count(*) = 3 THEN min(cnt) ELSE 0 END AS BIGINT) AS min_cnt
             FROM per_source GROUP BY key, ltw
             HAVING (ltw + 1) * {CFG.lgw_ms} <= (SELECT wm_ms FROM wm)
+        """,
+        "q_stream_expectations": f"""
+            WITH parsed AS (
+              SELECT (epoch_ns(ts) // 1000000) // {CFG.lgw_ms} AS ltw,
+                     value, event_type
+              FROM events),
+            wm AS (SELECT max(epoch_ns(ts)) // 1000000 - {3_600_000} AS wm_ms
+                   FROM events),
+            agg AS (
+              SELECT ltw,
+                     -- NOT(pred) mirrors Spark's count(when(~pred, 1)):
+                     -- a NULL predicate is neither pass nor violation
+                     sum(CASE WHEN NOT (value >= 0) THEN 1 ELSE 0 END) AS v_nonneg,
+                     sum(CASE WHEN NOT (value <= 100) THEN 1 ELSE 0 END) AS v_under,
+                     sum(CASE WHEN NOT (event_type IS NOT NULL) THEN 1 ELSE 0 END) AS v_type,
+                     count(*) AS n_events
+              FROM parsed GROUP BY ltw
+              HAVING (ltw + 1) * {CFG.lgw_ms} <= (SELECT wm_ms FROM wm))
+            SELECT ltw, 'value_nonneg' AS check,
+                   CAST(v_nonneg AS BIGINT) AS n_violations,
+                   CAST(n_events AS BIGINT) AS n_events
+            FROM agg
+            UNION ALL
+            SELECT ltw, 'value_under_100', CAST(v_under AS BIGINT),
+                   CAST(n_events AS BIGINT)
+            FROM agg
+            UNION ALL
+            SELECT ltw, 'type_known', CAST(v_type AS BIGINT),
+                   CAST(n_events AS BIGINT)
+            FROM agg
         """,
         "q_stream_dedup": f"""
             WITH parsed AS (

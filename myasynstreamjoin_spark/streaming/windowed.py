@@ -30,7 +30,7 @@ import os
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -615,3 +615,50 @@ def compact_update_log(log: DataFrame) -> DataFrame:
     needed (same reasoning as operators/relational.py latest_event_maxby).
     """
     return log.groupBy("key", "ltw").agg(F.max("n").alias("n"))
+
+
+def stream_window_expectations(
+    events: DataFrame,
+    checks: list[tuple[str, Column]],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Streaming data-quality monitoring: the batch `expectations`
+    operator windowed — per tumbling event-time window, the violation
+    count of every rule, emitted in append mode when the watermark
+    closes the window (the shape a pipeline alerts on: "bad-row rate
+    per window", not a global scan).
+
+    One stateful aggregation regardless of rule count (each rule is a
+    conditional count in the same agg — state per window is one row of
+    counters); the long-form (check, n_violations) explosion happens
+    AFTER the stateful agg, so it adds no state.
+
+    Output: (ltw, check, n_violations, n_events).
+    """
+    # carry every source column — Catalyst prunes to the ones the
+    # predicates actually reference
+    with_time = events.select(
+        F.expr("timestamp_micros(ts DIV 1000)").alias("etime"), "*"
+    )
+    aggs = [
+        F.count(F.when(~pred, 1)).cast("long").alias(f"__v_{name}")
+        for name, pred in checks
+    ] + [F.count(F.lit(1)).cast("long").alias("n_events")]
+    agg = (
+        with_time.withWatermark("etime", cfg.watermark_delay)
+        .groupBy(F.window("etime", f"{cfg.lgw_ms} milliseconds").alias("w"))
+        .agg(*aggs)
+    )
+    rows = [
+        F.struct(
+            F.lit(name).alias("check"),
+            F.col(f"__v_{name}").alias("n_violations"),
+        )
+        for name, _ in checks
+    ]
+    return agg.select(
+        F.floor(F.unix_millis(F.col("w.start")) / cfg.lgw_ms).cast("long").alias("ltw"),
+        F.explode(F.array(*rows)).alias("e"),
+        "n_events",
+    ).select("ltw", "e.check", "e.n_violations", "n_events")
+
