@@ -3263,19 +3263,39 @@ def oracle_sql() -> dict[str, str]:
               WHERE term IN ('the', 'data', 'model')
               GROUP BY doc_id, term),
             dfs AS (SELECT term, count(DISTINCT doc_id) AS df
-                    FROM post GROUP BY term)
-            SELECT p.doc_id,
-                   round(sum(
-                     ln(1 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
-                     * (p.tf * (1.2 + 1.0))
-                     / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / c.avgdl))
-                   ), 4) AS score
-            FROM post p
-            JOIN dfs d USING (term)
-            JOIN lens l USING (doc_id)
-            CROSS JOIN corpus c
-            GROUP BY p.doc_id
-            ORDER BY score DESC, p.doc_id
+                    FROM post GROUP BY term),
+            -- per-term partial scores pivoted to columns and added in
+            -- the query's term order — mirrors the Spark side's
+            -- fixed-order add, so every double op sequences
+            -- identically in both engines (a float SUM over rows
+            -- would accumulate in engine-determined order)
+            pivoted AS (
+              SELECT p.doc_id,
+                     max(CASE WHEN p.term = 'the' THEN
+                       ln(1 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * (p.tf * (1.2 + 1.0))
+                       / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / c.avgdl))
+                     END) AS s0,
+                     max(CASE WHEN p.term = 'data' THEN
+                       ln(1 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * (p.tf * (1.2 + 1.0))
+                       / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / c.avgdl))
+                     END) AS s1,
+                     max(CASE WHEN p.term = 'model' THEN
+                       ln(1 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * (p.tf * (1.2 + 1.0))
+                       / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / c.avgdl))
+                     END) AS s2
+              FROM post p
+              JOIN dfs d USING (term)
+              JOIN lens l USING (doc_id)
+              CROSS JOIN corpus c
+              GROUP BY p.doc_id)
+            SELECT doc_id,
+                   round(0.0 + coalesce(s0, 0.0) + coalesce(s1, 0.0)
+                         + coalesce(s2, 0.0), 4) AS score
+            FROM pivoted
+            ORDER BY score DESC, doc_id
             LIMIT 10
         """,
         "q_vocab": f"""
@@ -3551,11 +3571,13 @@ def oracle_sql() -> dict[str, str]:
                    FROM events),
             agg AS (
               SELECT ltw,
-                     -- NOT(pred) mirrors Spark's count(when(~pred, 1)):
-                     -- a NULL predicate is neither pass nor violation
-                     sum(CASE WHEN NOT (value >= 0) THEN 1 ELSE 0 END) AS v_nonneg,
-                     sum(CASE WHEN NOT (value <= 100) THEN 1 ELSE 0 END) AS v_under,
-                     sum(CASE WHEN NOT (event_type IS NOT NULL) THEN 1 ELSE 0 END) AS v_type,
+                     -- CASE WHEN pred THEN 0 ELSE 1: a NULL predicate
+                     -- counts as a violation, matching the batch
+                     -- expectations operator (and Spark's
+                     -- when(pred, 0).otherwise(1))
+                     sum(CASE WHEN value >= 0 THEN 0 ELSE 1 END) AS v_nonneg,
+                     sum(CASE WHEN value <= 100 THEN 0 ELSE 1 END) AS v_under,
+                     sum(CASE WHEN event_type IS NOT NULL THEN 0 ELSE 1 END) AS v_type,
                      count(*) AS n_events
               FROM parsed GROUP BY ltw
               HAVING (ltw + 1) * {CFG.lgw_ms} <= (SELECT wm_ms FROM wm))

@@ -136,7 +136,11 @@ def _parse_wav(b: bytes) -> dict:
         cid, clen = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
         body = b[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             _, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if n_ch <= 0 or rate <= 0 or bits <= 0 or bits % 8 != 0:
+                raise ValueError("degenerate WAV fmt fields")
             fmt = (n_ch, rate, bits)
         elif cid == b"data":
             data_len = clen
@@ -181,7 +185,10 @@ def _parse_ppm(b: bytes) -> dict:
 
 def _parse_bmp(b: bytes) -> dict:
     """BITMAPFILEHEADER (14 B) + BITMAPINFOHEADER: width/height/bpp."""
-    if len(b) < 26 or b[:2] != b"BM":
+    # 30 covers through the bpp field at offset 28 — a 26-byte guard
+    # would pass truncated headers into struct.error instead of the
+    # contract's ValueError
+    if len(b) < 30 or b[:2] != b"BM":
         raise ValueError("not a BMP payload")
     w, h = struct.unpack("<ii", b[18:26])
     bpp = struct.unpack("<H", b[28:30])[0]
@@ -294,7 +301,12 @@ def synthetic_media(docs: DataFrame) -> DataFrame:
     return built.select(
         "media_id", "media_type", "content",
         F.struct(
+            # mime from the actual payload magic, not just media_type —
+            # a third of the image rows are BMP, not PPM
             F.when(F.col("media_type") == "audio", F.lit("audio/wav"))
+            .when(
+                F.col("content").substr(1, 2) == F.lit(b"BM"), F.lit("image/bmp")
+            )
             .otherwise(F.lit("image/x-portable-pixmap")).alias("mime"),
             F.col("n_bytes"),
         ).alias("meta"),

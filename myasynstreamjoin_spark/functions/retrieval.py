@@ -43,8 +43,14 @@ def bm25_topk(
 
     Uses the Lucene-style non-negative idf
     ``ln(1 + (N - df + 0.5)/(df + 0.5))`` and the standard saturating
-    term-frequency component; all arithmetic in double precision so an
-    external SQL oracle reproduces the scores bit-for-bit.
+    term-frequency component. Cross-engine determinism: the per-term
+    partial scores are pivoted to one COLUMN per query term and added
+    in the terms' given order — a float SUM over rows would accumulate
+    in engine-determined order, and float addition is non-associative,
+    so a score within ~1 ulp of a round-4 boundary could rank
+    differently in Spark and the oracle. With the fixed-order column
+    add, every double op happens in the same sequence in both engines
+    and the scores replay bit-for-bit.
 
     Plan shape: one corpus scan computes (doc_id, dl) and the exploded
     postings restricted to ``query_terms``; df comes from a
@@ -80,13 +86,20 @@ def bm25_topk(
         F.col("tf")
         + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
     )
+    per_term = [
+        F.max(F.when(F.col("term") == t, idf * tf_part)).alias(f"__s{i}")
+        for i, t in enumerate(terms)
+    ]
+    total = F.lit(0.0)
+    for i in range(len(terms)):
+        total = total + F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
     scored = (
         postings.join(F.broadcast(df_), "term")
         .join(lens, "doc_id")
         .crossJoin(F.broadcast(corpus))
         .groupBy("doc_id")
-        .agg(F.sum(idf * tf_part).alias("s"))
-        .select("doc_id", F.round("s", 4).alias("score"))
+        .agg(*per_term)
+        .select("doc_id", F.round(total, 4).alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
 

@@ -82,7 +82,9 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
-def lang_id(docs: DataFrame, threshold: float = 0.05) -> DataFrame:
+def lang_id(
+    docs: DataFrame, threshold: float = 0.05, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Stopword-ratio language heuristic: fraction of tokens that are
     common English function words; above ``threshold`` → 'en'.
 
@@ -98,6 +100,7 @@ def lang_id(docs: DataFrame, threshold: float = 0.05) -> DataFrame:
     ratio = F.round(n_stop / F.size(F.array_distinct(toks)), 6)
     return docs.select(
         "doc_id",
+        *keep,
         ratio.alias("en_ratio"),
         F.when(ratio > threshold, F.lit("en")).otherwise(F.lit("other")).alias("lang_guess"),
     )
@@ -230,13 +233,13 @@ def langid_eval(docs: DataFrame, threshold: float = 0.05) -> DataFrame:
     filter (which labeled languages leak through the 'en' gate).
 
     One scan (the heuristic is computed in the same projection as the
-    label), one count aggregate at |langs|×|guesses| cardinality.
+    label via lang_id's pass-through columns — no self-join), one
+    count aggregate at |langs|×|guesses| cardinality.
 
     Output: (lang, lang_guess, n_docs).
     """
     return (
-        lang_id(docs, threshold)
-        .join(docs.select("doc_id", "lang"), "doc_id")
+        lang_id(docs, threshold, keep=("lang",))
         .groupBy("lang", "lang_guess")
         .agg(F.count("*").alias("n_docs"))
     )

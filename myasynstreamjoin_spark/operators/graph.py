@@ -69,6 +69,9 @@ def pagerank_copurchase(
     )
     a = bounded.select("l_orderkey", F.col("l_partkey").alias("src"))
     b = bounded.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    # persisted: referenced by every iteration. The k-row RESULT is
+    # materialized eagerly below so all three caches release before
+    # returning (dup_span_stats' long-lived-session discipline).
     edges = (
         a.join(b, "l_orderkey")
         .where(F.col("src") != F.col("dst"))
@@ -112,11 +115,19 @@ def pagerank_copurchase(
                 ).alias("r"),
             )
         )
-    return (
-        ranks.select(
-            "part",
-            F.round(F.col("r").cast("double") / F.lit(float(MASS)), 6).alias("rank"),
+    try:
+        return (
+            ranks.select(
+                "part",
+                F.round(
+                    F.col("r").cast("double") / F.lit(float(MASS)), 6
+                ).alias("rank"),
+            )
+            .orderBy(F.col("rank").desc(), F.col("part"))
+            .limit(k)
+            .localCheckpoint(eager=True)
         )
-        .orderBy(F.col("rank").desc(), F.col("part"))
-        .limit(k)
-    )
+    finally:
+        edges_deg.unpersist()
+        nodes.unpersist()
+        edges.unpersist()

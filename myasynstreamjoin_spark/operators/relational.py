@@ -801,8 +801,8 @@ def expectations(
     rows = [
         F.struct(
             F.lit(name).alias("check"),
-            F.col(f"__v_{name}").alias("n_violations"),
-            (F.col(f"__v_{name}") == 0).alias("passed"),
+            F.col(f"`__v_{name}`").alias("n_violations"),
+            (F.col(f"`__v_{name}`") == 0).alias("passed"),
         )
         for name in names
     ]

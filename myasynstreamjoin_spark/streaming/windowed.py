@@ -640,8 +640,12 @@ def stream_window_expectations(
     with_time = events.select(
         F.expr("timestamp_micros(ts DIV 1000)").alias("etime"), "*"
     )
+    # when(pred, 0).otherwise(1) — NOT count(when(~pred, 1)) — so a
+    # NULL predicate counts as a violation, matching the batch
+    # `expectations` operator exactly (a row you can't validate is a
+    # bad row, in both engines and both modes).
     aggs = [
-        F.count(F.when(~pred, 1)).cast("long").alias(f"__v_{name}")
+        F.sum(F.when(pred, 0).otherwise(1)).cast("long").alias(f"__v_{name}")
         for name, pred in checks
     ] + [F.count(F.lit(1)).cast("long").alias("n_events")]
     agg = (
@@ -652,7 +656,7 @@ def stream_window_expectations(
     rows = [
         F.struct(
             F.lit(name).alias("check"),
-            F.col(f"__v_{name}").alias("n_violations"),
+            F.col(f"`__v_{name}`").alias("n_violations"),
         )
         for name, _ in checks
     ]
