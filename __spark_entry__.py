@@ -1825,12 +1825,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder": _q_zorder,
         # remaining data-pipeline operators
         "q_repetition": _q_repetition,
-        "q_simsearch_lsh": _q_simsearch_lsh,              # rows-only
-        "q_simsearch_ivf": _q_simsearch_ivf,              # rows-only
+        "q_simsearch_lsh": _q_simsearch_lsh,              # bucket-replayable oracle
+        "q_simsearch_ivf": _q_simsearch_ivf,              # index-replayable oracle
         "q_ann_recall": _q_ann_recall,                    # rows-only
         "q_kmeans": _q_kmeans,                            # rows-only (iterative)
         "q_embed_neardup_exact": _q_embed_neardup_exact,
-        "q_embed_neardup_lsh": _q_embed_neardup_lsh,      # rows-only
+        "q_embed_neardup_lsh": _q_embed_neardup_lsh,      # bucket-replayable oracle
         "q_star_join_cube": _q_star_join_cube,            # materializing hypercube join (J3/X13)
         "q_dedup_survivors": _q_dedup_survivors,          # pairs → clusters → canonical corpus
         "q_domain_mix": _q_domain_mix,                    # target-mixture deterministic sampling
@@ -1931,7 +1931,23 @@ def _pagerank_sql(n_iters: int = 3, damping_pct: int = 85, k: int = 20) -> str:
 
 def oracle_sql() -> dict[str, str]:
     from myasynstreamjoin_spark.functions.dedup import minhash_coeffs
+    from myasynstreamjoin_spark.functions.similarity import _random_hyperplanes
     from myasynstreamjoin_spark.operators.zorder import zvalue_sql
+
+    # the seed-42 sign-LSH hyperplanes as double literals: the planes
+    # are baked into the Spark plan the same way, so DuckDB replays the
+    # identical bucket ids (sign flips need |dot| within ~1 ulp of 0 —
+    # vanishing for random vectors)
+    def _bucket_sql(n_planes: int) -> str:
+        planes = _random_hyperplanes(64, n_planes, 42)
+        terms = []
+        for i, pl in enumerate(planes):
+            arr = "[" + ", ".join(repr(float(x)) for x in pl) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(e, {arr}) > 0"
+                f" THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
 
     # the same seed-42 affine coefficients the Spark MinHash uses,
     # embedded as literals so DuckDB replays the identical signatures
@@ -3390,6 +3406,70 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN rates USING (source)
             WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 4)) AS INT)
                   % 65536 < rate * 65536
+        """,
+        "q_simsearch_ivf": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            cent0 AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16),
+            centroids AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                     e AS ce
+              FROM cent0),
+            asg AS (
+              SELECT v.vec_id, v.e, c.cell,
+                     row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_dot_product(v.e, c.ce)
+                                / (sqrt(list_dot_product(v.e, v.e))
+                                   * sqrt(list_dot_product(c.ce, c.ce))), 6)
+                                DESC, c.cell) AS rn
+              FROM v CROSS JOIN centroids c),
+            assigned AS (SELECT vec_id, e, cell FROM asg WHERE rn = 1),
+            q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+            probe AS (
+              SELECT c.cell
+              FROM centroids c, q
+              ORDER BY round(list_dot_product(c.ce, q.qe)
+                       / (sqrt(list_dot_product(c.ce, c.ce))
+                          * sqrt(list_dot_product(q.qe, q.qe))), 6) DESC,
+                       c.cell
+              LIMIT 4)
+            SELECT a.vec_id,
+                   round(list_dot_product(a.e, q.qe)
+                         / (sqrt(list_dot_product(a.e, a.e))
+                            * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos
+            FROM assigned a JOIN probe USING (cell), q
+            WHERE a.vec_id <> 0
+            ORDER BY cos DESC, a.vec_id
+            LIMIT 10
+        """,
+        "q_simsearch_lsh": f"""
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            b AS (SELECT vec_id, e, {_bucket_sql(4)} AS bucket FROM v),
+            q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0)
+            SELECT b.vec_id,
+                   round(list_dot_product(b.e, q.qe)
+                         / (sqrt(list_dot_product(b.e, b.e))
+                            * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos
+            FROM b, q
+            WHERE b.bucket = q.qb AND b.vec_id <> 0
+            ORDER BY cos DESC, b.vec_id
+            LIMIT 10
+        """,
+        "q_embed_neardup_lsh": f"""
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            b AS (SELECT vec_id, e, {_bucket_sql(4)} AS bucket FROM v)
+            SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                   round(list_dot_product(x.e, y.e)
+                         / (sqrt(list_dot_product(x.e, x.e))
+                            * sqrt(list_dot_product(y.e, y.e))), 4) AS cos
+            FROM b x JOIN b y
+              ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+            WHERE round(list_dot_product(x.e, y.e)
+                        / (sqrt(list_dot_product(x.e, x.e))
+                           * sqrt(list_dot_product(y.e, y.e))), 4) >= 0.4
         """,
         "q_simsearch": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

@@ -184,9 +184,12 @@ def ivf_assign(
         .withColumn("cell", F.row_number().over(Window.orderBy("cell_seed")) - 1)
         .select("cell", "cvec")
     )
+    # round-6 before the argmax (the semantic_dedup rule): a 1-ulp
+    # cross-engine drift must not flip a cell assignment, which is what
+    # lets an external oracle replay the index exactly
     scored = embeddings.crossJoin(F.broadcast(centroids)).select(
         id_col, vec_col,
-        F.struct(cosine(F.col(vec_col), F.col("cvec")).alias("cos"),
+        F.struct(F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("cos"),
                  (-F.col("cell")).alias("neg_cell")).alias("__sc"),
         "cell",
     )
@@ -217,7 +220,11 @@ def ivf_topk(
     q = embeddings.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("__q"))
     probe_cells = (
         centroids.crossJoin(F.broadcast(q))
-        .select("cell", cosine(F.col("cvec"), F.col("__q")).alias("ccos"))
+        .select(
+            "cell",
+            # round-6: cell ranking replayable, same rule as assignment
+            F.round(cosine(F.col("cvec"), F.col("__q")), 6).alias("ccos"),
+        )
         .orderBy(F.desc("ccos"), F.asc("cell"))
         .limit(nprobe)
         .select("cell")
