@@ -1827,7 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition": _q_repetition,
         "q_simsearch_lsh": _q_simsearch_lsh,              # bucket-replayable oracle
         "q_simsearch_ivf": _q_simsearch_ivf,              # index-replayable oracle
-        "q_ann_recall": _q_ann_recall,                    # rows-only
+        "q_ann_recall": _q_ann_recall,                    # index-replayable oracle
         "q_kmeans": _q_kmeans,                            # rows-only (iterative)
         "q_embed_neardup_exact": _q_embed_neardup_exact,
         "q_embed_neardup_lsh": _q_embed_neardup_lsh,      # bucket-replayable oracle
@@ -1938,8 +1938,8 @@ def oracle_sql() -> dict[str, str]:
     # are baked into the Spark plan the same way, so DuckDB replays the
     # identical bucket ids (sign flips need |dot| within ~1 ulp of 0 —
     # vanishing for random vectors)
-    def _bucket_sql(n_planes: int) -> str:
-        planes = _random_hyperplanes(64, n_planes, 42)
+    def _bucket_sql(n_planes: int, seed: int = 42) -> str:
+        planes = _random_hyperplanes(64, n_planes, seed)
         terms = []
         for i, pl in enumerate(planes):
             arr = "[" + ", ".join(repr(float(x)) for x in pl) + "]"
@@ -1948,6 +1948,89 @@ def oracle_sql() -> dict[str, str]:
                 f" THEN {1 << i} ELSE 0 END)"
             )
         return " + ".join(terms)
+
+    _COS4 = ("round(list_dot_product({a}, {b})"
+             " / (sqrt(list_dot_product({a}, {a}))"
+             "    * sqrt(list_dot_product({b}, {b}))), 4)")
+    _COS6 = ("round(list_dot_product({a}, {b})"
+             " / (sqrt(list_dot_product({a}, {a}))"
+             "    * sqrt(list_dot_product({b}, {b}))), 6)")
+
+    def _ann_recall_sql() -> str:
+        """Recall@10 of the (deterministic, replayable) multi-table
+        LSH and IVF indices against exact search — every index
+        decision replays because buckets are sign-of-dot on literal
+        planes and cell assignment/probe rank round to 6 before
+        comparison."""
+        bcols = ",\n                   ".join(
+            f"{_bucket_sql(4, 42 + 1000 * t)} AS b{t}" for t in range(8)
+        )
+        qcols = ", ".join(f"b{t} AS qb{t}" for t in range(8))
+        bmatch = " OR ".join(f"b.b{t} = q.qb{t}" for t in range(8))
+        cos_ve = _COS4.format(a="v.e", b="q.qe")
+        cos_ce = _COS4.format(a="c.e", b="c.qe")
+        cos_ae = _COS4.format(a="a.e", b="q.qe")
+        return f"""
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            bks AS (SELECT vec_id, e,
+                   {bcols}
+                   FROM v),
+            qs AS (SELECT vec_id AS query_id, e AS qe, {qcols}
+                   FROM bks WHERE vec_id IN (0, 1, 2, 3)),
+            ex_sc AS (SELECT q.query_id, v.vec_id, {cos_ve} AS cos
+                      FROM v, qs q WHERE v.vec_id <> q.query_id),
+            ex_rk AS (SELECT query_id, vec_id, row_number() OVER (
+                        PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+                      FROM ex_sc),
+            exact_k AS (SELECT query_id, vec_id FROM ex_rk WHERE rn <= 10),
+            lsh_cand AS (SELECT DISTINCT q.query_id, b.vec_id, b.e, q.qe
+                         FROM bks b, qs q
+                         WHERE b.vec_id <> q.query_id AND ({bmatch})),
+            lsh_sc AS (SELECT query_id, vec_id, {cos_ce} AS cos
+                       FROM lsh_cand c),
+            lsh_rk AS (SELECT query_id, vec_id, row_number() OVER (
+                         PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+                       FROM lsh_sc),
+            lsh_k AS (SELECT query_id, vec_id FROM lsh_rk WHERE rn <= 10),
+            cent0 AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16),
+            centroids AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                                 e AS ce FROM cent0),
+            asg AS (SELECT v.vec_id, v.e, c.cell, row_number() OVER (
+                      PARTITION BY v.vec_id
+                      ORDER BY {_COS6.format(a="v.e", b="c.ce")} DESC, c.cell) AS rn
+                    FROM v CROSS JOIN centroids c),
+            assigned AS (SELECT vec_id, e, cell FROM asg WHERE rn = 1),
+            cprobe AS (SELECT q.query_id, c.cell, row_number() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY {_COS6.format(a="c.ce", b="q.qe")} DESC, c.cell) AS crn
+                       FROM centroids c, qs q),
+            probe AS (SELECT query_id, cell FROM cprobe WHERE crn <= 4),
+            ivf_sc AS (SELECT q.query_id, a.vec_id, {cos_ae} AS cos
+                       FROM assigned a
+                       JOIN probe p ON a.cell = p.cell
+                       JOIN qs q ON q.query_id = p.query_id
+                       WHERE a.vec_id <> q.query_id),
+            ivf_rk AS (SELECT query_id, vec_id, row_number() OVER (
+                         PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+                       FROM ivf_sc),
+            ivf_k AS (SELECT query_id, vec_id FROM ivf_rk WHERE rn <= 10),
+            hits_l AS (SELECT e.query_id, count(*) AS h FROM exact_k e
+                       JOIN lsh_k l ON e.query_id = l.query_id
+                                   AND e.vec_id = l.vec_id
+                       GROUP BY e.query_id),
+            hits_i AS (SELECT e.query_id, count(*) AS h FROM exact_k e
+                       JOIN ivf_k i ON e.query_id = i.query_id
+                                   AND e.vec_id = i.vec_id
+                       GROUP BY e.query_id),
+            qids AS (SELECT DISTINCT query_id FROM exact_k)
+            SELECT 10 AS k, count(*) AS n_queries,
+                   round(avg(coalesce(hl.h, 0) / 10.0), 4) AS recall_lsh,
+                   round(avg(coalesce(hi.h, 0) / 10.0), 4) AS recall_ivf
+            FROM qids
+            LEFT JOIN hits_l hl USING (query_id)
+            LEFT JOIN hits_i hi USING (query_id)
+        """
 
     # the same seed-42 affine coefficients the Spark MinHash uses,
     # embedded as literals so DuckDB replays the identical signatures
@@ -3407,6 +3490,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 4)) AS INT)
                   % 65536 < rate * 65536
         """,
+        "q_ann_recall": _ann_recall_sql(),
         "q_simsearch_ivf": """
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                        FROM embeddings),

@@ -444,7 +444,12 @@ def ivf_topk_multi(
     cw = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
     probe = (
         centroids.crossJoin(F.broadcast(q))
-        .select("query_id", "cell", cosine(F.col("cvec"), F.col("__q")).alias("ccos"))
+        # round-6 before ranking: same replayability rule as ivf_topk
+        .select(
+            "query_id",
+            "cell",
+            F.round(cosine(F.col("cvec"), F.col("__q")), 6).alias("ccos"),
+        )
         .withColumn("crank", F.row_number().over(cw))
         .where(F.col("crank") <= nprobe)
         .select("query_id", "cell")
