@@ -278,18 +278,35 @@ def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
     dim: int = 64,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    target_bucket: int = 256,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed: pairs are
     only compared within a bucket (plus nothing else — multi-probe
     would raise recall at 2× cost), so the join is bucket-local instead
     of a full cross product.
 
+    ``n_planes=None`` auto-scales the plane count so expected bucket
+    size ≈ ``target_bucket`` (one bounded count as the control-plane
+    read): a STATIC plane count is a scale-killer — bucket population
+    grows linearly with the corpus and the bucket-local self-join goes
+    quadratic in it (measured on the sf3 probe: 4 static planes = 16
+    buckets at 60 k vectors → ~112 M pair folds, 165 s; auto → ~20× 
+    less pair work). More planes trade recall for boundedness — the
+    published fix is multi-table OR-ing (`lsh_topk_multi`); for a
+    dedup sweep the single-table recall loss is acceptable and the
+    audit is `ann_recall`.
+
     Output: (id_a, id_b, cos) with id_a < id_b, cos ≥ threshold.
     """
+    if n_planes is None:
+        import math
+
+        n = embeddings.count()
+        n_planes = max(4, math.ceil(math.log2(max(2, n / target_bucket))))
     # Persisted: both sides of the self-join read it, and the bucket
     # projection (n_planes dot products per row) is the expensive part.
     # Rebalanced first: embedding tables are bytes-dense but row-cheap,

@@ -165,3 +165,23 @@ def test_event_sequences_bound(spark, sf_dir):
     counts = [r.n_occurrences for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert all(len(r.seq.split(">")) == 3 for r in rows)
+
+
+def test_embed_neardup_auto_planes_subset_of_exact(embs):
+    """Auto-scaled plane count: LSH pairs are exact-verified, so every
+    emitted pair must appear in the exact pair set at the same
+    threshold (recall < 1 is allowed; precision must be 1)."""
+    from myasynstreamjoin_spark.functions.similarity import (
+        embedding_neardup_pairs,
+        exact_embedding_pairs,
+    )
+
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(embs, threshold=0.3, n_planes=None).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in exact_embedding_pairs(embs, threshold=0.3).collect()
+    }
+    assert lsh <= exact

@@ -27,6 +27,7 @@ DEFAULT = [
     "q_simhash",
     "q_dedup_clusters",
     "q_embed_neardup_lsh",
+    "embed_neardup_auto",
     "q_semantic_dedup",
     "semantic_dedup_auto",
     "semantic_dedup_arrow",
@@ -69,6 +70,16 @@ def stage_metrics(spark):
     return spill_mem, spill_disk, sh_read, sh_write
 
 
+def _embed_neardup_auto(spark, sf_dir):
+    """The scale path of q_embed_neardup_lsh: bucket-size-targeted
+    auto plane count (the contract query pins 4 planes for its
+    plane-literal oracle)."""
+    from myasynstreamjoin_spark.functions.similarity import embedding_neardup_pairs
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(embs, threshold=0.4, n_planes=None)
+
+
 def _semantic_dedup_auto(spark, sf_dir):
     """The scale path of q_semantic_dedup: √N auto-scaled seed count
     (the contract query pins 8 seeds for its literal oracle)."""
@@ -89,6 +100,7 @@ def _semantic_dedup_arrow(spark, sf_dir):
 def main() -> int:
     spark = get_spark(app_name="scale-probe")
     queries = dict(contract.queries())
+    queries["embed_neardup_auto"] = _embed_neardup_auto
     queries["semantic_dedup_auto"] = _semantic_dedup_auto
     queries["semantic_dedup_arrow"] = _semantic_dedup_arrow
     failures = 0
