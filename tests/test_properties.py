@@ -92,3 +92,120 @@ def test_reference_config_window_width(spark):
     }
     # 1000 ms = 1e9 ns per window: 0.999… s → window 0, 1 s → 1, 2.5 s → 2
     assert got == {("a", 0), ("b", 1), ("c", 2)}
+
+
+# Arbitrary unicode-ish documents, including whitespace runs, empty-ish
+# text, and duplicated content across source slices — the input class
+# that fixture regeneration can drift into.
+_WORD = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1,
+    max_size=6,
+)
+_TEXT = st.lists(_WORD, min_size=1, max_size=30).map(" ".join)
+_DOC = st.tuples(st.integers(0, 10_000), _TEXT, st.sampled_from(["src0", "src1", "src2", "src3"]))
+
+
+@given(docs=st.lists(_DOC, min_size=2, max_size=25, unique_by=lambda d: d[0]))
+@PROP_SETTINGS
+def test_bloom_decontaminate_equals_exact_for_any_corpus(spark, docs):
+    """Bloom prefilter correctness-neutrality holds for ARBITRARY
+    corpora (unicode words, dup texts across slices), not just the
+    fixtures — result must equal the string-gram anti-join."""
+    from myasynstreamjoin_spark.functions.dedup import bloom_decontaminate, shingle_docs
+
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    bench = df.where(F.col("source").isin("src0", "src1"))
+    train = df.where(~F.col("source").isin("src0", "src1"))
+    got = sorted(
+        r.doc_id
+        for r in bloom_decontaminate(train, bench, k=3, m_bits=1 << 10).collect()
+    )
+    g = shingle_docs(df, 3, hashed=False)
+    bg = (
+        g.join(bench, "doc_id", "left_semi")
+        .select(F.explode_outer("sh").alias("gr"))
+        .distinct()
+    )
+    tg = g.join(train, "doc_id", "left_semi").select(
+        "doc_id", F.explode_outer("sh").alias("gr")
+    )
+    bad = tg.join(bg, "gr", "left_semi").select("doc_id").distinct()
+    want = sorted(
+        r.doc_id for r in train.select("doc_id").join(bad, "doc_id", "left_anti").collect()
+    )
+    assert got == want
+
+
+@given(docs=st.lists(_DOC, min_size=1, max_size=20, unique_by=lambda d: d[0]))
+@PROP_SETTINGS
+def test_bm25_matches_reference_formula(spark, docs):
+    """BM25 scores equal a plain-Python computation of the same
+    formula for arbitrary corpora (catches tokenization or pivot-order
+    regressions, not just fixture luck)."""
+    import math
+
+    from myasynstreamjoin_spark.functions.retrieval import bm25_topk
+
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    terms = ["the", "data"]
+    rows = {r.doc_id: r.score for r in bm25_topk(df, terms, k=100).collect()}
+
+    toks = {d[0]: d[1].lower().strip().split() for d in docs}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfreq = {
+        t: sum(1 for tk in toks.values() if t in tk) for t in terms
+    }
+    expected = {}
+    for did, tk in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = tk.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * len(tk) / avgdl))
+        if s > 0:
+            expected[did] = round(s, 4)
+    assert set(rows) == set(expected)
+    for did, sc in expected.items():
+        assert abs(rows[did] - sc) <= 1e-3, (did, rows[did], sc)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 500)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@PROP_SETTINGS
+def test_connected_components_vs_union_find(spark, rows):
+    """Min-label propagation equals a classic union-find for arbitrary
+    edge lists (chains, cliques, self-loops, dups)."""
+    from myasynstreamjoin_spark.functions.cluster import connected_components
+
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r.node, r.component)
+        for r in connected_components(df, "a", "b", max_iter=60).collect()
+    }
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x: int, y: int) -> None:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    for a, b in rows:
+        union(a, b)
+    want = {(x, find(x)) for x in parent}
+    assert got == want
