@@ -1402,6 +1402,18 @@ def _q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_stats(docs, top_n=50, stopword_df_ratio=0.5)
 
 
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/KenLM-style quality gate: add-one-smoothed unigram LM
+    trained on the corpus, every document scored by average negative
+    log likelihood (nats) + perplexity. Integer nano-nat sums keep the
+    float path cross-engine deterministic (SCALE.md house rules)."""
+    from myasynstreamjoin_spark.functions.text import lm_perplexity
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return lm_perplexity(docs)
+
+
 def _q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered EXACT decontamination: train docs (src2+)
     sharing no 8-gram with the src0/src1 'benchmark' docs. The oracle
@@ -1417,6 +1429,41 @@ def _q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("source").isin(*bench_sources)),
         k=8,
     )
+
+
+def _q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics: apply a two-generation change feed
+    (derived deterministically from orders) to the orders snapshot.
+    Gen 1 touches every key % 3 == 0 (delete where % 9 == 0, else
+    upsert at +10.0); gen 2 re-upserts every key % 6 == 0 at +20.0 —
+    superseding gen 1, including resurrecting % 18 == 0 deletes.
+    Latest-change-wins, tombstones drop keys, base rows pass through
+    untouched; exact float adds keep both engines bit-identical."""
+    from myasynstreamjoin_spark.operators.cdc import cdc_apply
+
+    _prep(spark)
+    orders = tables.load_table(spark, sf_dir, "orders")
+    data = orders.columns
+    k = F.col("o_orderkey")
+    g1 = orders.where(k % 3 == 0).select(
+        *[c for c in data if c != "o_totalprice"],
+        (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+        F.when(k % 9 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.lit(1).alias("gen"),
+    )
+    g2 = orders.where(k % 6 == 0).select(
+        *[c for c in data if c != "o_totalprice"],
+        (F.col("o_totalprice") + F.lit(20.0)).alias("o_totalprice"),
+        F.lit("U").alias("op"),
+        F.lit(2).alias("gen"),
+    )
+    merged = cdc_apply(
+        orders,
+        g1.unionByName(g2).select(*data, "op", "gen"),
+        keys=("o_orderkey",),
+        order_cols=("gen",),
+    )
+    return merged.select(*data)
 
 
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1840,6 +1887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_negative_pairs": _q_negative_pairs,            # contrastive negative sampling
         "q_latest_event_maxby": _q_latest_event_maxby,    # max_by twin of q_latest_event
         "q_vocab": _q_vocab,                              # DF vocabulary / stopword scan
+        "q_lm_perplexity": _q_lm_perplexity,              # unigram-LM perplexity quality gate
+        "q_cdc_merge": _q_cdc_merge,                      # MERGE INTO change-feed apply
         "q_bloom_decontaminate": _q_bloom_decontaminate,  # Bloom-prefiltered exact anti-join
         "q_semantic_dedup": _q_semantic_dedup,            # SemDeDup cluster-then-pair dedup
         "q_semantic_dedup_arrow": _q_semantic_dedup_arrow,  # rows-only (Arrow kernel twin)
@@ -3409,6 +3458,56 @@ def oracle_sql() -> dict[str, str]:
             FROM s CROSS JOIN n
             ORDER BY df DESC, term
             LIMIT 50
+        """,
+        # Latest-change-wins MERGE: the oracle replays the same
+        # two-generation feed with QUALIFY row_number, then anti-joins.
+        "q_cdc_merge": """
+            WITH changes AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     o_totalprice + 10.0 AS o_totalprice,
+                     o_orderdate, o_orderpriority,
+                     CASE WHEN o_orderkey % 9 = 0 THEN 'D' ELSE 'U' END AS op,
+                     1 AS gen
+              FROM orders WHERE o_orderkey % 3 = 0
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     o_totalprice + 20.0, o_orderdate, o_orderpriority,
+                     'U', 2
+              FROM orders WHERE o_orderkey % 6 = 0
+            ),
+            latest AS (
+              SELECT * FROM changes
+              QUALIFY row_number()
+                      OVER (PARTITION BY o_orderkey ORDER BY gen DESC) = 1
+            )
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM latest WHERE op <> 'D'
+        """,
+        # Nano-nat integer sums make the log-prob path order-independent
+        # in both engines; ln/exp libm drift is below the rounded grain.
+        "q_lm_perplexity": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_DOC_TOKENS}) AS term FROM documents
+            ),
+            tok2 AS (SELECT * FROM tok WHERE term <> ''),
+            cnt AS (SELECT term, count(*) AS c FROM tok2 GROUP BY term),
+            tot AS (SELECT sum(c) AS t, count(*) AS v FROM cnt),
+            scored AS (
+              SELECT doc_id,
+                     CAST(round(-ln((c + 1) / (t + v + 1)) * 1e9) AS BIGINT)
+                       AS nano
+              FROM tok2 JOIN cnt USING (term) CROSS JOIN tot)
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   round(sum(nano) / (count(*) * 1e9), 6) AS nll,
+                   round(exp(sum(nano) / (count(*) * 1e9)), 4) AS ppl
+            FROM scored GROUP BY doc_id
         """,
         # The oracle is the exact string-gram anti-join: the Bloom
         # prefilter in the Spark plan is correctness-neutral by design.

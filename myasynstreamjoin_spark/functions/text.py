@@ -227,6 +227,65 @@ def repetition_stats(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def lm_perplexity(docs: DataFrame, lm_docs: DataFrame | None = None) -> DataFrame:
+    """Unigram language-model perplexity scoring — the CCNet/KenLM-style
+    quality filter: train token counts on ``lm_docs`` (default: the
+    corpus itself), score every document by its average negative log
+    likelihood under the add-one-smoothed unigram model, and report
+    perplexity. Low-ppl docs look like the LM corpus; high-ppl docs are
+    junk or out-of-domain — the standard pretraining-data gate.
+
+    Scale shape: the LM is one vocabulary-sized count table BROADCAST
+    onto the token stream (the corpus shuffles once, to (doc, term)
+    grain); scoring adds no further shuffle. At web scale, cap the
+    vocabulary (top-V by count, rest falls into the smoothed OOV mass
+    this model already defines) before broadcasting.
+
+    Float determinism (SCALE.md house rules): each token's negative
+    log-prob is rounded to integer NANO-NATS and summed as BIGINT —
+    integer sums are order-independent, so engines agree regardless of
+    row order; the final average is one IEEE division of exact integers.
+    A worst-case 1-2 ulp `ln` disagreement between libms moves one token
+    by one nano-nat, which is invisible at the reported 6-decimal grain.
+
+    Output: (doc_id, n_tokens, nll, ppl).
+    """
+    lm = lm_docs if lm_docs is not None else docs
+    lm_toks = lm.select(F.explode(tokens("text")).alias("term")).where(
+        F.col("term") != ""
+    )
+    cnt = lm_toks.groupBy("term").agg(F.count("*").alias("c"))
+    # t = total training tokens, v = vocabulary size; add-one smoothing
+    # gives every (seen or unseen) type probability (c+1)/(t+v+1).
+    tot = cnt.agg(F.sum("c").alias("t"), F.count("*").alias("v"))
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term")).where(
+        F.col("term") != ""
+    )
+    nano = F.round(
+        -F.log(
+            (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1))
+            / (F.col("t") + F.col("v") + F.lit(1))
+        )
+        * F.lit(1e9)
+    ).cast("long")
+    scored = (
+        toks.join(F.broadcast(cnt), "term", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", nano.alias("nano"))
+    )
+    avg = F.col("s") / (F.col("n_tokens") * F.lit(1e9))
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("nano").alias("s"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(avg, 6).alias("nll"),
+            F.round(F.exp(avg), 4).alias("ppl"),
+        )
+    )
+
+
 def langid_eval(docs: DataFrame, threshold: float = 0.05) -> DataFrame:
     """Confusion matrix of `lang_id` against the labeled ``lang``
     column — the eval pass a pipeline runs when tuning a language

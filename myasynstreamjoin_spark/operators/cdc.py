@@ -1,0 +1,62 @@
+"""CDC / MERGE: apply a change feed (upserts + deletes) to a base
+snapshot — the lakehouse ingest operator (Delta/Iceberg ``MERGE INTO``
+semantics) a 100 TB pipeline runs every batch to keep a mutable table
+current from an immutable log.
+
+Beyond-reference surface (SURVEY.md §7 phase 5): the reference engine
+is append-only streams; this is the batch-side completion of its
+latest-row compaction (``relational.latest_snapshot``) into a full
+merge: latest change per key wins, ``D`` tombstones remove the key,
+untouched base rows pass through.
+
+Scale shape: the base table NEVER shuffles. The change feed (per-batch,
+orders of magnitude smaller than the base) reduces to one row per key
+via a max_by struct aggregate (O(1) state, map-side combined), and the
+touched-key set broadcasts into a left-anti join against the base — a
+broadcast hash anti-join that pipelines with the base scan. Only when a
+change batch is itself huge (backfill) should ``broadcast_keys=False``
+fall back to a shuffled anti-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: tuple[str, ...],
+    order_cols: tuple[str, ...],
+    op_col: str = "op",
+    broadcast_keys: bool = True,
+) -> DataFrame:
+    """Merge ``changes`` into ``base`` and return the new snapshot.
+
+    ``changes`` carries the base's data columns plus ``op_col`` (``'I'``
+    / ``'U'`` upsert, ``'D'`` delete) and ``order_cols`` (a PER-KEY
+    strict ordering — e.g. a change sequence number — so "latest" is
+    deterministic on any engine; ties would make the merge ambiguous).
+    The latest change per key decides that key's fate; earlier changes
+    to the same key are superseded (a delete followed by a later upsert
+    resurrects the key).
+
+    Output: the merged snapshot, base schema.
+    """
+    data_cols = base.columns
+    ord_ = F.struct(*[F.col(c) for c in order_cols])
+    row = F.max_by(
+        F.struct(*[F.col(c) for c in (*data_cols, op_col)]), ord_
+    )
+    latest = (
+        changes.groupBy(*keys)
+        .agg(row.alias("__r"))
+        .select("__r.*")
+    )
+    touched = latest.select(*keys)
+    if broadcast_keys:
+        touched = F.broadcast(touched)
+    kept = base.join(touched, list(keys), "left_anti")
+    upserts = latest.where(F.col(op_col) != "D").select(*data_cols)
+    return kept.unionByName(upserts)
