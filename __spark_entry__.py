@@ -689,6 +689,16 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase graph via degree-ordered
+    orientation (wedges enumerated at each edge's lower-degree end,
+    closed by a semi-join) — each triangle counted exactly once."""
+    from myasynstreamjoin_spark.operators.graph import triangle_count_copurchase
+
+    _prep(spark)
+    return triangle_count_copurchase(tables.load_table(spark, sf_dir, "lineitem"))
+
+
 def _q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-filter eval: confusion matrix of the stopword-ratio
     langid heuristic against the labeled lang column."""
@@ -1826,6 +1836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_copurchase": _q_copurchase,                    # market-basket pair counts
         "q_event_sequences": _q_event_sequences,          # sequential-pattern n-grams
         "q_pagerank": _q_pagerank,                        # integer-exact PageRank
+        "q_triangles": _q_triangles,                      # degree-ordered triangle census
         "q_langid_eval": _q_langid_eval,                  # langid confusion matrix
         "q_domain_terms": _q_domain_terms,                # log-odds corpus comparison
         "q_expectations": _q_expectations,                # declarative data-quality checks
@@ -2400,6 +2411,52 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "q_pagerank": _pagerank_sql(),
+        # Same orientation trick in SQL: CASE picks the lower-(deg,id)
+        # endpoint; wedge + EXISTS closes each triangle exactly once.
+        "q_triangles": """
+            WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            ok AS (SELECT l_orderkey FROM items
+                   GROUP BY l_orderkey HAVING count(*) <= 64),
+            bounded AS (SELECT i.* FROM items i JOIN ok USING (l_orderkey)),
+            edges AS (
+              SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM bounded a JOIN bounded b USING (l_orderkey)
+              WHERE a.l_partkey < b.l_partkey),
+            deg AS (
+              SELECT node, count(*) AS deg FROM (
+                SELECT u AS node FROM edges
+                UNION ALL SELECT v FROM edges) GROUP BY node),
+            wd AS (
+              SELECT e.u, e.v, du.deg AS du, dv.deg AS dv
+              FROM edges e
+              JOIN deg du ON du.node = e.u
+              JOIN deg dv ON dv.node = e.v),
+            oriented AS (
+              SELECT CASE WHEN du < dv OR (du = dv AND u < v)
+                          THEN u ELSE v END AS lo,
+                     CASE WHEN du < dv OR (du = dv AND u < v)
+                          THEN v ELSE u END AS hi,
+                     CASE WHEN du < dv OR (du = dv AND u < v)
+                          THEN dv ELSE du END AS dhi
+              FROM wd),
+            wedge AS (
+              SELECT e1.hi AS x, e2.hi AS y
+              FROM oriented e1 JOIN oriented e2 ON e1.lo = e2.lo
+              WHERE e1.dhi < e2.dhi
+                 OR (e1.dhi = e2.dhi AND e1.hi < e2.hi)),
+            tri AS (
+              SELECT count(*) AS n_triangles FROM wedge w
+              WHERE EXISTS (SELECT 1 FROM oriented o
+                            WHERE o.lo = w.x AND o.hi = w.y)),
+            stats AS (
+              SELECT count(*) AS n_nodes,
+                     sum(deg) // 2 AS n_edges,
+                     sum(deg * (deg - 1) // 2) AS n_wedges
+              FROM deg)
+            SELECT n_nodes, n_edges, n_wedges, n_triangles,
+                   round(3.0 * n_triangles / n_wedges, 6) AS closure
+            FROM stats CROSS JOIN tri
+        """,
         "q_langid_eval": f"""
             WITH scored AS (
               SELECT doc_id,

@@ -33,6 +33,112 @@ from pyspark.sql import functions as F
 MASS = 1_000_000_000_000
 
 
+def triangle_count_copurchase(
+    lineitem: DataFrame, max_basket: int = 64
+) -> DataFrame:
+    """Global triangle census of the co-purchase graph, by
+    degree-ordered orientation — the distributed triangle algorithm
+    that bounds wedge enumeration.
+
+    Every undirected edge is oriented from its lower-(degree, id)
+    endpoint to the higher one, which turns each triangle into exactly
+    one (source→middle, source→sink, middle→sink) pattern; the count
+    is then Σ over oriented edges (u,v) of |N⁺(u) ∩ N⁺(v)|. The
+    out-neighbor sets are arrays joined onto the edge list and the
+    intersection is a per-row JVM collection expression — the wedge
+    set (Σ d² rows, 14 M already at sf0.01) is NEVER materialized
+    through a shuffle. Orientation bounds every out-degree by O(√m),
+    so a power-law hub's array stays small — this is the difference
+    between hours and minutes on a skewed graph at 100 TB. All joins
+    shuffle on node keys; nothing needs a broadcast.
+
+    Closure = 3·triangles / wedges(undirected) — one IEEE division of
+    exact integers, deterministic on any engine.
+
+    Output: 1 row (n_nodes, n_edges, n_wedges, n_triangles, closure).
+    """
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    bounded = items.join(
+        items.groupBy("l_orderkey")
+        .agg(F.count("*").alias("__n"))
+        .where(F.col("__n") <= max_basket)
+        .select("l_orderkey"),
+        "l_orderkey",
+        "left_semi",
+    )
+    a = bounded.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = bounded.select("l_orderkey", F.col("l_partkey").alias("v"))
+    # Canonical undirected edges (u < v), deduped across orders.
+    # localCheckpoint, NOT persist: this frame is referenced down three
+    # separate branches (deg, orientation, adjacency), and Spark's
+    # self-join/self-union deduplication re-resolves cloned plan
+    # instances whose InMemoryRelation misses the materialized cache —
+    # every branch silently re-ran the whole edge build (measured 47 s
+    # → 8 s at sf0.01 for this operator). Checkpointing cuts lineage
+    # to a LogicalRDD leaf that every clone shares. On a real cluster
+    # prefer reliable checkpointing (executor loss can't recompute a
+    # local checkpoint).
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient each edge toward the higher (deg, id) endpoint
+    du, dv = F.col("du"), F.col("dv")
+    with_deg = (
+        edges.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+    )
+    lower_first = (du < dv) | ((du == dv) & (F.col("u") < F.col("v")))
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+    ).localCheckpoint(eager=True)
+    # out-neighbor adjacency arrays (≤ O(√m) entries each, by
+    # orientation); intersect per edge row — no wedge materialization
+    adj = oriented.groupBy("lo").agg(F.collect_list("hi").alias("nbrs"))
+    tri = (
+        oriented.join(adj.select(F.col("lo"), F.col("nbrs").alias("nu")), "lo")
+        .join(
+            adj.select(F.col("lo").alias("hi"), F.col("nbrs").alias("nv")),
+            "hi",
+            "left",
+        )
+        .select(
+            F.when(F.col("nv").isNull(), F.lit(0))
+            .otherwise(F.size(F.array_intersect(F.col("nu"), F.col("nv"))))
+            .cast("long")
+            .alias("t")
+        )
+        .agg(F.sum("t").alias("n_triangles"))
+    )
+    stats = (
+        deg.agg(
+            F.count("*").alias("n_nodes"),
+            (F.sum("deg") / F.lit(2)).cast("long").alias("n_edges"),
+            F.sum(F.expr("deg * (deg - 1) DIV 2")).alias("n_wedges"),
+        )
+    )
+    return stats.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(
+            (F.lit(3) * F.col("n_triangles")).cast("double")
+            / F.col("n_wedges").cast("double"),
+            6,
+        ).alias("closure"),
+    )
+
+
 def pagerank_copurchase(
     lineitem: DataFrame,
     n_iters: int = 3,
@@ -69,23 +175,31 @@ def pagerank_copurchase(
     )
     a = bounded.select("l_orderkey", F.col("l_partkey").alias("src"))
     b = bounded.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    # persisted: referenced by every iteration. The k-row RESULT is
-    # materialized eagerly below so all three caches release before
-    # returning (dup_span_stats' long-lived-session discipline).
+    # localCheckpoint, NOT persist: each unrolled iteration references
+    # these frames through cloned plan instances (self-join dedup), and
+    # clones of a persisted plan MISS the materialized cache — every
+    # iteration silently re-ran the whole edge build (31.5 s → 4 s at
+    # sf0.01 for 3 iterations). Checkpointing cuts lineage to a shared
+    # LogicalRDD leaf. On a real cluster prefer reliable checkpointing
+    # (executor loss can't recompute a local checkpoint).
     edges = (
         a.join(b, "l_orderkey")
         .where(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # loop-invariant: (src, dst, deg) is identical every iteration, so
-    # join it once and persist — otherwise each of the n_iters plans
+    # join it once and checkpoint — otherwise each of the n_iters plans
     # re-runs the edges⋈deg shuffle (measured 1.67 GB → 0.9 GB total
     # shuffle at the sf1 probe).
-    edges_deg = edges.join(deg, "src").persist()
-    nodes = edges.select(F.col("src").alias("part")).distinct().persist()
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("part"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_nodes = nodes.agg(F.count("*").alias("n"))
 
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
@@ -115,19 +229,13 @@ def pagerank_copurchase(
                 ).alias("r"),
             )
         )
-    try:
-        return (
-            ranks.select(
-                "part",
-                F.round(
-                    F.col("r").cast("double") / F.lit(float(MASS)), 6
-                ).alias("rank"),
-            )
-            .orderBy(F.col("rank").desc(), F.col("part"))
-            .limit(k)
-            .localCheckpoint(eager=True)
+    return (
+        ranks.select(
+            "part",
+            F.round(
+                F.col("r").cast("double") / F.lit(float(MASS)), 6
+            ).alias("rank"),
         )
-    finally:
-        edges_deg.unpersist()
-        nodes.unpersist()
-        edges.unpersist()
+        .orderBy(F.col("rank").desc(), F.col("part"))
+        .limit(k)
+    )
