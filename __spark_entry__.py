@@ -689,6 +689,16 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (|x − μ| > 3σ) in exact integer
+    arithmetic — no float mean/variance, so the flagged set is
+    bit-identical across engines (operators/stats.py)."""
+    from myasynstreamjoin_spark.operators.stats import zscore_outliers
+
+    _prep(spark)
+    return zscore_outliers(tables.load_table(spark, sf_dir, "events"))
+
+
 def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the co-purchase graph via degree-ordered
     orientation (wedges enumerated at each edge's lower-degree end,
@@ -1837,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_sequences": _q_event_sequences,          # sequential-pattern n-grams
         "q_pagerank": _q_pagerank,                        # integer-exact PageRank
         "q_triangles": _q_triangles,                      # degree-ordered triangle census
+        "q_anomalies": _q_anomalies,                      # exact-integer z-score outliers
         "q_langid_eval": _q_langid_eval,                  # langid confusion matrix
         "q_domain_terms": _q_domain_terms,                # log-odds corpus comparison
         "q_expectations": _q_expectations,                # declarative data-quality checks
@@ -2411,6 +2422,21 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "q_pagerank": _pagerank_sql(),
+        # |x-μ| > 3σ cross-multiplied to integers (HUGEINT == the
+        # engine's DECIMAL(38,0) milli-unit arithmetic): no float path.
+        "q_anomalies": """
+            WITH ev AS (
+              SELECT event_type, event_id, value,
+                     CAST(round(value * 1000) AS HUGEINT) AS x
+              FROM events),
+            st AS (
+              SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                     sum(x) AS s, sum(x * x) AS ss
+              FROM ev GROUP BY event_type)
+            SELECT event_type, event_id, value
+            FROM ev JOIN st USING (event_type)
+            WHERE (n * x - s) * (n * x - s) > 9 * (n * ss - s * s)
+        """,
         # Same orientation trick in SQL: CASE picks the lower-(deg,id)
         # endpoint; wedge + EXISTS closes each triangle exactly once.
         "q_triangles": """

@@ -199,3 +199,48 @@ def cms_heavy_hitters_audit(
         key, "cnt", "cms_est",
         (F.col("cms_est").cast("double") > F.lit(thresh)).alias("detected"),
     )
+
+
+def zscore_outliers(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k: int = 3,
+    unit: int = 1000,
+) -> DataFrame:
+    """Per-group z-score anomaly detection with EXACT integer
+    arithmetic: flag rows where |x − μ| > k·σ (population σ), without
+    ever computing a float mean or variance.
+
+    Values are fixed-pointed to ``unit``-ths (milli-units by default —
+    that granularity is part of the operator's definition), and the
+    flag condition is cross-multiplied to integers:
+
+        (n·x − S)² > k²·(n·SS − S²)
+
+    with S = Σx, SS = Σx² in DECIMAL(38,0). No division, no sqrt, no
+    float accumulation — the flagged set is bit-identical on any
+    engine and any row order (SCALE.md float-determinism house rule 2).
+
+    Scale shape: one tiny per-group aggregate (|groups| rows) broadcast
+    back onto the scan; the fact table never shuffles — a map-only
+    filter pass. Headroom: milli-units keep n·(n·x) under DECIMAL(38)
+    to ~10¹² rows per group; shard by (group, day) past that.
+
+    Output: (group_col, id_col, value_col) — the anomalous rows.
+    """
+    x = F.round(F.col(value_col) * F.lit(unit)).cast("decimal(38,0)")
+    ev = events.select(group_col, id_col, value_col, x.alias("__x"))
+    st = ev.groupBy(group_col).agg(
+        F.count("*").cast("decimal(38,0)").alias("__n"),
+        F.sum("__x").cast("decimal(38,0)").alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).cast("decimal(38,0)").alias("__ss"),
+    )
+    nx_s = F.col("__n") * F.col("__x") - F.col("__s")
+    var_n2 = F.col("__n") * F.col("__ss") - F.col("__s") * F.col("__s")
+    return (
+        ev.join(F.broadcast(st), group_col)
+        .where(nx_s * nx_s > F.lit(k * k).cast("decimal(38,0)") * var_n2)
+        .select(group_col, id_col, value_col)
+    )

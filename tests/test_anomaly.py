@@ -1,0 +1,43 @@
+"""Exact integer z-score outliers: known-answer flags, group
+independence, and the no-float-path determinism contract."""
+
+from __future__ import annotations
+
+from myasynstreamjoin_spark.operators.stats import zscore_outliers
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_type string, event_id long, value double"
+    )
+
+
+def test_single_spike_flagged(spark):
+    # 10 values at 1.0 and one at 100: only the spike exceeds 3 sigma
+    rows = [("a", i, 1.0) for i in range(10)] + [("a", 99, 100.0)]
+    out = zscore_outliers(_events(spark, rows)).collect()
+    assert [(r.event_id, r.value) for r in out] == [(99, 100.0)]
+
+
+def test_uniform_group_has_no_outliers(spark):
+    rows = [("a", i, 5.0) for i in range(20)]
+    assert zscore_outliers(_events(spark, rows)).count() == 0
+
+
+def test_groups_are_independent(spark):
+    # 50 is normal in group b (which spreads 40..60) but a spike in a
+    rows = (
+        [("a", i, 1.0) for i in range(10)]
+        + [("a", 98, 50.0)]
+        + [("b", i + 100, 40.0 + 2.0 * i) for i in range(11)]  # 40..60
+        + [("b", 199, 50.5)]
+    )
+    out = zscore_outliers(_events(spark, rows)).collect()
+    assert {(r.event_type, r.event_id) for r in out} == {("a", 98)}
+
+
+def test_strict_inequality_at_exact_boundary(spark):
+    # two-point group: each point sits at exactly 1 sigma, so k=1 must
+    # NOT flag (strict >) — the cross-multiplied integers tie exactly
+    rows = [("a", 1, 0.0), ("a", 2, 2.0)]
+    assert zscore_outliers(_events(spark, rows), k=1).count() == 0
