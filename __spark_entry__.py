@@ -689,6 +689,17 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ('slow hash batch') with per-doc occurrence
+    counts: map-only shifted-slice zip in the engine, positional-index
+    self-joins in the oracle — two formulations, one answer."""
+    from myasynstreamjoin_spark.functions.retrieval import phrase_search
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, "slow hash batch")
+
+
 def _q_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type z-score outliers (|x − μ| > 3σ) in exact integer
     arithmetic — no float mean/variance, so the flagged set is
@@ -1848,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": _q_pagerank,                        # integer-exact PageRank
         "q_triangles": _q_triangles,                      # degree-ordered triangle census
         "q_anomalies": _q_anomalies,                      # exact-integer z-score outliers
+        "q_phrase_search": _q_phrase_search,              # exact consecutive-token phrase match
         "q_langid_eval": _q_langid_eval,                  # langid confusion matrix
         "q_domain_terms": _q_domain_terms,                # log-odds corpus comparison
         "q_expectations": _q_expectations,                # declarative data-quality checks
@@ -2422,6 +2434,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "q_pagerank": _pagerank_sql(),
+        # Positional-index formulation (vs the engine's map-only
+        # shifted-slice zip): postings of the 3 phrase terms self-join
+        # on (doc, pos+offset) — a genuine cross-check, not a replay.
+        "q_phrase_search": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest({_DOC_TOKENS}) AS term,
+                     generate_subscripts({_DOC_TOKENS}, 1) AS pos
+              FROM documents)
+            SELECT a.doc_id, count(*) AS n_matches
+            FROM tok a
+            JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+            WHERE a.term = 'slow' AND b.term = 'hash' AND c.term = 'batch'
+            GROUP BY a.doc_id
+        """,
         # |x-μ| > 3σ cross-multiplied to integers (HUGEINT == the
         # engine's DECIMAL(38,0) milli-unit arithmetic): no float path.
         "q_anomalies": """

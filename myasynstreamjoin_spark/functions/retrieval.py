@@ -185,3 +185,46 @@ def log_odds_terms(
         .orderBy(F.col("log_odds").desc(), F.col("term"))
         .limit(k)
     )
+
+
+def phrase_search(
+    docs: DataFrame, phrase: str, text_col: str = "text"
+) -> DataFrame:
+    """Exact phrase search: documents containing the query tokens as a
+    CONSECUTIVE run, with per-document occurrence counts — the match
+    primitive behind quoted-query retrieval and boilerplate hunting.
+
+    MAP-ONLY formulation: the token array is sliced into |phrase|
+    shifted views, zipped (the expensive array is the zip's INPUT, per
+    the SCALE.md lambda-capture rules), and each zipped row is compared
+    against the constant phrase struct — one scan, zero shuffles, zero
+    joins; composes with any scan-stage filter and prunes to
+    (doc_id, text). The DuckDB oracle deliberately uses the OTHER
+    classical formulation (positional-index self-joins), so the two
+    cross-check each other. At 100 TB with a low-selectivity phrase
+    workload, materialize a postings table instead and run the
+    positional-join form against it.
+
+    Output: (doc_id, n_matches), docs with ≥1 occurrence only.
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    toks = tokens(text_col)
+    n = F.size(toks)
+    span = F.greatest(n - len(terms) + 1, F.lit(1))
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, span) for j in range(len(terms))])
+
+    # per-element equality against literal captures (cheap, scalar)
+    def _eq(g):
+        cond = g["0"] == F.lit(terms[0])
+        for j in range(1, len(terms)):
+            cond = cond & (g[str(j)] == F.lit(terms[j]))
+        return cond
+
+    matches = F.size(F.filter(zipped, _eq))
+    return (
+        docs.where(n >= len(terms))
+        .select("doc_id", matches.alias("n_matches"))
+        .where(F.col("n_matches") > 0)
+    )
