@@ -1589,6 +1589,22 @@ def _q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_simsearch_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k: the query's bucket plus the 2 buckets
+    across its smallest-|margin| hyperplanes — recall recovered
+    without extra hash tables; probe set is declarative and
+    oracle-replayable (functions/similarity.py)."""
+    from myasynstreamjoin_spark.functions.similarity import (
+        cosine_topk_lsh_multiprobe,
+    )
+
+    _prep(spark)
+    return cosine_topk_lsh_multiprobe(
+        tables.load_table(spark, sf_dir, "embeddings"),
+        query_id=0, k=10, n_planes=4, probes=2,
+    )
+
+
 def _q_simsearch_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched exact ANN: one corpus scan serves a query batch (the
     retrieval-pipeline shape), ranked per query."""
@@ -1907,6 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # remaining data-pipeline operators
         "q_repetition": _q_repetition,
         "q_simsearch_lsh": _q_simsearch_lsh,              # bucket-replayable oracle
+        "q_simsearch_multiprobe": _q_simsearch_multiprobe,  # multi-probe LSH (recall recovery)
         "q_simsearch_ivf": _q_simsearch_ivf,              # index-replayable oracle
         "q_ann_recall": _q_ann_recall,                    # index-replayable oracle
         "q_kmeans": _q_kmeans,                            # rows-only (iterative)
@@ -2031,6 +2048,19 @@ def oracle_sql() -> dict[str, str]:
                 f" THEN {1 << i} ELSE 0 END)"
             )
         return " + ".join(terms)
+
+    def _margin_union_sql(n_planes: int, seed: int = 42) -> str:
+        """One SELECT per plane: (plane idx, |query·plane| rounded 6)
+        — the multi-probe flip ranking, replayed on literal planes."""
+        planes = _random_hyperplanes(64, n_planes, seed)
+        parts = []
+        for i, pl in enumerate(planes):
+            arr = "[" + ", ".join(repr(float(x)) for x in pl) + "]"
+            parts.append(
+                f"SELECT {i} AS i, round(abs(list_dot_product(qe, {arr})), 6)"
+                f" AS am FROM q"
+            )
+        return "\n              UNION ALL ".join(parts)
 
     _COS4 = ("round(list_dot_product({a}, {b})"
              " / (sqrt(list_dot_product({a}, {a}))"
@@ -3748,6 +3778,25 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos
             FROM b, q
             WHERE b.bucket = q.qb AND b.vec_id <> 0
+            ORDER BY cos DESC, b.vec_id
+            LIMIT 10
+        """,
+        "q_simsearch_multiprobe": f"""
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            b AS (SELECT vec_id, e, {_bucket_sql(4)} AS bucket FROM v),
+            q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+            m AS (
+              {_margin_union_sql(4)}),
+            flips AS (SELECT i FROM m ORDER BY am, i LIMIT 2),
+            probes AS (
+              SELECT qb AS pb FROM q
+              UNION ALL
+              SELECT xor(qb, CAST(1 << i AS BIGINT)) FROM flips, q)
+            SELECT b.vec_id,
+                   {_COS4.format(a="b.e", b="q.qe")} AS cos
+            FROM b, q
+            WHERE b.bucket IN (SELECT pb FROM probes) AND b.vec_id <> 0
             ORDER BY cos DESC, b.vec_id
             LIMIT 10
         """,

@@ -157,6 +157,72 @@ def cosine_topk_lsh(
     return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
 
 
+def cosine_topk_lsh_multiprobe(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 6,
+    probes: int = 2,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-probe LSH top-k: probe the query's own sign-LSH bucket
+    PLUS the ``probes`` buckets reached by flipping the planes with the
+    smallest |query·plane| margin — the planes the query sits closest
+    to, where true neighbors most likely landed on the other side.
+    Multi-probe buys back most of single-probe LSH's lost recall
+    without adding hash tables (state stays one bucket id per row).
+
+    Fully declarative: margins, the flip ranking, and the probe-bucket
+    array are column expressions on the broadcast 1-row query frame —
+    no driver collect. Margins use the same sequential-fold dot as the
+    bucket bits, rounded to 6 before ranking (ties by plane index), so
+    the probe set replays bit-identically in the DuckDB oracle. At
+    100 TB, collect the ≤ probes+1 bucket ids instead and push them as
+    an IN-list so a bucket-partitioned scan prunes.
+
+    Output: (vec_id, cos) — exact rerank within the probed buckets.
+    """
+    planes = _random_hyperplanes(dim, n_planes, seed)
+    bucketed = with_lsh_bucket(embeddings, dim, n_planes, seed, vec_col)
+    margins = F.array(
+        *[
+            F.struct(
+                F.round(
+                    F.abs(dot(F.col("__q"), F.array(*[F.lit(float(x)) for x in p]))),
+                    6,
+                ).alias("am"),
+                F.lit(i).alias("i"),
+                F.lit(1 << i).cast("long").alias("bit"),
+            )
+            for i, p in enumerate(planes)
+        ]
+    )
+    flips = F.slice(F.array_sort(margins), 1, probes)
+    probe_arr = F.concat(
+        F.array(F.col("__qb")),
+        F.transform(flips, lambda s: F.col("__qb").bitwiseXOR(s["bit"])),
+    )
+    q = (
+        bucketed.where(F.col(id_col) == query_id)
+        .select(F.col(vec_col).alias("__q"), F.col("lsh_bucket").alias("__qb"))
+        .select("__q", probe_arr.alias("__probes"))
+    )
+    scored = (
+        bucketed.join(
+            F.broadcast(q), F.array_contains(F.col("__probes"), F.col("lsh_bucket"))
+        )
+        .where(F.col(id_col) != query_id)
+        .select(
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("__q")), 4).alias("cos"),
+        )
+    )
+    return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_lists: int = 16,

@@ -70,3 +70,31 @@ def test_multi_query_ann_and_recall(spark, sf_dir):
     assert 0.0 <= row["recall_lsh"] <= 1.0 and 0.0 <= row["recall_ivf"] <= 1.0
     assert row["recall_lsh"] >= 0.3, f"multi-table LSH recall too low: {row}"
     assert row["recall_ivf"] >= 0.5, f"IVF recall too low: {row}"
+
+
+def test_multiprobe_lsh_recall_dominates_single_probe(spark, sf_dir):
+    """Multi-probe candidates are a superset of the single-probe
+    bucket, so recall@k vs exact can only improve; probing every
+    plane's flip must recover at least the 2-probe recall."""
+    from myasynstreamjoin_spark.functions.similarity import (
+        cosine_topk,
+        cosine_topk_lsh,
+        cosine_topk_lsh_multiprobe,
+    )
+    from myasynstreamjoin_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {r["vec_id"] for r in cosine_topk(emb, query_id=0, k=10).collect()}
+
+    def recall(df):
+        got = {r["vec_id"] for r in df.collect()}
+        return len(got & exact) / len(exact)
+
+    r1 = recall(cosine_topk_lsh(emb, query_id=0, k=10, n_planes=4))
+    r2 = recall(cosine_topk_lsh_multiprobe(emb, query_id=0, k=10, n_planes=4, probes=2))
+    r_all = recall(
+        cosine_topk_lsh_multiprobe(emb, query_id=0, k=10, n_planes=4, probes=4)
+    )
+    assert r2 >= r1, f"multi-probe lost recall: {r2} < {r1}"
+    assert r_all >= r2
+    assert r2 > 0.0
