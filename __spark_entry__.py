@@ -689,6 +689,29 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5/Pile α-sampling audit: per source, raw size vs rows kept by
+    the temperature-flattened (α=0.3) mixture at target 300. Weights
+    normalize through integer micro-units so both engines derive the
+    identical survivor set (functions/pipeline.py)."""
+    from myasynstreamjoin_spark.functions.pipeline import (
+        temperature_mixture_sample,
+    )
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    sampled = temperature_mixture_sample(
+        docs, "source", alpha=0.3, target_total=300
+    )
+    n_docs = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    n_kept = sampled.groupBy("source").agg(F.count("*").alias("n_sampled"))
+    return n_docs.join(n_kept, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+    )
+
+
 def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase search ('slow hash batch') with per-doc occurrence
     counts: map-only shifted-slice zip in the engine, positional-index
@@ -1876,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_triangles": _q_triangles,                      # degree-ordered triangle census
         "q_anomalies": _q_anomalies,                      # exact-integer z-score outliers
         "q_phrase_search": _q_phrase_search,              # exact consecutive-token phrase match
+        "q_temperature_mix": _q_temperature_mix,          # α-sampling domain mixture audit
         "q_langid_eval": _q_langid_eval,                  # langid confusion matrix
         "q_domain_terms": _q_domain_terms,                # log-odds corpus comparison
         "q_expectations": _q_expectations,                # declarative data-quality checks
@@ -2464,6 +2488,30 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "q_pagerank": _pagerank_sql(),
+        # α-weights normalize through integer micro-units (order-free
+        # sum); rates round to 9 so both engines compare identical
+        # doubles against the md5 bucket.
+        "q_temperature_mix": """
+            WITH c AS (SELECT source, count(*) AS n
+                       FROM documents GROUP BY source),
+            s AS (SELECT source, n,
+                         CAST(round(pow(n, 0.3) * 1e6) AS BIGINT) AS p
+                  FROM c),
+            t AS (SELECT sum(p) AS tot FROM s),
+            r AS (SELECT source, n,
+                         round(least(1.0, (p / tot) * 300.0 / n), 9) AS rate
+                  FROM s, t),
+            surv AS (
+              SELECT d.source, count(*) AS n_sampled
+              FROM documents d JOIN r USING (source)
+              WHERE CAST(('0x' || substring(
+                        md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 4))
+                      AS INT) % 65536 < rate * 65536
+              GROUP BY d.source)
+            SELECT r.source, r.n AS n_docs,
+                   coalesce(surv.n_sampled, 0) AS n_sampled
+            FROM r LEFT JOIN surv USING (source)
+        """,
         # Positional-index formulation (vs the engine's map-only
         # shifted-slice zip): postings of the 3 phrase terms self-join
         # on (doc, pos+offset) — a genuine cross-check, not a replay.

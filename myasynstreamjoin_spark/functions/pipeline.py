@@ -126,6 +126,66 @@ def domain_mixture_sample(
     )
 
 
+def temperature_mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    alpha: float = 0.3,
+    target_total: int = 300,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    n_buckets: int = 65_536,
+) -> DataFrame:
+    """Temperature-scaled domain mixture (the mT5/Pile α-sampling
+    rule): target weight of source s is n_s^α / Σ_t n_t^α, flattening
+    the natural size distribution toward uniform as α → 0 — the
+    standard fix for head domains drowning out tail domains in a
+    pretraining mix. The α-weights are derived FROM the data, then the
+    same deterministic md5-bucket survivor rule as
+    ``domain_mixture_sample`` applies.
+
+    Cross-engine determinism: n_s^α is fixed-pointed to integer
+    MICRO-UNITS before normalizing, so the Σ n^α total is an integer
+    sum (order-free) and each weight is one IEEE division of exact
+    integers — a float Σ of pow() results would differ across engines
+    by association. Rates round to 9 decimals before the bucket
+    comparison so both engines compare identical doubles.
+
+    Scale shape: identical to ``domain_mixture_sample`` — one
+    |sources|-row aggregate broadcast onto the scan; the corpus never
+    shuffles.
+
+    Output: the surviving rows of ``df`` (schema unchanged).
+    """
+    if n_buckets > 65_536:
+        raise ValueError(f"n_buckets must be <= 65536, got {n_buckets}")
+    counts = df.groupBy(source_col).agg(F.count("*").alias("__n"))
+    p = F.round(F.pow(F.col("__n").cast("double"), F.lit(alpha)) * F.lit(1e6)).cast(
+        "long"
+    )
+    scaled = counts.select(source_col, "__n", p.alias("__p"))
+    tot = scaled.agg(F.sum("__p").alias("__tot"))
+    rates = scaled.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.col("__p") / F.col("__tot"))
+                * F.lit(float(target_total))
+                / F.col("__n"),
+            ),
+            9,
+        ).alias("__rate"),
+    )
+    bucket = hash_bucket(
+        F.concat(F.col(id_col).cast("string"), F.lit(salt)), n_buckets
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .where(bucket < F.col("__rate") * n_buckets)
+        .drop("__rate")
+    )
+
+
 def sample_k_per_group(
     df: DataFrame,
     group_col: str,

@@ -225,3 +225,40 @@ def test_negative_pairs_shape_and_determinism(spark):
     assert {tuple(r) for r in rows} == again
     # negatives are spread: many distinct partners used overall
     assert out.select("neg_id").distinct().count() >= 20
+
+
+def test_temperature_mixture_flattens_head_domains(spark):
+    from myasynstreamjoin_spark.functions.pipeline import (
+        temperature_mixture_sample,
+    )
+
+    # head domain 1600 rows, tail domain 100 rows
+    df = spark.range(0, 1700).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1600, "head").otherwise("tail").alias("source"),
+    )
+
+    def kept(alpha, target=400):
+        out = temperature_mixture_sample(
+            df, "source", alpha=alpha, target_total=target
+        )
+        rows = out.groupBy("source").count().collect()
+        return {r["source"]: r["count"] for r in rows}
+
+    # α=1: natural proportions — head keeps ~16x the tail's share
+    natural = kept(1.0)
+    # α→0: uniform target — both domains aim at ~target/2 rows
+    flat = kept(0.001)
+    head_share_nat = natural["head"] / (natural["head"] + natural["tail"])
+    head_share_flat = flat["head"] / (flat["head"] + flat["tail"])
+    assert head_share_nat > 0.85
+    # uniform target: head aims at 200 rows, tail is rate-capped at its
+    # full 100 — head share drops to ~2/3 from ~16/17
+    assert head_share_flat < head_share_nat - 0.2
+    assert flat["tail"] == 100
+    # the tail domain gains absolute rows as α drops
+    assert flat["tail"] > natural["tail"]
+    # deterministic: same call, same survivors
+    a = {r["doc_id"] for r in temperature_mixture_sample(df, "source").collect()}
+    b = {r["doc_id"] for r in temperature_mixture_sample(df, "source").collect()}
+    assert a == b and len(a) > 0
