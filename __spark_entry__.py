@@ -689,6 +689,19 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted selection: Efraimidis–Spirakis top-50 by
+    u^(1/quality) with hash-derived uniforms — deterministic weighted
+    sampling without replacement (functions/pipeline.py)."""
+    from myasynstreamjoin_spark.functions.pipeline import weighted_sample_k
+    from myasynstreamjoin_spark.functions.text import quality_score
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs)
+    return weighted_sample_k(scored, "quality", k=50).orderBy("doc_id")
+
+
 def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mT5/Pile α-sampling audit: per source, raw size vs rows kept by
     the temperature-flattened (α=0.3) mixture at target 300. Weights
@@ -1900,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anomalies": _q_anomalies,                      # exact-integer z-score outliers
         "q_phrase_search": _q_phrase_search,              # exact consecutive-token phrase match
         "q_temperature_mix": _q_temperature_mix,          # α-sampling domain mixture audit
+        "q_weighted_sample": _q_weighted_sample,          # Efraimidis–Spirakis weighted top-k
         "q_langid_eval": _q_langid_eval,                  # langid confusion matrix
         "q_domain_terms": _q_domain_terms,                # log-odds corpus comparison
         "q_expectations": _q_expectations,                # declarative data-quality checks
@@ -2488,6 +2502,26 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "q_pagerank": _pagerank_sql(),
+        # Efraimidis–Spirakis replay: same md5 uniform, same ln(u)/w
+        # key (identical doubles in both engines), same id tiebreak.
+        "q_weighted_sample": f"""
+            WITH scored AS (
+              SELECT doc_id,
+                     round((CAST(len(list_distinct({_DOC_TOKENS})) AS DOUBLE)
+                            / len({_DOC_TOKENS}))
+                           * least(len({_DOC_TOKENS}) / 50.0, 1.0), 6)
+                       AS quality
+              FROM documents),
+            keyed AS (
+              SELECT doc_id, quality,
+                     ln((CAST(CAST(('0x' || substring(
+                            md5(CAST(doc_id AS VARCHAR) || 'wrs'), 1, 4))
+                          AS INT) % 65536 AS DOUBLE) + 0.5) / 65536.0)
+                       / quality AS wkey
+              FROM scored WHERE quality > 0)
+            SELECT doc_id, quality FROM keyed
+            ORDER BY wkey DESC, doc_id LIMIT 50
+        """,
         # α-weights normalize through integer micro-units (order-free
         # sum); rates round to 9 so both engines compare identical
         # doubles against the md5 bucket.

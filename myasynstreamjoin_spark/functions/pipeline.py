@@ -226,6 +226,46 @@ def sample_k_per_group(
     )
 
 
+def weighted_sample_k(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "wrs",
+    n_buckets: int = 65_536,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis): keep the ``k`` rows maximizing u^(1/w),
+    where u is a hash-derived uniform — higher-weight rows win
+    proportionally more often. This is quality-weighted data selection
+    (sample training docs ∝ quality score) with every property rand()
+    lacks: reproducible across runs, engines, and stage retries.
+
+    u = (md5-bucket + 0.5) / n_buckets is an exact rational from the
+    row id, and the selection key is ln(u)/w (monotone in u^(1/w),
+    cheaper); ties break by id. Rows with weight ≤ 0 or NULL never
+    sample. Scale shape: the key evaluates scan-side and the global
+    top-k is TakeOrderedAndProject (per-partition heaps + k-row driver
+    merge) — no global sort, no shuffle of the corpus.
+
+    Output: the selected rows (schema unchanged).
+    """
+    u = (
+        hash_bucket(
+            F.concat(F.col(id_col).cast("string"), F.lit(salt)), n_buckets
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(n_buckets))
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("__wkey", key)
+        .orderBy(F.desc("__wkey"), F.asc(id_col))
+        .limit(k)
+        .drop("__wkey")
+    )
+
+
 def negative_pairs(
     df: DataFrame,
     k: int = 4,

@@ -262,3 +262,32 @@ def test_temperature_mixture_flattens_head_domains(spark):
     a = {r["doc_id"] for r in temperature_mixture_sample(df, "source").collect()}
     b = {r["doc_id"] for r in temperature_mixture_sample(df, "source").collect()}
     assert a == b and len(a) > 0
+
+
+def test_weighted_sample_biases_toward_heavy_weights(spark):
+    from myasynstreamjoin_spark.functions.pipeline import weighted_sample_k
+
+    # 500 light rows (w=0.1) vs 500 heavy rows (w=10): heavy rows must
+    # dominate the sample far beyond their 50% population share
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 500, 0.1).otherwise(10.0).alias("w"),
+    )
+    got = weighted_sample_k(df, "w", k=100).collect()
+    heavy = sum(1 for r in got if r.w == 10.0)
+    assert len(got) == 100
+    assert heavy >= 90, f"weighting too weak: {heavy}/100 heavy"
+    # deterministic
+    again = {r.doc_id for r in weighted_sample_k(df, "w", k=100).collect()}
+    assert {r.doc_id for r in got} == again
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from myasynstreamjoin_spark.functions.pipeline import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, None), (4, 2.0)],
+        "doc_id long, w double",
+    )
+    got = weighted_sample_k(df, "w", k=10).collect()
+    assert [r.doc_id for r in got] == [4]
