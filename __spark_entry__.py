@@ -1533,6 +1533,71 @@ def _q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(*data)
 
 
+def _q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_cdc_merge: the orders snapshot arrives as an
+    insert feed, then the two change generations, one micro-batch each;
+    foreachBatch merges every batch into a versioned parquet snapshot
+    (streaming/cdc.py). The final snapshot satisfies the SAME oracle as
+    the batch MERGE — stream ≡ batch for the CDC path."""
+    import os
+    import shutil
+    import tempfile
+
+    from myasynstreamjoin_spark.streaming.cdc import (
+        read_snapshot,
+        run_cdc_stream,
+    )
+
+    _prep(spark)
+    orders = tables.load_table(spark, sf_dir, "orders")
+    data = orders.columns
+    k = F.col("o_orderkey")
+    seed = orders.select(
+        *data, F.lit("I").alias("op"), F.lit(0).cast("long").alias("gen")
+    )
+    g1 = orders.where(k % 3 == 0).select(
+        *[c for c in data if c != "o_totalprice"],
+        (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+        F.when(k % 9 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.lit(1).cast("long").alias("gen"),
+    ).select(*data, "op", "gen")
+    g2 = orders.where(k % 6 == 0).select(
+        *[c for c in data if c != "o_totalprice"],
+        (F.col("o_totalprice") + F.lit(20.0)).alias("o_totalprice"),
+        F.lit("U").alias("op"),
+        F.lit(2).cast("long").alias("gen"),
+    ).select(*data, "op", "gen")
+
+    tmp = tempfile.mkdtemp(prefix="stream_cdc_")
+    feed = os.path.join(tmp, "feed")
+    os.makedirs(feed)
+    for i, frame in enumerate((seed, g1, g2)):
+        staging = os.path.join(tmp, f"stage{i}")
+        frame.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            f for f in os.listdir(staging)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = os.path.join(feed, f"f{i}.parquet")
+        shutil.move(os.path.join(staging, part), dst)
+        shutil.rmtree(staging)
+        # pin FileStreamSource arrival order (mtime then path)
+        os.utime(dst, (1_700_000_000 + 100 * i, 1_700_000_000 + 100 * i))
+    changes = (
+        spark.readStream.schema(seed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    run_cdc_stream(
+        changes,
+        snapshot_dir=os.path.join(tmp, "snap"),
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        keys=("o_orderkey",),
+        order_cols=("gen",),
+    )
+    return read_snapshot(spark, os.path.join(tmp, "snap")).select(*data)
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped semantic near-dup pairs: deterministic seed
     clustering (8 lowest-id vectors) then within-cluster exact cosine
@@ -1978,6 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab": _q_vocab,                              # DF vocabulary / stopword scan
         "q_lm_perplexity": _q_lm_perplexity,              # unigram-LM perplexity quality gate
         "q_cdc_merge": _q_cdc_merge,                      # MERGE INTO change-feed apply
+        "q_stream_cdc": _q_stream_cdc,                    # streaming MERGE → versioned snapshot
         "q_bloom_decontaminate": _q_bloom_decontaminate,  # Bloom-prefiltered exact anti-join
         "q_semantic_dedup": _q_semantic_dedup,            # SemDeDup cluster-then-pair dedup
         "q_semantic_dedup_arrow": _q_semantic_dedup_arrow,  # rows-only (Arrow kernel twin)
@@ -2067,7 +2133,7 @@ def _pagerank_sql(n_iters: int = 3, damping_pct: int = 85, k: int = 20) -> str:
     return "\n".join(base)
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_base() -> dict[str, str]:
     from myasynstreamjoin_spark.functions.dedup import minhash_coeffs
     from myasynstreamjoin_spark.functions.similarity import _random_hyperplanes
     from myasynstreamjoin_spark.operators.zorder import zvalue_sql
@@ -4213,3 +4279,12 @@ def oracle_sql() -> dict[str, str]:
             HAVING (ltw + 1) * {CFG.lgw_ms} <= (SELECT wm_ms FROM wm)
         """,
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    """Per-query DuckDB oracles. Queries equivalent by construction
+    share one oracle: the streaming CDC snapshot must satisfy exactly
+    the batch MERGE's SQL (stream ≡ batch for the CDC path)."""
+    d = _oracle_sql_base()
+    d["q_stream_cdc"] = d["q_cdc_merge"]
+    return d
