@@ -1929,7 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cost_model_batch": _q_cost_model_batch,
         "q_cost_model_window": _q_cost_model_window,
         # event-time / relational-window surface (all ts-arithmetic paths)
-        "q_latest_event": _q_latest_event,
+        "q_triangles": _q_triangles,                      # degree-ordered triangle census
         "q_bm25": _q_bm25,                                # Okapi BM25 lexical retrieval
         "q_scd2": _q_scd2,
         "q_event_gaps": _q_event_gaps,
@@ -1954,7 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": _q_simhash,                          # md5_32 signatures → SQL-replayable
         "q_dedup_clusters": _q_dedup_clusters,
         "q_simsearch": _q_simsearch,
-        "q_simsearch_multi": _q_simsearch_multi,
+        "q_lm_perplexity": _q_lm_perplexity,              # unigram-LM perplexity quality gate
         "q_ts_similarity": _q_ts_similarity,
         "q_multimodal_meta": _q_multimodal_meta,
         # streaming layer run to completion (SURVEY.md §2.6 T1-T5, T8)
@@ -1963,7 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_sessions": _q_stream_sessions,          # streaming session windows
         # --- tail (pytest oracle-parity mirror coverage) ---
         # SQL-layer coverage the reference lacked (SURVEY.md §2.4 "missing")
-        "q_rollup_pricing": _q_rollup_pricing,
+        "q_cdc_merge": _q_cdc_merge,                      # MERGE INTO change-feed apply
         "q_cube_pricing": _q_cube_pricing,
         "q_rank_features": _q_rank_features,
         "q_grouping_sets": _q_grouping_sets,
@@ -1974,7 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_copurchase": _q_copurchase,                    # market-basket pair counts
         "q_event_sequences": _q_event_sequences,          # sequential-pattern n-grams
         "q_pagerank": _q_pagerank,                        # integer-exact PageRank
-        "q_triangles": _q_triangles,                      # degree-ordered triangle census
+        "q_latest_event": _q_latest_event,
         "q_anomalies": _q_anomalies,                      # exact-integer z-score outliers
         "q_phrase_search": _q_phrase_search,              # exact consecutive-token phrase match
         "q_temperature_mix": _q_temperature_mix,          # α-sampling domain mixture audit
@@ -2041,8 +2041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_negative_pairs": _q_negative_pairs,            # contrastive negative sampling
         "q_latest_event_maxby": _q_latest_event_maxby,    # max_by twin of q_latest_event
         "q_vocab": _q_vocab,                              # DF vocabulary / stopword scan
-        "q_lm_perplexity": _q_lm_perplexity,              # unigram-LM perplexity quality gate
-        "q_cdc_merge": _q_cdc_merge,                      # MERGE INTO change-feed apply
+        "q_simsearch_multi": _q_simsearch_multi,
+        "q_rollup_pricing": _q_rollup_pricing,
         "q_stream_cdc": _q_stream_cdc,                    # streaming MERGE → versioned snapshot
         "q_bloom_decontaminate": _q_bloom_decontaminate,  # Bloom-prefiltered exact anti-join
         "q_semantic_dedup": _q_semantic_dedup,            # SemDeDup cluster-then-pair dedup
