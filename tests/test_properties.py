@@ -209,3 +209,126 @@ def test_connected_components_vs_union_find(spark, rows):
         union(a, b)
     want = {(x, find(x)) for x in parent}
     assert got == want
+
+
+# ---- round-4 late additions -----------------------------------------
+
+CHANGE = st.tuples(
+    st.integers(min_value=0, max_value=12),                  # key
+    st.sampled_from(["I", "U", "D"]),                        # op
+    st.integers(min_value=1, max_value=5),                   # gen
+    st.integers(min_value=-1000, max_value=1000),            # payload
+)
+
+
+@given(
+    base_keys=st.lists(st.integers(min_value=0, max_value=12),
+                       unique=True, max_size=8),
+    changes=st.lists(CHANGE, max_size=24),
+)
+@PROP_SETTINGS
+def test_cdc_apply_matches_sequential_replay(spark, base_keys, changes):
+    """cdc_apply == replaying the change log key-by-key in (gen, …)
+    order against a dict — latest op wins, D removes, base passes
+    through. Changes sharing (key, gen) would be ambiguous; dedup to
+    the last-listed one to keep the model and engine aligned."""
+    from myasynstreamjoin_spark.operators.cdc import cdc_apply
+
+    seen = {}
+    for k, op, gen, v in changes:
+        seen[(k, gen)] = (op, v)
+    uniq = [(k, op, gen, v) for (k, gen), (op, v) in seen.items()]
+
+    base = spark.createDataFrame(
+        [(k, k * 10) for k in base_keys] or [], "k long, v long"
+    )
+    if not uniq:
+        merged = cdc_apply(
+            base,
+            spark.createDataFrame([], "k long, v long, op string, gen long"),
+            keys=("k",), order_cols=("gen",),
+        )
+        assert {r.k: r.v for r in merged.collect()} == {k: k * 10 for k in base_keys}
+        return
+    ch = spark.createDataFrame(
+        [(k, v, op, gen) for k, op, gen, v in uniq],
+        "k long, v long, op string, gen long",
+    )
+    merged = cdc_apply(base, ch, keys=("k",), order_cols=("gen",))
+
+    model = {k: k * 10 for k in base_keys}
+    latest = {}
+    for k, op, gen, v in uniq:
+        if k not in latest or gen > latest[k][0]:
+            latest[k] = (gen, op, v)
+    for k, (gen, op, v) in latest.items():
+        if op == "D":
+            model.pop(k, None)
+        else:
+            model[k] = v
+    assert {r.k: r.v for r in merged.collect()} == model
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1000, max_value=1000,
+                  allow_nan=False, allow_infinity=False),
+        min_size=2, max_size=40,
+    ),
+    k=st.sampled_from([1, 2, 3]),
+)
+@PROP_SETTINGS
+def test_zscore_outliers_matches_float_model(spark, vals, k):
+    """The integer cross-multiplied flag == the float |x-μ| > kσ rule
+    on milli-unit-quantized values, for arbitrary data and k."""
+    from myasynstreamjoin_spark.operators.stats import zscore_outliers
+
+    df = spark.createDataFrame(
+        [("g", i, float(v)) for i, v in enumerate(vals)],
+        "event_type string, event_id long, value double",
+    )
+    got = {r.event_id for r in zscore_outliers(df, k=k).collect()}
+
+    xs = [round(v * 1000) for v in vals]
+    n = len(xs)
+    s, ss = sum(xs), sum(x * x for x in xs)
+    expect = {
+        i for i, x in enumerate(xs)
+        if (n * x - s) ** 2 > k * k * (n * ss - s * s)
+    }
+    assert got == expect
+
+
+@given(
+    weights=st.lists(
+        st.floats(min_value=0.001, max_value=100,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=30,
+    ),
+    k=st.sampled_from([1, 5, 10]),
+)
+@PROP_SETTINGS
+def test_weighted_sample_matches_key_model(spark, weights, k):
+    """The selected set == the top-k of the ln(u)/w key computed in
+    plain Python from the same md5 uniforms (exact replay)."""
+    import hashlib
+    import math
+
+    from myasynstreamjoin_spark.functions.pipeline import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [(i, float(w)) for i, w in enumerate(weights)], "doc_id long, w double"
+    )
+    got = {r.doc_id for r in weighted_sample_k(df, "w", k=k).collect()}
+
+    def key(i, w):
+        h = hashlib.md5(f"{i}wrs".encode()).hexdigest()[:4]
+        u = ((int(h, 16) % 65536) + 0.5) / 65536.0
+        return (math.log(u) / w, -i)
+
+    expect = {
+        i for i, _ in sorted(
+            enumerate(weights), key=lambda t: key(t[0], t[1]), reverse=True
+        )[:k]
+    }
+    assert got == expect
