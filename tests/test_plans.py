@@ -379,3 +379,63 @@ def test_bloom_decontaminate_broadcasts_bitmap(spark, sf_dir):
     )
     plan = simple_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_lm_perplexity_broadcasts_the_lm(spark, sf_dir):
+    """The token stream joins the LM counts and totals via broadcast —
+    scoring adds no shuffle beyond the (doc,term) aggregation."""
+    from myasynstreamjoin_spark.functions.text import lm_perplexity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = lm_perplexity(docs)
+    plan = simple_plan(df)
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_zscore_outliers_is_broadcast_map_filter(spark, sf_dir):
+    """Per-group stats broadcast back onto the scan: the fact table
+    never shuffles — one scan-side filter pass."""
+    from myasynstreamjoin_spark.operators.stats import zscore_outliers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = zscore_outliers(ev)
+    assert has_broadcast_join(df)
+    # the only exchange feeds the |groups|-row stats aggregate
+    assert n_shuffles(df) <= 1
+
+
+def test_weighted_sample_is_heap_merge_not_global_sort(spark, sf_dir):
+    from myasynstreamjoin_spark.functions.pipeline import weighted_sample_k
+    from myasynstreamjoin_spark.functions.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = weighted_sample_k(quality_score(docs), "quality", k=50)
+    plan = simple_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_cdc_merge_base_side_never_shuffles(spark, sf_dir):
+    """Base scan → broadcast anti-join → union: no exchange on the
+    base's path (the change feed's grouping is the only shuffle)."""
+    from myasynstreamjoin_spark.operators.cdc import cdc_apply
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    data = orders.columns
+    ch = orders.limit(100).select(
+        *data, F.lit("U").alias("op"), F.lit(1).alias("gen")
+    )
+    df = cdc_apply(orders, ch, keys=("o_orderkey",), order_cols=("gen",))
+    plan = simple_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_phrase_search_is_map_only(spark, sf_dir):
+    from myasynstreamjoin_spark.functions.retrieval import phrase_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = phrase_search(docs, "slow hash batch")
+    assert n_shuffles(df) == 0
+    # column pruning: only doc_id/text reach the scan
+    cols = scan_report(df)[0]["read_schema"]
+    assert "lang" not in cols and "n_chars" not in cols
