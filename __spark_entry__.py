@@ -689,6 +689,17 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 UDTF tier: lateral sentence-splitting table function over
+    documents (functions/udtf_ops.py). Declarative ops remain the fast
+    path; this pins the row-expanding Python API's correctness."""
+    from myasynstreamjoin_spark.functions.udtf_ops import split_sentences
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return split_sentences(spark, docs)
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted selection: Efraimidis–Spirakis top-50 by
     u^(1/quality) with hash-derived uniforms — deterministic weighted
@@ -1979,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phrase_search": _q_phrase_search,              # exact consecutive-token phrase match
         "q_temperature_mix": _q_temperature_mix,          # α-sampling domain mixture audit
         "q_weighted_sample": _q_weighted_sample,          # Efraimidis–Spirakis weighted top-k
+        "q_udtf_sentences": _q_udtf_sentences,            # Python UDTF tier (U1)
         "q_langid_eval": _q_langid_eval,                  # langid confusion matrix
         "q_domain_terms": _q_domain_terms,                # log-odds corpus comparison
         "q_expectations": _q_expectations,                # declarative data-quality checks
@@ -2568,6 +2580,29 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "q_pagerank": _pagerank_sql(),
+        # The UDTF's segmentation replayed relationally: split on
+        # [.!?]+ runs, trim/collapse whitespace, drop empties, index.
+        "q_udtf_sentences": """
+            WITH segs AS (
+              SELECT doc_id,
+                     regexp_replace(trim(lower(seg)), '\\s+', ' ', 'g')
+                       AS sentence,
+                     i
+              FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(text, '[.!?]+')) AS seg,
+                       generate_subscripts(
+                         string_split_regex(text, '[.!?]+'), 1) AS i
+                FROM documents)),
+            kept AS (
+              SELECT doc_id, sentence,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+                       AS sent_idx
+              FROM segs WHERE sentence <> '')
+            SELECT doc_id, sent_idx, sentence,
+                   len(string_split(sentence, ' ')) AS n_tokens
+            FROM kept
+        """,
         # Efraimidis–Spirakis replay: same md5 uniform, same ln(u)/w
         # key (identical doubles in both engines), same id tiebreak.
         "q_weighted_sample": f"""
