@@ -689,6 +689,19 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance matrix of the 64 embedding dimensions: per-Arrow-
+    batch integer Gram matmuls reduced in DECIMAL(38,0), covariance as
+    one exact-integer cross-multiplication — distributed linear
+    algebra with zero float accumulation (functions/embeddings.py)."""
+    from myasynstreamjoin_spark.functions.embeddings import (
+        embedding_covariance,
+    )
+
+    _prep(spark)
+    return embedding_covariance(tables.load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 UDTF tier: lateral sentence-splitting table function over
     documents (functions/udtf_ops.py). Declarative ops remain the fast
@@ -1991,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_temperature_mix": _q_temperature_mix,          # α-sampling domain mixture audit
         "q_weighted_sample": _q_weighted_sample,          # Efraimidis–Spirakis weighted top-k
         "q_udtf_sentences": _q_udtf_sentences,            # Python UDTF tier (U1)
+        "q_embed_cov": _q_embed_cov,                      # exact covariance matrix (Arrow Gram partials)
         "q_langid_eval": _q_langid_eval,                  # langid confusion matrix
         "q_domain_terms": _q_domain_terms,                # log-odds corpus comparison
         "q_expectations": _q_expectations,                # declarative data-quality checks
@@ -2580,6 +2594,31 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "q_pagerank": _pagerank_sql(),
+        # Integer-quantized Gram sums in HUGEINT == the engine's
+        # DECIMAL(38,0) partial-matmul reduction; covariance is one
+        # exact cross-multiplied division on both sides.
+        "q_embed_cov": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            x AS (SELECT vec_id,
+                         generate_subscripts(e, 1) - 1 AS i,
+                         CAST(round(unnest(e) * 1e6) AS HUGEINT) AS xi
+                  FROM v),
+            n AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM v),
+            s1 AS (SELECT i, sum(xi) AS si FROM x GROUP BY i),
+            s2 AS (SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS s
+                   FROM x a JOIN x b
+                     ON a.vec_id = b.vec_id AND b.i >= a.i
+                   GROUP BY a.i, b.i)
+            SELECT s2.i, s2.j,
+                   round(CAST(n.n * s2.s - sa.si * sb.si AS DOUBLE)
+                         / CAST(n.n * n.n * 1000000 * CAST(1000000 AS HUGEINT)
+                                AS DOUBLE), 9) AS cov
+            FROM s2
+            JOIN s1 sa ON sa.i = s2.i
+            JOIN s1 sb ON sb.i = s2.j
+            CROSS JOIN n
+        """,
         # The UDTF's segmentation replayed relationally: split on
         # [.!?]+ runs, trim/collapse whitespace, drop empties, index.
         "q_udtf_sentences": """

@@ -83,3 +83,97 @@ def quantize_int8(
         F.round(scale, 6).alias("scale"),
         q.alias("q"),
     )
+
+
+def embedding_covariance(
+    embs: DataFrame,
+    vec_col: str = "embedding",
+    unit: int = 1_000_000,
+    decimals: int = 9,
+) -> DataFrame:
+    """Exact covariance matrix of the embedding dimensions — the
+    data-profiling / PCA-input pass (which dimensions co-vary, where
+    the mass sits before choosing projections or LSH planes).
+
+    Distributed linear algebra done the 100 TB way: each Arrow batch
+    computes its PARTIAL Gram matrix XᵀX with one numpy matmul (in
+    integer ``unit``-ths — int64-exact per batch), emits the upper
+    triangle as (i, j, partial) rows, and one groupBy reduces partials
+    in DECIMAL(38,0). Python sees each row once inside a vectorized
+    matmul; the shuffle is d(d+1)/2 rows per batch, independent of
+    corpus size. First moments ride the same pass as the j = -1 rows.
+
+    Covariance is then the exact integer cross-multiplication
+    (n·S_ij − S_i·S_j) / (n² · unit²) — one correctly-rounded double
+    division of exact integers, bit-identical on any engine and any
+    row order.
+
+    Output: (i, j, cov) for 0 ≤ i ≤ j < dim, rounded to ``decimals``.
+    """
+    import pandas as pd  # noqa: PLC0415 — Arrow path only
+
+    u = int(unit)
+
+    def gram(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            scaled = np.stack(pdf[vec_col].to_numpy()).astype("float64") * u
+            # round HALF-AWAY-FROM-ZERO to match SQL round() in both
+            # engines (np.rint is half-to-even and would diverge on
+            # exact .5 quantization boundaries)
+            x = np.copysign(np.floor(np.abs(scaled) + 0.5), scaled).astype(
+                "int64"
+            )
+            g = x.T @ x  # int64-exact: |x| ≤ unit·|v|max, batch ≤ 10^4 rows
+            s = x.sum(axis=0)
+            d = x.shape[1]
+            iu, ju = np.triu_indices(d)
+            out = pd.DataFrame(
+                {"i": iu.astype("int32"), "j": ju.astype("int32"),
+                 "p": g[iu, ju], "n": 0}
+            )
+            firsts = pd.DataFrame(
+                {"i": np.arange(d, dtype="int32"),
+                 "j": np.full(d, -1, dtype="int32"),
+                 "p": s, "n": 0}
+            )
+            counts = pd.DataFrame(
+                {"i": [-1], "j": [-1], "p": [len(pdf)], "n": [0]}
+            )
+            yield pd.concat([out, firsts, counts], ignore_index=True)
+
+    partials = embs.select(vec_col).mapInPandas(
+        gram, schema="i int, j int, p long, n int"
+    )
+    sums = partials.groupBy("i", "j").agg(
+        F.sum(F.col("p").cast("decimal(38,0)")).alias("s")
+    )
+    n_rows = sums.where((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("s").alias("n")
+    )
+    moments = sums.where(F.col("j") == -1).where(F.col("i") >= 0)
+    second = sums.where(F.col("j") >= 0)
+    m_i = moments.select(F.col("i").alias("i"), F.col("s").alias("si"))
+    m_j = moments.select(F.col("i").alias("j"), F.col("s").alias("sj"))
+    denom = F.col("n") * F.col("n") * F.lit(u).cast("decimal(38,0)") * F.lit(
+        u
+    ).cast("decimal(38,0)")
+    return (
+        second.join(F.broadcast(m_i), "i")
+        .join(F.broadcast(m_j), "j")
+        .crossJoin(F.broadcast(n_rows))
+        .select(
+            "i",
+            "j",
+            F.round(
+                (F.col("n") * F.col("s") - F.col("si") * F.col("sj")).cast(
+                    "double"
+                )
+                / denom.cast("double"),
+                decimals,
+            ).alias("cov"),
+        )
+    )

@@ -291,3 +291,37 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     )
     got = weighted_sample_k(df, "w", k=10).collect()
     assert [r.doc_id for r in got] == [4]
+
+
+def test_embedding_covariance_known_values(spark):
+    from myasynstreamjoin_spark.functions.embeddings import embedding_covariance
+
+    # dims: [x, -x, const] → var(x)=0.25 on {0,1}, cov(x,-x)=-0.25,
+    # anything with the constant dim = 0
+    rows = [(0, [0.0, 1.0, 2.0]), (1, [1.0, 0.0, 2.0]),
+            (2, [0.0, 1.0, 2.0]), (3, [1.0, 0.0, 2.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.i, r.j): r.cov for r in embedding_covariance(df).collect()}
+    assert got == {
+        (0, 0): 0.25, (0, 1): -0.25, (0, 2): 0.0,
+        (1, 1): 0.25, (1, 2): 0.0, (2, 2): 0.0,
+    }
+
+
+def test_embedding_covariance_batch_invariance(spark):
+    """Partial Gram matmuls reduce to the same integers regardless of
+    partitioning — repartitioning must not change a single value."""
+    from myasynstreamjoin_spark.functions.embeddings import embedding_covariance
+
+    embs = spark.range(0, 200).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double") / 7.0,
+            (F.col("id") % 3).cast("double") / 3.0,
+            F.lit(0.5),
+        ).alias("embedding"),
+    )
+    a = {(r.i, r.j): r.cov for r in embedding_covariance(embs).collect()}
+    b = {(r.i, r.j): r.cov
+         for r in embedding_covariance(embs.repartition(13)).collect()}
+    assert a == b
