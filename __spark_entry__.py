@@ -689,6 +689,16 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL(p_source || p_corpus) over unigram distributions
+    — the domain-drift monitor, in nano-nat integer sums
+    (functions/text.py)."""
+    from myasynstreamjoin_spark.functions.text import domain_kl
+
+    _prep(spark)
+    return domain_kl(tables.load_table(spark, sf_dir, "documents"))
+
+
 def _q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Covariance matrix of the 64 embedding dimensions: per-Arrow-
     batch integer Gram matmuls reduced in DECIMAL(38,0), covariance as
@@ -2005,6 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample": _q_weighted_sample,          # Efraimidis–Spirakis weighted top-k
         "q_udtf_sentences": _q_udtf_sentences,            # Python UDTF tier (U1)
         "q_embed_cov": _q_embed_cov,                      # exact covariance matrix (Arrow Gram partials)
+        "q_domain_kl": _q_domain_kl,                      # per-source KL drift monitor
         "q_langid_eval": _q_langid_eval,                  # langid confusion matrix
         "q_domain_terms": _q_domain_terms,                # log-odds corpus comparison
         "q_expectations": _q_expectations,                # declarative data-quality checks
@@ -2594,6 +2605,31 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "q_pagerank": _pagerank_sql(),
+        # Per-term nano-nat contributions summed as integers; the
+        # log-ratio argument is one division of exact integer products.
+        "q_domain_kl": f"""
+            WITH tok AS (
+              SELECT source, unnest({_DOC_TOKENS}) AS term FROM documents),
+            tok2 AS (SELECT * FROM tok WHERE term <> ''),
+            per_src AS (SELECT source, term, count(*) AS cs
+                        FROM tok2 GROUP BY source, term),
+            corpus AS (SELECT term, count(*) AS c FROM tok2 GROUP BY term),
+            src_tot AS (SELECT source, sum(cs) AS ts
+                        FROM per_src GROUP BY source),
+            tot AS (SELECT sum(c) AS t FROM corpus),
+            contrib AS (
+              SELECT p.source, s.ts,
+                     CAST(round((CAST(p.cs AS DOUBLE) / s.ts)
+                                * ln((p.cs * t.t) / (s.ts * c.c))
+                                * 1e9) AS BIGINT) AS nano
+              FROM per_src p
+              JOIN corpus c USING (term)
+              JOIN src_tot s USING (source)
+              CROSS JOIN tot t)
+            SELECT source, max(ts) AS n_tokens,
+                   round(sum(nano) / 1e9, 6) AS kl
+            FROM contrib GROUP BY source
+        """,
         # Integer-quantized Gram sums in HUGEINT == the engine's
         # DECIMAL(38,0) partial-matmul reduction; covariance is one
         # exact cross-multiplied division on both sides.

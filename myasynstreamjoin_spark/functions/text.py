@@ -286,6 +286,52 @@ def lm_perplexity(docs: DataFrame, lm_docs: DataFrame | None = None) -> DataFram
     )
 
 
+def domain_kl(docs: DataFrame, source_col: str = "source") -> DataFrame:
+    """Per-domain distribution drift: KL(p_source ‖ p_corpus) over
+    unigram token distributions — the monitoring signal for "this
+    source stopped looking like the rest of the corpus" (scraper
+    breakage, domain shift, injected spam).
+
+    KL = Σ_t p_s(t)·ln(p_s(t)/q(t)) with p_s, q the source/corpus
+    token frequencies. Every term that appears in a source also
+    appears in the corpus, so the ratio is always finite.
+
+    Determinism (SCALE.md house rules): the log-ratio argument is one
+    correctly-rounded division of exact integer products
+    (c_s·T)/(T_s·c), each per-term contribution is fixed-pointed to
+    integer NANO-NATS, and the per-source total is an integer sum —
+    order-free on any engine.
+
+    Scale shape: one shuffle to (source, term) counts; the corpus
+    term table (vocabulary-sized) and the two totals broadcast back.
+
+    Output: (source, n_tokens, kl) — kl in nats, rounded to 6.
+    """
+    toks = docs.select(source_col, F.explode(tokens("text")).alias("term")).where(
+        F.col("term") != ""
+    )
+    per_src = toks.groupBy(source_col, "term").agg(F.count("*").alias("cs"))
+    corpus = toks.groupBy("term").agg(F.count("*").alias("c"))
+    src_tot = per_src.groupBy(source_col).agg(F.sum("cs").alias("ts"))
+    tot = corpus.agg(F.sum("c").alias("t"))
+    contrib = F.round(
+        (F.col("cs") / F.col("ts"))
+        * F.log((F.col("cs") * F.col("t")) / (F.col("ts") * F.col("c")))
+        * F.lit(1e9)
+    ).cast("long")
+    return (
+        per_src.join(F.broadcast(corpus), "term")
+        .join(F.broadcast(src_tot), source_col)
+        .crossJoin(F.broadcast(tot))
+        .select(source_col, F.col("ts"), contrib.alias("nano"))
+        .groupBy(source_col)
+        .agg(
+            F.max("ts").alias("n_tokens"),
+            F.round(F.sum("nano") / F.lit(1e9), 6).alias("kl"),
+        )
+    )
+
+
 def langid_eval(docs: DataFrame, threshold: float = 0.05) -> DataFrame:
     """Confusion matrix of `lang_id` against the labeled ``lang``
     column — the eval pass a pipeline runs when tuning a language

@@ -46,3 +46,29 @@ def test_repetition_ratio_boundaries(spark):
     assert got[1] == (7, round(4 / 7, 6))
     assert got[2][1] == 0.0
     assert got[3] == (1, 0.0)
+
+
+def test_domain_kl_zero_for_identical_distributions(spark):
+    from myasynstreamjoin_spark.functions.text import domain_kl
+
+    # two sources with the SAME text multiset → both match the corpus
+    rows = [(i, "a b c d", "s1") for i in range(10)] + [
+        (i + 10, "a b c d", "s2") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r.kl for r in domain_kl(df).collect()}
+    assert got == {"s1": 0.0, "s2": 0.0}
+
+
+def test_domain_kl_flags_the_drifted_source(spark):
+    from myasynstreamjoin_spark.functions.text import domain_kl
+
+    rows = (
+        [(i, "the quick brown fox jumps", "clean") for i in range(20)]
+        + [(100 + i, "the quick brown fox jumps", "drifted") for i in range(2)]
+        + [(200 + i, "buy pills buy pills buy pills", "drifted") for i in range(8)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r.kl for r in domain_kl(df).collect()}
+    assert got["drifted"] > got["clean"] >= 0
+    assert got["drifted"] > 0.1
