@@ -689,6 +689,20 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA top-8 projection of the embedding corpus (covariance →
+    driver eigh → Arrow matmul projection). rows-only: LAPACK eigen
+    isn't SQL-replayable; invariants (orthonormal basis, variance =
+    eigenvalue, rotation preserves norms) are pytest-pinned."""
+    from myasynstreamjoin_spark.functions.embeddings import pca_project
+
+    _prep(spark)
+    projected, _, _ = pca_project(
+        tables.load_table(spark, sf_dir, "embeddings"), k=8
+    )
+    return projected
+
+
 def _q_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source KL(p_source || p_corpus) over unigram distributions
     — the domain-drift monitor, in nano-nat integer sums
@@ -2016,6 +2030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_udtf_sentences": _q_udtf_sentences,            # Python UDTF tier (U1)
         "q_embed_cov": _q_embed_cov,                      # exact covariance matrix (Arrow Gram partials)
         "q_domain_kl": _q_domain_kl,                      # per-source KL drift monitor
+        "q_pca": _q_pca,                                  # rows-only (LAPACK eigen; pytest invariants)
         "q_langid_eval": _q_langid_eval,                  # langid confusion matrix
         "q_domain_terms": _q_domain_terms,                # log-odds corpus comparison
         "q_expectations": _q_expectations,                # declarative data-quality checks

@@ -177,3 +177,75 @@ def embedding_covariance(
             ).alias("cov"),
         )
     )
+
+
+def pca_project(
+    embs: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    decimals: int = 6,
+):
+    """PCA: fit the top-``k`` principal components from the exact
+    covariance matrix and project every (centered) vector — the
+    dimensionality-reduction pass ANN pipelines run before LSH/IVF
+    when 64 raw dims carry redundant mass.
+
+    Control plane vs data plane, the engine's standing split: the
+    d(d+1)/2 covariance rows and d means are a DRIVER-SIZED read (like
+    k-means centroids), eigendecomposition is numpy on the driver (a
+    64×64 symmetric eigh — microseconds), and the projection streams
+    through an Arrow matmul with the component matrix captured in the
+    closure — one `X @ W` per batch, no shuffle, corpus scanned once.
+
+    Eigenvector sign is fixed (largest-|entry| coordinate positive) so
+    the output is deterministic; eigen itself is LAPACK — this is the
+    one operator family whose oracle is invariant-based pytest, not
+    SQL replay (documented rows-only).
+
+    Returns ``(projected, components, eigenvalues)``: the projected
+    DataFrame (id, proj array<double>), the (k, d) component matrix,
+    and the k eigenvalues (descending).
+    """
+    import numpy as np
+
+    cov_rows = embedding_covariance(embs, vec_col=vec_col).collect()
+    d = max(r["j"] for r in cov_rows) + 1
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["cov"]
+    means = (
+        embs.select(F.posexplode(vec_col).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    )
+    mu = np.zeros(d)
+    for r in means:
+        mu[r["i"]] = r["m"]
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    w = vecs[:, order].T  # (k, d)
+    for row in w:
+        if row[np.argmax(np.abs(row))] < 0:
+            row *= -1.0
+    eigenvalues = vals[order].copy()
+    w_c = w.copy()
+    mu_c = mu.copy()
+
+    def project(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype("float64") - mu_c
+            p = np.round(x @ w_c.T, decimals)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "proj": list(map(list, p))}
+            )
+
+    projected = embs.select(id_col, vec_col).mapInPandas(
+        project, schema=f"{id_col} long, proj array<double>"
+    )
+    return projected, w, eigenvalues

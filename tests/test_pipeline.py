@@ -325,3 +325,39 @@ def test_embedding_covariance_batch_invariance(spark):
     b = {(r.i, r.j): r.cov
          for r in embedding_covariance(embs.repartition(13)).collect()}
     assert a == b
+
+
+def test_pca_invariants(spark, sf_dir):
+    """Orthonormal components, descending eigenvalues, projected
+    variance ≈ eigenvalue, full-rank projection preserves centered
+    norms (rotation), and partition invariance."""
+    import numpy as np
+
+    from myasynstreamjoin_spark.functions.embeddings import pca_project
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    proj, w, vals = pca_project(embs, k=8)
+    assert w.shape[0] == 8
+    assert np.allclose(w @ w.T, np.eye(8), atol=1e-9)
+    assert all(vals[i] >= vals[i + 1] - 1e-12 for i in range(7))
+    p = np.stack([r.proj for r in proj.collect()])
+    var = p.var(axis=0)
+    assert np.allclose(var, vals, rtol=0.01, atol=1e-6)
+
+    # full-rank: rotation preserves centered norms
+    d = w.shape[1]
+    full, wf, _ = pca_project(embs, k=d)
+    x = np.stack([r.embedding for r in embs.orderBy("vec_id").collect()]).astype(
+        "float64"
+    )
+    xc = x - x.mean(axis=0)
+    pf = np.stack([r.proj for r in full.orderBy("vec_id").collect()])
+    assert np.allclose(
+        np.linalg.norm(pf, axis=1), np.linalg.norm(xc, axis=1), atol=1e-4
+    )
+
+    # repartitioning must not change a single projected value
+    proj2, _, _ = pca_project(embs.repartition(7), k=8)
+    a = {r.vec_id: tuple(r.proj) for r in proj.collect()}
+    b = {r.vec_id: tuple(r.proj) for r in proj2.collect()}
+    assert a == b
