@@ -689,6 +689,32 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file data-skipping manifest over the events table: the
+    min/max/count stats a lakehouse catalog keeps so filtered scans
+    prune files before opening them (operators/zorder.py)."""
+    from myasynstreamjoin_spark.operators.zorder import file_skipping_stats
+
+    _prep(spark)
+    return file_skipping_stats(
+        spark, f"{sf_dir}/events.parquet", ["event_id", "value"]
+    )
+
+
+def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of events.value in exact integer bucket
+    arithmetic — float floor((x-min)/width) flips at ulp boundaries;
+    integer milli-units cannot (operators/relational.py)."""
+    from myasynstreamjoin_spark.operators.relational import (
+        equi_width_histogram,
+    )
+
+    _prep(spark)
+    return equi_width_histogram(
+        tables.load_table(spark, sf_dir, "events"), "value", n_buckets=20
+    )
+
+
 def _q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA top-8 projection of the embedding corpus (covariance →
     driver eigh → Arrow matmul projection). rows-only: LAPACK eigen
@@ -2031,6 +2057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_cov": _q_embed_cov,                      # exact covariance matrix (Arrow Gram partials)
         "q_domain_kl": _q_domain_kl,                      # per-source KL drift monitor
         "q_pca": _q_pca,                                  # rows-only (LAPACK eigen; pytest invariants)
+        "q_histogram": _q_histogram,                      # integer-exact equi-width histogram
+        "q_file_stats": _q_file_stats,                    # per-file data-skipping manifest
         "q_langid_eval": _q_langid_eval,                  # langid confusion matrix
         "q_domain_terms": _q_domain_terms,                # log-odds corpus comparison
         "q_expectations": _q_expectations,                # declarative data-quality checks
@@ -2620,6 +2648,36 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "q_pagerank": _pagerank_sql(),
+        # The fixture table is one physical file, so the manifest is
+        # one row named after it; multi-file layouts are pytest-covered
+        # (the oracle's view surface has no per-file identity).
+        "q_file_stats": """
+            SELECT 'events.parquet' AS file_name,
+                   count(*) AS n_rows,
+                   min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events
+        """,
+        # Integer milli-unit bucket arithmetic: DIV on exact ints,
+        # bounds from one aggregate — no float bucket boundaries.
+        "q_histogram": """
+            WITH vals AS (
+              SELECT CAST(round(value * 1000) AS BIGINT) AS xq
+              FROM events WHERE value IS NOT NULL),
+            b AS (SELECT min(xq) AS mn, max(xq) AS mx FROM vals),
+            bucketed AS (
+              SELECT ((xq - mn) * 20) // (mx - mn + 1) AS bucket, mn, mx
+              FROM vals, b)
+            SELECT bucket,
+                   round((mn + bucket * (mx - mn + 1) / 20) / 1000.0, 6)
+                     AS lo,
+                   round((mn + (bucket + 1) * (mx - mn + 1) / 20) / 1000.0, 6)
+                     AS hi,
+                   count(*) AS n
+            FROM bucketed GROUP BY bucket, mn, mx
+        """,
         # Per-term nano-nat contributions summed as integers; the
         # log-ratio argument is one division of exact integer products.
         "q_domain_kl": f"""

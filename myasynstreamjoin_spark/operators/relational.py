@@ -807,3 +807,57 @@ def expectations(
         for name in names
     ]
     return wide.select(F.explode(F.array(*rows)).alias("e")).select("e.*")
+
+
+def equi_width_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 20,
+    unit: int = 1000,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column in EXACT integer
+    arithmetic — the profiling/monitoring pass that must agree across
+    engines and reruns (a float `floor((x-min)/width)` flips bucket
+    membership at 1-ulp boundaries; integer milli-units cannot).
+
+    Bucket of x: ((xq − minq) · n_buckets) DIV (maxq − minq + 1) with
+    xq = round(x·unit) — pure integer ops, every value lands in
+    [0, n_buckets). Bounds come from one 1-row aggregate broadcast
+    back onto the scan: two passes over the column, no shuffle of the
+    data, matching how an engine computes stats pages. Empty buckets
+    are omitted (join the full bucket range downstream if needed).
+
+    Output: (bucket, lo, hi, n) — lo/hi the bucket's real-valued
+    bounds, derived from the same integers.
+    """
+    xq = F.round(F.col(value_col) * F.lit(unit)).cast("long")
+    vals = df.where(F.col(value_col).isNotNull()).select(xq.alias("__xq"))
+    bounds = vals.agg(
+        F.min("__xq").alias("__mn"), F.max("__xq").alias("__mx")
+    )
+    return (
+        vals.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(
+                f"((__xq - __mn) * {n_buckets}) DIV (__mx - __mn + 1)"
+            ).alias("bucket"),
+            "__mn",
+            "__mx",
+        )
+        .groupBy("bucket", "__mn", "__mx")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            F.round(
+                (F.col("__mn") + F.col("bucket") * (F.col("__mx") - F.col("__mn") + 1) / F.lit(n_buckets))
+                / F.lit(float(unit)),
+                6,
+            ).alias("lo"),
+            F.round(
+                (F.col("__mn") + (F.col("bucket") + 1) * (F.col("__mx") - F.col("__mn") + 1) / F.lit(n_buckets))
+                / F.lit(float(unit)),
+                6,
+            ).alias("hi"),
+            "n",
+        )
+    )

@@ -119,3 +119,29 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def file_skipping_stats(
+    spark, path: str, cols: list[str]
+) -> "DataFrame":
+    """Per-file min/max/count manifest — the data-skipping index a
+    lakehouse keeps (Delta stats / Iceberg manifests) so a filtered
+    query prunes files before opening them. Pairs with
+    ``write_zordered``: after a z-ordered rewrite each file covers a
+    small rectangle of the clustered keys, and THIS table is what
+    makes that layout actionable.
+
+    Implementation: the scan's ``_metadata.file_name`` hidden column
+    grouped per file — one pass, stats computed where the data lives;
+    the output is #files rows (catalog-sized, not data-sized).
+
+    Output: (file_name, n_rows, min_<c>, max_<c> per requested col).
+    """
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return (
+        df.groupBy(F.col("_metadata.file_name").alias("file_name"))
+        .agg(*aggs)
+    )

@@ -63,3 +63,28 @@ def test_latest_snapshot_tiebreak(spark):
         for r in latest_snapshot(df, "user_id", ("ts", "event_id")).collect()
     }
     assert got == {1: "b", 2: "d"}
+
+
+def test_histogram_integer_buckets(spark):
+    """Known values: exact integer bucketing, complete coverage, and
+    bucket-0/top-bucket boundary membership."""
+    from myasynstreamjoin_spark.operators.relational import equi_width_histogram
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [0, 1, 2, 3, 4, 5, 6, 7, 8, 9]], "value double"
+    )
+    rows = {r.bucket: r for r in equi_width_histogram(df, "value", n_buckets=5).collect()}
+    # span = 9001 milli-units over 5 buckets; each value falls uniquely
+    assert sum(r.n for r in rows.values()) == 10
+    assert min(rows) == 0 and max(rows) == 4
+    # min value in bucket 0, max value in the top bucket
+    assert rows[0].lo <= 0.0 < rows[0].hi
+    assert rows[4].lo <= 9.0 < rows[4].hi + 1e-9
+
+
+def test_histogram_single_value_column(spark):
+    from myasynstreamjoin_spark.operators.relational import equi_width_histogram
+
+    df = spark.createDataFrame([(5.0,), (5.0,), (5.0,)], "value double")
+    rows = equi_width_histogram(df, "value", n_buckets=10).collect()
+    assert len(rows) == 1 and rows[0].n == 3 and rows[0].bucket == 0

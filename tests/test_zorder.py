@@ -71,3 +71,24 @@ def test_zorder_write_clusters_both_dims(spark, tmp_path):
     assert zx < 0.5 and zy < 0.5
     # and z-order's worse dim still beats the baseline's worse dim 2x+
     assert max(zx, zy) < max(sx, sy) / 2
+
+
+def test_file_skipping_stats_multi_file(spark, tmp_path):
+    """Real multi-file layout: one manifest row per file, with tight
+    per-file min/max (what makes skipping actionable after a
+    range-clustered write)."""
+    from myasynstreamjoin_spark.operators.zorder import file_skipping_stats
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("event_id"), (F.col("id") % 100).cast("double").alias("value")
+    )
+    out = str(tmp_path / "t")
+    # range-partitioned write → disjoint event_id ranges per file
+    df.repartitionByRange(4, "event_id").write.parquet(out)
+    stats = file_skipping_stats(spark, out, ["event_id"]).collect()
+    assert len(stats) == 4
+    assert sum(r.n_rows for r in stats) == 1000
+    spans = sorted((r.min_event_id, r.max_event_id) for r in stats)
+    # disjoint, ordered ranges — files are skippable on event_id
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2
