@@ -133,20 +133,18 @@ def embedding_covariance(
             iu, ju = np.triu_indices(d)
             out = pd.DataFrame(
                 {"i": iu.astype("int32"), "j": ju.astype("int32"),
-                 "p": g[iu, ju], "n": 0}
+                 "p": g[iu, ju]}
             )
             firsts = pd.DataFrame(
                 {"i": np.arange(d, dtype="int32"),
                  "j": np.full(d, -1, dtype="int32"),
-                 "p": s, "n": 0}
+                 "p": s}
             )
-            counts = pd.DataFrame(
-                {"i": [-1], "j": [-1], "p": [len(pdf)], "n": [0]}
-            )
+            counts = pd.DataFrame({"i": [-1], "j": [-1], "p": [len(pdf)]})
             yield pd.concat([out, firsts, counts], ignore_index=True)
 
     partials = embs.select(vec_col).mapInPandas(
-        gram, schema="i int, j int, p long, n int"
+        gram, schema="i int, j int, p long"
     )
     sums = partials.groupBy("i", "j").agg(
         F.sum(F.col("p").cast("decimal(38,0)")).alias("s")

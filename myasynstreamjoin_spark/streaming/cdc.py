@@ -116,3 +116,36 @@ def run_cdc_stream(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def vacuum_snapshots(snapshot_dir: str, keep: int = 2) -> list[int]:
+    """Delete all but the newest ``keep`` committed snapshot versions
+    (the VACUUM every versioned table needs, or storage grows one full
+    copy per micro-batch). Never touches the live version; uncommitted
+    directories (no ``_SUCCESS``) are removed too — they are failed
+    writes a later replay has superseded.
+
+    Returns the version numbers removed.
+    """
+    import shutil
+
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    if not os.path.isdir(snapshot_dir):
+        return []
+    committed = []
+    removed = []
+    for name in os.listdir(snapshot_dir):
+        m = _VERSION_RE.match(name)
+        if not m:
+            continue
+        v = int(m.group(1))
+        if os.path.exists(os.path.join(snapshot_dir, name, "_SUCCESS")):
+            committed.append(v)
+        else:
+            shutil.rmtree(os.path.join(snapshot_dir, name))
+            removed.append(v)
+    for v in sorted(committed)[:-keep]:
+        shutil.rmtree(os.path.join(snapshot_dir, f"v{v}"))
+        removed.append(v)
+    return sorted(removed)

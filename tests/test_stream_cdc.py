@@ -114,3 +114,22 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     after = {tuple(r) for r in
              read_snapshot(spark, str(tmp_path / "snap")).collect()}
     assert after == before
+
+
+def test_vacuum_keeps_live_versions(spark, tmp_path):
+    import os
+
+    from myasynstreamjoin_spark.streaming.cdc import vacuum_snapshots
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    _write_feed_file(spark, feed / "f1.parquet", GEN1)
+    _write_feed_file(spark, feed / "f2.parquet", GEN2)
+    _run(spark, tmp_path, feed)
+    snap = str(tmp_path / "snap")
+    # an uncommitted (crashed) write must be cleaned too
+    os.makedirs(os.path.join(snap, "v99"))
+    removed = vacuum_snapshots(snap, keep=1)
+    assert removed == [0, 99]
+    assert latest_version(snap) == 1
+    assert read_snapshot(spark, snap).count() == 3
