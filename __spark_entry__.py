@@ -689,6 +689,17 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (functions/bpe.py): corpus
+    scanned once into word frequencies, 16 merge iterations on the
+    vocabulary-sized table. rows-only: an iterative argmax has no SQL
+    replay; pytest pins it against a pure-Python reference BPE."""
+    from myasynstreamjoin_spark.functions.bpe import bpe_train
+
+    _prep(spark)
+    return bpe_train(tables.load_table(spark, sf_dir, "documents"), n_merges=16)
+
+
 def _q_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file data-skipping manifest over the events table: the
     min/max/count stats a lakehouse catalog keeps so filtered scans
@@ -2059,6 +2070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pca": _q_pca,                                  # rows-only (LAPACK eigen; pytest invariants)
         "q_histogram": _q_histogram,                      # integer-exact equi-width histogram
         "q_file_stats": _q_file_stats,                    # per-file data-skipping manifest
+        "q_bpe_merges": _q_bpe_merges,                    # rows-only (iterative argmax; pytest vs reference BPE)
         "q_langid_eval": _q_langid_eval,                  # langid confusion matrix
         "q_domain_terms": _q_domain_terms,                # log-odds corpus comparison
         "q_expectations": _q_expectations,                # declarative data-quality checks
