@@ -689,6 +689,32 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-feature assembly: every per-document quality signal
+    (stats, quality, langid, repetition, LM perplexity) joined into
+    one wide training frame — the feature-matrix stage of a quality-
+    classifier pipeline. All component passes are map-only or
+    broadcast; the joins co-partition on doc_id."""
+    from myasynstreamjoin_spark.functions.text import (
+        lang_id,
+        lm_perplexity,
+        quality_score,
+        repetition_stats,
+        text_stats,
+    )
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return (
+        text_stats(docs)
+        .select("doc_id", "n_tokens", "n_distinct_tokens", "avg_token_len")
+        .join(quality_score(docs), "doc_id")
+        .join(lang_id(docs).select("doc_id", "en_ratio", "lang_guess"), "doc_id")
+        .join(repetition_stats(docs).select("doc_id", "rep_ratio"), "doc_id")
+        .join(lm_perplexity(docs).select("doc_id", "nll", "ppl"), "doc_id")
+    )
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (functions/bpe.py): corpus
     scanned once into word frequencies, 16 merge iterations on the
@@ -2071,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_histogram": _q_histogram,                      # integer-exact equi-width histogram
         "q_file_stats": _q_file_stats,                    # per-file data-skipping manifest
         "q_bpe_merges": _q_bpe_merges,                    # rows-only (iterative argmax; pytest vs reference BPE)
+        "q_doc_features": _q_doc_features,                # wide per-doc feature assembly
         "q_langid_eval": _q_langid_eval,                  # langid confusion matrix
         "q_domain_terms": _q_domain_terms,                # log-odds corpus comparison
         "q_expectations": _q_expectations,                # declarative data-quality checks
@@ -4482,4 +4509,21 @@ def oracle_sql() -> dict[str, str]:
     the batch MERGE's SQL (stream ≡ batch for the CDC path)."""
     d = _oracle_sql_base()
     d["q_stream_cdc"] = d["q_cdc_merge"]
+    # Feature assembly composes the component oracles as CTEs — the
+    # oracle is exactly the join of the already-verified signals.
+    d["q_doc_features"] = f"""
+        WITH ts AS ({d['q_textstats']}),
+        q AS ({d['q_quality']}),
+        lg AS ({d['q_langid']}),
+        rep AS ({d['q_repetition']}),
+        lm AS ({d['q_lm_perplexity']})
+        SELECT ts.doc_id, ts.n_tokens, ts.n_distinct_tokens,
+               ts.avg_token_len, q.quality, lg.en_ratio, lg.lang_guess,
+               rep.rep_ratio, lm.nll, lm.ppl
+        FROM ts
+        JOIN q USING (doc_id)
+        JOIN lg USING (doc_id)
+        JOIN rep USING (doc_id)
+        JOIN lm USING (doc_id)
+    """
     return d
