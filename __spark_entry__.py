@@ -689,6 +689,18 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-arrival autocorrelation per event type, lags 1–24 — the
+    seasonality detector, with exact integer numerators/denominators
+    (operators/timeseries.py)."""
+    from myasynstreamjoin_spark.operators.timeseries import (
+        event_autocorrelation,
+    )
+
+    _prep(spark)
+    return event_autocorrelation(tables.load_table(spark, sf_dir, "events"))
+
+
 def _q_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-feature assembly: every per-document quality signal
     (stats, quality, langid, repetition, LM perplexity) joined into
@@ -2098,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_file_stats": _q_file_stats,                    # per-file data-skipping manifest
         "q_bpe_merges": _q_bpe_merges,                    # rows-only (iterative argmax; pytest vs reference BPE)
         "q_doc_features": _q_doc_features,                # wide per-doc feature assembly
+        "q_autocorr": _q_autocorr,                        # hourly-series autocorrelation (seasonality)
         "q_langid_eval": _q_langid_eval,                  # langid confusion matrix
         "q_domain_terms": _q_domain_terms,                # log-odds corpus comparison
         "q_expectations": _q_expectations,                # declarative data-quality checks
@@ -2687,6 +2700,45 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "q_pagerank": _pagerank_sql(),
+        # Densified hourly grid, integer cross-multiplied centering,
+        # one division per (type, lag) — no float accumulation.
+        "q_autocorr": """
+            WITH counts AS (
+              SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+                     count(*) AS c
+              FROM events GROUP BY 1, 2),
+            bounds AS (
+              SELECT event_type, min(h) AS mn, max(h) AS mx
+              FROM counts GROUP BY 1),
+            grid AS (
+              SELECT event_type, unnest(generate_series(mn, mx)) AS h
+              FROM bounds),
+            dense AS (
+              SELECT g.event_type, g.h,
+                     CAST(coalesce(c.c, 0) AS HUGEINT) AS c
+              FROM grid g LEFT JOIN counts c
+                ON c.event_type = g.event_type AND c.h = g.h),
+            stats AS (
+              SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                     sum(c) AS s
+              FROM dense GROUP BY 1),
+            centered AS (
+              SELECT d.event_type, d.h, st.n * d.c - st.s AS d
+              FROM dense d JOIN stats st USING (event_type)),
+            den AS (
+              SELECT event_type, sum(d * d) AS den
+              FROM centered GROUP BY 1),
+            num AS (
+              SELECT a.event_type, b.h - a.h AS lag, sum(a.d * b.d) AS num
+              FROM centered a JOIN centered b
+                ON b.event_type = a.event_type
+               AND b.h > a.h AND b.h <= a.h + 24
+              GROUP BY 1, 2)
+            SELECT n.event_type, n.lag,
+                   round(CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE), 6)
+                     AS acf
+            FROM num n JOIN den d USING (event_type)
+        """,
         # The fixture table is one physical file, so the manifest is
         # one row named after it; multi-file layouts are pytest-covered
         # (the oracle's view surface has no per-file identity).

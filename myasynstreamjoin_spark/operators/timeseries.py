@@ -65,3 +65,93 @@ def series_cosine_pairs(
         .where(cos >= threshold)
         .select("user_a", "user_b", F.round(cos, 6).alias("cos_sim"))
     )
+
+
+def event_autocorrelation(
+    events: DataFrame,
+    max_lag: int = 24,
+    bucket_ns: int = 3_600_000_000_000,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sample autocorrelation of each event type's hourly arrival
+    series — the seasonality detector (a daily cycle shows as a peak
+    at lag 24) behind rate forecasting and anomaly baselines.
+
+    The series is DENSIFIED first (missing hours are true zeros, via a
+    per-type sequence explode — absent-hour-as-gap would silently
+    shift every lag), then
+
+        r_L = Σ (n·c_t − S)(n·c_{t+L} − S) / Σ (n·c_t − S)²
+
+    with all sums over exact integers in DECIMAL(38,0) — the classic
+    float mean-centering is order-dependent across engines; the
+    cross-multiplied form is not. One correctly-rounded division per
+    (type, lag) at the end.
+
+    Scale shape: the series length is HOURS, not events — a year is
+    8,760 points per type regardless of corpus size; the lag pairing
+    is a bounded range self-join on (type, hour). The heavy work (the
+    hourly count) is one map-side-combined aggregation of the raw
+    stream.
+
+    Output: (event_type, lag, acf) for 1 ≤ lag ≤ max_lag.
+    """
+    # integer DIV: epoch-ns exceeds double's 2^53 mantissa, a float
+    # detour would corrupt the hour index
+    h = F.expr(f"{ts_col} DIV {bucket_ns}")
+    counts = (
+        events.select(type_col, h.alias("h"))
+        .groupBy(type_col, "h")
+        .agg(F.count("*").alias("c"))
+    )
+    bounds = counts.groupBy(type_col).agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    grid = bounds.select(
+        type_col, F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("h")
+    )
+    dense = (
+        grid.join(counts, [type_col, "h"], "left")
+        .select(
+            type_col,
+            "h",
+            F.coalesce(F.col("c"), F.lit(0)).cast("decimal(38,0)").alias("c"),
+        )
+    )
+    stats = dense.groupBy(type_col).agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("c").alias("s"),
+    )
+    centered = dense.join(F.broadcast(stats), type_col).select(
+        type_col, "h", (F.col("n") * F.col("c") - F.col("s")).alias("d")
+    )
+    den = centered.groupBy(type_col).agg(
+        F.sum(F.col("d") * F.col("d")).alias("den")
+    )
+    a = centered.select(type_col, F.col("h").alias("ha"), F.col("d").alias("da"))
+    b = centered.select(type_col, F.col("h").alias("hb"), F.col("d").alias("db"))
+    num = (
+        a.join(b, type_col)
+        .where(
+            (F.col("hb") > F.col("ha"))
+            & (F.col("hb") <= F.col("ha") + F.lit(max_lag))
+        )
+        .select(
+            type_col,
+            (F.col("hb") - F.col("ha")).alias("lag"),
+            (F.col("da") * F.col("db")).alias("p"),
+        )
+        .groupBy(type_col, "lag")
+        .agg(F.sum("p").alias("num"))
+    )
+    return (
+        num.join(F.broadcast(den), type_col)
+        .select(
+            type_col,
+            "lag",
+            F.round(
+                F.col("num").cast("double") / F.col("den").cast("double"), 6
+            ).alias("acf"),
+        )
+    )

@@ -88,3 +88,37 @@ def test_histogram_single_value_column(spark):
     df = spark.createDataFrame([(5.0,), (5.0,), (5.0,)], "value double")
     rows = equi_width_histogram(df, "value", n_buckets=10).collect()
     assert len(rows) == 1 and rows[0].n == 3 and rows[0].bucket == 0
+
+
+def test_autocorrelation_detects_planted_period(spark):
+    """A strict period-3 arrival pattern: ACF peaks at lags 3 and 6,
+    and the lag-3 value dominates every non-multiple lag."""
+    from myasynstreamjoin_spark.operators.timeseries import event_autocorrelation
+
+    H = 3_600_000_000_000
+    rows = []
+    eid = 0
+    for h in range(60):
+        burst = 10 if h % 3 == 0 else 1
+        for _ in range(burst):
+            rows.append((eid, h * H + 1, "a"))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts long, event_type string")
+    acf = {r.lag: r.acf for r in event_autocorrelation(df, max_lag=8).collect()}
+    assert acf[3] > 0.8 and acf[6] > 0.8
+    for lag in (1, 2, 4, 5, 7, 8):
+        assert acf[lag] < acf[3] - 0.5
+
+
+def test_autocorrelation_missing_hours_are_zeros(spark):
+    """A type active only at hours 0 and 10 must densify the gap: the
+    series has 11 points, so lags up to 10 exist."""
+    from myasynstreamjoin_spark.operators.timeseries import event_autocorrelation
+
+    H = 3_600_000_000_000
+    df = spark.createDataFrame(
+        [(0, 0 * H, "a"), (1, 10 * H, "a")],
+        "event_id long, ts long, event_type string",
+    )
+    acf = {r.lag: r.acf for r in event_autocorrelation(df, max_lag=24).collect()}
+    assert set(acf) == set(range(1, 11))
