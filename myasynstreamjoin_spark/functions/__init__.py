@@ -1,4 +1,5 @@
 from myasynstreamjoin_spark.functions import (
+    bpe,
     cluster,
     dedup,
     embeddings,
@@ -8,10 +9,13 @@ from myasynstreamjoin_spark.functions import (
     retrieval,
     similarity,
     text,
+    udtf_ops,
 )
 
 __all__ = [
     "text",
+    "bpe",
+    "udtf_ops",
     "dedup",
     "similarity",
     "multimodal",

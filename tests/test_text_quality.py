@@ -72,3 +72,26 @@ def test_domain_kl_flags_the_drifted_source(spark):
     got = {r.source: r.kl for r in domain_kl(df).collect()}
     assert got["drifted"] > got["clean"] >= 0
     assert got["drifted"] > 0.1
+
+
+def test_lm_perplexity_oov_smoothing_on_disjoint_corpus(spark):
+    """Scoring docs against an LM trained on a different corpus: OOV
+    tokens take the add-one floor probability 1/(T+V+1), so an
+    all-OOV doc scores exactly -ln(1/(T+V+1)) per token and worse
+    than any in-vocabulary doc."""
+    import math
+
+    from myasynstreamjoin_spark.functions.text import lm_perplexity
+
+    lm = spark.createDataFrame(
+        [(100 + i, "aaa bbb ccc ddd") for i in range(5)],
+        "doc_id long, text string",
+    )  # T = 20 tokens, V = 4 types
+    docs = spark.createDataFrame(
+        [(0, "aaa bbb"), (1, "zzz qqq")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in lm_perplexity(docs, lm_docs=lm).collect()}
+    # in-vocab: p = (5+1)/25; OOV: p = 1/25
+    assert abs(got[0].nll - (-math.log(6 / 25))) < 1e-6
+    assert abs(got[1].nll - (-math.log(1 / 25))) < 1e-6
+    assert got[1].ppl > got[0].ppl
