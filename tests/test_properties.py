@@ -9,6 +9,8 @@ latency dominates).
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -332,3 +334,69 @@ def test_weighted_sample_matches_key_model(spark, weights, k):
         )[:k]
     }
     assert got == expect
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), max_size=8).map(" ".join),
+        min_size=1, max_size=12,
+    ),
+    phrase=st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=3).map(
+        " ".join
+    ),
+)
+@PROP_SETTINGS
+def test_phrase_search_matches_python_scan(spark, texts, phrase):
+    """Occurrence counts == a naive Python sliding-window scan over
+    the same tokenization, for arbitrary corpora and phrases."""
+    from myasynstreamjoin_spark.functions.retrieval import phrase_search
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r.doc_id: r.n_matches for r in phrase_search(docs, phrase).collect()}
+
+    terms = phrase.split()
+    expect = {}
+    for i, t in enumerate(texts):
+        toks = [w for w in t.lower().split()]
+        if t.strip() == "":
+            toks = [""]
+        n = sum(
+            1
+            for j in range(len(toks) - len(terms) + 1)
+            if toks[j : j + len(terms)] == terms
+        )
+        if n > 0:
+            expect[i] = n
+    assert got == expect
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100, max_value=100,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=40,
+    ),
+    nb=st.sampled_from([1, 5, 20]),
+)
+@PROP_SETTINGS
+def test_histogram_matches_python_model(spark, vals, nb):
+    from myasynstreamjoin_spark.operators.relational import equi_width_histogram
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "value double")
+    got = {r.bucket: r.n for r in
+           equi_width_histogram(df, "value", n_buckets=nb).collect()}
+
+    def q(v):
+        x = v * 1000
+        return int(math.floor(abs(x) + 0.5) * (1 if x >= 0 else -1))
+
+    xs = [q(v) for v in vals]
+    mn, mx = min(xs), max(xs)
+    expect = {}
+    for x in xs:
+        b = ((x - mn) * nb) // (mx - mn + 1)
+        expect[b] = expect.get(b, 0) + 1
+    assert got == expect
+    assert sum(got.values()) == len(vals)
