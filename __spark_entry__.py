@@ -689,6 +689,31 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Δ-maintenance of a per-customer order-count view: build the
+    view over the base subset (orderkey % 5 != 0), apply a derived
+    change feed (inserts: % 5 == 0; deletes: % 7 == 0 within the
+    base), and the refreshed view must equal the oracle's from-scratch
+    recompute over the post-feed row set (operators/cdc.py)."""
+    from myasynstreamjoin_spark.operators.cdc import incremental_agg_refresh
+
+    _prep(spark)
+    orders = tables.load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = orders.where(k % 5 != 0)
+    old = base.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    feed = (
+        orders.where(k % 5 == 0)
+        .select("o_custkey", F.lit("I").alias("op"))
+        .unionByName(
+            base.where(k % 7 == 0).select(
+                "o_custkey", F.lit("D").alias("op")
+            )
+        )
+    )
+    return incremental_agg_refresh(old, feed, keys=("o_custkey",))
+
+
 def _q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly-arrival autocorrelation per event type, lags 1–24 — the
     seasonality detector, with exact integer numerators/denominators
@@ -2111,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_merges": _q_bpe_merges,                    # rows-only (iterative argmax; pytest vs reference BPE)
         "q_doc_features": _q_doc_features,                # wide per-doc feature assembly
         "q_autocorr": _q_autocorr,                        # hourly-series autocorrelation (seasonality)
+        "q_incr_agg": _q_incr_agg,                        # Δ-maintained count view == recompute
         "q_langid_eval": _q_langid_eval,                  # langid confusion matrix
         "q_domain_terms": _q_domain_terms,                # log-odds corpus comparison
         "q_expectations": _q_expectations,                # declarative data-quality checks
@@ -2700,6 +2726,15 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "q_pagerank": _pagerank_sql(),
+        # The oracle IS the from-scratch recompute over the post-feed
+        # row set — the strongest possible check of Δ-maintenance.
+        "q_incr_agg": """
+            SELECT o_custkey, count(*) AS cnt
+            FROM orders
+            WHERE o_orderkey % 5 = 0
+               OR (o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0)
+            GROUP BY o_custkey
+        """,
         # Densified hourly grid, integer cross-multiplied centering,
         # one division per (type, lag) — no float accumulation.
         "q_autocorr": """

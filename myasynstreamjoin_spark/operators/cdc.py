@@ -60,3 +60,53 @@ def cdc_apply(
     kept = base.join(touched, list(keys), "left_anti")
     upserts = latest.where(F.col(op_col) != "D").select(*data_cols)
     return kept.unionByName(upserts)
+
+
+def incremental_agg_refresh(
+    old_agg: DataFrame,
+    changes: DataFrame,
+    keys: tuple[str, ...],
+    count_col: str = "cnt",
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental materialized-view maintenance for per-key COUNTS:
+    refresh ``old_agg`` (keys → cnt) from a change feed without
+    touching the base table — Δ-maintenance, the reason a 100 TB
+    aggregate can stay current from a feed that is orders of magnitude
+    smaller than a recompute scan.
+
+    Feed semantics: ``'I'`` adds a row to its key, ``'D'`` removes one
+    (the feed carries the before-image, as CDC feeds do); updates that
+    change a key arrive as D(old key) + I(new key), and updates that
+    keep the key don't change counts, so ``'U'`` rows are count-neutral
+    and ignored. Keys whose count reaches zero drop out of the view.
+
+    Scale shape: the delta aggregate is feed-sized; the view is
+    refreshed with one outer join on the key — at scale, co-partition
+    the view and the delta on the key (bucketed view table) so the
+    refresh is exchange-free. All-integer arithmetic: refresh order
+    never changes the result, and refreshing with the full feed equals
+    recomputing from scratch (pytest-pinned).
+
+    Output: the refreshed (keys → cnt) view.
+    """
+    delta = (
+        changes.where(F.col(op_col).isin("I", "D"))
+        .groupBy(*keys)
+        .agg(
+            F.sum(
+                F.when(F.col(op_col) == "I", F.lit(1)).otherwise(F.lit(-1))
+            ).alias("__d")
+        )
+    )
+    return (
+        old_agg.join(delta, list(keys), "full_outer")
+        .select(
+            *keys,
+            (
+                F.coalesce(F.col(count_col), F.lit(0).cast("long"))
+                + F.coalesce(F.col("__d"), F.lit(0))
+            ).cast("long").alias(count_col),
+        )
+        .where(F.col(count_col) > 0)
+    )

@@ -72,3 +72,38 @@ def test_plan_broadcasts_touched_keys(spark):
         _base(spark), ch, keys=("k",), order_cols=("gen",), broadcast_keys=False
     )
     assert out2.count() == 4
+
+
+def test_incremental_count_refresh_equals_recompute(spark):
+    from myasynstreamjoin_spark.operators.cdc import incremental_agg_refresh
+
+    old = spark.createDataFrame([("a", 3), ("b", 1)], "k string, cnt long")
+    ch = spark.createDataFrame(
+        [
+            ("a", "I"), ("a", "D"), ("a", "I"),   # net +1
+            ("b", "D"),                           # drops to zero → gone
+            ("c", "I"), ("c", "I"),               # new key
+            ("a", "U"),                           # count-neutral
+        ],
+        "k string, op string",
+    )
+    out = {r.k: r.cnt for r in
+           incremental_agg_refresh(old, ch, keys=("k",)).collect()}
+    assert out == {"a": 4, "c": 2}
+
+
+def test_incremental_refresh_is_order_insensitive(spark):
+    from myasynstreamjoin_spark.operators.cdc import incremental_agg_refresh
+
+    old = spark.createDataFrame([("x", 5)], "k string, cnt long")
+    ch = [("x", "D")] * 3 + [("x", "I")] * 2
+    import random
+
+    rng = random.Random(7)
+    for _ in range(3):
+        shuffled = ch[:]
+        rng.shuffle(shuffled)
+        df = spark.createDataFrame(shuffled, "k string, op string")
+        out = {r.k: r.cnt for r in
+               incremental_agg_refresh(old, df, keys=("k",)).collect()}
+        assert out == {"x": 4}
