@@ -689,6 +689,47 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality audit of the scalable dedup path: banded MinHash-LSH
+    pairs vs the exact inverted-index Jaccard pairs at the same
+    threshold. Verified candidates make precision 1 BY CONSTRUCTION
+    (asserted by the oracle's exact counts); recall measures what the
+    banding misses — the number a pipeline owner tunes bands/hashes
+    against. Exact-integer counts; two correctly-rounded divisions."""
+    from myasynstreamjoin_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, k=3, threshold=0.2).select(
+        "doc_a", "doc_b"
+    )
+    lsh = minhash_lsh_pairs(
+        docs, n_hashes=32, bands=8, verify_threshold=0.2, replayable=True
+    ).select("doc_a", "doc_b")
+    common = lsh.join(exact, ["doc_a", "doc_b"], "left_semi")
+    return (
+        lsh.agg(F.count("*").alias("n_lsh"))
+        .crossJoin(F.broadcast(common.agg(F.count("*").alias("n_common"))))
+        .crossJoin(F.broadcast(exact.agg(F.count("*").alias("n_exact"))))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double") / F.col("n_lsh").cast("double"),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.col("n_common").cast("double") / F.col("n_exact").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
 def _q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Δ-maintenance of a per-customer order-count view: build the
     view over the base subset (orderkey % 5 != 0), apply a derived
@@ -2137,6 +2178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_features": _q_doc_features,                # wide per-doc feature assembly
         "q_autocorr": _q_autocorr,                        # hourly-series autocorrelation (seasonality)
         "q_incr_agg": _q_incr_agg,                        # Δ-maintained count view == recompute
+        "q_dedup_audit": _q_dedup_audit,                  # LSH-vs-exact precision/recall audit
         "q_langid_eval": _q_langid_eval,                  # langid confusion matrix
         "q_domain_terms": _q_domain_terms,                # log-odds corpus comparison
         "q_expectations": _q_expectations,                # declarative data-quality checks
@@ -4596,6 +4638,22 @@ def oracle_sql() -> dict[str, str]:
     the batch MERGE's SQL (stream ≡ batch for the CDC path)."""
     d = _oracle_sql_base()
     d["q_stream_cdc"] = d["q_cdc_merge"]
+    # Both pair sets replay in SQL (md5 shingles/permutations), so
+    # the audit's oracle recomputes precision/recall from scratch.
+    d["q_dedup_audit"] = f"""
+        WITH e AS ({d['q_ngram_jaccard']}),
+        a AS ({d['q_minhash_pairs']}),
+        c AS (SELECT count(*) AS n_common
+              FROM a WHERE EXISTS (SELECT 1 FROM e
+                                   WHERE e.doc_a = a.doc_a
+                                     AND e.doc_b = a.doc_b)),
+        ne AS (SELECT count(*) AS n_exact FROM e),
+        na AS (SELECT count(*) AS n_lsh FROM a)
+        SELECT n_exact, n_lsh, n_common,
+               round(CAST(n_common AS DOUBLE) / n_lsh, 6) AS precision,
+               round(CAST(n_common AS DOUBLE) / n_exact, 6) AS recall
+        FROM ne, na, c
+    """
     # Feature assembly composes the component oracles as CTEs — the
     # oracle is exactly the join of the already-verified signals.
     d["q_doc_features"] = f"""
