@@ -689,6 +689,16 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM perplexity (0.75·bigram-MLE + 0.25·
+    add-one unigram; doc-initial tokens unigram-only) — the KenLM-
+    shaped fluency gate (functions/text.py)."""
+    from myasynstreamjoin_spark.functions.text import lm_perplexity_bigram
+
+    _prep(spark)
+    return lm_perplexity_bigram(tables.load_table(spark, sf_dir, "documents"))
+
+
 def _q_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality audit of the scalable dedup path: banded MinHash-LSH
     pairs vs the exact inverted-index Jaccard pairs at the same
@@ -2179,6 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_autocorr": _q_autocorr,                        # hourly-series autocorrelation (seasonality)
         "q_incr_agg": _q_incr_agg,                        # Δ-maintained count view == recompute
         "q_dedup_audit": _q_dedup_audit,                  # LSH-vs-exact precision/recall audit
+        "q_lm_bigram": _q_lm_bigram,                      # interpolated bigram-LM perplexity
         "q_langid_eval": _q_langid_eval,                  # langid confusion matrix
         "q_domain_terms": _q_domain_terms,                # log-odds corpus comparison
         "q_expectations": _q_expectations,                # declarative data-quality checks
@@ -4128,6 +4139,49 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                    o_orderdate, o_orderpriority
             FROM latest WHERE op <> 'D'
+        """,
+        # Bigram interpolation mirrored term by term (0.75·MLE +
+        # 0.25·add-one unigram); nano-nat integer sums as usual.
+        "q_lm_bigram": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_DOC_TOKENS}) AS term,
+                     generate_subscripts({_DOC_TOKENS}, 1) AS pos
+              FROM documents),
+            big AS (
+              SELECT a.doc_id, a.term AS prev, b.term AS w
+              FROM tok a JOIN tok b
+                ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+              WHERE a.term <> '' AND b.term <> ''),
+            cu AS (SELECT term, count(*) AS cu FROM tok
+                   WHERE term <> '' GROUP BY term),
+            tot AS (SELECT sum(cu) AS t, count(*) AS v FROM cu),
+            cb AS (SELECT prev, w, count(*) AS cb FROM big GROUP BY 1, 2),
+            ctx AS (SELECT prev, sum(cb) AS ctx FROM cb GROUP BY prev),
+            firsts AS (
+              SELECT doc_id, ({_DOC_TOKENS})[1] AS term FROM documents
+              WHERE len({_DOC_TOKENS}) >= 1 AND ({_DOC_TOKENS})[1] <> ''),
+            fscore AS (
+              SELECT f.doc_id,
+                     CAST(round(-ln((coalesce(cu, 0) + 1) / (t + v + 1))
+                                * 1e9) AS BIGINT) AS nano
+              FROM firsts f LEFT JOIN cu ON cu.term = f.term
+              CROSS JOIN tot),
+            rscore AS (
+              SELECT big.doc_id,
+                     CAST(round(-ln(0.75 * coalesce(cb.cb / ctx.ctx, 0.0)
+                                    + 0.25 * ((coalesce(cu.cu, 0) + 1)
+                                              / (t + v + 1)))
+                                * 1e9) AS BIGINT) AS nano
+              FROM big
+              LEFT JOIN cb ON cb.prev = big.prev AND cb.w = big.w
+              LEFT JOIN ctx ON ctx.prev = big.prev
+              LEFT JOIN cu ON cu.term = big.w
+              CROSS JOIN tot),
+            allsc AS (SELECT * FROM fscore UNION ALL SELECT * FROM rscore)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(sum(nano) / (count(*) * 1e9), 6) AS nll,
+                   round(exp(sum(nano) / (count(*) * 1e9)), 4) AS ppl
+            FROM allsc GROUP BY doc_id
         """,
         # Nano-nat integer sums make the log-prob path order-independent
         # in both engines; ln/exp libm drift is below the rounded grain.

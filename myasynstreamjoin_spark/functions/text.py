@@ -286,6 +286,96 @@ def lm_perplexity(docs: DataFrame, lm_docs: DataFrame | None = None) -> DataFram
     )
 
 
+def lm_perplexity_bigram(
+    docs: DataFrame, lm_docs: DataFrame | None = None
+) -> DataFrame:
+    """Interpolated bigram LM perplexity — the KenLM-shaped upgrade of
+    ``lm_perplexity``: p(wᵢ|wᵢ₋₁) = 0.75·p_bigram_MLE + 0.25·p_unigram
+    (add-one), document-initial tokens scored by the unigram alone.
+    Bigram context captures local fluency the unigram can't (scrambled
+    text scores near its unigram ppl but much worse under the bigram).
+
+    Same determinism contract as the unigram: every probability is a
+    chain of correctly-rounded double ops on exact integer counts,
+    per-token scores are integer nano-nats, per-doc sums are integer.
+
+    Scale shape: unigram + context tables broadcast; the BIGRAM count
+    table grows toward vocab² — broadcast here (fixture-sized), but at
+    web scale it becomes a shuffle join on (prev, w) and gets a top-K
+    cap with the interpolation absorbing the tail, exactly as the
+    vocabulary cap note on ``lm_perplexity``.
+
+    Output: (doc_id, n_tokens, nll, ppl).
+    """
+    lm = lm_docs if lm_docs is not None else docs
+    lam, one_m_lam = 0.75, 0.25
+
+    def _bigrams(frame: DataFrame, with_doc: bool) -> DataFrame:
+        toks = tokens("text")
+        n = F.size(toks)
+        pairs = F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("prev"), b.alias("w")),
+        )
+        cols = (["doc_id"] if with_doc else []) + [F.explode(pairs).alias("p")]
+        out = frame.where(n >= 2).select(*cols)
+        keep = (["doc_id"] if with_doc else []) + ["p.prev", "p.w"]
+        return out.select(*keep).where(
+            (F.col("w") != "") & (F.col("prev") != "")
+        )
+
+    lm_toks = lm.select(F.explode(tokens("text")).alias("term")).where(
+        F.col("term") != ""
+    )
+    cu = lm_toks.groupBy("term").agg(F.count("*").alias("cu"))
+    tot = cu.agg(F.sum("cu").alias("t"), F.count("*").alias("v"))
+    cb = _bigrams(lm, with_doc=False).groupBy("prev", "w").agg(
+        F.count("*").alias("cb")
+    )
+    ctx = cb.groupBy("prev").agg(F.sum("cb").alias("ctx"))
+
+    p_uni = (F.coalesce(F.col("cu"), F.lit(0)) + F.lit(1)) / (
+        F.col("t") + F.col("v") + F.lit(1)
+    )
+    nano_of = lambda p: F.round(-F.log(p) * F.lit(1e9)).cast("long")  # noqa: E731
+
+    # document-initial tokens: unigram only
+    firsts = (
+        docs.select(
+            "doc_id", F.element_at(tokens("text"), 1).alias("term")
+        )
+        .where(F.col("term").isNotNull() & (F.col("term") != ""))
+        .join(F.broadcast(cu), "term", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", nano_of(p_uni).alias("nano"))
+    )
+    p_big = F.coalesce(
+        F.col("cb") / F.col("ctx"), F.lit(0.0)
+    )
+    interp = F.lit(lam) * p_big + F.lit(one_m_lam) * p_uni
+    rest = (
+        _bigrams(docs, with_doc=True)
+        .join(F.broadcast(cb), ["prev", "w"], "left")
+        .join(F.broadcast(ctx), "prev", "left")
+        .join(F.broadcast(cu.withColumnRenamed("term", "w")), "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", nano_of(interp).alias("nano"))
+    )
+    avg = F.col("s") / (F.col("n_tokens") * F.lit(1e9))
+    return (
+        firsts.unionByName(rest)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("nano").alias("s"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(avg, 6).alias("nll"),
+            F.round(F.exp(avg), 4).alias("ppl"),
+        )
+    )
+
+
 def domain_kl(docs: DataFrame, source_col: str = "source") -> DataFrame:
     """Per-domain distribution drift: KL(p_source ‖ p_corpus) over
     unigram token distributions — the monitoring signal for "this

@@ -95,3 +95,43 @@ def test_lm_perplexity_oov_smoothing_on_disjoint_corpus(spark):
     assert abs(got[0].nll - (-math.log(6 / 25))) < 1e-6
     assert abs(got[1].nll - (-math.log(1 / 25))) < 1e-6
     assert got[1].ppl > got[0].ppl
+
+
+def test_bigram_lm_penalizes_scrambled_text(spark):
+    """Same unigram distribution, destroyed word order: the bigram LM
+    must score the scrambled doc strictly worse while the pure unigram
+    model cannot tell them apart."""
+    from myasynstreamjoin_spark.functions.text import (
+        lm_perplexity,
+        lm_perplexity_bigram,
+    )
+
+    fluent = "the cat sat on the mat"
+    scrambled = "mat the on sat cat the"
+    lm = spark.createDataFrame(
+        [(100 + i, fluent) for i in range(20)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(0, fluent), (1, scrambled)], "doc_id long, text string"
+    )
+    uni = {r.doc_id: r.ppl for r in lm_perplexity(docs, lm_docs=lm).collect()}
+    big = {r.doc_id: r.ppl
+           for r in lm_perplexity_bigram(docs, lm_docs=lm).collect()}
+    assert uni[0] == uni[1]          # unigram is order-blind
+    assert big[1] > big[0] * 2       # bigram sees the broken order
+
+
+def test_bigram_lm_single_token_docs_score_unigram(spark):
+    from myasynstreamjoin_spark.functions.text import (
+        lm_perplexity,
+        lm_perplexity_bigram,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "aaa"), (1, "bbb")], "doc_id long, text string"
+    )
+    uni = {r.doc_id: (r.n_tokens, r.nll)
+           for r in lm_perplexity(docs).collect()}
+    big = {r.doc_id: (r.n_tokens, r.nll)
+           for r in lm_perplexity_bigram(docs).collect()}
+    assert uni == big
