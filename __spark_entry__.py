@@ -713,12 +713,21 @@ def _q_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     docs = tables.load_table(spark, sf_dir, "documents")
-    exact = ngram_jaccard_pairs(docs, k=3, threshold=0.2).select(
-        "doc_a", "doc_b"
+    # each pair pipeline feeds two consumers (its count + the overlap
+    # semi-join) — checkpoint so the expensive passes run once
+    # (SCALE.md persist-vs-checkpoint rule)
+    exact = (
+        ngram_jaccard_pairs(docs, k=3, threshold=0.2)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
-    lsh = minhash_lsh_pairs(
-        docs, n_hashes=32, bands=8, verify_threshold=0.2, replayable=True
-    ).select("doc_a", "doc_b")
+    lsh = (
+        minhash_lsh_pairs(
+            docs, n_hashes=32, bands=8, verify_threshold=0.2, replayable=True
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     common = lsh.join(exact, ["doc_a", "doc_b"], "left_semi")
     return (
         lsh.agg(F.count("*").alias("n_lsh"))

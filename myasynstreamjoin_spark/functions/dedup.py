@@ -536,15 +536,16 @@ def bloom_decontaminate(
         ).bitwiseOR(one)
         return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(n_hashes)]
 
-    # Persisted: BOTH the bitmap build and the exact-verification join
-    # read this set; without the persist the bench side is shingled
-    # twice. Small by definition (the eval-suite side) — cache
-    # ownership stays here, mirroring embedding_neardup_pairs.
+    # Checkpointed: BOTH the bitmap build and the exact-verification
+    # join read this set down branches of ONE plan — persist can miss
+    # for deduplicated branch clones and leaks across calls in a
+    # long-lived session (SCALE.md persist-vs-checkpoint rule); the
+    # bench side is small by definition, so the eager cut is cheap.
     bench_grams = (
         shingle_docs(bench, k, hashed=True)
         .select(F.explode_outer("sh").alias("g"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     pos = bench_grams.select(
         F.explode(F.array(*positions(F.col("g")))).alias("p")

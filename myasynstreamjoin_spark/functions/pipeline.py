@@ -243,13 +243,19 @@ def weighted_sample_k(
 
     u = (md5-bucket + 0.5) / n_buckets is an exact rational from the
     row id, and the selection key is ln(u)/w (monotone in u^(1/w),
-    cheaper); ties break by id. Rows with weight ≤ 0 or NULL never
-    sample. Scale shape: the key evaluates scan-side and the global
+    cheaper); ties break by id. Rows with weight ≤ 0, NULL, or NaN
+    never sample (NaN compares GREATER than any number in Spark SQL —
+    unguarded, a single corrupt weight would hijack the whole top-k).
+    Scale shape: the key evaluates scan-side and the global
     top-k is TakeOrderedAndProject (per-partition heaps + k-row driver
     merge) — no global sort, no shuffle of the corpus.
 
     Output: the selected rows (schema unchanged).
     """
+    if n_buckets > 65_536:
+        # hash_bucket draws 16 bits; more buckets would silently skew
+        # u toward 0 (same guard as domain_mixture_sample)
+        raise ValueError(f"n_buckets must be <= 65536, got {n_buckets}")
     u = (
         hash_bucket(
             F.concat(F.col(id_col).cast("string"), F.lit(salt)), n_buckets
@@ -257,8 +263,9 @@ def weighted_sample_k(
         + F.lit(0.5)
     ) / F.lit(float(n_buckets))
     key = F.log(u) / F.col(weight_col)
+    w = F.col(weight_col)
     return (
-        df.where(F.col(weight_col) > 0)
+        df.where((w > 0) & ~F.isnan(w.cast("double")))
         .withColumn("__wkey", key)
         .orderBy(F.desc("__wkey"), F.asc(id_col))
         .limit(k)

@@ -887,8 +887,13 @@ def _semantic_dedup_pairs_arrow(
                 }
             )
 
+    # carry the INPUT's element type through the intermediate schema —
+    # a hardcoded array<float> would silently truncate array<double>
+    # vectors to float32 before the pair-stage cosine and break the
+    # pytest-pinned pair-set equality with the SQL kernel
+    vec_type = embeddings.schema[vec_col].dataType.simpleString()
     assigned = embeddings.select(id_col, vec_col).mapInPandas(
-        assign, schema="cluster long, id long, v array<float>"
+        assign, schema=f"cluster long, id long, v {vec_type}"
     )
 
     def pairs(pdf):

@@ -7,20 +7,71 @@ expectations, now anomaly detection).
 
 Semantics: batch N's rows are judged against the statistics of batches
 0..N−1 ONLY (a spike must not soften its own baseline — and the flag
-decision for a row never depends on later rows, so results are stable
-under replay). Groups seen fewer than ``min_count`` times are never
-flagged (cold start).
+decision for a row never depends on later rows). Groups seen fewer
+than ``min_count`` times are never flagged (cold start).
 
-Bounded state, unbounded stream: the driver holds one (n, Σx, Σx²)
-integer triple per group — O(#groups), folded eagerly per batch like
-``feedback.py``'s running counts; flagged rows land in an append-only
-parquet sink, never in driver memory.
+Replay safety (foreachBatch is at-least-once): flagged rows write to a
+PER-BATCH directory ``{out}/b{N}`` in overwrite mode, so a redelivered
+batch replaces its own output instead of appending duplicates; the
+per-group totals are snapshotted to ``{state}/s{N}.json`` after each
+batch (atomic tmp+rename) and a replayed batch N reloads the newest
+snapshot BELOW N — the same pre-N-base rule as ``streaming/cdc.py``.
+A restarted monitor therefore resumes its baselines instead of
+cold-starting.
+
+Bounded state, unbounded stream: one (n, Σx, Σx²) integer triple per
+group — O(#groups) in memory and per snapshot; flagged rows live in
+the sink, never in the driver.
 """
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _load_state_below(state_dir: str, batch_id: int) -> dict:
+    best, state = None, {}
+    if not os.path.isdir(state_dir):
+        return state
+    for name in os.listdir(state_dir):
+        if not (name.startswith("s") and name.endswith(".json")):
+            continue
+        try:
+            v = int(name[1:-5])
+        except ValueError:
+            continue
+        if v < batch_id and (best is None or v > best):
+            best = v
+    if best is not None:
+        with open(os.path.join(state_dir, f"s{best}.json")) as f:
+            state = {k: tuple(v) for k, v in json.load(f).items()}
+    return state
+
+
+def _save_state(state_dir: str, batch_id: int, totals: dict) -> None:
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = os.path.join(state_dir, f".s{batch_id}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({k: list(v) for k, v in totals.items()}, f)
+    os.replace(tmp, os.path.join(state_dir, f"s{batch_id}.json"))
+
+
+def read_flagged(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """All flagged rows across batches, or None if nothing flagged."""
+    if not os.path.isdir(out_dir):
+        return None
+    dirs = [
+        os.path.join(out_dir, d)
+        for d in os.listdir(out_dir)
+        if d.startswith("b")
+    ]
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
 
 
 def run_streaming_anomalies(
@@ -28,6 +79,7 @@ def run_streaming_anomalies(
     spark: SparkSession,
     out_dir: str,
     checkpoint_dir: str,
+    state_dir: str | None = None,
     group_col: str = "event_type",
     value_col: str = "value",
     id_col: str = "event_id",
@@ -36,16 +88,23 @@ def run_streaming_anomalies(
     min_count: int = 10,
 ) -> dict[str, tuple[int, int, int]]:
     """Drain a (bounded, for tests) event stream; write flagged rows
-    to ``out_dir`` as parquet. Returns the final per-group totals.
+    under ``out_dir`` (one subdir per batch). Returns the final
+    per-group totals.
     """
+    sdir = state_dir or (out_dir.rstrip("/") + "_state")
     totals: dict[str, tuple[int, int, int]] = {}
+    last_applied: list[int] = [-1]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        bid = int(batch_id)
+        if last_applied[0] != bid - 1:
+            # first batch of this incarnation, or a replay: resume the
+            # baselines from the newest snapshot BELOW this batch
+            totals.clear()
+            totals.update(_load_state_below(sdir, bid))
         bspark = batch_df.sparkSession
         xq = F.round(F.col(value_col) * F.lit(unit)).cast("decimal(38,0)")
-        batch = batch_df.select(
-            group_col, id_col, value_col, xq.alias("__x")
-        )
+        batch = batch_df.select(group_col, id_col, value_col, xq.alias("__x"))
         # 1) flag against PRIOR stats (broadcast |groups| rows)
         prior = [
             (g, str(n), str(s), str(ss))
@@ -72,10 +131,13 @@ def run_streaming_anomalies(
                     group_col,
                     id_col,
                     value_col,
-                    F.lit(int(batch_id)).alias("batch_id"),
+                    F.lit(bid).alias("batch_id"),
                 )
             )
-            flagged.write.mode("append").parquet(out_dir)
+            # per-batch overwrite → replays replace, never duplicate
+            flagged.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"b{bid}")
+            )
         # 2) fold this batch into the running totals (|groups| rows)
         rows = (
             batch.groupBy(group_col)
@@ -91,6 +153,8 @@ def run_streaming_anomalies(
             totals[r[group_col]] = (
                 n0 + int(r["n"]), s0 + int(r["s"]), ss0 + int(r["ss"])
             )
+        _save_state(sdir, bid, totals)
+        last_applied[0] = bid
 
     q = (
         events.writeStream.outputMode("append")

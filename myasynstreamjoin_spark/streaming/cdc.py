@@ -125,12 +125,23 @@ def vacuum_snapshots(snapshot_dir: str, keep: int = 2) -> list[int]:
     directories (no ``_SUCCESS``) are removed too — they are failed
     writes a later replay has superseded.
 
+    ``keep`` must be ≥ 2 while the stream can still replay: the
+    replay-idempotency contract re-merges a redelivered batch against
+    the version BELOW it — vacuuming that base away would make the
+    replay rebuild from an empty table and silently drop the rest of
+    the snapshot. Only a cleanly-stopped table (checkpoint committed
+    past the last batch) could safely keep 1; this API refuses the
+    footgun outright.
+
     Returns the version numbers removed.
     """
     import shutil
 
-    if keep < 1:
-        raise ValueError("keep must be >= 1")
+    if keep < 2:
+        raise ValueError(
+            "keep must be >= 2: the newest version's replay base must "
+            "survive vacuum (see run_cdc_stream's idempotency contract)"
+        )
     if not os.path.isdir(snapshot_dir):
         return []
     committed = []

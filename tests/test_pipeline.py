@@ -286,7 +286,7 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     from myasynstreamjoin_spark.functions.pipeline import weighted_sample_k
 
     df = spark.createDataFrame(
-        [(1, 0.0), (2, -1.0), (3, None), (4, 2.0)],
+        [(1, 0.0), (2, -1.0), (3, None), (4, 2.0), (5, float("nan"))],
         "doc_id long, w double",
     )
     got = weighted_sample_k(df, "w", k=10).collect()

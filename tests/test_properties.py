@@ -291,7 +291,7 @@ def test_zscore_outliers_matches_float_model(spark, vals, k):
     )
     got = {r.event_id for r in zscore_outliers(df, k=k).collect()}
 
-    xs = [round(v * 1000) for v in vals]
+    xs = [int(math.floor(abs(v * 1000) + 0.5) * (1 if v >= 0 else -1)) for v in vals]
     n = len(xs)
     s, ss = sum(xs), sum(x * x for x in xs)
     expect = {

@@ -185,3 +185,30 @@ def test_embed_neardup_auto_planes_subset_of_exact(embs):
         for r in exact_embedding_pairs(embs, threshold=0.3).collect()
     }
     assert lsh <= exact
+
+
+def test_semantic_dedup_arrow_preserves_double_vectors(spark):
+    """array<double> input must flow through the Arrow kernel at full
+    precision — the intermediate schema follows the input type, and
+    the pair set still equals the SQL kernel's."""
+    import pyspark.sql.functions as F
+
+    embs = spark.range(0, 60).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                ((F.col("id") + i) % 7).cast("double") / 7.0 + 1e-9
+                for i in range(8)
+            ]
+        ).alias("embedding"),
+    )
+    assert embs.schema["embedding"].dataType.simpleString() == "array<double>"
+    sql_pairs = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs(embs, 4, 0.9, kernel="sql").collect()
+    }
+    arrow_pairs = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs(embs, 4, 0.9, kernel="arrow").collect()
+    }
+    assert arrow_pairs == sql_pairs and len(sql_pairs) > 0

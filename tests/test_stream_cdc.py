@@ -116,20 +116,27 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     assert after == before
 
 
-def test_vacuum_keeps_live_versions(spark, tmp_path):
+def test_vacuum_keeps_live_versions_and_replay_base(spark, tmp_path):
     import os
+
+    import pytest
 
     from myasynstreamjoin_spark.streaming.cdc import vacuum_snapshots
 
     feed = tmp_path / "feed"
     feed.mkdir()
-    _write_feed_file(spark, feed / "f1.parquet", GEN1)
+    _write_feed_file(spark, feed / "f0.parquet", GEN1[:1])
+    _write_feed_file(spark, feed / "f1.parquet", GEN1[1:])
     _write_feed_file(spark, feed / "f2.parquet", GEN2)
     _run(spark, tmp_path, feed)
     snap = str(tmp_path / "snap")
     # an uncommitted (crashed) write must be cleaned too
     os.makedirs(os.path.join(snap, "v99"))
-    removed = vacuum_snapshots(snap, keep=1)
+    removed = vacuum_snapshots(snap, keep=2)
+    # v0 goes; v1 SURVIVES as v2's replay base; junk v99 goes
     assert removed == [0, 99]
-    assert latest_version(snap) == 1
+    assert latest_version(snap) == 2
     assert read_snapshot(spark, snap).count() == 3
+    # keep=1 would vacuum the replay base away — refused
+    with pytest.raises(ValueError, match="keep must be >= 2"):
+        vacuum_snapshots(snap, keep=1)
