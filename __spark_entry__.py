@@ -689,6 +689,22 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of events.value between the even-id
+    epoch (reference) and the odd-id epoch (current) — the standard
+    drift monitor, nano-unit integer sums (operators/stats.py)."""
+    from myasynstreamjoin_spark.operators.stats import (
+        population_stability_index,
+    )
+
+    _prep(spark)
+    ev = tables.load_table(spark, sf_dir, "events")
+    return population_stability_index(
+        ev.where(F.col("event_id") % 2 == 0),
+        ev.where(F.col("event_id") % 2 == 1),
+    )
+
+
 def _q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram-LM perplexity (0.75·bigram-MLE + 0.25·
     add-one unigram; doc-initial tokens unigram-only) — the KenLM-
@@ -2199,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incr_agg": _q_incr_agg,                        # Δ-maintained count view == recompute
         "q_dedup_audit": _q_dedup_audit,                  # LSH-vs-exact precision/recall audit
         "q_lm_bigram": _q_lm_bigram,                      # interpolated bigram-LM perplexity
+        "q_psi": _q_psi,                                  # population-stability drift score
         "q_langid_eval": _q_langid_eval,                  # langid confusion matrix
         "q_domain_terms": _q_domain_terms,                # log-odds corpus comparison
         "q_expectations": _q_expectations,                # declarative data-quality checks
@@ -4148,6 +4165,39 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                    o_orderdate, o_orderpriority
             FROM latest WHERE op <> 'D'
+        """,
+        # Reference-range integer bucketing, add-one smoothing,
+        # nano-unit contributions summed as integers.
+        "q_psi": """
+            WITH rq AS (
+              SELECT CAST(round(value * 1000) AS BIGINT) AS xq
+              FROM events WHERE value IS NOT NULL AND event_id % 2 = 0),
+            cq AS (
+              SELECT CAST(round(value * 1000) AS BIGINT) AS xq
+              FROM events WHERE value IS NOT NULL AND event_id % 2 = 1),
+            b AS (SELECT min(xq) AS mn, max(xq) AS mx FROM rq),
+            rb AS (
+              SELECT ((least(mx, greatest(mn, xq)) - mn) * 10)
+                       // (mx - mn + 1) AS bucket, count(*) AS cr
+              FROM rq, b GROUP BY 1),
+            cb AS (
+              SELECT ((least(mx, greatest(mn, xq)) - mn) * 10)
+                       // (mx - mn + 1) AS bucket, count(*) AS cc
+              FROM cq, b GROUP BY 1),
+            grid AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+            j AS (
+              SELECT g.bucket,
+                     coalesce(rb.cr, 0) + 1 AS ar,
+                     coalesce(cb.cc, 0) + 1 AS ac
+              FROM grid g
+              LEFT JOIN rb ON rb.bucket = g.bucket
+              LEFT JOIN cb ON cb.bucket = g.bucket),
+            t AS (SELECT sum(ar) AS tr, sum(ac) AS tc FROM j)
+            SELECT max(tr) - 10 AS n_ref, max(tc) - 10 AS n_cur,
+                   round(sum(CAST(round((ar / tr - ac / tc)
+                                        * ln((ar / tr) / (ac / tc))
+                                        * 1e9) AS BIGINT)) / 1e9, 6) AS psi
+            FROM j, t
         """,
         # Bigram interpolation mirrored term by term (0.75·MLE +
         # 0.25·add-one unigram); nano-nat integer sums as usual.

@@ -244,3 +244,79 @@ def zscore_outliers(
         .where(nx_s * nx_s > F.lit(k * k).cast("decimal(38,0)") * var_n2)
         .select(group_col, id_col, value_col)
     )
+
+
+def population_stability_index(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str = "value",
+    n_buckets: int = 10,
+    unit: int = 1000,
+) -> DataFrame:
+    """PSI between a reference and a current sample of a numeric
+    column — the standard model-monitoring drift score (PSI < 0.1
+    stable, > 0.25 action). Buckets are equi-width over the REFERENCE
+    range (fixed-point integer DIV, same discipline as
+    ``equi_width_histogram``); current values outside that range clamp
+    into the edge buckets, as a deployed monitor must.
+
+    PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) with add-one-smoothed bucket
+    counts (empty buckets would make the log blow up). Determinism:
+    bucket membership is pure integer arithmetic; each bucket's
+    contribution is fixed-pointed to NANO units and the total is an
+    integer sum — engine-order-free.
+
+    Scale shape: two scans (one per sample), each reduced map-side to
+    ≤ n_buckets rows; the bucket-bound row broadcasts. Output: 1 row
+    (n_ref, n_cur, psi).
+    """
+    xq = F.round(F.col(value_col) * F.lit(unit)).cast("long")
+    rq = ref.where(F.col(value_col).isNotNull()).select(xq.alias("__xq"))
+    cq = cur.where(F.col(value_col).isNotNull()).select(xq.alias("__xq"))
+    bounds = rq.agg(F.min("__xq").alias("__mn"), F.max("__xq").alias("__mx"))
+
+    def bucketed(vals: DataFrame) -> DataFrame:
+        clamped = F.greatest(
+            F.col("__mn"), F.least(F.col("__mx"), F.col("__xq"))
+        )
+        b = F.expr(
+            f"((__cl - __mn) * {n_buckets}) DIV (__mx - __mn + 1)"
+        )
+        return (
+            vals.crossJoin(F.broadcast(bounds))
+            .select(clamped.alias("__cl"), "__mn", "__mx")
+            .select(b.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("c"))
+        )
+
+    rb = bucketed(rq).select("bucket", F.col("c").alias("cr"))
+    cb = bucketed(cq).select("bucket", F.col("c").alias("cc"))
+    grid = ref.sparkSession.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    joined = (
+        grid.join(rb, "bucket", "left")
+        .join(cb, "bucket", "left")
+        .select(
+            "bucket",
+            (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(1)).alias("ar"),
+            (F.coalesce(F.col("cc"), F.lit(0)) + F.lit(1)).alias("ac"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("ar").alias("tr"), F.sum("ac").alias("tc")
+    )
+    p = F.col("ar") / F.col("tr")
+    q = F.col("ac") / F.col("tc")
+    nano = F.round((p - q) * F.log(p / q) * F.lit(1e9)).cast("long")
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(nano.alias("nano"), F.col("tr"), F.col("tc"))
+        .groupBy()
+        .agg(
+            (F.max("tr") - F.lit(n_buckets)).alias("n_ref"),
+            (F.max("tc") - F.lit(n_buckets)).alias("n_cur"),
+            F.round(F.sum("nano") / F.lit(1e9), 6).alias("psi"),
+        )
+    )

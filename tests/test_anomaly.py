@@ -3,6 +3,8 @@ independence, and the no-float-path determinism contract."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from myasynstreamjoin_spark.operators.stats import zscore_outliers
 
 
@@ -41,3 +43,29 @@ def test_strict_inequality_at_exact_boundary(spark):
     # NOT flag (strict >) — the cross-multiplied integers tie exactly
     rows = [("a", 1, 0.0), ("a", 2, 2.0)]
     assert zscore_outliers(_events(spark, rows), k=1).count() == 0
+
+
+def test_psi_near_zero_for_same_distribution(spark):
+    from myasynstreamjoin_spark.operators.stats import population_stability_index
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 100).cast("double").alias("value")
+    )
+    row = population_stability_index(df, df).collect()[0]
+    assert row.psi == 0.0
+    assert row.n_ref == row.n_cur == 2000
+
+
+def test_psi_detects_shift_and_clamps_outliers(spark):
+    from myasynstreamjoin_spark.operators.stats import population_stability_index
+
+    ref = spark.range(0, 1000).select(
+        (F.col("id") % 100).cast("double").alias("value")
+    )
+    # shifted + values far beyond the reference range (must clamp)
+    cur = spark.range(0, 1000).select(
+        ((F.col("id") % 100) + 80.0 + F.when(F.col("id") % 50 == 0, 1e6).otherwise(0.0)).alias("value")
+    )
+    stable = population_stability_index(ref, ref).collect()[0].psi
+    drifted = population_stability_index(ref, cur).collect()[0].psi
+    assert drifted > 0.25 > stable
