@@ -689,6 +689,63 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_minhash_pairs: documents arrive in two
+    micro-batches (even ids, then odd ids); each batch is checked
+    against the accumulated MinHash band index and the per-batch pair
+    sinks union to EXACTLY the batch operator's pair set — so the
+    stream satisfies the same replayable oracle
+    (streaming/neardup.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from myasynstreamjoin_spark.streaming.neardup import (
+        read_neardup_pairs,
+        run_stream_neardup,
+    )
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_neardup_")
+    feed = os.path.join(tmp, "feed")
+    os.makedirs(feed)
+    halves = (
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+    )
+    for i, frame in enumerate(halves):
+        staging = os.path.join(tmp, f"stage{i}")
+        frame.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            f for f in os.listdir(staging)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = os.path.join(feed, f"f{i}.parquet")
+        shutil.move(os.path.join(staging, part), dst)
+        shutil.rmtree(staging)
+        os.utime(dst, (1_700_000_000 + 100 * i, 1_700_000_000 + 100 * i))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    run_stream_neardup(
+        stream,
+        spark,
+        work_dir=os.path.join(tmp, "nd"),
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        n_hashes=32,
+        bands=8,
+        k=3,
+        threshold=0.2,
+        replayable=True,
+    )
+    return read_neardup_pairs(spark, os.path.join(tmp, "nd"))
+
+
 def _q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population stability index of events.value between the even-id
     epoch (reference) and the odd-id epoch (current) — the standard
@@ -2216,6 +2273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_audit": _q_dedup_audit,                  # LSH-vs-exact precision/recall audit
         "q_lm_bigram": _q_lm_bigram,                      # interpolated bigram-LM perplexity
         "q_psi": _q_psi,                                  # population-stability drift score
+        "q_stream_neardup": _q_stream_neardup,            # streaming MinHash near-dup vs index
         "q_langid_eval": _q_langid_eval,                  # langid confusion matrix
         "q_domain_terms": _q_domain_terms,                # log-odds corpus comparison
         "q_expectations": _q_expectations,                # declarative data-quality checks
@@ -4751,6 +4809,8 @@ def oracle_sql() -> dict[str, str]:
     the batch MERGE's SQL (stream ≡ batch for the CDC path)."""
     d = _oracle_sql_base()
     d["q_stream_cdc"] = d["q_cdc_merge"]
+    # Streamed near-dup pairs must union to the batch operator's set.
+    d["q_stream_neardup"] = d["q_minhash_pairs"]
     # Both pair sets replay in SQL (md5 shingles/permutations), so
     # the audit's oracle recomputes precision/recall from scratch.
     d["q_dedup_audit"] = f"""
