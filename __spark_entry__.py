@@ -1620,6 +1620,21 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing (Schleimer et al. 2003): window-min over
+    ordered k-gram md5_32 hashes → positional fingerprints; pairs
+    sharing ≥ 2 fingerprints via the inverted-index join. A *local*
+    dup signal (guaranteed detection of shared runs ≥ w+k−1 tokens),
+    complementing MinHash's global set sketch."""
+    from myasynstreamjoin_spark.functions.dedup import winnow_pairs
+
+    _prep(spark)
+    return winnow_pairs(
+        tables.load_table(spark, sf_dir, "documents"),
+        k=4, w=4, min_common=2,
+    )
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → transitive dedup clusters: connected components
     (iterative min-label propagation) over the Jaccard pair graph; each
@@ -2342,6 +2357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_decontaminate": _q_bloom_decontaminate,  # Bloom-prefiltered exact anti-join
         "q_semantic_dedup": _q_semantic_dedup,            # SemDeDup cluster-then-pair dedup
         "q_semantic_dedup_arrow": _q_semantic_dedup_arrow,  # rows-only (Arrow kernel twin)
+        "q_winnow_pairs": _q_winnow_pairs,                # MOSS winnowing fingerprint pairs
         # remaining streaming queries
         "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
@@ -3914,6 +3930,38 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sizes nb ON nb.doc_id = c.doc_b
             WHERE CAST(n_common AS DOUBLE)
                   / (na.n_sh + nb.n_sh - n_common) >= 0.2
+        """,
+        # Replays winnow_pairs exactly: ordered k=4-gram md5_32 hashes,
+        # w=4 window minima, distinct fingerprints, df≤1000 cap, pair
+        # count ≥ 2 (functions/dedup.py::winnow_fingerprints).
+        "q_winnow_pairs": f"""
+            WITH toked AS (
+              SELECT doc_id, {_DOC_TOKENS} AS t
+              FROM documents WHERE text IS NOT NULL),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN len(t) >= 4 THEN
+                  list_transform(generate_series(1, len(t) - 3),
+                    i -> {_MD5_32.format(
+                        x="t[i] || ' ' || t[i+1] || ' ' || t[i+2]"
+                          " || ' ' || t[i+3]")})
+                ELSE [{_MD5_32.format(x="array_to_string(t, ' ')")}]
+                END AS h
+              FROM toked),
+            fps AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(h) >= 4 THEN
+                  list_transform(generate_series(1, len(h) - 3),
+                    i -> list_min(h[i:i+3]))
+                ELSE [list_min(h)] END)) AS fp
+              FROM grams),
+            rare AS (
+              SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 1000),
+            ix AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_common
+            FROM ix a JOIN ix b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "q_simhash": f"""
             WITH t AS (

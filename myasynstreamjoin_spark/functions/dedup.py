@@ -599,3 +599,92 @@ def bloom_decontaminate(
         .join(contaminated, "doc_id", "left_anti")
         .select("doc_id")
     )
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 4) -> DataFrame:
+    """Winnowed document fingerprints (Schleimer, Wilkerson, Aiken 2003,
+    "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+    selection rule): hash every ORDERED k-token gram, slide a window of
+    ``w`` consecutive hashes, keep each window's minimum. Any shared
+    token run of length ≥ w + k − 1 between two documents is guaranteed
+    to surface as a shared fingerprint — a positional/local dup signal
+    MinHash (a global set sketch) cannot give.
+
+    Hashes are ``md5_32`` so an external SQL oracle replays the exact
+    fingerprint sets, collisions included. Documents shorter than k
+    tokens fingerprint their whole text; hash sequences shorter than w
+    contribute their single minimum.
+
+    Scale shape: two narrow projections separated by rebalance
+    exchanges (the exchange is the anti-CollapseProject barrier — see
+    ``shingle_docs``; without it the gram-hash construction re-inlines
+    into the window lambda and re-evaluates once per ``slice``
+    reference). Window minima cost O(m·w) long comparisons per doc,
+    all inside codegen; no shuffle until the consumer aggregates.
+
+    Output: (doc_id, fp) — distinct winnowed fingerprints per document.
+    """
+    toked = rebalance(
+        docs.where(F.col("text").isNotNull()).select(
+            "doc_id", tokens("text").alias("__t")
+        )
+    )
+    t = F.col("__t")
+    n = F.size(t)
+    gram = lambda i: md5_32(  # noqa: E731
+        F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(k)])
+    )
+    grams = F.when(
+        n >= k, F.transform(F.sequence(F.lit(0), n - k), gram)
+    ).otherwise(F.array(md5_32(F.concat_ws(" ", t))))
+    hashed = rebalance(toked.select("doc_id", grams.alias("__h")))
+    h = F.col("__h")
+    m = F.size(h)
+    wins = F.when(
+        m >= w,
+        F.transform(
+            F.sequence(F.lit(1), m - w + 1),
+            lambda i: F.array_min(F.slice(h, i, w)),
+        ),
+    ).otherwise(F.array(F.array_min(h)))
+    return hashed.select(
+        "doc_id", F.explode_outer(F.array_distinct(wins)).alias("fp")
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    min_common: int = 2,
+    max_fp_df: int = 1000,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_common`` winnowed fingerprints —
+    the MOSS plagiarism-candidate join, via the same inverted-index
+    shape as ``ngram_jaccard_pairs``: explode fingerprints, cap
+    degenerate hot fingerprints at document frequency ``max_fp_df``
+    (part of the operator's definition, mirrored in the oracle), then a
+    hash self-join + pair count. Never an all-pairs cross join.
+
+    Output: (doc_a, doc_b, n_common) with doc_a < doc_b.
+    """
+    fp = winnow_fingerprints(docs, k, w).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        rare = (
+            fp.groupBy("fp")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_fp_df)
+        )
+        indexed = fp.join(rare.select("fp"), "fp")
+        a = indexed.select(F.col("doc_id").alias("doc_a"), "fp")
+        b = indexed.select(F.col("doc_id").alias("doc_b"), "fp")
+        return (
+            a.join(b, "fp")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_common"))
+            .where(F.col("n_common") >= min_common)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        fp.unpersist()
