@@ -1734,6 +1734,21 @@ def _q_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(tables.load_table(spark, sf_dir, "events"))
 
 
+def _q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand 2-D skyline of parts by (size, retail price) — no
+    dominance cross-join: frontier test on the distinct-size table
+    (group-partitioned window, bounded by the size domain), broadcast
+    back over a single fact pass."""
+    from myasynstreamjoin_spark.operators.relational import pareto_frontier
+
+    _prep(spark)
+    return pareto_frontier(
+        tables.load_table(spark, sf_dir, "part"),
+        x="p_size", y="p_retailprice",
+        group="p_brand", payload=["p_partkey"],
+    )
+
+
 def _q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive negative sampling over the embeddings
     table: 4 pseudo-random partners per anchor via bucket
@@ -2358,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_dedup": _q_semantic_dedup,            # SemDeDup cluster-then-pair dedup
         "q_semantic_dedup_arrow": _q_semantic_dedup_arrow,  # rows-only (Arrow kernel twin)
         "q_winnow_pairs": _q_winnow_pairs,                # MOSS winnowing fingerprint pairs
+        "q_pareto": _q_pareto,                            # 2-D skyline, no dominance cross-join
         # remaining streaming queries
         "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
@@ -3962,6 +3978,20 @@ def _oracle_sql_base() -> dict[str, str]:
                    count(*) AS n_common
             FROM ix a JOIN ix b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        # Declarative dominance spec — the oracle-side all-pairs NOT
+        # EXISTS is fine at sf0.01; the engine's plan is the
+        # distinct-x window + broadcast (operators/relational.py).
+        "q_pareto": """
+            SELECT p_brand, p_partkey, p_size, p_retailprice
+            FROM part a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part b
+              WHERE b.p_brand = a.p_brand
+                AND b.p_size >= a.p_size
+                AND b.p_retailprice >= a.p_retailprice
+                AND (b.p_size > a.p_size
+                     OR b.p_retailprice > a.p_retailprice))
         """,
         "q_simhash": f"""
             WITH t AS (

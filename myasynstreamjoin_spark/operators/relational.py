@@ -861,3 +861,47 @@ def equi_width_histogram(
             "n",
         )
     )
+
+
+def pareto_frontier(
+    df: DataFrame,
+    x: str,
+    y: str,
+    group: str | None = None,
+    payload: list[str] | None = None,
+) -> DataFrame:
+    """2-D skyline (pareto frontier, per ``group`` if given): keep every
+    row NOT dominated by another row of the same group — dominated
+    means the other is ≥ on both (``x``, ``y``) and > on at least one.
+    Exactly-equal points are mutually non-dominating, so ties all stay.
+
+    Scale shape — never the O(n²) dominance self-join the declarative
+    spec suggests: the frontier test runs on the *distinct-x* table
+    (one row per (group, x) with the group-x max of y): a row survives
+    iff its y equals its x-slice's max AND strictly exceeds the
+    running max-y over all strictly-larger x in its group. The only
+    window is over |distinct x| rows per group — partitioned by group
+    (embarrassingly parallel) and bounded by the x domain, not the row
+    count. The frontier x-table broadcast-joins back; the fact table
+    passes once.
+
+    Output: (*group, *payload, x, y).
+    """
+    keys = [group] if group else []
+    by_x = df.groupBy(*keys, x).agg(F.max(y).alias("__best_y"))
+    w = Window.partitionBy(*keys).orderBy(F.desc(x)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier_x = by_x.select(
+        *keys,
+        x,
+        "__best_y",
+        F.max("__best_y").over(w).alias("__run_y"),
+    ).where(F.col("__run_y").isNull() | (F.col("__best_y") > F.col("__run_y")))
+    return (
+        df.join(
+            F.broadcast(frontier_x.select(*keys, x, "__best_y")), [*keys, x]
+        )
+        .where(F.col(y) == F.col("__best_y"))
+        .select(*keys, *(payload or []), x, y)
+    )

@@ -95,3 +95,34 @@ def test_funnel_strict_order_semantics(spark):
     ev = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
     got = {r["user_id"]: r["depth"] for r in funnel_depth(ev).collect()}
     assert got == {1: 3, 2: 2, 3: 1, 4: 0, 5: 3}
+
+
+def test_pareto_frontier_tie_semantics(spark):
+    """Skyline vs brute-force dominance on hand-built points: equal
+    points both stay, within-group domination drops, groups isolate."""
+    from myasynstreamjoin_spark.operators.relational import pareto_frontier
+
+    rows = [
+        # group g1: (5,5) dominates (4,5),(5,4),(3,3); duplicate (5,5)s stay
+        ("g1", 1, 5, 5.0), ("g1", 2, 5, 5.0), ("g1", 3, 4, 5.0),
+        ("g1", 4, 5, 4.0), ("g1", 5, 3, 3.0),
+        # g1 frontier also: (2,7) (higher y, lower x — incomparable)
+        ("g1", 6, 2, 7.0),
+        # group g2: single point always on frontier
+        ("g2", 7, 1, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, x int, y double")
+    got = {
+        r.id
+        for r in pareto_frontier(df, x="x", y="y", group="g", payload=["id"]).collect()
+    }
+    brute = {
+        a[1]
+        for a in rows
+        if not any(
+            b[0] == a[0] and b[2] >= a[2] and b[3] >= a[3]
+            and (b[2] > a[2] or b[3] > a[3])
+            for b in rows
+        )
+    }
+    assert got == brute == {1, 2, 6, 7}
