@@ -1749,6 +1749,15 @@ def _q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type Markov transition matrix (exact bigram
+    counts + one IEEE division — no rounding)."""
+    from myasynstreamjoin_spark.operators.sessions import transition_matrix
+
+    _prep(spark)
+    return transition_matrix(tables.load_table(spark, sf_dir, "events"))
+
+
 def _q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive negative sampling over the embeddings
     table: 4 pseudo-random partners per anchor via bucket
@@ -2374,6 +2383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_dedup_arrow": _q_semantic_dedup_arrow,  # rows-only (Arrow kernel twin)
         "q_winnow_pairs": _q_winnow_pairs,                # MOSS winnowing fingerprint pairs
         "q_pareto": _q_pareto,                            # 2-D skyline, no dominance cross-join
+        "q_markov": _q_markov,                            # event-type transition matrix
         # remaining streaming queries
         "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
@@ -3992,6 +4002,21 @@ def _oracle_sql_base() -> dict[str, str]:
                 AND b.p_retailprice >= a.p_retailprice
                 AND (b.p_size > a.p_size
                      OR b.p_retailprice > a.p_retailprice))
+        """,
+        "q_markov": """
+            WITH nxt AS (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS to_type
+              FROM events),
+            pairs AS (
+              SELECT from_type, to_type, count(*) AS n
+              FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT from_type, sum(n) AS t FROM pairs GROUP BY 1)
+            SELECT from_type, to_type, n,
+                   CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS p
+            FROM pairs JOIN tot USING (from_type)
         """,
         "q_simhash": f"""
             WITH t AS (

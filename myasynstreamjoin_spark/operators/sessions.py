@@ -237,3 +237,36 @@ def top_event_sequences(
         .orderBy(F.col("n_occurrences").desc(), F.col("seq"))
         .limit(k)
     )
+
+
+def transition_matrix(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: P(next = b | current = a) with exact bigram counts —
+    the next-event-prediction baseline and the input to PageRank-style
+    behavioral flow analysis.
+
+    Plan shape: one hash shuffle partitions each user's history for the
+    `lead()` window (deterministic order: (ts, event_id) tie-break);
+    bigram counting is a map-side-combined groupBy on the tiny
+    (from, to) domain; the per-state marginal joins back as a
+    broadcast. Probabilities are a single exact long/long IEEE
+    division — no round(), bit-identical across engines.
+
+    Output: (from_type, to_type, n, p).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    pairs = nxt.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("__t"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.col("__t").cast("double")).alias("p"),
+        )
+    )

@@ -126,3 +126,17 @@ def test_pareto_frontier_tie_semantics(spark):
         )
     }
     assert got == brute == {1, 2, 6, 7}
+
+
+def test_transition_matrix_rows_sum_to_one(spark, sf_dir):
+    """Each from-state's outgoing probabilities sum to 1 (exact counts,
+    one division); n sums to total bigram count."""
+    from myasynstreamjoin_spark.operators.sessions import transition_matrix
+    from myasynstreamjoin_spark.sources import tables
+    from pyspark.sql import functions as F
+
+    tm = transition_matrix(tables.load_table(spark, sf_dir, "events"))
+    sums = tm.groupBy("from_type").agg(F.sum("p").alias("s")).collect()
+    assert sums
+    for r in sums:
+        assert abs(r.s - 1.0) < 1e-9
