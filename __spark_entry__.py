@@ -1758,6 +1758,15 @@ def _q_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_matrix(tables.load_table(spark, sf_dir, "events"))
 
 
+def _q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch attribution inside a 7-day lookback — one
+    RANGE-frame window pass, zero joins."""
+    from myasynstreamjoin_spark.operators.sessions import touch_attribution
+
+    _prep(spark)
+    return touch_attribution(tables.load_table(spark, sf_dir, "events"))
+
+
 def _q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive negative sampling over the embeddings
     table: 4 pseudo-random partners per anchor via bucket
@@ -2384,6 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_pairs": _q_winnow_pairs,                # MOSS winnowing fingerprint pairs
         "q_pareto": _q_pareto,                            # 2-D skyline, no dominance cross-join
         "q_markov": _q_markov,                            # event-type transition matrix
+        "q_attribution": _q_attribution,                  # first/last-touch, range window
         # remaining streaming queries
         "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
@@ -4017,6 +4027,32 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT from_type, to_type, n,
                    CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS p
             FROM pairs JOIN tot USING (from_type)
+        """,
+        # Join formulation of the engine's range-window pass: touches
+        # in [conv − 7d, conv) credited; min/max over (ts, id, type)
+        # structs reproduce the deterministic tie-break; left join
+        # keeps NULL-attributed conversions.
+        "q_attribution": """
+            WITH p AS (
+              SELECT event_id AS purchase_id, user_id,
+                     epoch_ns(ts) AS tns
+              FROM events WHERE event_type = 'purchase'),
+            t AS (
+              SELECT user_id, event_id AS tid, event_type AS tt,
+                     epoch_ns(ts) AS tns
+              FROM events WHERE event_type IN ('view', 'click')),
+            j AS (
+              SELECT p.purchase_id,
+                     min({'tns': t.tns, 'tid': t.tid, 'tt': t.tt}) AS f,
+                     max({'tns': t.tns, 'tid': t.tid, 'tt': t.tt}) AS l
+              FROM p JOIN t ON t.user_id = p.user_id
+               AND t.tns >= p.tns - CAST(604800 AS BIGINT) * 1000000000
+               AND t.tns < p.tns
+              GROUP BY 1)
+            SELECT p.purchase_id, p.user_id,
+                   j.f.tt AS first_type, j.f.tid AS first_id,
+                   j.l.tt AS last_type, j.l.tid AS last_id
+            FROM p LEFT JOIN j USING (purchase_id)
         """,
         "q_simhash": f"""
             WITH t AS (

@@ -270,3 +270,52 @@ def transition_matrix(events: DataFrame) -> DataFrame:
             (F.col("n").cast("double") / F.col("__t").cast("double")).alias("p"),
         )
     )
+
+
+def touch_attribution(
+    events: DataFrame,
+    conversion: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    lookback_days: int = 7,
+) -> DataFrame:
+    """First- and last-touch attribution: for every conversion event,
+    the earliest and the latest touch event by the same user inside the
+    lookback window (touch.ts in [conv.ts − lookback, conv.ts) — same-
+    instant touches are NOT credited). Conversions with no touch in
+    window keep NULL attribution (they're the "dark" conversions a
+    marketing report must still count).
+
+    Plan shape: zero joins — one user-partitioned RANGE-frame window
+    pass over the unified event sequence computes both ends (min/max of
+    a conditional (ts, event_id, type) struct; nulls — non-touch rows —
+    are ignored by min/max, and the struct ordering makes ties
+    deterministic by event_id). The frame is bounded by the lookback,
+    so window state is O(events per user per week), not per-user
+    history. ts is epoch-ns (load boundary), so the range arithmetic
+    is exact longs.
+
+    Output: (purchase_id, user_id, first_type, first_id, last_type,
+    last_id).
+    """
+    ns = lookback_days * 86400 * 10**9
+    w = Window.partitionBy("user_id").orderBy("ts").rangeBetween(-ns, -1)
+    touch = F.when(
+        F.col("event_type").isin(*touch_types),
+        F.struct("ts", "event_id", "event_type"),
+    )
+    enriched = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.min(touch).over(w).alias("__first"),
+        F.max(touch).over(w).alias("__last"),
+    )
+    return enriched.where(F.col("event_type") == conversion).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("__first.event_type").alias("first_type"),
+        F.col("__first.event_id").alias("first_id"),
+        F.col("__last.event_type").alias("last_type"),
+        F.col("__last.event_id").alias("last_id"),
+    )

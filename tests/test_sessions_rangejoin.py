@@ -140,3 +140,36 @@ def test_transition_matrix_rows_sum_to_one(spark, sf_dir):
     assert sums
     for r in sums:
         assert abs(r.s - 1.0) < 1e-9
+
+
+def test_touch_attribution_window_edges(spark):
+    """Lookback edges: same-instant touch not credited, touch exactly
+    at conv − lookback credited, no-touch conversion keeps NULLs."""
+    from myasynstreamjoin_spark.operators.sessions import touch_attribution
+    from pyspark.sql import functions as F
+
+    DAY = 86400 * 10**9
+    rows = [
+        # user 1: view at t0, click at t0+1d, purchase at t0+2d
+        (1, 0 * DAY, 10, "view"),
+        (1, 1 * DAY, 11, "click"),
+        (1, 2 * DAY, 12, "purchase"),
+        # user 2: touch exactly at purchase ts → NOT credited
+        (2, 5 * DAY, 20, "view"),
+        (2, 5 * DAY, 21, "purchase"),
+        # user 3: touch exactly lookback (7d) before → credited
+        (3, 0 * DAY, 30, "click"),
+        (3, 7 * DAY, 31, "purchase"),
+        # user 4: touch too old (8d) → NULLs
+        (4, 0 * DAY, 40, "view"),
+        (4, 8 * DAY, 41, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, event_type string"
+    )
+    got = {
+        r.purchase_id: (r.first_id, r.last_id)
+        for r in touch_attribution(ev).collect()
+    }
+    assert got == {12: (10, 11), 21: (None, None),
+                   31: (30, 30), 41: (None, None)}
