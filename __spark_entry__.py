@@ -1635,6 +1635,19 @@ def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join (PPJoin-style prefix filter,
+    lossless candidates): token-set Jaccard ≥ 0.9 pairs. The oracle is
+    the implementation-independent spec (full inverted index) — equal
+    results prove the prefix filter loses nothing."""
+    from myasynstreamjoin_spark.functions.dedup import prefix_jaccard_pairs
+
+    _prep(spark)
+    return prefix_jaccard_pairs(
+        tables.load_table(spark, sf_dir, "documents"), threshold=0.9
+    )
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → transitive dedup clusters: connected components
     (iterative min-label propagation) over the Jaccard pair graph; each
@@ -2394,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pareto": _q_pareto,                            # 2-D skyline, no dominance cross-join
         "q_markov": _q_markov,                            # event-type transition matrix
         "q_attribution": _q_attribution,                  # first/last-touch, range window
+        "q_setjoin": _q_setjoin,                          # exact prefix-filtered set-sim join
         # remaining streaming queries
         "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
@@ -4053,6 +4067,29 @@ def _oracle_sql_base() -> dict[str, str]:
                    j.f.tt AS first_type, j.f.tid AS first_id,
                    j.l.tt AS last_type, j.l.tid AS last_id
             FROM p LEFT JOIN j USING (purchase_id)
+        """,
+        # Implementation-independent spec for the prefix-filtered exact
+        # set-sim join: the full inverted index (no prefix pruning).
+        # Identical output proves candidate generation is lossless.
+        "q_setjoin": f"""
+            WITH t AS (
+              SELECT doc_id, list_distinct({_DOC_TOKENS}) AS s
+              FROM documents WHERE text IS NOT NULL),
+            ex AS (SELECT doc_id, unnest(s) AS tok FROM t),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS ni
+              FROM ex a JOIN ex b
+                ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            sizes AS (SELECT doc_id, len(s) AS n FROM t)
+            SELECT doc_a, doc_b,
+                   round(CAST(ni AS DOUBLE) / (na.n + nb.n - ni), 6)
+                     AS jaccard
+            FROM common
+            JOIN sizes na ON na.doc_id = doc_a
+            JOIN sizes nb ON nb.doc_id = doc_b
+            WHERE CAST(ni AS DOUBLE) / (na.n + nb.n - ni) >= 0.9
         """,
         "q_simhash": f"""
             WITH t AS (

@@ -688,3 +688,74 @@ def winnow_pairs(
         )
     finally:
         fp.unpersist()
+
+
+def prefix_jaccard_pairs(docs: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """EXACT token-set-similarity self-join via prefix filtering (the
+    PPJoin/AllPairs family, Xiao et al. 2008): all document pairs with
+    unigram-set Jaccard ≥ ``threshold``, with candidate generation
+    provably lossless — unlike MinHash LSH there is no recall tradeoff.
+
+    Prefix filter: order each document's distinct tokens rarest-first
+    (by corpus document frequency, ties by token); two sets with
+    Jaccard ≥ t MUST share a token within each other's first
+    ``m − ⌈t·m⌉ + 1`` tokens, so only those prefixes are indexed.
+    At t = 0.9 the index explodes ~10% of each token set instead of
+    100%, and the rare-first ordering keeps hot tokens out of prefixes
+    for all but the documents that have nothing rarer — the candidate
+    join stays near-linear where a full inverted index is quadratic in
+    hot-token document frequency.
+
+    Verification is per-candidate-pair exact: array_intersect over the
+    (bounded, per-doc) token sets — JVM-side, no UDF, no re-explode.
+
+    Plan shape: DF pass (hash groupBy) → rank-and-slice pass → prefix
+    explode (≈(1−t)·tokens) → hash self-join → broadcast-verified
+    pairs. The token-set table is persisted across its three consumers
+    and released after the result materializes.
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    base = rebalance(
+        docs.where(F.col("text").isNotNull()).select(
+            "doc_id", F.array_distinct(tokens("text")).alias("s")
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        ex = base.select("doc_id", F.explode_outer("s").alias("tok"))
+        dfreq = ex.groupBy("tok").agg(F.count("*").alias("df"))
+        ranked = (
+            ex.join(dfreq, "tok")
+            .groupBy("doc_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("df", "tok"))),
+                    lambda st: st["tok"],
+                ).alias("ordered")
+            )
+        )
+        m = F.size("ordered")
+        plen = m - F.ceil(F.lit(threshold) * m).cast("int") + 1
+        pref = ranked.select(
+            "doc_id", F.explode_outer(F.slice("ordered", 1, plen)).alias("tok")
+        )
+        cand = (
+            pref.select(F.col("doc_id").alias("doc_a"), "tok")
+            .join(pref.select(F.col("doc_id").alias("doc_b"), "tok"), "tok")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        sa = base.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+        sb = base.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+        ni = F.size(F.array_intersect("sa", "sb"))
+        jac = ni.cast("double") / (F.size("sa") + F.size("sb") - ni)
+        return (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .where(jac >= threshold)
+            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        base.unpersist()

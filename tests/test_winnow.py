@@ -69,3 +69,29 @@ def test_pairs_require_min_common(spark):
     ])
     pairs = winnow_pairs(docs, K, W, min_common=2).collect()
     assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}
+
+
+def test_prefix_jaccard_exactness_tiny(spark):
+    """Prefix-filtered join equals brute force on a hand-built corpus
+    with duplicate, near-dup, and disjoint docs (incl. single-token)."""
+    from itertools import combinations
+
+    from myasynstreamjoin_spark.functions.dedup import prefix_jaccard_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        (4, "mu nu xi omicron pi"),
+        (5, "single"),
+        (6, "single"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b) for r in prefix_jaccard_pairs(docs, 0.8).collect()}
+    sets = {i: set(t.split()) for i, t in rows}
+    brute = {
+        (a, b)
+        for a, b in combinations(sorted(sets), 2)
+        if len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= 0.8
+    }
+    assert got == brute == {(1, 2), (1, 3), (2, 3), (5, 6)}
