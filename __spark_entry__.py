@@ -1663,6 +1663,25 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster"))
 
 
+def _q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split: near-dup clusters (Jaccard
+    pairs → connected components) are the assignment unit, so
+    paraphrase copies can never straddle the test boundary."""
+    from myasynstreamjoin_spark.functions.cluster import (
+        cluster_split,
+        connected_components,
+    )
+    from myasynstreamjoin_spark.functions.dedup import ngram_jaccard_pairs
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.2)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster")
+    )
+    return cluster_split(docs, cc)
+
+
 def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-span fraction (exact-substring dedup
     signal at 8-token span granularity) — the quality score a pipeline
@@ -2408,6 +2427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_markov": _q_markov,                            # event-type transition matrix
         "q_attribution": _q_attribution,                  # first/last-touch, range window
         "q_setjoin": _q_setjoin,                          # exact prefix-filtered set-sim join
+        "q_cluster_split": _q_cluster_split,              # leakage-free cluster-unit split
         # remaining streaming queries
         "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
@@ -4216,6 +4236,43 @@ def _oracle_sql_base() -> dict[str, str]:
             UNION ALL
             SELECT d.doc_id, d.n_chars, FALSE AS is_cluster_rep
             FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM cl)
+        """,
+        # q_dedup_clusters' component CTE + singleton fallback + the
+        # hash_split md5-bucket rule keyed on the CLUSTER label.
+        "q_cluster_split": f"""
+            WITH RECURSIVE sh AS ({_SHINGLES}),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+            ix AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM ix a JOIN ix b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT doc_a, doc_b FROM common
+              JOIN sizes na ON na.doc_id = doc_a
+              JOIN sizes nb ON nb.doc_id = doc_b
+              WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= 0.2),
+            sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+            reach AS (
+              SELECT a AS node, a AS r FROM sym
+              UNION
+              SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+            cl AS (SELECT node AS doc_id, min(r) AS cluster FROM reach GROUP BY 1),
+            lab AS (
+              SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster
+              FROM documents d LEFT JOIN cl USING (doc_id)),
+            b AS (
+              SELECT doc_id, cluster,
+                     CAST(('0x' || substring(md5(CAST(cluster AS VARCHAR)), 1, 4)) AS INT)
+                       % 10000 AS bkt
+              FROM lab)
+            SELECT doc_id, cluster,
+                   CASE WHEN bkt < 1000 THEN 'test'
+                        WHEN bkt < 9000 THEN 'train'
+                        ELSE 'val' END AS split
+            FROM b
         """,
         "q_dup_spans": f"""
             WITH sp AS (

@@ -107,3 +107,45 @@ def dedup_survivors(
         id_col, quality_col, F.lit(False).alias("is_cluster_rep")
     )
     return singles.unionByName(reps)
+
+
+def cluster_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    splits: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-free train/val/test split: the assignment unit is the
+    near-dup CLUSTER, not the document — two near-duplicates can never
+    land in different splits, so the test set cannot leak into training
+    through paraphrase-level copies (the contamination mode document-
+    level hash splits miss entirely).
+
+    ``clusters`` is the (doc_id, cluster) membership table from
+    ``connected_components``; unclustered docs become singleton
+    clusters labeled by their own id. Assignment is the deterministic
+    md5-bucket rule of ``hash_split`` applied to the cluster label —
+    reproducible, growth-stable (a cluster keeps its split as it gains
+    members), and oracle-replayable.
+
+    Scale shape: one left join against the membership table (small —
+    only docs with ≥1 near-dup edge) plus a scan-stage projection; no
+    extra shuffle beyond the join.
+
+    Output: (doc_id, cluster, split).
+    """
+    from myasynstreamjoin_spark.functions.pipeline import hash_split
+
+    labeled = (
+        docs.select(id_col)
+        .join(clusters.select(id_col, "cluster"), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster", F.col(id_col)).alias("cluster"),
+        )
+    )
+    return hash_split(
+        labeled,
+        "cluster",
+        splits or {"train": 0.8, "val": 0.1, "test": 0.1},
+    ).select(id_col, "cluster", "split")
