@@ -1799,6 +1799,18 @@ def _q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return touch_attribution(tables.load_table(spark, sf_dir, "events"))
 
 
+def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation mining: lift = n_ab·N / (n_a·n_b) in exact
+    integer products + one IEEE division (no log, no rounding)."""
+    from myasynstreamjoin_spark.functions.text import collocations
+
+    _prep(spark)
+    return collocations(
+        tables.load_table(spark, sf_dir, "documents"),
+        min_count=5, min_lift=1.2,
+    )
+
+
 def _q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive negative sampling over the embeddings
     table: 4 pseudo-random partners per anchor via bucket
@@ -2428,6 +2440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_attribution": _q_attribution,                  # first/last-touch, range window
         "q_setjoin": _q_setjoin,                          # exact prefix-filtered set-sim join
         "q_cluster_split": _q_cluster_split,              # leakage-free cluster-unit split
+        "q_collocations": _q_collocations,                # bigram lift phrase mining
         # remaining streaming queries
         "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
@@ -4110,6 +4123,29 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sizes na ON na.doc_id = doc_a
             JOIN sizes nb ON nb.doc_id = doc_b
             WHERE CAST(ni AS DOUBLE) / (na.n + nb.n - ni) >= 0.9
+        """,
+        "q_collocations": f"""
+            WITH toked AS (
+              SELECT {_DOC_TOKENS} AS t FROM documents
+              WHERE text IS NOT NULL),
+            bg AS (
+              SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                       i -> {{'a': t[i], 'b': t[i+1]}})) AS p
+              FROM toked WHERE len(t) >= 2),
+            pairs AS (SELECT p.a AS tok_a, p.b AS tok_b FROM bg),
+            big AS (SELECT tok_a, tok_b, count(*) AS n_ab
+                    FROM pairs GROUP BY 1, 2),
+            ua AS (SELECT tok_a, count(*) AS n_a FROM pairs GROUP BY 1),
+            ub AS (SELECT tok_b, count(*) AS n_b FROM pairs GROUP BY 1),
+            tot AS (SELECT count(*) AS n_tot FROM pairs)
+            SELECT tok_a, tok_b, n_ab,
+                   CAST(n_ab * n_tot AS DOUBLE)
+                     / CAST(n_a * n_b AS DOUBLE) AS lift
+            FROM big JOIN ua USING (tok_a) JOIN ub USING (tok_b)
+            CROSS JOIN tot
+            WHERE n_ab >= 5
+              AND CAST(n_ab * n_tot AS DOUBLE)
+                    / CAST(n_a * n_b AS DOUBLE) >= 1.2
         """,
         "q_simhash": f"""
             WITH t AS (

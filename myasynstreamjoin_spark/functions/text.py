@@ -438,3 +438,64 @@ def langid_eval(docs: DataFrame, threshold: float = 0.05) -> DataFrame:
         .groupBy("lang", "lang_guess")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    min_lift: float = 50.0,
+) -> DataFrame:
+    """Collocation (fixed-phrase) mining over adjacent token bigrams:
+    pairs that co-occur far more than independence predicts — the
+    phrase-discovery pass behind tokenizer vocab curation and
+    multi-word-entity detection.
+
+    Association score = lift (the PMI exponent): ``n_ab · N / (n_a ·
+    n_b)`` with N the corpus bigram-position count. Kept as ONE exact
+    integer product per side and a single IEEE division — no log(), no
+    rounding, so any SQL engine replays it bit-for-bit. ``min_count``
+    guards the classic PMI rare-pair blowup; ``min_lift`` keeps only
+    phrase-like pairs.
+
+    Plan shape: one rebalanced bigram explode (the shingle pattern),
+    one hash groupBy for bigram counts, one for unigram-position
+    counts, a broadcast of the 1-row total; unigram counts join the
+    (already aggregated, much smaller) bigram table.
+
+    Output: (tok_a, tok_b, n_ab, lift).
+    """
+    from myasynstreamjoin_spark.sources.tables import rebalance
+
+    toked = rebalance(
+        docs.where(F.col("text").isNotNull()).select(tokens("text").alias("__t"))
+    )
+    t = F.col("__t")
+    n = F.size(t)
+    pairs = toked.where(n >= 2).select(
+        F.explode_outer(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("tok_a"),
+                    F.element_at(t, i + 1).alias("tok_b"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.tok_a", "bg.tok_b")
+    big = pairs.groupBy("tok_a", "tok_b").agg(F.count("*").alias("n_ab"))
+    # unigram counts over the SAME bigram positions (left slot = all
+    # tokens except each doc's last; right slot = all except the first)
+    ua = pairs.groupBy("tok_a").agg(F.count("*").alias("n_a"))
+    ub = pairs.groupBy("tok_b").agg(F.count("*").alias("n_b"))
+    total = pairs.agg(F.count("*").alias("n_tot"))
+    lift = (F.col("n_ab") * F.col("n_tot")).cast("double") / (
+        F.col("n_a") * F.col("n_b")
+    ).cast("double")
+    return (
+        big.where(F.col("n_ab") >= min_count)
+        .join(ua, "tok_a")
+        .join(ub, "tok_b")
+        .join(F.broadcast(total))
+        .where(lift >= min_lift)
+        .select("tok_a", "tok_b", "n_ab", lift.alias("lift"))
+    )

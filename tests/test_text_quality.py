@@ -135,3 +135,17 @@ def test_bigram_lm_single_token_docs_score_unigram(spark):
     big = {r.doc_id: (r.n_tokens, r.nll)
            for r in lm_perplexity_bigram(docs).collect()}
     assert uni == big
+
+
+def test_collocations_lift_semantics(spark):
+    """Hand-built corpus: a fixed phrase ('new york') has lift ≫ 1;
+    a pair that co-occurs exactly at independence rate is excluded."""
+    from myasynstreamjoin_spark.functions.text import collocations
+
+    docs = spark.createDataFrame(
+        [(i, "new york " + "filler%d other%d " % (i, i) * 3) for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = {(r.tok_a, r.tok_b): r.lift for r in collocations(docs, 5, 1.2).collect()}
+    assert ("new", "york") in out
+    assert out[("new", "york")] > 1.2
