@@ -1799,6 +1799,20 @@ def _q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return touch_attribution(tables.load_table(spark, sf_dir, "events"))
 
 
+def _q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (IVF-PQ compression layer): joint Lloyd
+    training across subspaces, per-vector codes + reconstruction-error
+    audit. Iterative float averaging — rows-only like q_kmeans/q_pca;
+    invariants (determinism, code range, k-monotone error) in
+    tests/test_pq.py."""
+    from myasynstreamjoin_spark.functions.embeddings import pq_encode
+
+    _prep(spark)
+    return pq_encode(
+        tables.load_table(spark, sf_dir, "embeddings"), n_iters=3
+    )
+
+
 def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram collocation mining: lift = n_ab·N / (n_a·n_b) in exact
     integer products + one IEEE division (no log, no rounding)."""
@@ -2441,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_setjoin": _q_setjoin,                          # exact prefix-filtered set-sim join
         "q_cluster_split": _q_cluster_split,              # leakage-free cluster-unit split
         "q_collocations": _q_collocations,                # bigram lift phrase mining
+        "q_pq_encode": _q_pq_encode,                      # product quantization (rows-only)
         # remaining streaming queries
         "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join

@@ -247,3 +247,135 @@ def pca_project(
         project, schema=f"{id_col} long, proj array<double>"
     )
     return projected, w, eigenvalues
+
+
+def pq_encode(
+    embs: DataFrame,
+    n_sub: int = 4,
+    k: int = 16,
+    n_iters: int = 4,
+    tol: float = 1e-4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): split each vector into
+    ``n_sub`` subvectors, learn a ``k``-word codebook per subspace by
+    Lloyd iterations, and encode every vector as ``n_sub`` small codes
+    — the compression layer that turns IVF into IVF-PQ (d·4 bytes →
+    n_sub bytes per vector at k ≤ 256, here 64·4 → 4).
+
+    All subspaces train in ONE joint loop: the (id, sub, subvec) table
+    is built once (checkpointed; the explode is the only row
+    amplification, ×n_sub); per iteration, assignment is a broadcast
+    nested codebook literal + argmin (array expressions, no UDF) and
+    re-centering is a single posexplode shuffle with only
+    n_sub·k·(d/n_sub) = d·k groups — the same bounded-model-state
+    discipline as ``kmeans_fit`` (k·d floats on the driver, never
+    rows). Deterministic: seeds are the k lowest-id vectors' slices,
+    argmin ties break toward the lower code.
+
+    Output: (vec_id, codes ARRAY<INT>[n_sub], recon_err DOUBLE) —
+    recon_err is the squared-L2 distance between the vector and its
+    decoded (nearest-codeword-per-subspace) reconstruction, the
+    quantization-quality audit.
+    """
+    import math
+
+    dim_row = embs.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not dim_row:
+        return embs.sparkSession.createDataFrame(
+            [], f"{id_col} long, codes array<int>, recon_err double"
+        )
+    d = dim_row[0]["d"]
+    if d % n_sub != 0:
+        raise ValueError(f"dim {d} not divisible by n_sub {n_sub}")
+    dsub = d // n_sub
+
+    sub_structs = F.array(*[
+        F.struct(
+            F.lit(s).alias("sub"),
+            F.transform(
+                F.slice(vec_col, s * dsub + 1, dsub),
+                lambda x: x.cast("double"),
+            ).alias("sv"),
+        )
+        for s in range(n_sub)
+    ])
+    pts = (
+        embs.select(id_col, F.explode(sub_structs).alias("p"))
+        .select(id_col, "p.sub", "p.sv")
+        .localCheckpoint(eager=True)
+    )
+
+    seed_rows = (
+        pts.where(
+            F.col(id_col).isin(
+                [r[0] for r in embs.orderBy(F.asc(id_col)).limit(k).select(id_col).collect()]
+            )
+        )
+        .orderBy(id_col, "sub")
+        .collect()
+    )
+    # cents[sub][code] = list of dsub floats
+    cents: list[list[list[float]]] = [[] for _ in range(n_sub)]
+    for r in seed_rows:
+        cents[r["sub"]].append(list(map(float, r["sv"])))
+
+    def codebook_lit(cb):
+        return F.array(*[
+            F.array(*[F.array(*[F.lit(x) for x in w]) for w in sub])
+            for sub in cb
+        ])
+
+    def assigned(cb) -> DataFrame:
+        sub_words = F.element_at(codebook_lit(cb), F.col("sub") + 1)
+        dists = F.transform(
+            sub_words,
+            lambda c: F.aggregate(
+                F.zip_with(F.col("sv"), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return pts.withColumn("__d", dists).select(
+            id_col,
+            "sub",
+            "sv",
+            (F.array_position("__d", F.array_min("__d")) - 1).cast("int").alias("code"),
+            F.array_min("__d").alias("d2"),
+        )
+
+    for _ in range(n_iters):
+        asg = assigned(cents)
+        new_rows = (
+            asg.select("sub", "code", F.posexplode("sv").alias("dim", "v"))
+            .groupBy("sub", "code", "dim")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("ms"))
+            .select("sub", "code", F.col("ms.m").alias("w"))
+            .collect()
+        )
+        new_cents = [list(sub) for sub in cents]
+        for r in new_rows:
+            new_cents[r["sub"]][r["code"]] = list(map(float, r["w"]))
+        shift = max(
+            math.sqrt(sum((a - b) ** 2 for a, b in zip(ow, nw)))
+            for osub, nsub_ in zip(cents, new_cents)
+            for ow, nw in zip(osub, nsub_)
+        )
+        cents = new_cents
+        if shift < tol:
+            break
+
+    final = assigned(cents)
+    return (
+        final.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s["code"],
+            ).alias("codes"),
+            F.round(F.sum("d2"), 6).alias("recon_err"),
+        )
+    )
