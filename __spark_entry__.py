@@ -1813,6 +1813,19 @@ def _q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ query path: asymmetric-distance top-k over PQ codes via
+    a broadcast per-query LUT — map-only corpus pass, no vectors
+    touched. rows-only (trained codebook); recall floor vs exact L2
+    pinned in tests/test_pq.py."""
+    from myasynstreamjoin_spark.functions.embeddings import pq_topk
+
+    _prep(spark)
+    return pq_topk(
+        tables.load_table(spark, sf_dir, "embeddings"), n_iters=3
+    )
+
+
 def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram collocation mining: lift = n_ab·N / (n_a·n_b) in exact
     integer products + one IEEE division (no log, no rounding)."""
@@ -2456,6 +2469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cluster_split": _q_cluster_split,              # leakage-free cluster-unit split
         "q_collocations": _q_collocations,                # bigram lift phrase mining
         "q_pq_encode": _q_pq_encode,                      # product quantization (rows-only)
+        "q_pq_topk": _q_pq_topk,                          # ADC top-k over PQ codes (rows-only)
         # remaining streaming queries
         "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join

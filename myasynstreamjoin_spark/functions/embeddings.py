@@ -279,6 +279,23 @@ def pq_encode(
     decoded (nearest-codeword-per-subspace) reconstruction, the
     quantization-quality audit.
     """
+    codes, _ = pq_fit(embs, n_sub, k, n_iters, tol, vec_col, id_col)
+    return codes
+
+
+def pq_fit(
+    embs: DataFrame,
+    n_sub: int = 4,
+    k: int = 16,
+    n_iters: int = 4,
+    tol: float = 1e-4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """``pq_encode``'s trainer, also returning the fitted codebook
+    (``cents[sub][code] = centroid``, the driver-resident model state)
+    so a consumer can run asymmetric-distance search (``pq_topk``)
+    against the codes."""
     import math
 
     dim_row = embs.select(F.size(vec_col).alias("d")).limit(1).collect()
@@ -369,7 +386,7 @@ def pq_encode(
             break
 
     final = assigned(cents)
-    return (
+    codes = (
         final.groupBy(id_col)
         .agg(
             F.transform(
@@ -378,4 +395,88 @@ def pq_encode(
             ).alias("codes"),
             F.round(F.sum("d2"), 6).alias("recon_err"),
         )
+    )
+    return codes, cents
+
+
+def pq_topk(
+    embs: DataFrame,
+    n_queries: int = 3,
+    k_neighbors: int = 10,
+    n_sub: int = 4,
+    k: int = 16,
+    n_iters: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes — the query
+    path of IVF-PQ: approximate d²(q, x) = Σ_s d²(q_s, codeword(x, s))
+    via a per-query lookup table, so search touches only the n_sub
+    byte codes per corpus vector, never the vectors.
+
+    The LUT (n_queries × n_sub × k doubles) is computed driver-side
+    from the fitted codebook and broadcast as a literal — the corpus
+    pass is a map-only projection (one nested element_at per subspace,
+    no UDF, no join) followed by a per-query top-k window. Queries are
+    the ``n_queries`` lowest-id vectors (the ``cosine_topk_multi``
+    convention); self-matches are excluded.
+
+    Output: (qid, vec_id, adc_d2, rn) — rn the per-query rank by
+    (adc_d2, vec_id).
+    """
+    from pyspark.sql import Window
+
+    codes, cents = pq_fit(
+        embs, n_sub, k, n_iters, vec_col=vec_col, id_col=id_col
+    )
+    dsub = len(cents[0][0])
+    qrows = (
+        embs.orderBy(F.asc(id_col))
+        .limit(n_queries)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    entries = []
+    for qr in qrows:
+        qv = [float(x) for x in qr[vec_col]]
+        lut = [
+            [
+                sum(
+                    (qv[s * dsub + j] - w[j]) ** 2 for j in range(dsub)
+                )
+                for w in cents[s]
+            ]
+            for s in range(n_sub)
+        ]
+        entries.append(
+            F.struct(
+                F.lit(qr[id_col]).cast("long").alias("qid"),
+                F.array(*[
+                    F.array(*[F.lit(x) for x in sub]) for sub in lut
+                ]).alias("lut"),
+            )
+        )
+    q = F.explode(F.array(*entries)).alias("q")
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("q.lut"), s + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        ),
+    )
+    scored = (
+        codes.select(id_col, "codes")
+        .select(id_col, "codes", q)
+        .where(F.col("q.qid") != F.col(id_col))
+        .select(
+            F.col("q.qid").alias("qid"), id_col, adc.alias("__d2")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("__d2"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k_neighbors)
+        .select("qid", id_col, F.round("__d2", 6).alias("adc_d2"), "rn")
     )

@@ -66,3 +66,52 @@ def test_pq_exact_on_separable_clusters(spark):
     out = pq_encode(embs, n_sub=2, k=4, n_iters=5).collect()
     assert len(out) == 40
     assert all(math.isclose(r.recon_err, 0.0, abs_tol=1e-9) for r in out)
+
+
+def test_pq_topk_exact_on_separable(spark):
+    """On k-separable data ADC distances are exact, so ADC top-k ==
+    exact-L2 top-k."""
+    pts = [[float(a)] * (DIM // 2) + [float(b)] * (DIM // 2)
+           for a in (0, 10) for b in (0, 10)]
+    rows = [(i, pts[i % 4]) for i in range(40)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from myasynstreamjoin_spark.functions.embeddings import pq_topk
+
+    out = pq_topk(embs, n_queries=2, k_neighbors=5, n_sub=2, k=4, n_iters=5).collect()
+    byq = {}
+    for r in out:
+        byq.setdefault(r.qid, []).append(r)
+    for qid, rs in byq.items():
+        qv = pts[qid % 4]
+        exact = sorted(
+            (sum((a - b) ** 2 for a, b in zip(qv, v)), i)
+            for i, v in rows if i != qid
+        )[:5]
+        got = sorted((r.adc_d2, r.vec_id) for r in rs)
+        assert [i for _, i in got] == [i for _, i in exact]
+        for (d_got, _), (d_exact, _) in zip(got, exact):
+            assert abs(d_got - d_exact) < 1e-6
+
+
+def test_pq_topk_recall_floor(spark):
+    """ADC recall@10 vs exact L2 on random data: ≥ 0.5 with a 16-word
+    4-subspace codebook (empirically ~0.7+; floor pinned loosely so the
+    test guards regressions, not noise)."""
+    rows, embs = _embs(spark, n=120)
+    from myasynstreamjoin_spark.functions.embeddings import pq_topk
+
+    out = pq_topk(embs, n_queries=3, k_neighbors=10, n_sub=2, k=16, n_iters=4).collect()
+    vecs = dict(rows)
+    hits = total = 0
+    for qid in {r.qid for r in out}:
+        qv = vecs[qid]
+        exact = {
+            i for _, i in sorted(
+                (sum((a - b) ** 2 for a, b in zip(qv, v)), i)
+                for i, v in rows if i != qid
+            )[:10]
+        }
+        got = {r.vec_id for r in out if r.qid == qid}
+        hits += len(exact & got)
+        total += 10
+    assert hits / total >= 0.5
