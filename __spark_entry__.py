@@ -1799,6 +1799,16 @@ def _q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return touch_attribution(tables.load_table(spark, sf_dir, "events"))
 
 
+def _q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill + trailing 7-day moving average per event
+    type: explicit zero rows for silent days, so window analytics
+    don't span gaps."""
+    from myasynstreamjoin_spark.operators.timeseries import resample_daily
+
+    _prep(spark)
+    return resample_daily(tables.load_table(spark, sf_dir, "events"))
+
+
 def _q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (IVF-PQ compression layer): joint Lloyd
     training across subspaces, per-vector codes + reconstruction-error
@@ -2470,6 +2480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_collocations": _q_collocations,                # bigram lift phrase mining
         "q_pq_encode": _q_pq_encode,                      # product quantization (rows-only)
         "q_pq_topk": _q_pq_topk,                          # ADC top-k over PQ codes (rows-only)
+        "q_resample": _q_resample,                        # calendar gap-fill + trailing MA
         # remaining streaming queries
         "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
@@ -4088,6 +4099,31 @@ def _oracle_sql_base() -> dict[str, str]:
                 AND b.p_retailprice >= a.p_retailprice
                 AND (b.p_size > a.p_size
                      OR b.p_retailprice > a.p_retailprice))
+        """,
+        "q_resample": """
+            WITH d AS (
+              SELECT event_type,
+                     epoch_ns(ts) // 86400000000000 AS day
+              FROM events),
+            daily AS (
+              SELECT event_type, day, count(*) AS n_events
+              FROM d GROUP BY 1, 2),
+            span AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+            cal AS (
+              SELECT t.event_type, g.day
+              FROM (SELECT DISTINCT event_type FROM events) t
+              CROSS JOIN (SELECT unnest(generate_series(
+                            (SELECT d0 FROM span),
+                            (SELECT d1 FROM span))) AS day) g),
+            filled AS (
+              SELECT cal.event_type, cal.day,
+                     COALESCE(daily.n_events, 0) AS n_events
+              FROM cal LEFT JOIN daily USING (event_type, day))
+            SELECT event_type, day, n_events,
+                   avg(n_events) OVER (
+                     PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma
+            FROM filled
         """,
         "q_markov": """
             WITH nxt AS (

@@ -155,3 +155,60 @@ def event_autocorrelation(
             ).alias("acf"),
         )
     )
+
+
+def resample_daily(
+    events: DataFrame,
+    ma_days: int = 7,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Calendar resampling with gap fill: per event type, one row per
+    calendar day across the corpus's full [min_day, max_day] span —
+    days with no events appear explicitly with count 0 — plus the
+    ``ma_days``-day trailing moving average over the GAP-FILLED series.
+    (Without the fill, a frame of "7 preceding rows" silently spans
+    months across a gap; this is the op that makes window analytics
+    honest on sparse series.)
+
+    Plan shape: the day span is a one-row global agg broadcast into a
+    generated calendar (|types| × |days| rows — a model-sized frame,
+    never corpus-sized); actual daily counts left-join in; the moving
+    average is a per-type window over the tiny calendar. The corpus is
+    touched exactly once.
+
+    Output: (event_type, day, n_events, ma) — day = epoch-day index,
+    ma averaged over min(ma_days, days-since-start) gap-filled days.
+    """
+    from pyspark.sql import Window
+
+    DAY_NS = 86_400 * 10**9
+    # integer DIV, not double division: epoch-ns (~1.7e18) exceeds a
+    # double's 53-bit mantissa, so float division would misplace days.
+    day = F.expr(f"CAST({ts_col} AS BIGINT) DIV {DAY_NS}")
+    daily = (
+        events.select(F.col(type_col).alias("event_type"), day.alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n_events"))
+    )
+    span = events.agg(
+        F.min(day).alias("__d0"), F.max(day).alias("__d1")
+    )
+    types = events.select(F.col(type_col).alias("event_type")).distinct()
+    calendar = types.join(F.broadcast(span)).select(
+        "event_type",
+        F.explode(F.sequence(F.col("__d0"), F.col("__d1"))).alias("day"),
+    )
+    filled = calendar.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(ma_days - 1), 0)
+    )
+    return filled.select(
+        "event_type", "day", "n_events", F.avg("n_events").over(w).alias("ma")
+    )

@@ -173,3 +173,25 @@ def test_touch_attribution_window_edges(spark):
     }
     assert got == {12: (10, 11), 21: (None, None),
                    31: (30, 30), 41: (None, None)}
+
+
+def test_resample_fills_gaps(spark):
+    """A type silent for days gets explicit zero rows, and its MA
+    decays across the gap instead of skipping it."""
+    from myasynstreamjoin_spark.operators.timeseries import resample_daily
+
+    DAY = 86400 * 10**9
+    rows = [
+        (1, 0 * DAY, "a"), (2, 0 * DAY + 5, "a"), (3, 4 * DAY, "a"),
+        (4, 0 * DAY, "b"), (5, 1 * DAY, "b"),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts long, event_type string")
+    out = {(r.event_type, r.day): (r.n_events, r.ma)
+           for r in resample_daily(ev, ma_days=3).collect()}
+    # full 5-day calendar for both types
+    assert len(out) == 10
+    assert out[("a", 0)] == (2, 2.0)
+    assert out[("a", 1)][0] == 0
+    assert out[("a", 2)] == (0, 2 / 3)
+    assert out[("a", 4)] == (1, 1 / 3)
+    assert out[("b", 4)][0] == 0
