@@ -1637,14 +1637,14 @@ def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join (PPJoin-style prefix filter,
-    lossless candidates): token-set Jaccard ≥ 0.9 pairs. The oracle is
-    the implementation-independent spec (full inverted index) — equal
-    results prove the prefix filter loses nothing."""
+    lossless candidates): shingle-set Jaccard ≥ 0.5 pairs. The oracle
+    is the implementation-independent spec (full inverted index) —
+    equal results prove the prefix filter loses nothing."""
     from myasynstreamjoin_spark.functions.dedup import prefix_jaccard_pairs
 
     _prep(spark)
     return prefix_jaccard_pairs(
-        tables.load_table(spark, sf_dir, "documents"), threshold=0.9
+        tables.load_table(spark, sf_dir, "documents"), threshold=0.5
     )
 
 
@@ -4167,27 +4167,28 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM p LEFT JOIN j USING (purchase_id)
         """,
         # Implementation-independent spec for the prefix-filtered exact
-        # set-sim join: the full inverted index (no prefix pruning).
-        # Identical output proves candidate generation is lossless.
+        # set-sim join: the full inverted index (no prefix pruning)
+        # over the SAME md5-hashed shingle sets. Identical output
+        # proves candidate generation is lossless.
         "q_setjoin": f"""
-            WITH t AS (
-              SELECT doc_id, list_distinct({_DOC_TOKENS}) AS s
-              FROM documents WHERE text IS NOT NULL),
-            ex AS (SELECT doc_id, unnest(s) AS tok FROM t),
+            WITH sh0 AS ({_SHINGLES}),
+            ex AS (SELECT DISTINCT doc_id,
+                     {_MD5_32.format(x='shingle')} AS h
+                   FROM sh0),
             common AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      count(*) AS ni
               FROM ex a JOIN ex b
-                ON a.tok = b.tok AND a.doc_id < b.doc_id
+                ON a.h = b.h AND a.doc_id < b.doc_id
               GROUP BY 1, 2),
-            sizes AS (SELECT doc_id, len(s) AS n FROM t)
+            sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1)
             SELECT doc_a, doc_b,
                    round(CAST(ni AS DOUBLE) / (na.n + nb.n - ni), 6)
                      AS jaccard
             FROM common
             JOIN sizes na ON na.doc_id = doc_a
             JOIN sizes nb ON nb.doc_id = doc_b
-            WHERE CAST(ni AS DOUBLE) / (na.n + nb.n - ni) >= 0.9
+            WHERE CAST(ni AS DOUBLE) / (na.n + nb.n - ni) >= 0.5
         """,
         "q_collocations": f"""
             WITH toked AS (

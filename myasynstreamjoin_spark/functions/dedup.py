@@ -690,37 +690,54 @@ def winnow_pairs(
         fp.unpersist()
 
 
-def prefix_jaccard_pairs(docs: DataFrame, threshold: float = 0.9) -> DataFrame:
-    """EXACT token-set-similarity self-join via prefix filtering (the
+def prefix_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingle_k: int | None = 3,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
     PPJoin/AllPairs family, Xiao et al. 2008): all document pairs with
-    unigram-set Jaccard ≥ ``threshold``, with candidate generation
-    provably lossless — unlike MinHash LSH there is no recall tradeoff.
+    set Jaccard ≥ ``threshold``, with candidate generation provably
+    lossless — unlike MinHash LSH there is no recall tradeoff.
 
-    Prefix filter: order each document's distinct tokens rarest-first
-    (by corpus document frequency, ties by token); two sets with
-    Jaccard ≥ t MUST share a token within each other's first
-    ``m − ⌈t·m⌉ + 1`` tokens, so only those prefixes are indexed.
-    At t = 0.9 the index explodes ~10% of each token set instead of
-    100%, and the rare-first ordering keeps hot tokens out of prefixes
-    for all but the documents that have nothing rarer — the candidate
-    join stays near-linear where a full inverted index is quadratic in
-    hot-token document frequency.
+    The sets are md5-hashed ``shingle_k``-gram shingles (the
+    granularity at which near-duplication is meaningful — unigram BAGS
+    of same-domain documents overlap ~90% even for unrelated texts,
+    measured 964 k "pairs" vs 256 real ones on the sf0.1 corpus; pass
+    ``shingle_k=None`` for raw-token sets when inputs are short
+    strings like names). md5 hashing keeps the whole computation,
+    collisions included, replayable by an external SQL oracle.
+
+    Prefix filter: order each document's shingles rarest-first (by
+    corpus document frequency, ties by value); two sets with Jaccard ≥
+    t MUST share an element within each other's first
+    ``m − ⌈t·m⌉ + 1`` elements, so only those prefixes are indexed,
+    and the rare-first ordering keeps hot elements out of prefixes for
+    all but the documents that have nothing rarer — the candidate join
+    stays near-linear where a full inverted index is quadratic in
+    hot-element document frequency.
 
     Verification is per-candidate-pair exact: array_intersect over the
-    (bounded, per-doc) token sets — JVM-side, no UDF, no re-explode.
+    (bounded, per-doc) sets — JVM-side, no UDF, no re-explode.
 
     Plan shape: DF pass (hash groupBy) → rank-and-slice pass → prefix
-    explode (≈(1−t)·tokens) → hash self-join → broadcast-verified
-    pairs. The token-set table is persisted across its three consumers
-    and released after the result materializes.
+    explode (≈(1−t)·set size) → hash self-join → broadcast-verified
+    pairs. The set table is persisted across its three consumers and
+    released after the result materializes.
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    base = rebalance(
-        docs.where(F.col("text").isNotNull()).select(
-            "doc_id", F.array_distinct(tokens("text")).alias("s")
+    if shingle_k is not None:
+        sets = shingle_docs(docs, shingle_k, hashed="md5").select(
+            "doc_id", F.col("sh").alias("s")
         )
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        sets = rebalance(
+            docs.where(F.col("text").isNotNull()).select(
+                "doc_id", F.array_distinct(tokens("text")).alias("s")
+            )
+        )
+    base = sets.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         ex = base.select("doc_id", F.explode_outer("s").alias("tok"))
         dfreq = ex.groupBy("tok").agg(F.count("*").alias("df"))

@@ -87,7 +87,10 @@ def test_prefix_jaccard_exactness_tiny(spark):
         (6, "single"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    got = {(r.doc_a, r.doc_b) for r in prefix_jaccard_pairs(docs, 0.8).collect()}
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_jaccard_pairs(docs, 0.8, shingle_k=None).collect()
+    }
     sets = {i: set(t.split()) for i, t in rows}
     brute = {
         (a, b)
