@@ -1799,6 +1799,16 @@ def _q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return touch_attribution(tables.load_table(spark, sf_dir, "events"))
 
 
+def _q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage over part names: n·w
+    levenshtein comparisons (w=4 lead() neighbors within first-char
+    partitions), never a quadratic blocked self-join."""
+    from myasynstreamjoin_spark.operators.relational import fuzzy_neighbor_pairs
+
+    _prep(spark)
+    return fuzzy_neighbor_pairs(tables.load_table(spark, sf_dir, "part"))
+
+
 def _q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar gap-fill + trailing 7-day moving average per event
     type: explicit zero rows for silent days, so window analytics
@@ -2481,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_encode": _q_pq_encode,                      # product quantization (rows-only)
         "q_pq_topk": _q_pq_topk,                          # ADC top-k over PQ codes (rows-only)
         "q_resample": _q_resample,                        # calendar gap-fill + trailing MA
+        "q_fuzzy_match": _q_fuzzy_match,                  # sorted-neighborhood linkage
         # remaining streaming queries
         "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
@@ -4099,6 +4110,34 @@ def _oracle_sql_base() -> dict[str, str]:
                 AND b.p_retailprice >= a.p_retailprice
                 AND (b.p_size > a.p_size
                      OR b.p_retailprice > a.p_retailprice))
+        """,
+        # SNM is definitionally a sort-window algorithm, so the oracle
+        # replays the same w=4 lead() probe (not an all-pairs spec).
+        "q_fuzzy_match": """
+            WITH base AS (
+              SELECT p_partkey AS id, lower(p_name) AS key,
+                     substring(lower(p_name), 1, 1) AS blk
+              FROM part),
+            nbrs AS (
+              SELECT id, key,
+                     lead(id, 1) OVER w AS id1, lead(key, 1) OVER w AS key1,
+                     lead(id, 2) OVER w AS id2, lead(key, 2) OVER w AS key2,
+                     lead(id, 3) OVER w AS id3, lead(key, 3) OVER w AS key3,
+                     lead(id, 4) OVER w AS id4, lead(key, 4) OVER w AS key4
+              FROM base
+              WINDOW w AS (PARTITION BY blk ORDER BY key, id)),
+            stacked AS (
+              SELECT id AS id_a, key AS key_a, id1 AS id_b, key1 AS key_b FROM nbrs
+              UNION ALL
+              SELECT id, key, id2, key2 FROM nbrs
+              UNION ALL
+              SELECT id, key, id3, key3 FROM nbrs
+              UNION ALL
+              SELECT id, key, id4, key4 FROM nbrs)
+            SELECT id_a, id_b, key_a, key_b,
+                   levenshtein(key_a, key_b) AS dist
+            FROM stacked
+            WHERE id_b IS NOT NULL AND levenshtein(key_a, key_b) <= 3
         """,
         "q_resample": """
             WITH d AS (

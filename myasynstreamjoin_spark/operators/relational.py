@@ -905,3 +905,58 @@ def pareto_frontier(
         .where(F.col(y) == F.col("__best_y"))
         .select(*keys, *(payload or []), x, y)
     )
+
+
+def fuzzy_neighbor_pairs(
+    df: DataFrame,
+    key_col: str = "p_name",
+    id_col: str = "p_partkey",
+    window: int = 4,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernández & Stolfo 1995):
+    sort records by the match key, compare each record only against its
+    next ``window`` neighbors in sort order, keep pairs within
+    ``max_dist`` edit distance — the linear-cost alternative to the
+    quadratic blocked all-pairs join (SNM compares n·w pairs, and w is
+    a constant).
+
+    Parallel shape: the sort is PARTITIONED by the key's first
+    character, so it's 36-way parallel and no global total order is
+    materialized; within a partition the neighbor probe is ``window``
+    lead() columns — no self-join at all. The standard SNM caveat
+    applies and is inherited deliberately: pairs whose keys disagree in
+    the first character are not candidates (multi-pass with a second
+    key ordering is the textbook recall fix; one pass is implemented).
+
+    Output: (id_a, id_b, key_a, key_b, dist) — id_a/id_b ordered by
+    sort position, dist = levenshtein ≤ ``max_dist``.
+    """
+    k = F.lower(F.col(key_col))
+    base = df.select(
+        F.col(id_col).alias("id"), k.alias("key"),
+        F.substring(k, 1, 1).alias("__blk"),
+    )
+    w = Window.partitionBy("__blk").orderBy("key", "id")
+    cols = []
+    for i in range(1, window + 1):
+        cols.append(
+            F.struct(
+                F.lead("id", i).over(w).alias("id_b"),
+                F.lead("key", i).over(w).alias("key_b"),
+            ).alias(f"__n{i}")
+        )
+    nbrs = base.select("id", "key", *cols)
+    stacked = nbrs.select(
+        F.col("id").alias("id_a"),
+        F.col("key").alias("key_a"),
+        F.explode(F.array(*[F.col(f"__n{i}") for i in range(1, window + 1)])).alias("n"),
+    ).where(F.col("n.id_b").isNotNull())
+    dist = F.levenshtein("key_a", F.col("n.key_b"))
+    return stacked.where(dist <= max_dist).select(
+        "id_a",
+        F.col("n.id_b").alias("id_b"),
+        "key_a",
+        F.col("n.key_b").alias("key_b"),
+        dist.alias("dist"),
+    )

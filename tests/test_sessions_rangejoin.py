@@ -195,3 +195,25 @@ def test_resample_fills_gaps(spark):
     assert out[("a", 2)] == (0, 2 / 3)
     assert out[("a", 4)] == (1, 1 / 3)
     assert out[("b", 4)][0] == 0
+
+
+def test_fuzzy_neighbor_pairs_snm_semantics(spark):
+    """Near-identical names adjacent in sort order pair up with their
+    edit distance; records farther apart than the window (or in a
+    different first-char block) are not candidates — the documented
+    SNM tradeoff."""
+    from myasynstreamjoin_spark.operators.relational import fuzzy_neighbor_pairs
+
+    rows = [
+        (1, "acme corp"), (2, "acme corp."), (3, "acme korp"),
+        (4, "zenith ltd"),
+        # 5 sorts into the same block but > window=1 away from 1..3
+        (5, "acme zzz unrelated name"),
+    ]
+    df = spark.createDataFrame(rows, "p_partkey long, p_name string")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_neighbor_pairs(df, window=1, max_dist=2).collect()
+    }
+    # sort order within block 'a': "acme corp" < "acme corp." < "acme korp"
+    assert got == {(1, 2): 1, (2, 3): 2}
