@@ -1799,6 +1799,16 @@ def _q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return touch_attribution(tables.load_table(spark, sf_dir, "events"))
 
 
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Hamming≤1 SimHash neighbor join via banded pigeonholing
+    (lossless candidates: 1 differing bit can't touch both 16-bit
+    halves)."""
+    from myasynstreamjoin_spark.functions.dedup import simhash_pairs
+
+    _prep(spark)
+    return simhash_pairs(tables.load_table(spark, sf_dir, "documents"))
+
+
 def _q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood record linkage over part names: n·w
     levenshtein comparisons (w=4 lead() neighbors within first-char
@@ -2492,6 +2502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_topk": _q_pq_topk,                          # ADC top-k over PQ codes (rows-only)
         "q_resample": _q_resample,                        # calendar gap-fill + trailing MA
         "q_fuzzy_match": _q_fuzzy_match,                  # sorted-neighborhood linkage
+        "q_simhash_pairs": _q_simhash_pairs,              # banded Hamming join (lossless)
         # remaining streaming queries
         "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
@@ -4251,6 +4262,39 @@ def _oracle_sql_base() -> dict[str, str]:
             WHERE n_ab >= 5
               AND CAST(n_ab * n_tot AS DOUBLE)
                     / CAST(n_a * n_b AS DOUBLE) >= 1.2
+        """,
+        # q_simhash's signature CTE + the banded pigeonhole candidate
+        # join + bit_count(xor) verification — replays the engine's
+        # lossless Hamming≤1 join end to end.
+        "q_simhash_pairs": f"""
+            WITH t AS (
+              SELECT doc_id, unnest(list_distinct({_DOC_TOKENS})) AS tok
+              FROM documents),
+            h AS (SELECT doc_id, {_MD5_32.format(x='tok')} AS hv FROM t),
+            bits AS (SELECT unnest(generate_series(0, 31)) AS i),
+            votes AS (
+              SELECT doc_id, i,
+                     sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM h CROSS JOIN bits GROUP BY 1, 2),
+            s AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << i
+                              ELSE 0 END) AS BIGINT) AS sh
+              FROM votes GROUP BY 1),
+            bands AS (
+              SELECT doc_id, b.b, (sh >> (b.b * 16)) & 65535 AS v
+              FROM s CROSS JOIN
+                   (SELECT unnest(generate_series(0, 1)) AS b) b),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+              FROM bands a JOIN bands c
+                ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id)
+            SELECT doc_a, doc_b,
+                   bit_count(xor(sa.sh, sb.sh)) AS hamming
+            FROM cand
+            JOIN s sa ON sa.doc_id = doc_a
+            JOIN s sb ON sb.doc_id = doc_b
+            WHERE bit_count(xor(sa.sh, sb.sh)) <= 1
         """,
         "q_simhash": f"""
             WITH t AS (

@@ -444,6 +444,70 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     return voted.select("doc_id", sig.alias("simhash"))
 
 
+def simhash_pairs(
+    docs: DataFrame,
+    bits: int = 32,
+    n_bands: int = 2,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """EXACT Hamming-neighbor join over SimHash signatures via banded
+    pigeonholing (the Manku/Jain/Sarma 2007 near-dup lookup): split
+    each ``bits``-bit signature into ``n_bands`` equal bands; two
+    signatures within Hamming distance ``max_hamming`` < ``n_bands``
+    MUST share at least one band verbatim (pigeonhole), so candidate
+    generation is a lossless hash-groupBy on (band, value) and only
+    candidates pay the bit_count(xor) verification.
+
+    Scale shape: the band explode is ×n_bands on a (doc_id, long)
+    table; the self-join keys on small ints; verification is two
+    broadcast-joinable signature lookups. No all-pairs stage anywhere.
+
+    Output: (doc_a, doc_b, hamming) with doc_a < doc_b,
+    hamming ≤ max_hamming.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError("pigeonhole needs max_hamming < n_bands")
+    if bits % n_bands != 0:
+        raise ValueError("bits must divide into equal bands")
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    sig = simhash(docs, bits).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        bands = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright("simhash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("v"),
+                    )
+                    for b in range(n_bands)
+                ])
+            ).alias("band"),
+        ).select("doc_id", "band.b", "band.v")
+        cand = (
+            bands.select(F.col("doc_id").alias("doc_a"), "b", "v")
+            .join(bands.select(F.col("doc_id").alias("doc_b"), "b", "v"), ["b", "v"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("__sa"))
+        sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("__sb"))
+        hd = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+        return (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .where(hd <= max_hamming)
+            .select("doc_a", "doc_b", hd.cast("long").alias("hamming"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sig.unpersist()
+
+
 def contamination_pairs(
     train: DataFrame,
     bench: DataFrame,

@@ -98,3 +98,23 @@ def test_prefix_jaccard_exactness_tiny(spark):
         if len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= 0.8
     }
     assert got == brute == {(1, 2), (1, 3), (2, 3), (5, 6)}
+
+
+def test_simhash_pairs_lossless_vs_bruteforce(spark, sf_dir):
+    """Banded pigeonhole join == brute-force Hamming≤1 over all
+    signature pairs (the losslessness guarantee, checked exhaustively
+    on the fixture corpus)."""
+    from myasynstreamjoin_spark.functions.dedup import simhash, simhash_pairs
+    from myasynstreamjoin_spark.sources import tables
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    ids = sorted(sigs)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 1
+    }
+    got = {(r.doc_a, r.doc_b) for r in simhash_pairs(docs).collect()}
+    assert got == brute
