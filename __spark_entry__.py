@@ -1819,6 +1819,15 @@ def _q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_neighbor_pairs(tables.load_table(spark, sf_dir, "part"))
 
 
+def _q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style denoising pair generation: md5-placed non-overlapping
+    masked spans, map-only, reproducible across engines."""
+    from myasynstreamjoin_spark.functions.pipeline import span_corruption_pairs
+
+    _prep(spark)
+    return span_corruption_pairs(tables.load_table(spark, sf_dir, "documents"))
+
+
 def _q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar gap-fill + trailing 7-day moving average per event
     type: explicit zero rows for silent days, so window analytics
@@ -2503,6 +2512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_resample": _q_resample,                        # calendar gap-fill + trailing MA
         "q_fuzzy_match": _q_fuzzy_match,                  # sorted-neighborhood linkage
         "q_simhash_pairs": _q_simhash_pairs,              # banded Hamming join (lossless)
+        "q_span_corruption": _q_span_corruption,          # T5 denoising pair generation
         # remaining streaming queries
         "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
@@ -4149,6 +4159,41 @@ def _oracle_sql_base() -> dict[str, str]:
                    levenshtein(key_a, key_b) AS dist
             FROM stacked
             WHERE id_b IS NOT NULL AND levenshtein(key_a, key_b) <= 3
+        """,
+        # Replays span_corruption_pairs exactly: md5-derived span
+        # starts (hash_split's bucket hash), slot-confined placement,
+        # concat_ws reassembly (identical empty/NULL semantics in
+        # both engines).
+        "q_span_corruption": f"""
+            WITH toked AS (
+              SELECT doc_id, {_DOC_TOKENS} AS t FROM documents
+              WHERE text IS NOT NULL),
+            d AS (SELECT doc_id, t, len(t) AS n, len(t) // 2 AS slot
+                  FROM toked),
+            st AS (
+              SELECT doc_id, t, n,
+                0 * slot
+                  + (CAST(('0x' || substring(md5(
+                       CAST(doc_id AS VARCHAR) || ':0'), 1, 4)) AS INT)
+                     % 10000) % greatest(slot - 4, 1) + 1 AS s0,
+                1 * slot
+                  + (CAST(('0x' || substring(md5(
+                       CAST(doc_id AS VARCHAR) || ':1'), 1, 4)) AS INT)
+                     % 10000) % greatest(slot - 4, 1) + 1 AS s1
+              FROM d)
+            SELECT doc_id,
+              CASE WHEN n >= 20 THEN array_to_string(list_filter(
+                     [array_to_string(t[1:s0-1], ' '), '<extra_id_0>',
+                      array_to_string(t[s0+5:s1-1], ' '), '<extra_id_1>',
+                      array_to_string(t[s1+5:n], ' ')],
+                     x -> x <> ''), ' ')
+                   ELSE array_to_string(t, ' ') END AS input_text,
+              CASE WHEN n >= 20 THEN array_to_string(list_filter(
+                     ['<extra_id_0>', array_to_string(t[s0:s0+4], ' '),
+                      '<extra_id_1>', array_to_string(t[s1:s1+4], ' ')],
+                     x -> x <> ''), ' ')
+                   END AS target_text
+            FROM st
         """,
         "q_resample": """
             WITH d AS (

@@ -411,3 +411,79 @@ def chunk_documents(
         F.element_at("__t", start.cast("int")).alias("first_tok"),
         F.element_at("__t", end.cast("int")).alias("last_tok"),
     )
+
+
+def span_corruption_pairs(
+    docs: DataFrame,
+    span_len: int = 5,
+    n_spans: int = 2,
+    min_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic T5-style span corruption: mask ``n_spans``
+    non-overlapping ``span_len``-token spans per document, emitting the
+    masked input (sentinels in place of spans) and the target (the
+    spans behind their sentinels) — the (input, target) pair generator
+    of a denoising-objective pretraining pipeline.
+
+    Span starts are pseudo-random but md5-derived from (doc_id, span
+    index): reproducible across runs, engines, and retries, so the
+    oracle replays the exact corruption (the same reason
+    ``hash_split`` avoids rand()). The i-th span starts at
+    ``md5_32(doc_id:i) % slot_width`` inside its own 1/n_spans slice
+    of the document, which guarantees non-overlap when ``slot_width ≥
+    span_len`` (docs shorter than ``min_tokens`` pass through
+    unmasked with a NULL target — they're left for the packing stage).
+
+    Map-only: one projection over the token array (slice + concat, no
+    UDF, no shuffle) — at 100 TB it pipelines with the scan.
+
+    Output: (doc_id, input_text, target_text).
+    """
+    from myasynstreamjoin_spark.functions.text import tokens
+    from myasynstreamjoin_spark.operators.relational import hash_bucket
+
+    toked = docs.where(F.col(text_col).isNotNull()).select(
+        id_col, tokens(text_col).alias("__t")
+    )
+    t = F.col("__t")
+    n = F.size(t)
+    slot = (n / n_spans).cast("int")  # double→int truncation == floor (n≥0)
+    pieces_in = []
+    pieces_tgt = []
+    prev_end = F.lit(1)  # 1-based token position after the previous span
+    for i in range(n_spans):
+        # start of span i (1-based), within slot i
+        off = hash_bucket(
+            F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(i))),
+            10_000,
+        )
+        start = (F.lit(i) * slot) + F.pmod(off, F.greatest(slot - span_len + 1, F.lit(1))) + 1
+        pieces_in.append(
+            F.concat_ws(" ", F.slice(t, prev_end, (start - prev_end).cast("int")))
+        )
+        pieces_in.append(F.lit(f"<extra_id_{i}>"))
+        pieces_tgt.append(F.lit(f"<extra_id_{i}>"))
+        pieces_tgt.append(F.concat_ws(" ", F.slice(t, start, span_len)))
+        prev_end = start + span_len
+    pieces_in.append(
+        F.concat_ws(" ", F.slice(t, prev_end, (n - prev_end + 1).cast("int")))
+    )
+    # explicit empty-piece filter: Spark's concat_ws keeps '' elements
+    # (leading/trailing separators when a span sits at a document
+    # edge) while DuckDB's skips them — filtering makes both engines,
+    # and the output text itself, unambiguous.
+    masked = F.array_join(
+        F.filter(F.array(*pieces_in), lambda x: x != F.lit("")), " "
+    )
+    target = F.array_join(
+        F.filter(F.array(*pieces_tgt), lambda x: x != F.lit("")), " "
+    )
+    return toked.select(
+        id_col,
+        F.when(n >= min_tokens, masked)
+        .otherwise(F.concat_ws(" ", t))
+        .alias("input_text"),
+        F.when(n >= min_tokens, target).alias("target_text"),
+    )

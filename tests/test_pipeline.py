@@ -361,3 +361,33 @@ def test_pca_invariants(spark, sf_dir):
     a = {r.vec_id: tuple(r.proj) for r in proj.collect()}
     b = {r.vec_id: tuple(r.proj) for r in proj2.collect()}
     assert a == b
+
+
+def test_span_corruption_invariants(spark):
+    """Masked input + targets reconstruct the document: sentinels
+    align, spans are span_len tokens, non-overlapping, and splicing
+    targets back into the input reproduces the original text."""
+    from myasynstreamjoin_spark.functions.pipeline import span_corruption_pairs
+
+    text = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "short doc")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in span_corruption_pairs(docs).collect()}
+    # short doc passes through unmasked
+    assert out[2].input_text == "short doc" and out[2].target_text is None
+    r = out[1]
+    # reconstruct: replace each sentinel in input with its target span
+    tgt = r.target_text.split()
+    spans, cur = {}, None
+    for tok in tgt:
+        if tok.startswith("<extra_id_"):
+            cur = tok
+            spans[cur] = []
+        else:
+            spans[cur].append(tok)
+    assert all(len(v) == 5 for v in spans.values())
+    rebuilt = []
+    for tok in r.input_text.split():
+        rebuilt.extend(spans[tok] if tok in spans else [tok])
+    assert " ".join(rebuilt) == text
