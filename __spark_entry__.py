@@ -1819,6 +1819,29 @@ def _q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_neighbor_pairs(tables.load_table(spark, sf_dir, "part"))
 
 
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse CDC: diff two compacted snapshots (per-user latest event
+    at day 20 vs final) into an added/removed/changed feed; join moves
+    keys + 16-byte digests, never the rows."""
+    from myasynstreamjoin_spark.operators.cdc import snapshot_diff
+
+    _prep(spark)
+    ev = tables.load_table(spark, sf_dir, "events")
+    cut = 1705795200 * 10**9  # 2024-01-21 UTC in epoch-ns
+
+    def snap(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.max_by(
+                F.struct("event_id", "event_type"),
+                F.struct("ts", "event_id"),
+            ).alias("__r")
+        ).select("user_id", "__r.event_id", "__r.event_type")
+
+    old = snap(ev.where(F.col("ts") < cut))
+    new = snap(ev)
+    return snapshot_diff(old, new, keys=("user_id",))
+
+
 def _q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5-style denoising pair generation: md5-placed non-overlapping
     masked spans, map-only, reproducible across engines."""
@@ -2513,6 +2536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_match": _q_fuzzy_match,                  # sorted-neighborhood linkage
         "q_simhash_pairs": _q_simhash_pairs,              # banded Hamming join (lossless)
         "q_span_corruption": _q_span_corruption,          # T5 denoising pair generation
+        "q_snapshot_diff": _q_snapshot_diff,              # reverse CDC: version diff feed
         # remaining streaming queries
         "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
@@ -4159,6 +4183,38 @@ def _oracle_sql_base() -> dict[str, str]:
                    levenshtein(key_a, key_b) AS dist
             FROM stacked
             WHERE id_b IS NOT NULL AND levenshtein(key_a, key_b) <= 3
+        """,
+        # Implementation-independent spec: direct column comparison of
+        # the two compacted snapshots (the engine compares md5 digests
+        # of the same columns — equal up to 2⁻⁶⁴ collisions).
+        "q_snapshot_diff": """
+            WITH o AS (
+              SELECT user_id, event_id, event_type FROM (
+                SELECT user_id, event_id, event_type,
+                       row_number() OVER (
+                         PARTITION BY user_id
+                         ORDER BY ts DESC, event_id DESC) AS rk
+                FROM events
+                WHERE epoch_ns(ts) < 1705795200000000000)
+              WHERE rk = 1),
+            n AS (
+              SELECT user_id, event_id, event_type FROM (
+                SELECT user_id, event_id, event_type,
+                       row_number() OVER (
+                         PARTITION BY user_id
+                         ORDER BY ts DESC, event_id DESC) AS rk
+                FROM events)
+              WHERE rk = 1)
+            SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+                   CASE WHEN o.user_id IS NULL THEN 'added'
+                        WHEN n.user_id IS NULL THEN 'removed'
+                        WHEN o.event_id <> n.event_id
+                          OR o.event_type <> n.event_type THEN 'changed'
+                   END AS change
+            FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
+            WHERE NOT (o.user_id IS NOT NULL AND n.user_id IS NOT NULL
+                       AND o.event_id = n.event_id
+                       AND o.event_type = n.event_type)
         """,
         # Replays span_corruption_pairs exactly: md5-derived span
         # starts (hash_split's bucket hash), slot-confined placement,

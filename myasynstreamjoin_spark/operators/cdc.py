@@ -110,3 +110,52 @@ def incremental_agg_refresh(
         )
         .where(F.col(count_col) > 0)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: tuple[str, ...],
+    compare_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Table-version diff: classify every key as ``added`` / ``removed``
+    / ``changed`` between two snapshots — the reverse of ``cdc_apply``
+    (snapshot pair → change feed), used for replication audits, data-
+    contract regression checks, and generating a MERGE feed from full
+    re-extracts when the upstream has no CDC log.
+
+    Unchanged keys are dropped (at 100 TB they are ~all keys, so the
+    output is change-sized, not table-sized). Comparison is an md5 over
+    the concat of ``compare_cols`` (default: all non-key columns,
+    sorted) computed BEFORE the join — the join then carries one
+    16-byte digest per side instead of the full rows, and the equality
+    test is engine-portable. NULLs are digest-distinct from empty
+    strings (a NULL marker token per column).
+
+    Scale shape: one full-outer shuffle join on the key columns — the
+    minimal possible plan for a diff; both sides pre-project to
+    (keys, digest) so the shuffle moves keys + 16 bytes per row.
+
+    Output: (*keys, change) with change ∈ {'added','removed','changed'}.
+    """
+    cols = compare_cols or tuple(
+        sorted(c for c in new.columns if c not in keys)
+    )
+    def digest(df: DataFrame):
+        parts = []
+        for c in cols:
+            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
+        return F.md5(F.encode(F.concat_ws("\x01", *parts), "UTF-8"))
+
+    o = old.select(*keys, digest(old).alias("__ho"))
+    n = new.select(*keys, digest(new).alias("__hn"))
+    j = o.join(n, list(keys), "full_outer")
+    change = (
+        F.when(F.col("__ho").isNull(), F.lit("added"))
+        .when(F.col("__hn").isNull(), F.lit("removed"))
+        .when(F.col("__ho") != F.col("__hn"), F.lit("changed"))
+    )
+    return (
+        j.select(*keys, change.alias("change"))
+        .where(F.col("change").isNotNull())
+    )

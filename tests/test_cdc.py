@@ -107,3 +107,20 @@ def test_incremental_refresh_is_order_insensitive(spark):
         out = {r.k: r.cnt for r in
                incremental_agg_refresh(old, df, keys=("k",)).collect()}
         assert out == {"x": 4}
+
+
+def test_snapshot_diff_classification(spark):
+    """added / removed / changed classified correctly; unchanged keys
+    dropped; NULL vs empty-string digests stay distinct."""
+    from myasynstreamjoin_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "keep")],
+        "k long, v string",
+    )
+    new = spark.createDataFrame(
+        [(2, "B"), (3, ""), (4, "keep"), (5, "new")],
+        "k long, v string",
+    )
+    got = {r.k: r.change for r in snapshot_diff(old, new, keys=("k",)).collect()}
+    assert got == {1: "removed", 2: "changed", 3: "changed", 5: "added"}
