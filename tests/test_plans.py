@@ -439,3 +439,38 @@ def test_phrase_search_is_map_only(spark, sf_dir):
     # column pruning: only doc_id/text reach the scan
     cols = scan_report(df)[0]["read_schema"]
     assert "lang" not in cols and "n_chars" not in cols
+
+
+def test_attribution_is_single_window_pass(spark, sf_dir):
+    """Both attribution ends come from ONE user-partitioned window —
+    exactly one exchange, zero joins."""
+    from myasynstreamjoin_spark.operators.sessions import touch_attribution
+
+    df = touch_attribution(tables.load_table(spark, sf_dir, "events"))
+    assert n_shuffles(df) == 1
+    assert n_nodes(df, "Join") == 0
+
+
+def test_pareto_broadcasts_frontier(spark, sf_dir):
+    """The fact side joins the frontier x-table via broadcast — the
+    corpus never shuffles for the dominance test."""
+    from myasynstreamjoin_spark.operators.relational import pareto_frontier
+
+    df = pareto_frontier(
+        tables.load_table(spark, sf_dir, "part"),
+        x="p_size", y="p_retailprice", group="p_brand",
+        payload=["p_partkey"],
+    )
+    assert has_broadcast_join(df)
+
+
+def test_span_corruption_is_map_only(spark, sf_dir):
+    """Deterministic span masking pipelines with the scan: zero
+    shuffles, and only doc_id/text are read."""
+    from myasynstreamjoin_spark.functions.pipeline import span_corruption_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = span_corruption_pairs(docs)
+    assert n_shuffles(df) == 0
+    cols = scan_report(df)[0]["read_schema"]
+    assert "lang" not in cols and "source" not in cols
