@@ -1819,6 +1819,18 @@ def _q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_neighbor_pairs(tables.load_table(spark, sf_dir, "part"))
 
 
+def _q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round synchronous label-propagation communities over the
+    co-purchase graph — integer counts + deterministic argmax, so the
+    oracle unrolls the same rounds bit-for-bit."""
+    from myasynstreamjoin_spark.operators.graph import label_propagation_copurchase
+
+    _prep(spark)
+    return label_propagation_copurchase(
+        tables.load_table(spark, sf_dir, "lineitem")
+    )
+
+
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reverse CDC: diff two compacted snapshots (per-user latest event
     at day 20 vs final) into an added/removed/changed feed; join moves
@@ -2537,6 +2549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_pairs": _q_simhash_pairs,              # banded Hamming join (lossless)
         "q_span_corruption": _q_span_corruption,          # T5 denoising pair generation
         "q_snapshot_diff": _q_snapshot_diff,              # reverse CDC: version diff feed
+        "q_communities": _q_communities,                  # fixed-round LPA communities
         # remaining streaming queries
         "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
@@ -2619,6 +2632,37 @@ def _pagerank_sql(n_iters: int = 3, damping_pct: int = 85, k: int = 20) -> str:
     base.append(
         f"SELECT part, round(CAST(r AS DOUBLE) / {mass}, 6) AS rank"
         f" FROM r{n_iters} ORDER BY rank DESC, part LIMIT {k}"
+    )
+    return "\n".join(base)
+
+
+def _lpa_sql(n_rounds: int = 3) -> str:
+    """Unrolled fixed-round label propagation
+    (operators/graph.py::label_propagation_copurchase): per round, a
+    neighbor-label count and a (count DESC, label ASC) argmax — all
+    integer ops, bit-identical across engines."""
+    base = [
+        "WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),",
+        "bounded AS (SELECT l_orderkey FROM items"
+        " GROUP BY l_orderkey HAVING count(*) <= 64),",
+        "edges AS (SELECT DISTINCT a.l_partkey AS node, b.l_partkey AS nbr"
+        " FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey"
+        " AND a.l_partkey <> b.l_partkey"
+        " JOIN bounded ON a.l_orderkey = bounded.l_orderkey),",
+        "l0 AS (SELECT DISTINCT node, node AS label FROM edges)",
+    ]
+    for t in range(1, n_rounds + 1):
+        base.append(
+            f", c{t} AS (SELECT e.node, l.label, count(*) AS c"
+            f" FROM edges e JOIN l{t-1} l ON l.node = e.nbr GROUP BY 1, 2)"
+        )
+        base.append(
+            f", l{t} AS (SELECT node, label FROM c{t}"
+            f" QUALIFY row_number() OVER (PARTITION BY node"
+            f" ORDER BY c DESC, label ASC) = 1)"
+        )
+    base.append(
+        f"SELECT node AS part, label AS community FROM l{n_rounds}"
     )
     return "\n".join(base)
 
@@ -3058,6 +3102,7 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "q_pagerank": _pagerank_sql(),
+        "q_communities": _lpa_sql(),
         # The oracle IS the from-scratch recompute over the post-feed
         # row set — the strongest possible check of Δ-maintenance.
         "q_incr_agg": """

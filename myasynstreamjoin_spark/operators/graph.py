@@ -239,3 +239,65 @@ def pagerank_copurchase(
         .orderBy(F.col("rank").desc(), F.col("part"))
         .limit(k)
     )
+
+
+def label_propagation_copurchase(
+    lineitem: DataFrame, n_rounds: int = 3, max_basket: int = 64
+) -> DataFrame:
+    """Community detection on the co-purchase graph by synchronous
+    label propagation (Raghavan et al. 2007), run for a FIXED
+    ``n_rounds`` with a deterministic tie-break — every node adopts
+    the most frequent label among its neighbors, ties to the smallest
+    label. Fixing the round count (vs. LPA's usual run-to-oscillation)
+    is what makes the result engine-replayable: all operations are
+    integer counts and argmax, so an external oracle unrolls the same
+    rounds and computes identical labels.
+
+    Scale shape per round: one hash join of the (static,
+    localCheckpoint-ed) symmetric edge list against the label table +
+    one (node, label) count groupBy + one argmax groupBy — all keyed
+    shuffles, no broadcast needed, lineage cut per round exactly like
+    ``connected_components``. Basket cap as in the other co-purchase
+    ops (a degenerate mega-order contributes quadratic edges and no
+    community signal).
+
+    Output: (part, community) — community = the surviving label.
+    """
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    bounded = items.join(
+        items.groupBy("l_orderkey")
+        .agg(F.count("*").alias("__n"))
+        .where(F.col("__n") <= max_basket)
+        .select("l_orderkey"),
+        "l_orderkey",
+        "left_semi",
+    )
+    a = bounded.select("l_orderkey", F.col("l_partkey").alias("node"))
+    b = bounded.select("l_orderkey", F.col("l_partkey").alias("nbr"))
+    sym = (
+        a.join(b, "l_orderkey")
+        .where(F.col("node") != F.col("nbr"))
+        .select("node", "nbr")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select("node").distinct().withColumn("label", F.col("node"))
+    for _ in range(n_rounds):
+        nbr_labels = sym.join(
+            labels.withColumnRenamed("node", "nbr"), "nbr"
+        ).select("node", "label")
+        counts = nbr_labels.groupBy("node", "label").agg(
+            F.count("*").alias("__c")
+        )
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.max_by(
+                    "label", F.struct(F.col("__c"), (-F.col("label")).alias("__t"))
+                ).alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        F.col("node").alias("part"), F.col("label").alias("community")
+    )

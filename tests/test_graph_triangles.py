@@ -59,3 +59,20 @@ def test_max_basket_excludes_megabaskets(spark):
     li = _lineitem_from_baskets(spark, [(1, 2, 3), big])
     row = triangle_count_copurchase(li).collect()[0]
     assert (row.n_nodes, row.n_triangles) == (3, 1)
+
+
+def test_lpa_two_cliques_converge(spark):
+    """Two disjoint co-purchase cliques collapse to their min-label
+    communities after 3 synchronous rounds."""
+    from myasynstreamjoin_spark.operators.graph import label_propagation_copurchase
+
+    rows = []
+    # order 1 buys parts 1-4 (clique A), order 2 buys parts 10-13 (B);
+    # two reinforcing repeat orders each
+    for ok, parts in [(1, [1, 2, 3, 4]), (3, [1, 2, 3, 4]),
+                      (2, [10, 11, 12, 13]), (4, [10, 11, 12, 13])]:
+        rows += [(ok, p) for p in parts]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = {r.part: r.community for r in label_propagation_copurchase(li).collect()}
+    assert {out[p] for p in (1, 2, 3, 4)} == {1}
+    assert {out[p] for p in (10, 11, 12, 13)} == {10}
