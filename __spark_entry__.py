@@ -1831,6 +1831,15 @@ def _q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cep_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP pattern: view → purchase within 60 min unless an error
+    intervenes — one range-window pass, zero joins."""
+    from myasynstreamjoin_spark.operators.sessions import cep_pattern
+
+    _prep(spark)
+    return cep_pattern(tables.load_table(spark, sf_dir, "events"))
+
+
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reverse CDC: diff two compacted snapshots (per-user latest event
     at day 20 vs final) into an added/removed/changed feed; join moves
@@ -2550,6 +2559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_corruption": _q_span_corruption,          # T5 denoising pair generation
         "q_snapshot_diff": _q_snapshot_diff,              # reverse CDC: version diff feed
         "q_communities": _q_communities,                  # fixed-round LPA communities
+        "q_cep_match": _q_cep_match,                      # pattern w/ veto, range window
         # remaining streaming queries
         "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
@@ -4228,6 +4238,33 @@ def _oracle_sql_base() -> dict[str, str]:
                    levenshtein(key_a, key_b) AS dist
             FROM stacked
             WHERE id_b IS NOT NULL AND levenshtein(key_a, key_b) <= 3
+        """,
+        # Join formulation of the engine's single range-window pass:
+        # earliest then/veto per first event via struct minima over the
+        # (ts, ts+60min] interval, strict bounds both ends.
+        "q_cep_match": """
+            WITH f AS (
+              SELECT event_id AS first_id, user_id, epoch_ns(ts) AS tns
+              FROM events WHERE event_type = 'view'),
+            cand AS (
+              SELECT user_id, event_type, event_id, epoch_ns(ts) AS tns
+              FROM events WHERE event_type IN ('purchase', 'error')),
+            m AS (
+              SELECT f.first_id,
+                     min(CASE WHEN c.event_type = 'purchase'
+                         THEN {'tns': c.tns, 'id': c.event_id} END) AS p,
+                     min(CASE WHEN c.event_type = 'error'
+                         THEN {'tns': c.tns, 'id': c.event_id} END) AS e
+              FROM f JOIN cand c ON c.user_id = f.user_id
+               AND c.tns > f.tns
+               AND c.tns <= f.tns + CAST(3600 AS BIGINT) * 1000000000
+              GROUP BY 1)
+            SELECT f.first_id, f.user_id,
+                   m.p.id AS then_id,
+                   CASE WHEN m.p IS NOT NULL
+                        THEN m.e IS NOT NULL AND m.e.tns < m.p.tns
+                   END AS blocked
+            FROM f LEFT JOIN m USING (first_id)
         """,
         # Implementation-independent spec: direct column comparison of
         # the two compacted snapshots (the engine compares md5 digests

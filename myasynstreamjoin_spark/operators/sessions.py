@@ -319,3 +319,54 @@ def touch_attribution(
         F.col("__last.event_type").alias("last_type"),
         F.col("__last.event_id").alias("last_id"),
     )
+
+
+def cep_pattern(
+    events: DataFrame,
+    first: str = "view",
+    then: str = "purchase",
+    veto: str = "error",
+    within_minutes: int = 60,
+) -> DataFrame:
+    """Complex-event-processing pattern match (MATCH_RECOGNIZE's
+    bread-and-butter shape, as a DataFrame op): for every ``first``
+    event, find the earliest ``then`` event by the same user strictly
+    after it and within ``within_minutes``, and flag whether a ``veto``
+    event strictly in between blocks the match — "view followed by
+    purchase within the hour, unless an error intervened".
+
+    Plan shape: zero joins — one user-partitioned RANGE-frame window
+    (frame = (ts, ts + within]) computes both the earliest ``then``
+    and the earliest ``veto`` as conditional struct minima in a single
+    pass; the veto test is then a pure projection. Same bounded-state
+    argument as ``touch_attribution``: window state is events-per-
+    user-per-hour, not history. Same-instant events never match or
+    veto (strict inequalities via the +1 ns frame start).
+
+    Output: (first_id, user_id, then_id, blocked) — then_id NULL when
+    nothing followed in time; blocked TRUE when a veto event preceded
+    the matched ``then`` (NULL when there is no match at all).
+    """
+    ns = within_minutes * 60 * 10**9
+    w = Window.partitionBy("user_id").orderBy("ts").rangeBetween(1, ns)
+    pick = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.struct("ts", "event_id"))
+    ).over(w)
+    scored = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        pick(then).alias("__then"),
+        pick(veto).alias("__veto"),
+    )
+    return scored.where(F.col("event_type") == first).select(
+        F.col("event_id").alias("first_id"),
+        "user_id",
+        F.col("__then.event_id").alias("then_id"),
+        F.when(
+            F.col("__then").isNotNull(),
+            F.col("__veto").isNotNull()
+            & (F.col("__veto.ts") < F.col("__then.ts")),
+        ).alias("blocked"),
+    )

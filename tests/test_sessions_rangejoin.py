@@ -217,3 +217,28 @@ def test_fuzzy_neighbor_pairs_snm_semantics(spark):
     }
     # sort order within block 'a': "acme corp" < "acme corp." < "acme korp"
     assert got == {(1, 2): 1, (2, 3): 2}
+
+
+def test_cep_pattern_veto_semantics(spark):
+    """Match, veto-blocked match, timeout, and veto-after-then cases."""
+    from myasynstreamjoin_spark.operators.sessions import cep_pattern
+
+    MIN = 60 * 10**9
+    rows = [
+        # u1: clean view→purchase in 10 min
+        (1, 0, 10, "view"), (1, 10 * MIN, 11, "purchase"),
+        # u2: error between view and purchase → blocked
+        (2, 0, 20, "view"), (2, 5 * MIN, 21, "error"),
+        (2, 10 * MIN, 22, "purchase"),
+        # u3: purchase after 61 min → no match
+        (3, 0, 30, "view"), (3, 61 * MIN, 31, "purchase"),
+        # u4: error AFTER the purchase (but within window) → not blocked
+        (4, 0, 40, "view"), (4, 10 * MIN, 41, "purchase"),
+        (4, 20 * MIN, 42, "error"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, event_type string"
+    )
+    got = {r.first_id: (r.then_id, r.blocked) for r in cep_pattern(ev).collect()}
+    assert got == {10: (11, False), 20: (22, True),
+                   30: (None, None), 40: (41, False)}
