@@ -1831,6 +1831,21 @@ def _q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_join_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join key-distribution diagnostics for orders ⋈ lineitem:
+    exact expected output size + worst-key share, computed from the
+    two count tables — the facts never join."""
+    from myasynstreamjoin_spark.operators.stats import join_profile
+
+    _prep(spark)
+    return join_profile(
+        tables.load_table(spark, sf_dir, "orders"),
+        tables.load_table(spark, sf_dir, "lineitem"),
+        "o_orderkey",
+        "l_orderkey",
+    )
+
+
 def _q_cep_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP pattern: view → purchase within 60 min unless an error
     intervenes — one range-window pass, zero joins."""
@@ -2560,6 +2575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_snapshot_diff": _q_snapshot_diff,              # reverse CDC: version diff feed
         "q_communities": _q_communities,                  # fixed-round LPA communities
         "q_cep_match": _q_cep_match,                      # pattern w/ veto, range window
+        "q_join_profile": _q_join_profile,                # join-explosion diagnostics
         # remaining streaming queries
         "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
@@ -4238,6 +4254,29 @@ def _oracle_sql_base() -> dict[str, str]:
                    levenshtein(key_a, key_b) AS dist
             FROM stacked
             WHERE id_b IS NOT NULL AND levenshtein(key_a, key_b) <= 3
+        """,
+        "q_join_profile": """
+            WITH lc AS (SELECT o_orderkey AS k, count(*) AS cl
+                        FROM orders GROUP BY 1),
+            rc AS (SELECT l_orderkey AS k, count(*) AS cr
+                   FROM lineitem GROUP BY 1),
+            pk AS (SELECT k, cl * cr AS rows_ FROM lc JOIN rc USING (k)),
+            tl AS (SELECT count(*) AS n_left,
+                          count(DISTINCT o_orderkey) AS keys_left
+                   FROM orders),
+            tr AS (SELECT count(*) AS n_right,
+                          count(DISTINCT l_orderkey) AS keys_right
+                   FROM lineitem),
+            top AS (SELECT k AS top_key, rows_ AS top_rows FROM pk
+                    ORDER BY rows_ DESC, k ASC LIMIT 1),
+            est AS (SELECT count(*) AS keys_common,
+                           CAST(sum(rows_) AS BIGINT) AS est_rows
+                    FROM pk)
+            SELECT n_left, n_right, keys_left, keys_right, keys_common,
+                   est_rows, top_key, top_rows,
+                   CAST(top_rows AS DOUBLE) / CAST(est_rows AS DOUBLE)
+                     AS top_share
+            FROM tl, tr, est, top
         """,
         # Join formulation of the engine's single range-window pass:
         # earliest then/veto per first event via struct minima over the

@@ -320,3 +320,59 @@ def population_stability_index(
             F.round(F.sum("nano") / F.lit(1e9), 6).alias("psi"),
         )
     )
+
+
+def join_profile(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Pre-join diagnostics: the numbers that predict whether an
+    equi-join will explode BEFORE running it — per-side row/key counts,
+    exact expected output cardinality (Σ over keys of cl·cr), and the
+    single worst key's share of that output. The 100 TB habit this
+    encodes: profile the key distribution first, then pick broadcast /
+    salt / AQE-skew strategies from data, exactly like the reference's
+    driver-side strategy selection (cost_model.py) but for joins.
+
+    Plan shape: one count-groupBy per side (map-side combined), an
+    inner join of the two (distinct-key-sized) count tables, one
+    aggregate — the fact tables are scanned once each and never join.
+
+    Output: 1 row (n_left, n_right, keys_left, keys_right,
+    keys_common, est_rows, top_key, top_rows, top_share).
+    """
+    lc = left.groupBy(F.col(left_key).alias("k")).agg(
+        F.count("*").alias("cl")
+    )
+    rc = right.groupBy(F.col(right_key).alias("k")).agg(
+        F.count("*").alias("cr")
+    )
+    per_key = lc.join(rc, "k").select(
+        "k", (F.col("cl") * F.col("cr")).alias("rows")
+    )
+    tot_l = left.agg(
+        F.count("*").alias("n_left"),
+        F.countDistinct(left_key).alias("keys_left"),
+    )
+    tot_r = right.agg(
+        F.count("*").alias("n_right"),
+        F.countDistinct(right_key).alias("keys_right"),
+    )
+    est = per_key.agg(
+        F.count("*").alias("keys_common"),
+        F.sum("rows").alias("est_rows"),
+        F.max_by("k", F.struct(F.col("rows"), (-F.col("k")).alias("__t"))).alias("top_key"),
+        F.max("rows").alias("top_rows"),
+    )
+    return (
+        tot_l.join(F.broadcast(tot_r))
+        .join(F.broadcast(est))
+        .select(
+            "n_left", "n_right", "keys_left", "keys_right", "keys_common",
+            "est_rows", "top_key", "top_rows",
+            (F.col("top_rows").cast("double") / F.col("est_rows").cast("double")
+             ).alias("top_share"),
+        )
+    )

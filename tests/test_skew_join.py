@@ -62,3 +62,23 @@ def test_aqe_splits_skewed_join_partition(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_join_profile_exact_cardinality(spark):
+    """est_rows equals the true join cardinality; top key identified
+    with its share."""
+    from myasynstreamjoin_spark.operators.stats import join_profile
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,)], "o_orderkey long"
+    )
+    right = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (9,)], "l_orderkey long"
+    )
+    r = join_profile(left, right, "o_orderkey", "l_orderkey").collect()[0]
+    true_rows = left.join(right, left.o_orderkey == right.l_orderkey).count()
+    assert r.est_rows == true_rows == 7
+    assert (r.top_key, r.top_rows) == (1, 6)
+    assert abs(r.top_share - 6 / 7) < 1e-12
+    assert (r.n_left, r.n_right, r.keys_left, r.keys_right, r.keys_common) == (
+        4, 5, 3, 3, 2)
