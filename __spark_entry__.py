@@ -1831,6 +1831,21 @@ def _q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-bytes audio DSP gate: RIFF walk → 8-bit PCM samples →
+    exact integer deviation sums + RMS, per WAV file. The oracle
+    predicts the payload bytes (they're the doc's text), so the whole
+    decode+DSP path is value-verified."""
+    from myasynstreamjoin_spark.functions.multimodal import (
+        audio_sample_stats,
+        synthetic_media,
+    )
+
+    _prep(spark)
+    media = synthetic_media(tables.load_table(spark, sf_dir, "documents"))
+    return audio_sample_stats(media)
+
+
 def _q_join_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-join key-distribution diagnostics for orders ⋈ lineitem:
     exact expected output size + worst-key share, computed from the
@@ -2576,6 +2591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_communities": _q_communities,                  # fixed-round LPA communities
         "q_cep_match": _q_cep_match,                      # pattern w/ veto, range window
         "q_join_profile": _q_join_profile,                # join-explosion diagnostics
+        "q_audio_stats": _q_audio_stats,                  # real-WAV PCM sample stats
         # remaining streaming queries
         "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
@@ -4254,6 +4270,29 @@ def _oracle_sql_base() -> dict[str, str]:
                    levenshtein(key_a, key_b) AS dist
             FROM stacked
             WHERE id_b IS NOT NULL AND levenshtein(key_a, key_b) <= 3
+        """,
+        # Predicts the WAV data chunk from first principles: the body
+        # is the doc's text bytes (synthetic_media layout), so per-char
+        # ord() deviations from 128 replay the engine's numpy sums
+        # exactly (corpus is pure ASCII — pinned by
+        # tests/test_schema_drift.py::test_documents_text_is_ascii).
+        "q_audio_stats": """
+            WITH a AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+            ch AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, length(text)),
+                       i -> ord(substring(text, i, 1)) - 128)) AS dev
+              FROM a)
+            SELECT a.doc_id AS media_id,
+                   length(a.text) AS n_samples,
+                   s.ss AS sum_dev_sq,
+                   s.pk AS peak_dev,
+                   sqrt(CAST(s.ss AS DOUBLE) / length(a.text)) AS rms
+            FROM a JOIN (
+              SELECT doc_id, sum(dev * dev) AS ss, max(abs(dev)) AS pk
+              FROM ch GROUP BY 1) s USING (doc_id)
         """,
         "q_join_profile": """
             WITH lc AS (SELECT o_orderkey AS k, count(*) AS cl

@@ -345,3 +345,66 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, fake: bool = True) 
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "content").mapInPandas(sample, out_schema)
+
+
+def audio_sample_stats(media: DataFrame) -> DataFrame:
+    """Feature extraction over REAL audio bytes: walk each WAV payload's
+    RIFF chunks, pull the 8-bit PCM data chunk, and compute per-file
+    sample statistics — count, sum of squared deviations from the 128
+    midpoint, peak deviation, RMS. This is the loudness/clipping gate
+    an audio-training pipeline runs at ingest, and (with
+    ``decode_media_headers``) the second genuinely-executed step of the
+    no-codec media path: the integer sums are exact, so an oracle that
+    can predict the payload bytes verifies the DSP end to end; RMS is
+    one exact division + sqrt (both correctly-rounded IEEE ops).
+
+    Arrow-batched mapInPandas over the binary column (same bounded
+    batch-size discipline as the other media UDFs); map-only, no
+    shuffle.
+
+    Output: (media_id, n_samples, sum_dev_sq, peak_dev, rms).
+    """
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, ss, pk, rms = [], [], [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(blob)
+                meta = _parse_wav(b)  # raises on malformed payloads
+                # second walk for the data chunk's offset (the parser
+                # validates structure; here we need the bytes)
+                pos, data = 12, b""
+                while pos + 8 <= len(b):
+                    cid = b[pos:pos + 4]
+                    sz = int.from_bytes(b[pos + 4:pos + 8], "little")
+                    if cid == b"data":
+                        data = b[pos + 8:pos + 8 + sz]
+                        break
+                    pos += 8 + sz + (sz & 1)
+                x = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+                n = int(x.size)
+                s = int((x * x).sum())
+                ids.append(int(mid))
+                ns.append(n)
+                ss.append(s)
+                pk.append(int(np.abs(x).max()) if n else 0)
+                rms.append(float((s / n) ** 0.5) if n else None)
+                del meta
+            yield pd.DataFrame(
+                {"media_id": ids, "n_samples": ns, "sum_dev_sq": ss,
+                 "peak_dev": pk, "rms": rms}
+            )
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sum_dev_sq", T.LongType(), True),
+        T.StructField("peak_dev", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ])
+    return (
+        media.where(F.col("media_type") == "audio")
+        .select("media_id", "content")
+        .mapInPandas(stats, out_schema)
+    )

@@ -115,3 +115,20 @@ def test_synthetic_media_decodes_for_real(spark, sf_dir):
     )
     assert joined.where("n_frames <> nb").count() == 0
     assert out.count() == docs.count()
+
+
+def test_audio_sample_stats_known_bytes(spark):
+    """Hand-built doc: stats computable by hand from the text bytes."""
+    from myasynstreamjoin_spark.functions.multimodal import (
+        audio_sample_stats,
+        synthetic_media,
+    )
+
+    text = "abc"  # ords 97 98 99 → devs -31 -30 -29
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    media = synthetic_media(docs)
+    r = audio_sample_stats(media).collect()[0]
+    assert (r.media_id, r.n_samples) == (0, 3)
+    assert r.sum_dev_sq == 31 * 31 + 30 * 30 + 29 * 29
+    assert r.peak_dev == 31
+    assert abs(r.rms - (r.sum_dev_sq / 3) ** 0.5) < 1e-12

@@ -177,3 +177,19 @@ def test_normalization_is_timezone_independent(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
     assert int(got) == int(ref)
+
+
+def test_documents_text_is_ascii(spark, sf_dir):
+    """q_audio_stats' oracle equates per-CHAR ord() with per-BYTE PCM
+    samples — valid only while the fixture text is pure ASCII. If the
+    driver ever regenerates documents with multi-byte characters, this
+    fails first with an obvious message."""
+    n = (
+        tables.load_table(spark, sf_dir, "documents")
+        .where("octet_length(text) <> char_length(text)")
+        .count()
+    )
+    assert n == 0, (
+        f"driver fixture now ships {n} non-ASCII documents — the "
+        "audio_stats oracle's char==byte equivalence no longer holds"
+    )
