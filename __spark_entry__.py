@@ -1831,6 +1831,15 @@ def _q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust |x−median| > 5·MAD anomaly gate in exact fixed-point
+    integer arithmetic (lower-median order statistics)."""
+    from myasynstreamjoin_spark.operators.stats import mad_outliers
+
+    _prep(spark)
+    return mad_outliers(tables.load_table(spark, sf_dir, "events"))
+
+
 def _q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-bytes audio DSP gate: RIFF walk → 8-bit PCM samples →
     exact integer deviation sums + RMS, per WAV file. The oracle
@@ -2592,6 +2601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cep_match": _q_cep_match,                      # pattern w/ veto, range window
         "q_join_profile": _q_join_profile,                # join-explosion diagnostics
         "q_audio_stats": _q_audio_stats,                  # real-WAV PCM sample stats
+        "q_mad_outliers": _q_mad_outliers,                # robust MAD gate, exact ints
         # remaining streaming queries
         "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
@@ -4270,6 +4280,35 @@ def _oracle_sql_base() -> dict[str, str]:
                    levenshtein(key_a, key_b) AS dist
             FROM stacked
             WHERE id_b IS NOT NULL AND levenshtein(key_a, key_b) <= 3
+        """,
+        # Same fixed-point + lower-median order statistics (row_number
+        # over (x, id), rank (n+1)//2) — integer-exact on both engines.
+        "q_mad_outliers": """
+            WITH ev AS (
+              SELECT event_type, event_id, value,
+                     CAST(round(value * 1000) AS BIGINT) AS x
+              FROM events),
+            cnt AS (SELECT event_type, count(*) AS n FROM ev GROUP BY 1),
+            med AS (
+              SELECT event_type, x AS med FROM (
+                SELECT ev.event_type, ev.x, cnt.n,
+                       row_number() OVER (PARTITION BY ev.event_type
+                                          ORDER BY ev.x, ev.event_id) AS rk
+                FROM ev JOIN cnt USING (event_type))
+              WHERE rk = (n + 1) // 2),
+            dev AS (
+              SELECT ev.*, abs(ev.x - med.med) AS d
+              FROM ev JOIN med USING (event_type)),
+            mad AS (
+              SELECT event_type, d AS mad FROM (
+                SELECT dev.event_type, dev.d, cnt.n,
+                       row_number() OVER (PARTITION BY dev.event_type
+                                          ORDER BY dev.d, dev.event_id) AS rk
+                FROM dev JOIN cnt USING (event_type))
+              WHERE rk = (n + 1) // 2)
+            SELECT dev.event_type, dev.event_id, dev.value
+            FROM dev JOIN mad USING (event_type)
+            WHERE dev.d > 5 * mad.mad
         """,
         # Predicts the WAV data chunk from first principles: the body
         # is the doc's text bytes (synthetic_media layout), so per-char

@@ -376,3 +376,61 @@ def join_profile(
              ).alias("top_share"),
         )
     )
+
+
+def mad_outliers(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    c: int = 5,
+    unit: int = 1000,
+) -> DataFrame:
+    """Robust per-group anomaly detection: flag rows where
+    |x − median| > c · MAD (median absolute deviation) — the
+    outlier-resistant complement of ``zscore_outliers``, whose mean/σ
+    a single extreme row can drag.
+
+    Exact integer arithmetic throughout: values fixed-point to
+    ``unit``-ths (longs), both medians are the LOWER median — the
+    ⌊(n+1)/2⌋-th order statistic under the total order (x, id) — and
+    the flag test is one integer multiply. No interpolation, no float:
+    the flagged set is bit-identical on any engine (the same
+    cross-engine tie-fragility rule that moved q_quality_filter to
+    order statistics).
+
+    Scale shape: two per-group sort windows (the price of EXACT
+    medians — each group sorts once; approx_percentile is the
+    documented 100 TB fallback when groups stop fitting a task) and
+    two broadcast joins of |groups|-row tables; the fact passes
+    twice, shuffling only on the group key.
+
+    Output: (group_col, id_col, value_col) — the anomalous rows.
+    """
+    from pyspark.sql import Window
+
+    x = F.round(F.col(value_col) * F.lit(unit)).cast("long")
+    ev = events.select(group_col, id_col, value_col, x.alias("__x"))
+    cnt = ev.groupBy(group_col).agg(F.count("*").alias("__n"))
+    w = Window.partitionBy(group_col).orderBy("__x", id_col)
+    med = (
+        ev.join(F.broadcast(cnt), group_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == F.expr("(__n + 1) DIV 2"))
+        .select(group_col, F.col("__x").alias("__med"))
+    )
+    dev = ev.join(F.broadcast(med), group_col).withColumn(
+        "__dev", F.abs(F.col("__x") - F.col("__med"))
+    )
+    w2 = Window.partitionBy(group_col).orderBy("__dev", id_col)
+    mad = (
+        dev.join(F.broadcast(cnt), group_col)
+        .withColumn("__rk", F.row_number().over(w2))
+        .where(F.col("__rk") == F.expr("(__n + 1) DIV 2"))
+        .select(group_col, F.col("__dev").alias("__mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .where(F.col("__dev") > F.lit(c) * F.col("__mad"))
+        .select(group_col, id_col, value_col)
+    )

@@ -69,3 +69,30 @@ def test_psi_detects_shift_and_clamps_outliers(spark):
     stable = population_stability_index(ref, ref).collect()[0].psi
     drifted = population_stability_index(ref, cur).collect()[0].psi
     assert drifted > 0.25 > stable
+
+
+def test_mad_outliers_robust_to_extreme_row(spark):
+    """One extreme row inflates mean/σ but not median/MAD: the robust
+    gate still flags it (and only it)."""
+    from myasynstreamjoin_spark.operators.stats import mad_outliers
+
+    rows = [("a", i, 1.0 + (i % 5) * 0.001) for i in range(50)]
+    rows.append(("a", 99, 1000.0))
+    ev = spark.createDataFrame(rows, "event_type string, event_id long, value double")
+    got = {r.event_id for r in mad_outliers(ev).collect()}
+    assert got == {99}
+
+
+def test_mad_outliers_median_is_lower_order_statistic(spark):
+    """Even-n group: lower median used (no interpolation), so a value
+    at the upper-middle is judged against the lower-middle median."""
+    from myasynstreamjoin_spark.operators.stats import mad_outliers
+
+    # n=4: x = 1,1,3,100 → lower median 1 (rank 2); devs 0,0,2,99;
+    # lower-median dev = 0 → mad 0 → flag everything with dev > 0
+    ev = spark.createDataFrame(
+        [("a", 1, 0.001), ("a", 2, 0.001), ("a", 3, 0.003), ("a", 4, 0.1)],
+        "event_type string, event_id long, value double",
+    )
+    got = {r.event_id for r in mad_outliers(ev, c=5).collect()}
+    assert got == {3, 4}
