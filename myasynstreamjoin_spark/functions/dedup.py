@@ -365,27 +365,7 @@ def minhash_lsh_pairs(
     mode = "md5" if replayable else True
     shingled = shingle_docs(docs, k, hashed=mode).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(docs, n_hashes, k, shingled=shingled, pre_hashed=mode)
-    # Band identity: multi-arg xxhash64 over the band's signature slots
-    # directly — no per-band string rendering (the same
-    # no-intermediate-strings trick as hashed shingles). Replayable
-    # mode renders the exact slot tuple instead, so an oracle groups on
-    # the identical key.
-    def band_key(b: int) -> Column:
-        slots = [
-            F.col("sig").getItem(b * rows_per_band + r)
-            for r in range(rows_per_band)
-        ]
-        if replayable:
-            return F.concat_ws(",", *[s.cast("string") for s in slots])
-        return F.xxhash64(*slots)
-
-    band_cols = [
-        F.struct(F.lit(b).alias("band"), band_key(b).alias("bh"))
-        for b in range(bands)
-    ]
-    exploded = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("b")
-    ).select("doc_id", "b.band", "b.bh")
+    exploded = banded_signature_rows(sigs, bands, rows_per_band, replayable)
     a = exploded.select(F.col("doc_id").alias("doc_a"), "band", "bh")
     b = exploded.select(F.col("doc_id").alias("doc_b"), "band", "bh")
     cand = (
@@ -411,6 +391,43 @@ def minhash_lsh_pairs(
         .where(jac >= verify_threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+def banded_signature_rows(
+    sigs: DataFrame,
+    bands: int,
+    rows_per_band: int,
+    replayable: bool = False,
+) -> DataFrame:
+    """The exploded (doc_id, band, bh) band-identity table — the ONE
+    definition of LSH band identity, shared by the batch candidate
+    join (``minhash_lsh_pairs``) and the streaming near-dup index
+    (streaming/neardup.py), so their pinned stream==batch pair
+    equality cannot drift if the band scheme changes.
+
+    Band identity is multi-arg xxhash64 over the band's signature
+    slots directly — no per-band string rendering (the same
+    no-intermediate-strings trick as hashed shingles). Replayable mode
+    renders the exact slot tuple (``concat_ws(',')``) instead, so an
+    external SQL oracle groups on the identical key.
+    """
+
+    def band_key(b: int) -> Column:
+        slots = [
+            F.col("sig").getItem(b * rows_per_band + r)
+            for r in range(rows_per_band)
+        ]
+        if replayable:
+            return F.concat_ws(",", *[s.cast("string") for s in slots])
+        return F.xxhash64(*slots)
+
+    band_cols = [
+        F.struct(F.lit(b).alias("band"), band_key(b).alias("bh"))
+        for b in range(bands)
+    ]
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("b")
+    ).select("doc_id", "b.band", "b.bh")
 
 
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:

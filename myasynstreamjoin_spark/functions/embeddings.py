@@ -208,6 +208,8 @@ def pca_project(
     import numpy as np
 
     cov_rows = embedding_covariance(embs, vec_col=vec_col).collect()
+    if not cov_rows:
+        raise ValueError("pca_project: input has no embedding rows")
     d = max(r["j"] for r in cov_rows) + 1
     cov = np.zeros((d, d))
     for r in cov_rows:
@@ -300,9 +302,10 @@ def pq_fit(
 
     dim_row = embs.select(F.size(vec_col).alias("d")).limit(1).collect()
     if not dim_row:
-        return embs.sparkSession.createDataFrame(
+        empty = embs.sparkSession.createDataFrame(
             [], f"{id_col} long, codes array<int>, recon_err double"
         )
+        return empty, []
     d = dim_row[0]["d"]
     if d % n_sub != 0:
         raise ValueError(f"dim {d} not divisible by n_sub {n_sub}")
@@ -429,6 +432,10 @@ def pq_topk(
     codes, cents = pq_fit(
         embs, n_sub, k, n_iters, vec_col=vec_col, id_col=id_col
     )
+    if not cents:
+        return embs.sparkSession.createDataFrame(
+            [], f"qid long, {id_col} long, adc_d2 double, rn int"
+        )
     dsub = len(cents[0][0])
     qrows = (
         embs.orderBy(F.asc(id_col))

@@ -131,9 +131,14 @@ def _parse_wav(b: bytes) -> dict:
     malformed input (ValueError) — garbage must not parse silently."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, data_len = 12, None, None
+    pos, fmt, data_len, data_off = 12, None, None, None
     while pos + 8 <= len(b):
         cid, clen = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        if pos + 8 + clen > len(b):
+            # a declared chunk length past the buffer must not parse:
+            # metadata computed from it (n_frames, duration) would
+            # contradict what any bytes-level consumer actually reads
+            raise ValueError(f"truncated WAV {cid!r} chunk")
         body = b[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
             if len(body) < 16:
@@ -143,7 +148,7 @@ def _parse_wav(b: bytes) -> dict:
                 raise ValueError("degenerate WAV fmt fields")
             fmt = (n_ch, rate, bits)
         elif cid == b"data":
-            data_len = clen
+            data_len, data_off = clen, pos + 8
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if fmt is None or data_len is None:
         raise ValueError("WAV missing fmt/data chunk")
@@ -153,6 +158,9 @@ def _parse_wav(b: bytes) -> dict:
         "fmt": "wav", "width": None, "height": None, "n_channels": n_ch,
         "bit_depth": bits, "n_frames": n_frames, "sample_rate_hz": rate,
         "duration_ms": n_frames * 1000 // rate,
+        # private to bytes-level consumers (audio_sample_stats); the
+        # header-schema projection drops them
+        "_data_off": data_off, "_data_len": data_len,
     }
 
 
@@ -219,6 +227,13 @@ def decode_media_headers(media: DataFrame) -> DataFrame:
                     continue
                 b = bytes(content)
                 if b[:4] == b"RIFF":
+                    if len(b) >= 12 and b[8:12] != b"WAVE":
+                        # RIFF container but not WAVE (e.g. AVI video):
+                        # codec-bound, not corrupt → the stub contract
+                        raise NotImplementedError(
+                            "RIFF container without a WAVE form "
+                            f"({b[8:12]!r}) needs a codec library"
+                        )
                     meta = _parse_wav(b)
                 elif b[:2] == b"P6":
                     meta = _parse_ppm(b)
@@ -371,17 +386,8 @@ def audio_sample_stats(media: DataFrame) -> DataFrame:
             ids, ns, ss, pk, rms = [], [], [], [], []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(blob)
-                meta = _parse_wav(b)  # raises on malformed payloads
-                # second walk for the data chunk's offset (the parser
-                # validates structure; here we need the bytes)
-                pos, data = 12, b""
-                while pos + 8 <= len(b):
-                    cid = b[pos:pos + 4]
-                    sz = int.from_bytes(b[pos + 4:pos + 8], "little")
-                    if cid == b"data":
-                        data = b[pos + 8:pos + 8 + sz]
-                        break
-                    pos += 8 + sz + (sz & 1)
+                meta = _parse_wav(b)  # raises on malformed/truncated
+                data = b[meta["_data_off"]:meta["_data_off"] + meta["_data_len"]]
                 x = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
                 n = int(x.size)
                 s = int((x * x).sum())
@@ -390,7 +396,6 @@ def audio_sample_stats(media: DataFrame) -> DataFrame:
                 ss.append(s)
                 pk.append(int(np.abs(x).max()) if n else 0)
                 rms.append(float((s / n) ** 0.5) if n else None)
-                del meta
             yield pd.DataFrame(
                 {"media_id": ids, "n_samples": ns, "sum_dev_sq": ss,
                  "peak_dev": pk, "rms": rms}

@@ -444,6 +444,14 @@ def span_corruption_pairs(
     from myasynstreamjoin_spark.functions.text import tokens
     from myasynstreamjoin_spark.operators.relational import hash_bucket
 
+    if min_tokens < n_spans * span_len:
+        # the non-overlap guarantee needs slot_width (= n//n_spans for
+        # the shortest masked doc) ≥ span_len; below this, spans could
+        # collide and the pair would no longer reconstruct the doc
+        raise ValueError(
+            f"min_tokens={min_tokens} must be ≥ n_spans·span_len="
+            f"{n_spans * span_len} to keep spans non-overlapping"
+        )
     toked = docs.where(F.col(text_col).isNotNull()).select(
         id_col, tokens(text_col).alias("__t")
     )

@@ -870,11 +870,20 @@ def _semantic_dedup_pairs_arrow(
     S = np.array([r[1] for r in seed_rows], dtype=np.float64)
     Sn = np.linalg.norm(S, axis=1)
 
+    def _round_half_up(a, decimals):
+        # match the SQL kernel's F.round (HALF_UP): np.round is
+        # half-to-EVEN, which flips cluster argmaxes (and therefore
+        # the emitted pair set) for cosines landing on a .5·10⁻ᵈ
+        # boundary — the same cross-engine tie-fragility rule as
+        # embedding_covariance's np.rint note
+        m = 10.0 ** decimals
+        return np.sign(a) * np.floor(np.abs(a) * m + 0.5) / m
+
     def assign(batches):
         for pdf in batches:
             X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             Xn = np.linalg.norm(X, axis=1)
-            C = np.round((X @ S.T) / np.outer(Xn, Sn), 6)
+            C = _round_half_up((X @ S.T) / np.outer(Xn, Sn), 6)
             # argmax returns the FIRST max index; seed_ids is sorted
             # ascending, so ties resolve to the lowest seed id — the
             # same rule as the SQL kernel's struct-max.
@@ -908,7 +917,7 @@ def _semantic_dedup_pairs_arrow(
             ).astype({"cluster": "int64", "id_a": "int64", "id_b": "int64",
                       "cos": "float64"})
         Xn = np.linalg.norm(X, axis=1)
-        C = np.round((X @ X.T) / np.outer(Xn, Xn), 4)
+        C = _round_half_up((X @ X.T) / np.outer(Xn, Xn), 4)
         ia, ib = np.triu_indices(n, k=1)
         keep = C[ia, ib] >= threshold
         return pd.DataFrame(

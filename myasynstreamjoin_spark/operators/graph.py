@@ -33,6 +33,52 @@ from pyspark.sql import functions as F
 MASS = 1_000_000_000_000
 
 
+def _copurchase_edges(
+    lineitem: DataFrame,
+    max_basket: int,
+    cols: tuple[str, str],
+    directed: bool,
+) -> DataFrame:
+    """The shared co-purchase edge-list build every graph op starts
+    from: distinct (order, part) pairs, mega-basket cap (a degenerate
+    order contributes quadratic edges and no signal), self-join within
+    order, dedup. ``directed=True`` keeps both (u,v) and (v,u);
+    ``directed=False`` keeps the canonical u < v half.
+
+    localCheckpoint, NOT persist: consumers reference this frame down
+    several branches / unrolled iterations through CLONED plan
+    instances (self-join dedup re-resolution), and clones of a
+    persisted plan MISS the materialized cache — each branch silently
+    re-ran the whole edge build (measured 47 s → 8 s for the triangle
+    census, 31.5 s → 4 s for 3 PageRank iterations at sf0.01).
+    Checkpointing cuts lineage to a LogicalRDD leaf every clone
+    shares. On a real cluster prefer reliable checkpointing (executor
+    loss can't recompute a local checkpoint).
+    """
+    lhs, rhs = cols
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    bounded = items.join(
+        items.groupBy("l_orderkey")
+        .agg(F.count("*").alias("__n"))
+        .where(F.col("__n") <= max_basket)
+        .select("l_orderkey"),
+        "l_orderkey",
+        "left_semi",
+    )
+    a = bounded.select("l_orderkey", F.col("l_partkey").alias(lhs))
+    b = bounded.select("l_orderkey", F.col("l_partkey").alias(rhs))
+    cond = (
+        F.col(lhs) != F.col(rhs) if directed else F.col(lhs) < F.col(rhs)
+    )
+    return (
+        a.join(b, "l_orderkey")
+        .where(cond)
+        .select(lhs, rhs)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
 def triangle_count_copurchase(
     lineitem: DataFrame, max_basket: int = 64
 ) -> DataFrame:
@@ -57,34 +103,7 @@ def triangle_count_copurchase(
 
     Output: 1 row (n_nodes, n_edges, n_wedges, n_triangles, closure).
     """
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
-    bounded = items.join(
-        items.groupBy("l_orderkey")
-        .agg(F.count("*").alias("__n"))
-        .where(F.col("__n") <= max_basket)
-        .select("l_orderkey"),
-        "l_orderkey",
-        "left_semi",
-    )
-    a = bounded.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = bounded.select("l_orderkey", F.col("l_partkey").alias("v"))
-    # Canonical undirected edges (u < v), deduped across orders.
-    # localCheckpoint, NOT persist: this frame is referenced down three
-    # separate branches (deg, orientation, adjacency), and Spark's
-    # self-join/self-union deduplication re-resolves cloned plan
-    # instances whose InMemoryRelation misses the materialized cache —
-    # every branch silently re-ran the whole edge build (measured 47 s
-    # → 8 s at sf0.01 for this operator). Checkpointing cuts lineage
-    # to a LogicalRDD leaf that every clone shares. On a real cluster
-    # prefer reliable checkpointing (executor loss can't recompute a
-    # local checkpoint).
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = _copurchase_edges(lineitem, max_basket, ("u", "v"), directed=False)
     deg = (
         edges.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
@@ -164,30 +183,8 @@ def pagerank_copurchase(
     Output: (part, rank) — rank = micro-units/10¹² rounded to 6;
     ties broken by part id.
     """
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
-    bounded = items.join(
-        items.groupBy("l_orderkey")
-        .agg(F.count("*").alias("__n"))
-        .where(F.col("__n") <= max_basket)
-        .select("l_orderkey"),
-        "l_orderkey",
-        "left_semi",
-    )
-    a = bounded.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = bounded.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    # localCheckpoint, NOT persist: each unrolled iteration references
-    # these frames through cloned plan instances (self-join dedup), and
-    # clones of a persisted plan MISS the materialized cache — every
-    # iteration silently re-ran the whole edge build (31.5 s → 4 s at
-    # sf0.01 for 3 iterations). Checkpointing cuts lineage to a shared
-    # LogicalRDD leaf. On a real cluster prefer reliable checkpointing
-    # (executor loss can't recompute a local checkpoint).
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-        .localCheckpoint(eager=True)
+    edges = _copurchase_edges(
+        lineitem, max_basket, ("src", "dst"), directed=True
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # loop-invariant: (src, dst, deg) is identical every iteration, so
@@ -263,23 +260,8 @@ def label_propagation_copurchase(
 
     Output: (part, community) — community = the surviving label.
     """
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
-    bounded = items.join(
-        items.groupBy("l_orderkey")
-        .agg(F.count("*").alias("__n"))
-        .where(F.col("__n") <= max_basket)
-        .select("l_orderkey"),
-        "l_orderkey",
-        "left_semi",
-    )
-    a = bounded.select("l_orderkey", F.col("l_partkey").alias("node"))
-    b = bounded.select("l_orderkey", F.col("l_partkey").alias("nbr"))
-    sym = (
-        a.join(b, "l_orderkey")
-        .where(F.col("node") != F.col("nbr"))
-        .select("node", "nbr")
-        .distinct()
-        .localCheckpoint(eager=True)
+    sym = _copurchase_edges(
+        lineitem, max_basket, ("node", "nbr"), directed=True
     )
     labels = sym.select("node").distinct().withColumn("label", F.col("node"))
     for _ in range(n_rounds):

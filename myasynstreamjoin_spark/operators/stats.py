@@ -363,9 +363,17 @@ def join_profile(
     est = per_key.agg(
         F.count("*").alias("keys_common"),
         F.sum("rows").alias("est_rows"),
-        F.max_by("k", F.struct(F.col("rows"), (-F.col("k")).alias("__t"))).alias("top_key"),
         F.max("rows").alias("top_rows"),
     )
+    # top key = (rows DESC, k ASC) limit 1 — a TakeOrdered of the
+    # count-table join, generic over any key type (a -k tie-break
+    # would fail analysis on string keys)
+    top = (
+        per_key.orderBy(F.desc("rows"), F.asc("k"))
+        .limit(1)
+        .select(F.col("k").alias("top_key"))
+    )
+    est = est.join(F.broadcast(top))
     return (
         tot_l.join(F.broadcast(tot_r))
         .join(F.broadcast(est))

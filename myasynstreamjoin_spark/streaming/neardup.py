@@ -44,35 +44,22 @@ def _band_rows(
     k: int,
     replayable: bool = False,
 ) -> DataFrame:
-    from pyspark.sql import Column
+    from myasynstreamjoin_spark.functions.dedup import (
+        banded_signature_rows,
+        minhash_signatures,
+    )
 
-    from myasynstreamjoin_spark.functions.dedup import minhash_signatures
-
-    rows_per_band = n_hashes // bands
-    # same hashed-shingle signature path as the batch operator, so the
-    # streamed pair set equals minhash_lsh_pairs' exactly (replayable
-    # mode mirrors its md5/exact-band-tuple oracle form)
+    # same hashed-shingle signature path AND the shared band-identity
+    # builder as the batch operator, so the streamed pair set equals
+    # minhash_lsh_pairs' exactly by construction (replayable mode
+    # mirrors its md5/exact-band-tuple oracle form)
     sigs = minhash_signatures(
         docs, n_hashes, k, shingled=shingled,
         pre_hashed="md5" if replayable else True,
     )
-
-    def band_key(b: int) -> Column:
-        slots = [
-            F.col("sig").getItem(b * rows_per_band + r)
-            for r in range(rows_per_band)
-        ]
-        if replayable:
-            return F.concat_ws(",", *[x.cast("string") for x in slots])
-        return F.xxhash64(*slots)
-
-    band_cols = [
-        F.struct(F.lit(b).alias("band"), band_key(b).alias("bh"))
-        for b in range(bands)
-    ]
-    return sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("b")
-    ).select("doc_id", "b.band", "b.bh")
+    return banded_signature_rows(
+        sigs, bands, n_hashes // bands, replayable
+    )
 
 
 def run_stream_neardup(

@@ -35,6 +35,7 @@ def test_wav_golden_roundtrip():
         "fmt": "wav", "width": None, "height": None, "n_channels": 1,
         "bit_depth": 8, "n_frames": 16000, "sample_rate_hz": 8000,
         "duration_ms": 2000,
+        "_data_off": 44, "_data_len": 16000,
     }
 
 
