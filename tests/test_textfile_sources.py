@@ -1,0 +1,72 @@
+"""JSONL/CSV source round-trips (sources/textfiles.py): declared
+schemas, parquet-equality after a format hop, and the PERMISSIVE
+corrupt-record quarantine contract."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from myasynstreamjoin_spark.sources import tables
+from myasynstreamjoin_spark.sources.textfiles import (
+    read_documents_csv,
+    read_documents_jsonl,
+    write_documents_csv,
+    write_documents_jsonl,
+)
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_jsonl_roundtrip_equals_parquet(spark, sf_dir, tmp_path):
+    docs = tables.load_table(spark, sf_dir, "documents")
+    p = os.path.join(str(tmp_path), "docs_jsonl")
+    write_documents_jsonl(docs, p)
+    good, bad = read_documents_jsonl(spark, p)
+    assert bad.count() == 0
+    assert good.columns == docs.columns
+    assert _sorted_rows(good) == _sorted_rows(docs)
+
+
+def test_csv_roundtrip_equals_parquet(spark, sf_dir, tmp_path):
+    """Full-quoting CSV survives text containing commas, quotes and
+    newlines-free corpus content."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    p = os.path.join(str(tmp_path), "docs_csv")
+    write_documents_csv(docs, p)
+    good, bad = read_documents_csv(spark, p)
+    assert bad.count() == 0
+    assert _sorted_rows(good) == _sorted_rows(docs)
+
+
+def test_jsonl_corrupt_lines_quarantined(spark, tmp_path):
+    """A malformed line lands in the bad frame verbatim; good rows
+    still parse — the one-bad-line-out-of-10^12 policy."""
+    p = os.path.join(str(tmp_path), "mixed.jsonl")
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, "w") as f:
+        f.write('{"doc_id": 1, "text": "ok", "lang": "en", '
+                '"source": "s", "n_chars": 2}\n')
+        f.write("this is not json\n")
+        f.write('{"doc_id": 2, "text": "also ok", "lang": "en", '
+                '"source": "s", "n_chars": 7}\n')
+    good, bad = read_documents_jsonl(spark, p)
+    assert {r.doc_id for r in good.collect()} == {1, 2}
+    assert [r.raw_line for r in bad.collect()] == ["this is not json"]
+
+
+def test_csv_type_mismatch_quarantined(spark, tmp_path):
+    """A non-numeric doc_id is a corrupt record under the declared
+    schema, not a silent NULL-and-continue."""
+    p = os.path.join(str(tmp_path), "mixed_csv")
+    os.makedirs(p, exist_ok=True)
+    with open(os.path.join(p, "part.csv"), "w") as f:
+        f.write("doc_id,text,lang,source,n_chars\n")
+        f.write('"1","ok","en","s","2"\n')
+        f.write('"not_a_number","bad","en","s","3"\n')
+    good, bad = read_documents_csv(spark, p)
+    assert [r.doc_id for r in good.collect()] == [1]
+    assert bad.count() == 1
