@@ -400,3 +400,104 @@ def test_histogram_matches_python_model(spark, vals, nb):
         expect[b] = expect.get(b, 0) + 1
     assert got == expect
     assert sum(got.values()) == len(vals)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@PROP_SETTINGS
+def test_pareto_frontier_equals_bruteforce(spark, pts):
+    """Skyline == brute-force dominance filter for arbitrary small-grid
+    points (heavy ties by construction)."""
+    from myasynstreamjoin_spark.operators.relational import pareto_frontier
+
+    rows = [(i, x, float(y)) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x int, y double")
+    got = {r.id for r in pareto_frontier(df, x="x", y="y", payload=["id"]).collect()}
+    brute = {
+        i
+        for i, x, y in rows
+        if not any(
+            bx >= x and by >= y and (bx > x or by > y) for _, bx, by in rows
+        )
+    }
+    assert got == brute
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # user
+            st.integers(min_value=0, max_value=50),  # ts
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+@PROP_SETTINGS
+def test_markov_matches_python_model(spark, rows):
+    """Transition counts equal a plain-Python bigram count over each
+    user's (ts, event_id)-ordered sequence."""
+    from collections import Counter
+
+    from myasynstreamjoin_spark.operators.sessions import transition_matrix
+
+    data = [(u, t, i, e) for i, (u, t, e) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "user_id long, ts long, event_id long, event_type string"
+    )
+    seqs = {}
+    for u, t, i, e in sorted(data, key=lambda r: (r[1], r[2])):
+        seqs.setdefault(u, []).append(e)
+    expected = Counter()
+    for seq in seqs.values():
+        for a, b in zip(seq, seq[1:]):
+            expected[(a, b)] += 1
+    got = {
+        (r.from_type, r.to_type): r.n for r in transition_matrix(df).collect()
+    }
+    assert got == dict(expected)
+
+
+@given(
+    old=st.dictionaries(
+        st.integers(min_value=0, max_value=15),
+        st.sampled_from(["x", "y", ""]),
+        max_size=12,
+    ),
+    new=st.dictionaries(
+        st.integers(min_value=0, max_value=15),
+        st.sampled_from(["x", "y", ""]),
+        max_size=12,
+    ),
+)
+@PROP_SETTINGS
+def test_snapshot_diff_matches_dict_diff(spark, old, new):
+    """snapshot_diff == the obvious dict diff for arbitrary key/value
+    snapshots (including empty-string values)."""
+    from myasynstreamjoin_spark.operators.cdc import snapshot_diff
+
+    o = spark.createDataFrame(
+        [(k, v) for k, v in old.items()] or [(None, None)], "k long, v string"
+    ).where(F.col("k").isNotNull())
+    n = spark.createDataFrame(
+        [(k, v) for k, v in new.items()] or [(None, None)], "k long, v string"
+    ).where(F.col("k").isNotNull())
+    got = {r.k: r.change for r in snapshot_diff(o, n, keys=("k",)).collect()}
+    expected = {}
+    for k in old.keys() | new.keys():
+        if k not in new:
+            expected[k] = "removed"
+        elif k not in old:
+            expected[k] = "added"
+        elif old[k] != new[k]:
+            expected[k] = "changed"
+    assert got == expected
