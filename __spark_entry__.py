@@ -1981,6 +1981,20 @@ def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, ["the", "data", "model"], k=10)
 
 
+def _q_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: integer-exact Borda fusion of the BM25 top-10
+    and the cosine top-10 (missing-list rank penalty 11)."""
+    from myasynstreamjoin_spark.functions.retrieval import hybrid_fusion_topk
+
+    _prep(spark)
+    return hybrid_fusion_topk(
+        tables.load_table(spark, sf_dir, "documents"),
+        tables.load_table(spark, sf_dir, "embeddings"),
+        ["the", "data", "model"],
+        query_id=0,
+    )
+
+
 def _q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-50 terms by document frequency with
     corpus tf and a df-ratio stopword flag."""
@@ -2602,6 +2616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_profile": _q_join_profile,                # join-explosion diagnostics
         "q_audio_stats": _q_audio_stats,                  # real-WAV PCM sample stats
         "q_mad_outliers": _q_mad_outliers,                # robust MAD gate, exact ints
+        "q_hybrid": _q_hybrid,                            # BM25+dense Borda fusion
         # remaining streaming queries
         "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
@@ -5544,6 +5559,25 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(n_common AS DOUBLE) / n_lsh, 6) AS precision,
                round(CAST(n_common AS DOUBLE) / n_exact, 6) AS recall
         FROM ne, na, c
+    """
+    # Hybrid fusion composes the two already-verified retriever
+    # oracles: rank each pool-of-10 list, full-outer join, integer
+    # Borda sum with the truncated-list penalty 11.
+    d["q_hybrid"] = f"""
+        WITH lex AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS r
+          FROM ({d['q_bm25']})),
+        den AS (
+          SELECT vec_id AS doc_id,
+                 row_number() OVER (ORDER BY cos DESC, vec_id) AS r
+          FROM ({d['q_simsearch']}))
+        SELECT doc_id,
+               COALESCE(lex.r, 11) AS lex_rank,
+               COALESCE(den.r, 11) AS dense_rank,
+               COALESCE(lex.r, 11) + COALESCE(den.r, 11) AS fused
+        FROM lex FULL OUTER JOIN den USING (doc_id)
+        ORDER BY fused ASC, doc_id LIMIT 10
     """
     # Feature assembly composes the component oracles as CTEs — the
     # oracle is exactly the join of the already-verified signals.

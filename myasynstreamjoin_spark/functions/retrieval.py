@@ -228,3 +228,56 @@ def phrase_search(
         .select("doc_id", matches.alias("n_matches"))
         .where(F.col("n_matches") > 0)
     )
+
+
+def hybrid_fusion_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: Sequence[str],
+    query_id: int,
+    k: int = 10,
+    pool: int = 10,
+) -> DataFrame:
+    """Hybrid retrieval: Borda (rank-sum) fusion of the lexical BM25
+    top-``pool`` and the dense cosine top-``pool`` — the standard
+    two-tower + keyword fusion a RAG stack runs, with the fusion kept
+    INTEGER-exact (rank sums, not reciprocal-rank floats) so the fused
+    ordering is engine-replayable. Items missing from one list take
+    rank ``pool + 1`` (the usual truncated-list penalty).
+
+    Scale shape: both retrievers already reduce to ≤ pool rows, so the
+    fusion is a join + sort of two pool-sized frames — free next to
+    the retrieval itself.
+
+    Output: (doc_id, lex_rank, dense_rank, fused), fused ascending,
+    ties by doc_id.
+    """
+    from pyspark.sql import Window
+
+    from myasynstreamjoin_spark.functions.similarity import cosine_topk
+
+    lex = bm25_topk(docs, query_terms, k=pool).withColumn(
+        "lex_rank",
+        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
+    )
+    den = cosine_topk(embeddings, query_id=query_id, k=pool).select(
+        F.col("vec_id").alias("doc_id"), "cos"
+    ).withColumn(
+        "dense_rank",
+        F.row_number().over(Window.orderBy(F.desc("cos"), F.asc("doc_id"))),
+    )
+    penalty = F.lit(pool + 1)
+    j = lex.select("doc_id", "lex_rank").join(
+        den.select("doc_id", "dense_rank"), "doc_id", "full_outer"
+    )
+    fused = F.coalesce("lex_rank", penalty) + F.coalesce("dense_rank", penalty)
+    return (
+        j.select(
+            "doc_id",
+            F.coalesce("lex_rank", penalty).alias("lex_rank"),
+            F.coalesce("dense_rank", penalty).alias("dense_rank"),
+            fused.alias("fused"),
+        )
+        .orderBy(F.asc("fused"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -212,3 +212,37 @@ def test_semantic_dedup_arrow_preserves_double_vectors(spark):
         for r in semantic_dedup_pairs(embs, 4, 0.9, kernel="arrow").collect()
     }
     assert arrow_pairs == sql_pairs and len(sql_pairs) > 0
+
+
+def test_hybrid_fusion_rank_semantics(spark, sf_dir):
+    """Fused ranks are exact integer Borda sums of the two retrievers'
+    ranks; docs present in both lists dominate penalty-ranked ones at
+    equal single-list position."""
+    from myasynstreamjoin_spark.functions.retrieval import (
+        bm25_topk,
+        hybrid_fusion_topk,
+    )
+    from myasynstreamjoin_spark.functions.similarity import cosine_topk
+    from myasynstreamjoin_spark.sources import tables
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    embs = tables.load_table(spark, sf_dir, "embeddings")
+    terms = ["the", "data", "model"]
+    out = hybrid_fusion_topk(docs, embs, terms, query_id=0).collect()
+    assert len(out) == 10
+    lex = [r.doc_id for r in bm25_topk(docs, terms, k=10)
+           .orderBy(F.desc("score"), F.asc("doc_id")).collect()]
+    den = [r.vec_id for r in cosine_topk(embs, query_id=0, k=10)
+           .orderBy(F.desc("cos"), F.asc("vec_id")).collect()]
+    lex_rank = {d: i + 1 for i, d in enumerate(lex)}
+    den_rank = {d: i + 1 for i, d in enumerate(den)}
+    for r in out:
+        assert r.lex_rank == lex_rank.get(r.doc_id, 11)
+        assert r.dense_rank == den_rank.get(r.doc_id, 11)
+        assert r.fused == r.lex_rank + r.dense_rank
+    fused_all = sorted(
+        (lex_rank.get(d, 11) + den_rank.get(d, 11), d)
+        for d in set(lex) | set(den)
+    )[:10]
+    assert [(r.fused, r.doc_id) for r in sorted(
+        out, key=lambda r: (r.fused, r.doc_id))] == fused_all
