@@ -1981,6 +1981,18 @@ def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, ["the", "data", "model"], k=10)
 
 
+def _q_data_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget waterfilling across domains (closed-form, exact
+    integers): 75 k tokens, ≤ 3 epochs per domain."""
+    from myasynstreamjoin_spark.functions.pipeline import plan_data_budget
+
+    _prep(spark)
+    return plan_data_budget(
+        tables.load_table(spark, sf_dir, "documents"),
+        budget_tokens=75_000, max_repeat=3,
+    )
+
+
 def _q_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: integer-exact Borda fusion of the BM25 top-10
     and the cosine top-10 (missing-list rank penalty 11)."""
@@ -2617,6 +2629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_stats": _q_audio_stats,                  # real-WAV PCM sample stats
         "q_mad_outliers": _q_mad_outliers,                # robust MAD gate, exact ints
         "q_hybrid": _q_hybrid,                            # BM25+dense Borda fusion
+        "q_data_budget": _q_data_budget,                  # waterfilling mix planner
         # remaining streaming queries
         "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
@@ -4298,6 +4311,49 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         # Same fixed-point + lower-median order statistics (row_number
         # over (x, id), rank (n+1)//2) — integer-exact on both engines.
+        # Replays the closed-form waterfilling: ascending-cap prefix
+        # saturation test, integer DIV level, first-(r mod u) +1 rule.
+        "q_data_budget": f"""
+            WITH t AS (
+              SELECT source,
+                     CAST(sum(len({_DOC_TOKENS})) AS BIGINT) AS n_tokens
+              FROM documents WHERE text IS NOT NULL GROUP BY 1),
+            c AS (SELECT source, n_tokens, 3 * n_tokens AS cap FROM t),
+            o AS (
+              SELECT source, n_tokens, cap,
+                     row_number() OVER w AS k,
+                     COALESCE(sum(cap) OVER (
+                       ORDER BY cap, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS pprev,
+                     count(*) OVER () AS ndom
+              FROM c WINDOW w AS (ORDER BY cap, source)),
+            f AS (SELECT *,
+                         cap * (ndom - k + 1) <= 75000 - pprev AS capped
+                  FROM o),
+            agg AS (
+              SELECT CAST(count(*) FILTER (capped) AS BIGINT) AS m,
+                     CAST(COALESCE(sum(cap) FILTER (capped), 0) AS BIGINT)
+                       AS scap
+              FROM f),
+            x AS (
+              SELECT f.*, agg.m,
+                     f.ndom - agg.m AS u,
+                     75000 - agg.scap AS r
+              FROM f, agg),
+            al AS (
+              SELECT source, n_tokens, cap,
+                     CAST(CASE WHEN capped THEN cap
+                          WHEN u > 0 THEN least(cap,
+                            r // u + CASE WHEN k - m <= r % u
+                                     THEN 1 ELSE 0 END)
+                          ELSE cap END AS BIGINT) AS alloc
+              FROM x)
+            SELECT source, n_tokens, cap, alloc,
+                   CAST(alloc AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                     AS repeat_factor
+            FROM al
+        """,
         "q_mad_outliers": """
             WITH ev AS (
               SELECT event_type, event_id, value,

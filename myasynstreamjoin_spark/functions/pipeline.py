@@ -495,3 +495,100 @@ def span_corruption_pairs(
         .alias("input_text"),
         F.when(n >= min_tokens, target).alias("target_text"),
     )
+
+
+def plan_data_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    max_repeat: int = 3,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget waterfilling across domains: split a training
+    budget of ``budget_tokens`` over the corpus's domains as evenly as
+    possible, but never allocate a domain more than ``max_repeat`` ×
+    its own tokens (repeating a small domain past a few epochs hurts
+    more than it helps) — the static data-mixing planner a pretraining
+    run executes before sampling.
+
+    Closed-form waterfilling, EXACT integers: domains sort by
+    (cap, source); ascending caps make "this domain saturates" a
+    prefix property — domain k is capped iff
+    ``cap_k · (n − k + 1) ≤ budget − Σ_{i<k} cap_i`` — so the fill
+    level needs no iteration, just two window passes and one tiny
+    aggregate. The uncapped remainder splits with DIV; the first
+    ``remainder mod u`` uncapped domains (in sort order) take one
+    extra token. No floats anywhere except the final repeat-factor
+    division of two exact longs, so any engine replays the plan
+    bit-for-bit.
+
+    Scale shape: one corpus pass for per-domain token counts; all
+    planning math runs on the |domains|-row table (windows over a
+    model-sized frame, broadcast of a 1-row aggregate).
+
+    Output: (source, n_tokens, cap, alloc, repeat_factor), one row per
+    domain; Σ alloc = min(budget, Σ cap).
+    """
+    from pyspark.sql import Window
+
+    from myasynstreamjoin_spark.functions.text import tokens
+
+    t = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(source_col).alias("source"), F.size(tokens(text_col)).alias("__n"))
+        .groupBy("source")
+        .agg(F.sum("__n").cast("long").alias("n_tokens"))
+        .withColumn("cap", F.lit(max_repeat) * F.col("n_tokens"))
+    )
+    w = Window.orderBy("cap", "source")
+    o = t.select(
+        "source",
+        "n_tokens",
+        "cap",
+        F.row_number().over(w).alias("__k"),
+        F.coalesce(
+            F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__pprev"),
+    )
+    tot = t.agg(F.count("*").alias("__ndom"))
+    f = o.join(F.broadcast(tot)).withColumn(
+        "__capped",
+        F.col("cap") * (F.col("__ndom") - F.col("__k") + 1)
+        <= F.lit(budget_tokens) - F.col("__pprev"),
+    )
+    agg = f.agg(
+        F.sum(F.when(F.col("__capped"), 1).otherwise(0)).alias("__m"),
+        F.coalesce(
+            F.sum(F.when(F.col("__capped"), F.col("cap"))), F.lit(0)
+        ).alias("__scap"),
+    )
+    x = f.join(F.broadcast(agg))
+    u = F.col("__ndom") - F.col("__m")
+    r = F.lit(budget_tokens) - F.col("__scap")
+    x = x.withColumn("__u", u).withColumn("__r", r)
+    extra_cut = F.pmod(F.col("__r"), F.greatest(F.col("__u"), F.lit(1)))
+    alloc = (
+        F.when(F.col("__capped"), F.col("cap"))
+        .when(
+            F.col("__u") > 0,
+            F.least(
+                F.col("cap"),
+                F.expr("__r DIV __u")
+                + F.when(
+                    F.col("__k") - F.col("__m") <= extra_cut, F.lit(1)
+                ).otherwise(F.lit(0)),
+            ),
+        )
+        .otherwise(F.col("cap"))
+        .cast("long")
+    )
+    return x.select(
+        "source",
+        "n_tokens",
+        "cap",
+        alloc.alias("alloc"),
+        (alloc.cast("double") / F.col("n_tokens").cast("double")).alias(
+            "repeat_factor"
+        ),
+    )

@@ -391,3 +391,30 @@ def test_span_corruption_invariants(spark):
     for tok in r.input_text.split():
         rebuilt.extend(spans[tok] if tok in spans else [tok])
     assert " ".join(rebuilt) == text
+
+
+def test_plan_data_budget_invariants(spark):
+    """Σ alloc == min(budget, Σ cap); 0 ≤ alloc ≤ cap; small domains
+    saturate before large ones; all-capped when budget exceeds caps."""
+    from myasynstreamjoin_spark.functions.pipeline import plan_data_budget
+
+    rows = []
+    sizes = {"tiny": 10, "small": 100, "mid": 500, "big": 2000}
+    did = 0
+    for src, n in sizes.items():
+        # one doc of n tokens per domain
+        rows.append((did, " ".join(["w"] * n), src))
+        did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    out = {r.source: r for r in plan_data_budget(docs, 3000, 3).collect()}
+    assert sum(r.alloc for r in out.values()) == 3000
+    for src, n in sizes.items():
+        assert 0 <= out[src].alloc <= 3 * n
+    # tiny and small saturate; big does not
+    assert out["tiny"].alloc == 30 and out["small"].alloc == 300
+    assert out["big"].alloc < 6000
+
+    # budget above total caps: everything saturates, surplus unspent
+    out2 = {r.source: r for r in plan_data_budget(docs, 10**9, 3).collect()}
+    assert all(out2[s].alloc == 3 * n for s, n in sizes.items())
