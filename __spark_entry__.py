@@ -746,6 +746,63 @@ def _q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_neardup_pairs(spark, os.path.join(tmp, "nd"))
 
 
+def _q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the decontamination gate: train docs arrive in
+    two micro-batches and are filtered against the static src0/src1
+    benchmark gram set at ingest; the per-batch clean sinks union to
+    EXACTLY the batch operator's clean set (shared oracle)."""
+    import os
+    import shutil
+    import tempfile
+
+    from myasynstreamjoin_spark.streaming.decontaminate import (
+        read_clean_ids,
+        run_stream_decontaminate,
+    )
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    bench_sources = ("src0", "src1")
+    train = docs.where(~F.col("source").isin(*bench_sources)).select(
+        "doc_id", "text"
+    )
+    bench = docs.where(F.col("source").isin(*bench_sources)).select(
+        "doc_id", "text"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_decon_")
+    feed = os.path.join(tmp, "feed")
+    os.makedirs(feed)
+    halves = (
+        train.where(F.col("doc_id") % 2 == 0),
+        train.where(F.col("doc_id") % 2 == 1),
+    )
+    for i, frame in enumerate(halves):
+        staging = os.path.join(tmp, f"stage{i}")
+        frame.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            f for f in os.listdir(staging)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = os.path.join(feed, f"f{i}.parquet")
+        shutil.move(os.path.join(staging, part), dst)
+        shutil.rmtree(staging)
+        os.utime(dst, (1_700_000_000 + 100 * i, 1_700_000_000 + 100 * i))
+    stream = (
+        spark.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    run_stream_decontaminate(
+        stream,
+        spark,
+        bench,
+        work_dir=os.path.join(tmp, "dc"),
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        k=8,
+    )
+    return read_clean_ids(spark, os.path.join(tmp, "dc"))
+
+
 def _q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population stability index of events.value between the even-id
     epoch (reference) and the odd-id epoch (current) — the standard
@@ -2630,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mad_outliers": _q_mad_outliers,                # robust MAD gate, exact ints
         "q_hybrid": _q_hybrid,                            # BM25+dense Borda fusion
         "q_data_budget": _q_data_budget,                  # waterfilling mix planner
+        "q_stream_decontaminate": _q_stream_decontaminate,  # ingest-time decontamination
         # remaining streaming queries
         "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
@@ -5600,6 +5658,9 @@ def oracle_sql() -> dict[str, str]:
     d["q_stream_cdc"] = d["q_cdc_merge"]
     # Streamed near-dup pairs must union to the batch operator's set.
     d["q_stream_neardup"] = d["q_minhash_pairs"]
+    # Ingest-time decontamination must pass exactly the batch gate's
+    # clean set (static bench ⇒ no cross-batch state ⇒ stream ≡ batch).
+    d["q_stream_decontaminate"] = d["q_bloom_decontaminate"]
     # Both pair sets replay in SQL (md5 shingles/permutations), so
     # the audit's oracle recomputes precision/recall from scratch.
     d["q_dedup_audit"] = f"""

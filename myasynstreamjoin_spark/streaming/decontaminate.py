@@ -1,0 +1,92 @@
+"""Streaming benchmark decontamination: a document stream filtered
+against a STATIC held-out/benchmark gram set before anything downstream
+sees it — the ingest-time twin of the batch decontamination gate
+(functions/dedup.py::bloom_decontaminate / contamination_pairs), for
+pipelines where documents arrive continuously and contaminated ones
+must never be persisted at all.
+
+Per micro-batch (foreachBatch, so plain batch semantics apply inside):
+shingle the batch into word 8-grams, semi-join against the broadcast
+bench gram set (computed ONCE, driver-held by reference through the
+closure, checkpointed so micro-batches don't recompute it), and append
+the clean doc ids to a per-batch overwrite sink — replay-idempotent
+exactly like the other foreachBatch sinks (streaming/cdc.py,
+streaming/neardup.py). The union over batches equals the batch
+operator's answer by construction: decontamination against a static
+set is embarrassingly batch-parallel (no cross-batch state at all,
+unlike near-dup's accumulated index).
+
+Scale: the bench gram table is benchmark-corpus-sized (tiny next to
+the stream); broadcast it. String grams are kept (not hashed) so the
+result is bit-equal to the string-gram oracle — at 100 TB switch both
+sides to the Bloom-prefiltered form (functions/dedup.py) and keep this
+exact join as the verification tier.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def run_stream_decontaminate(
+    docs: DataFrame,
+    spark: SparkSession,
+    bench_docs: DataFrame,
+    work_dir: str,
+    checkpoint_dir: str,
+    k: int = 8,
+) -> None:
+    """Drain a (bounded, for tests) training-document stream; clean doc
+    ids appear under ``{work_dir}/clean/b{N}``."""
+    from myasynstreamjoin_spark.functions.dedup import shingle_docs
+
+    clean_dir = os.path.join(work_dir, "clean")
+    bench_grams = (
+        shingle_docs(bench_docs, k)
+        .select(F.explode_outer("sh").alias("g"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint(eager=True)
+        grams = shingle_docs(batch, k).select(
+            "doc_id", F.explode_outer("sh").alias("g")
+        )
+        dirty = (
+            grams.join(F.broadcast(bench_grams), "g", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        clean = batch.select("doc_id").join(dirty, "doc_id", "left_anti")
+        clean.write.mode("overwrite").parquet(
+            os.path.join(clean_dir, f"b{int(batch_id)}")
+        )
+
+    q = (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(process)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_clean_ids(spark: SparkSession, work_dir: str) -> DataFrame | None:
+    clean_dir = os.path.join(work_dir, "clean")
+    if not os.path.isdir(clean_dir):
+        return None
+    dirs = [
+        os.path.join(clean_dir, d)
+        for d in os.listdir(clean_dir)
+        if d.startswith("b")
+    ]
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)

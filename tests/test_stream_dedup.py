@@ -84,3 +84,46 @@ def test_stream_dedup_equals_batch_distinct(spark, sf_dir):
     }
     assert got == batch
     assert got, "no windows ripened — fixture/watermark mismatch"
+
+
+def test_stream_decontaminate_replay_idempotent(spark, sf_dir, tmp_path):
+    """Re-running the drained stream over the same checkpoint/work dirs
+    rewrites, not duplicates, the per-batch clean sinks."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from myasynstreamjoin_spark.sources import tables
+    from myasynstreamjoin_spark.streaming.decontaminate import (
+        read_clean_ids,
+        run_stream_decontaminate,
+    )
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    train = docs.where(~F.col("source").isin("src0", "src1")).select(
+        "doc_id", "text"
+    )
+    bench = docs.where(F.col("source").isin("src0", "src1")).select(
+        "doc_id", "text"
+    )
+    feed = os.path.join(str(tmp_path), "feed")
+    os.makedirs(feed)
+    staging = os.path.join(str(tmp_path), "stage")
+    train.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = next(
+        f for f in os.listdir(staging)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    shutil.move(os.path.join(staging, part), os.path.join(feed, "f0.parquet"))
+    stream = spark.readStream.schema(train.schema).parquet(feed)
+    work = os.path.join(str(tmp_path), "dc")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    run_stream_decontaminate(stream, spark, bench, work, ckpt)
+    first = sorted(r.doc_id for r in read_clean_ids(spark, work).collect())
+    # replay: same feed, same checkpoint — no new batches, no dup rows
+    stream2 = spark.readStream.schema(train.schema).parquet(feed)
+    run_stream_decontaminate(stream2, spark, bench, work, ckpt)
+    second = sorted(r.doc_id for r in read_clean_ids(spark, work).collect())
+    assert first == second
+    assert len(first) == len(set(first))
