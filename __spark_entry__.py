@@ -2038,6 +2038,15 @@ def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, ["the", "data", "model"], k=10)
 
 
+def _q_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap of total revenue: 32 exact
+    replicate totals from ONE pass (hash weights, DECIMAL sums)."""
+    from myasynstreamjoin_spark.operators.stats import bootstrap_totals
+
+    _prep(spark)
+    return bootstrap_totals(tables.load_table(spark, sf_dir, "lineitem"))
+
+
 def _q_data_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget waterfilling across domains (closed-form, exact
     integers): 75 k tokens, ≤ 3 epochs per domain."""
@@ -2688,6 +2697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hybrid": _q_hybrid,                            # BM25+dense Borda fusion
         "q_data_budget": _q_data_budget,                  # waterfilling mix planner
         "q_stream_decontaminate": _q_stream_decontaminate,  # ingest-time decontamination
+        "q_bootstrap": _q_bootstrap,                      # deterministic Poisson bootstrap
         # remaining streaming queries
         "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
@@ -2925,6 +2935,15 @@ def _oracle_sql_base() -> dict[str, str]:
     # embedded as literals so DuckDB replays the identical signatures
     mh_coef = ", ".join(
         f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_coeffs(32))
+    )
+
+    # the shared Poisson(1) cumulative thresholds (exact literal table;
+    # weight = #thresholds ≤ bucket) for the deterministic bootstrap
+    from myasynstreamjoin_spark.operators.stats import poisson_thresholds
+
+    pois_w = " + ".join(
+        f"(CASE WHEN b >= {t} THEN 1 ELSE 0 END)"
+        for t in poisson_thresholds()
     )
 
     sw = ", ".join(
@@ -4369,6 +4388,30 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         # Same fixed-point + lower-median order statistics (row_number
         # over (x, id), rank (n+1)//2) — integer-exact on both engines.
+        # Replays the deterministic Poisson bootstrap: shared threshold
+        # literals (operators/stats.py::poisson_thresholds), 16-bit md5
+        # bucket per (row, replicate), DECIMAL-exact weighted sums.
+        "q_bootstrap": f"""
+            WITH base AS (
+              SELECT CAST(l_orderkey AS VARCHAR) || ':'
+                       || CAST(l_linenumber AS VARCHAR) AS id,
+                     CAST(l_extendedprice AS DECIMAL(18,4))
+                       * (CAST(1 AS DECIMAL(18,4))
+                          - CAST(l_discount AS DECIMAL(18,4))) AS rev
+              FROM lineitem),
+            rep AS (SELECT unnest(generate_series(0, 31)) AS r),
+            x AS (
+              SELECT rep.r, base.rev,
+                     CAST(('0x' || substring(md5(
+                       base.id || ':' || CAST(rep.r AS VARCHAR)), 1, 4))
+                       AS INT) % 65536 AS b
+              FROM base CROSS JOIN rep),
+            w AS (SELECT r, rev, {pois_w} AS wt FROM x)
+            SELECT r, CAST(sum(wt) AS BIGINT) AS n_rows_used,
+                   CAST(round(sum(wt * rev), 2) AS DOUBLE)
+                     AS total_revenue
+            FROM w GROUP BY r
+        """,
         # Replays the closed-form waterfilling: ascending-cap prefix
         # saturation test, integer DIV level, first-(r mod u) +1 rule.
         "q_data_budget": f"""

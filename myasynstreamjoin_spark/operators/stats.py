@@ -442,3 +442,80 @@ def mad_outliers(
         .where(F.col("__dev") > F.lit(c) * F.col("__mad"))
         .select(group_col, id_col, value_col)
     )
+
+
+def poisson_thresholds(n_buckets: int = 65_536, max_k: int = 8) -> list[int]:
+    """Cumulative Poisson(1) thresholds on a 16-bit bucket grid,
+    SHARED literals between the engine and the oracle SQL builder (the
+    ``minhash_coeffs`` pattern): a row's bootstrap weight is the count
+    of thresholds ≤ its hash bucket. Computed once driver-side; the
+    float math here only shapes the literal table — both engines then
+    compare integers."""
+    import math
+
+    cum, p, out = 0.0, math.exp(-1.0), []
+    for k in range(max_k):
+        cum += p
+        out.append(min(n_buckets, round(cum * n_buckets)))
+        p /= (k + 1)
+    return out
+
+
+def bootstrap_totals(
+    lineitem: DataFrame,
+    n_replicates: int = 32,
+) -> DataFrame:
+    """Poisson bootstrap of total revenue: the scale technique for
+    confidence intervals — instead of resampling the dataset R times
+    (impossible at 100 TB), each row draws an independent pseudo-
+    Poisson(1) weight PER REPLICATE and every replicate total is one
+    weighted sum in the same single pass.
+
+    Determinism: the "random" weight is the md5 bucket of
+    (orderkey:linenumber:replicate) pushed through the shared
+    ``poisson_thresholds`` table — reproducible across runs, engines,
+    and stage retries (a rand()-based bootstrap resamples per task
+    attempt, silently breaking exactly-once totals). Money math runs
+    in DECIMAL; each replicate total is exact, so the replicate
+    distribution — and any CI cut from it — replays bit-for-bit.
+
+    Scale shape: one scan, ×R row amplification via explode (the
+    honest cost of bootstrap; map-side combine collapses it back to R
+    partial sums per task), one R-group aggregate. R=32 gives
+    percentile-grade CIs; raise it, not the data passes.
+
+    Output: (r, n_rows_used, total_revenue) — one row per replicate.
+    """
+    from myasynstreamjoin_spark.operators.relational import hash_bucket
+
+    thr = poisson_thresholds()
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    )
+    base = lineitem.select(
+        F.concat_ws(
+            ":", F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("__id"),
+        rev.alias("__rev"),
+    ).select(
+        "__id", "__rev", F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("r")
+    )
+    bucket = hash_bucket(
+        F.concat_ws(":", F.col("__id"), F.col("r").cast("string")), 65_536
+    )
+    w = None
+    for t in thr:
+        term = F.when(bucket >= t, 1).otherwise(0)
+        w = term if w is None else w + term
+    return (
+        base.select("r", w.alias("__w"), "__rev")
+        .groupBy("r")
+        .agg(
+            F.sum("__w").cast("long").alias("n_rows_used"),
+            F.round(F.sum(F.col("__w") * F.col("__rev")), 2)
+            .cast("double")
+            .alias("total_revenue"),
+        )
+    )

@@ -96,3 +96,33 @@ def test_mad_outliers_median_is_lower_order_statistic(spark):
     )
     got = {r.event_id for r in mad_outliers(ev, c=5).collect()}
     assert got == {3, 4}
+
+
+def test_bootstrap_replicates_center_on_truth(spark, sf_dir):
+    """Replicate totals are deterministic, distinct across replicates,
+    and their mean sits near the true total (Poisson(1) weights have
+    mean 1); n_rows_used ≈ row count per replicate."""
+    from pyspark.sql import functions as F
+
+    from myasynstreamjoin_spark.operators.stats import bootstrap_totals
+    from myasynstreamjoin_spark.sources import tables
+
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    truth = li.select(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1).cast("decimal(18,4)")
+               - F.col("l_discount").cast("decimal(18,4)"))
+        ).cast("double").alias("t")
+    ).collect()[0].t
+    rows = bootstrap_totals(li).collect()
+    assert len(rows) == 32
+    again = bootstrap_totals(li).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    totals = [r.total_revenue for r in rows]
+    assert len(set(totals)) > 16  # genuinely different resamples
+    mean = sum(totals) / len(totals)
+    assert abs(mean - truth) / truth < 0.05
+    for r in rows:
+        assert abs(r.n_rows_used - n) / n < 0.2
