@@ -44,6 +44,31 @@ def _prep(spark: SparkSession) -> SparkSession:
 # entry: flagship query (stateful async join, SURVEY.md §7 phase 1)
 # --------------------------------------------------------------------
 
+def _stage_parquet_feed(frames, tmp: str) -> str:
+    """Stage DataFrames as single-file parquet micro-batches under
+    ``{tmp}/feed`` with strictly increasing mtimes, so a
+    maxFilesPerTrigger=1 file stream replays them as ordered
+    micro-batches — the shared fixture recipe of every streaming twin
+    that feeds documents (neardup, decontamination)."""
+    import os
+    import shutil
+
+    feed = os.path.join(tmp, "feed")
+    os.makedirs(feed)
+    for i, frame in enumerate(frames):
+        staging = os.path.join(tmp, f"stage{i}")
+        frame.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            f for f in os.listdir(staging)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = os.path.join(feed, f"f{i}.parquet")
+        shutil.move(os.path.join(staging, part), dst)
+        shutil.rmtree(staging)
+        os.utime(dst, (1_700_000_000 + 100 * i, 1_700_000_000 + 100 * i))
+    return feed
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Per (key, 1h event-time window): min across 3 sources of the
     per-source count, only for windows where every source reported —
@@ -697,7 +722,6 @@ def _q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream satisfies the same replayable oracle
     (streaming/neardup.py)."""
     import os
-    import shutil
     import tempfile
 
     from myasynstreamjoin_spark.streaming.neardup import (
@@ -710,23 +734,13 @@ def _q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
     tmp = tempfile.mkdtemp(prefix="stream_neardup_")
-    feed = os.path.join(tmp, "feed")
-    os.makedirs(feed)
-    halves = (
-        docs.where(F.col("doc_id") % 2 == 0),
-        docs.where(F.col("doc_id") % 2 == 1),
+    feed = _stage_parquet_feed(
+        (
+            docs.where(F.col("doc_id") % 2 == 0),
+            docs.where(F.col("doc_id") % 2 == 1),
+        ),
+        tmp,
     )
-    for i, frame in enumerate(halves):
-        staging = os.path.join(tmp, f"stage{i}")
-        frame.coalesce(1).write.mode("overwrite").parquet(staging)
-        part = next(
-            f for f in os.listdir(staging)
-            if f.startswith("part-") and f.endswith(".parquet")
-        )
-        dst = os.path.join(feed, f"f{i}.parquet")
-        shutil.move(os.path.join(staging, part), dst)
-        shutil.rmtree(staging)
-        os.utime(dst, (1_700_000_000 + 100 * i, 1_700_000_000 + 100 * i))
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
@@ -752,7 +766,6 @@ def _q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark gram set at ingest; the per-batch clean sinks union to
     EXACTLY the batch operator's clean set (shared oracle)."""
     import os
-    import shutil
     import tempfile
 
     from myasynstreamjoin_spark.streaming.decontaminate import (
@@ -770,23 +783,13 @@ def _q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
     tmp = tempfile.mkdtemp(prefix="stream_decon_")
-    feed = os.path.join(tmp, "feed")
-    os.makedirs(feed)
-    halves = (
-        train.where(F.col("doc_id") % 2 == 0),
-        train.where(F.col("doc_id") % 2 == 1),
+    feed = _stage_parquet_feed(
+        (
+            train.where(F.col("doc_id") % 2 == 0),
+            train.where(F.col("doc_id") % 2 == 1),
+        ),
+        tmp,
     )
-    for i, frame in enumerate(halves):
-        staging = os.path.join(tmp, f"stage{i}")
-        frame.coalesce(1).write.mode("overwrite").parquet(staging)
-        part = next(
-            f for f in os.listdir(staging)
-            if f.startswith("part-") and f.endswith(".parquet")
-        )
-        dst = os.path.join(feed, f"f{i}.parquet")
-        shutil.move(os.path.join(staging, part), dst)
-        shutil.rmtree(staging)
-        os.utime(dst, (1_700_000_000 + 100 * i, 1_700_000_000 + 100 * i))
     stream = (
         spark.readStream.schema(train.schema)
         .option("maxFilesPerTrigger", 1)
@@ -2154,7 +2157,6 @@ def _q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/cdc.py). The final snapshot satisfies the SAME oracle as
     the batch MERGE — stream ≡ batch for the CDC path."""
     import os
-    import shutil
     import tempfile
 
     from myasynstreamjoin_spark.streaming.cdc import (
@@ -2183,20 +2185,7 @@ def _q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(*data, "op", "gen")
 
     tmp = tempfile.mkdtemp(prefix="stream_cdc_")
-    feed = os.path.join(tmp, "feed")
-    os.makedirs(feed)
-    for i, frame in enumerate((seed, g1, g2)):
-        staging = os.path.join(tmp, f"stage{i}")
-        frame.coalesce(1).write.mode("overwrite").parquet(staging)
-        part = next(
-            f for f in os.listdir(staging)
-            if f.startswith("part-") and f.endswith(".parquet")
-        )
-        dst = os.path.join(feed, f"f{i}.parquet")
-        shutil.move(os.path.join(staging, part), dst)
-        shutil.rmtree(staging)
-        # pin FileStreamSource arrival order (mtime then path)
-        os.utime(dst, (1_700_000_000 + 100 * i, 1_700_000_000 + 100 * i))
+    feed = _stage_parquet_feed((seed, g1, g2), tmp)
     changes = (
         spark.readStream.schema(seed.schema)
         .option("maxFilesPerTrigger", 1)

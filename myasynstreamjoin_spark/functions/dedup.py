@@ -256,14 +256,7 @@ def ngram_jaccard_pairs(
         F.col("df") <= max_shingle_df
     )
     indexed = sh.join(rare.select("shingle"), "shingle")
-    a = indexed.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = indexed.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
+    common = index_self_join(indexed, ["shingle"], count=True)
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
@@ -366,14 +359,7 @@ def minhash_lsh_pairs(
     shingled = shingle_docs(docs, k, hashed=mode).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(docs, n_hashes, k, shingled=shingled, pre_hashed=mode)
     exploded = banded_signature_rows(sigs, bands, rows_per_band, replayable)
-    a = exploded.select(F.col("doc_id").alias("doc_a"), "band", "bh")
-    b = exploded.select(F.col("doc_id").alias("doc_b"), "band", "bh")
-    cand = (
-        a.join(b, ["band", "bh"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cand = index_self_join(exploded, ["band", "bh"])
     if verify_threshold is None:
         return cand
     # Exact verification on candidates only (never all pairs): join the
@@ -391,6 +377,32 @@ def minhash_lsh_pairs(
         .where(jac >= verify_threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+def index_self_join(
+    indexed: DataFrame, keys: list[str], count: bool = False
+) -> DataFrame:
+    """THE candidate-generation join every pair operator routes
+    through: equi-self-join of an inverted-index table on its index
+    ``keys``, oriented (doc_a < doc_b). ``count=False`` deduplicates
+    to the candidate set; ``count=True`` keeps the per-pair shared-key
+    count (the |A∩B| numerator of Jaccard/winnow overlap). Centralized
+    so (a) a regression to a cartesian/nested-loop candidate stage
+    can't happen in one operator silently — tests/test_plans.py
+    plan-locks this function and every pair op calls it — and (b) the
+    orientation and dedup rules stay identical across winnow / ngram /
+    prefix / simhash / minhash candidates.
+
+    Output: (doc_a, doc_b[, n_common]).
+    """
+    a = indexed.select(F.col("doc_id").alias("doc_a"), *keys)
+    b = indexed.select(F.col("doc_id").alias("doc_b"), *keys)
+    pairs = a.join(b, keys).where(F.col("doc_a") < F.col("doc_b"))
+    if count:
+        return pairs.groupBy("doc_a", "doc_b").agg(
+            F.count("*").alias("n_common")
+        )
+    return pairs.select("doc_a", "doc_b").distinct()
 
 
 def banded_signature_rows(
@@ -504,13 +516,7 @@ def simhash_pairs(
                 ])
             ).alias("band"),
         ).select("doc_id", "band.b", "band.v")
-        cand = (
-            bands.select(F.col("doc_id").alias("doc_a"), "b", "v")
-            .join(bands.select(F.col("doc_id").alias("doc_b"), "b", "v"), ["b", "v"])
-            .where(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
-        )
+        cand = index_self_join(bands, ["b", "v"])
         sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("__sa"))
         sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("__sb"))
         hd = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
@@ -757,13 +763,8 @@ def winnow_pairs(
             .where(F.col("df") <= max_fp_df)
         )
         indexed = fp.join(rare.select("fp"), "fp")
-        a = indexed.select(F.col("doc_id").alias("doc_a"), "fp")
-        b = indexed.select(F.col("doc_id").alias("doc_b"), "fp")
         return (
-            a.join(b, "fp")
-            .where(F.col("doc_a") < F.col("doc_b"))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("n_common"))
+            index_self_join(indexed, ["fp"], count=True)
             .where(F.col("n_common") >= min_common)
             .localCheckpoint(eager=True)
         )
@@ -837,13 +838,7 @@ def prefix_jaccard_pairs(
         pref = ranked.select(
             "doc_id", F.explode_outer(F.slice("ordered", 1, plen)).alias("tok")
         )
-        cand = (
-            pref.select(F.col("doc_id").alias("doc_a"), "tok")
-            .join(pref.select(F.col("doc_id").alias("doc_b"), "tok"), "tok")
-            .where(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
-        )
+        cand = index_self_join(pref, ["tok"])
         sa = base.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
         sb = base.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
         ni = F.size(F.array_intersect("sa", "sb"))

@@ -533,12 +533,17 @@ def plan_data_budget(
 
     from myasynstreamjoin_spark.functions.text import tokens
 
+    # Eager checkpoint of the |domains|-row aggregate: it feeds four
+    # branches below (window pass, total count, saturation aggregate,
+    # final projection), and without the cut each branch would re-run
+    # the full corpus tokenize+groupBy — SCALE.md's multi-branch rule.
     t = (
         docs.where(F.col(text_col).isNotNull())
         .select(F.col(source_col).alias("source"), F.size(tokens(text_col)).alias("__n"))
         .groupBy("source")
         .agg(F.sum("__n").cast("long").alias("n_tokens"))
         .withColumn("cap", F.lit(max_repeat) * F.col("n_tokens"))
+        .localCheckpoint(eager=True)
     )
     w = Window.orderBy("cap", "source")
     o = t.select(

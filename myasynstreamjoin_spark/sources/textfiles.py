@@ -42,6 +42,23 @@ def _with_corrupt(schema: T.StructType) -> T.StructType:
     )
 
 
+def _split_corrupt(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, bad) from a PERMISSIVE-parsed frame. Spark disallows
+    queries touching ONLY the corrupt column of a raw text relation
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the supported contract is to
+    materialize the parsed frame first. An eager localCheckpoint does
+    that ONCE and, unlike .cache(), holds no storage-memory pin for
+    the session's lifetime (a long-lived ingest session calling the
+    reader per batch would otherwise accumulate unreleasable cached
+    relations)."""
+    raw = raw.localCheckpoint(eager=True)
+    good = raw.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = raw.where(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, bad
+
+
 def write_documents_jsonl(docs: DataFrame, path: str) -> None:
     """One JSON object per line (splittable), gzip off for local tests
     (on a cluster prefer zstd — gzip is not splittable)."""
@@ -61,23 +78,31 @@ def read_documents_jsonl(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
-        # Spark disallows queries touching ONLY the corrupt column of a
-        # raw text relation (QUERY_ONLY_CORRUPT_RECORD_COLUMN); the
-        # documented contract is to cache the parsed frame first —
-        # which the (good, bad) split wants anyway: one parse, two
-        # consumers.
-        .cache()
     )
-    good = raw.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
-    bad = raw.where(F.col("_corrupt_record").isNotNull()).select(
-        F.col("_corrupt_record").alias("raw_line")
-    )
-    return good, bad
+    return _split_corrupt(raw)
 
 
-def write_documents_csv(docs: DataFrame, path: str) -> None:
+def write_documents_csv(
+    docs: DataFrame, path: str, validate: bool = True
+) -> None:
     """CSV with header and full quoting — text contains whatever it
-    contains; the reader must not depend on content being comma-free."""
+    contains; the reader must not depend on content being comma-free.
+
+    Newlines are REJECTED, not written: the reader keeps ``multiLine``
+    off (a multiLine CSV file is one unsplittable task), and a quoted
+    embedded newline under that reader splits the row into two corrupt
+    records — silent data loss. Fail at write time instead and point
+    the producer at JSONL, which escapes newlines natively.
+    ``validate=False`` skips the guard scan when the caller has
+    already sanitized (the guard is one aggregation pass).
+    """
+    if validate:
+        n_bad = docs.where(F.col("text").rlike("[\n\r]")).limit(1).count()
+        if n_bad:
+            raise ValueError(
+                "text contains newlines — CSV with multiLine off cannot "
+                "round-trip them; write JSONL instead or scrub first"
+            )
     (
         docs.write.mode("overwrite")
         .option("header", True)
@@ -100,10 +125,5 @@ def read_documents_csv(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(path)
-        .cache()  # see read_documents_jsonl
     )
-    good = raw.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
-    bad = raw.where(F.col("_corrupt_record").isNotNull()).select(
-        F.col("_corrupt_record").alias("raw_line")
-    )
-    return good, bad
+    return _split_corrupt(raw)

@@ -477,45 +477,27 @@ def test_span_corruption_is_map_only(spark, sf_dir):
 
 
 def test_pair_candidate_joins_are_hash_joins(spark, sf_dir):
-    """The candidate-generation stage of every new pair op is an
-    equi-join on an index key (hash/sort-merge), never a cartesian.
-    (The public ops eagerly checkpoint their RESULT, which cuts the
-    plan — so this locks the pre-materialization construction the same
-    way the ops build it.)"""
+    """Every pair op (winnow/ngram/prefix/simhash/minhash) routes its
+    candidate stage through dedup.index_self_join — so locking THAT
+    function's plan (equi-join on the index keys, never a cartesian)
+    pins the production candidate path, in both its distinct and
+    counting forms."""
     from myasynstreamjoin_spark.functions.dedup import (
         banded_signature_rows,
+        index_self_join,
         minhash_signatures,
-        simhash,
         winnow_fingerprints,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # winnow: inverted-index self-join on fp
     fp = winnow_fingerprints(docs)
-    a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
-    pairs = a.join(b, "fp").where(F.col("doc_a") < F.col("doc_b"))
-    plan = simple_plan(pairs)
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    # minhash: banded self-join on (band, bh)
     sigs = minhash_signatures(docs, 32, 3)
     bands = banded_signature_rows(sigs, 8, 4)
-    ba = bands.select(F.col("doc_id").alias("doc_a"), "band", "bh")
-    bb = bands.select(F.col("doc_id").alias("doc_b"), "band", "bh")
-    cand = ba.join(bb, ["band", "bh"]).where(F.col("doc_a") < F.col("doc_b"))
-    plan = simple_plan(cand)
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    # simhash: banded pigeonhole self-join on (b, v)
-    sg = simhash(docs)
-    sb = sg.select(
-        "doc_id",
-        (F.shiftright("simhash", 16).bitwiseAND(F.lit(65535))).alias("v"),
-    )
-    sa = sb.select(F.col("doc_id").alias("doc_a"), "v")
-    sc = sb.select(F.col("doc_id").alias("doc_b"), "v")
-    cand2 = sa.join(sc, "v").where(F.col("doc_a") < F.col("doc_b"))
-    plan = simple_plan(cand2)
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    for cand in (
+        index_self_join(fp, ["fp"], count=True),   # winnow/ngram form
+        index_self_join(bands, ["band", "bh"]),    # minhash/simhash form
+    ):
+        plan = simple_plan(cand)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Join" in plan

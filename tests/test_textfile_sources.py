@@ -70,3 +70,20 @@ def test_csv_type_mismatch_quarantined(spark, tmp_path):
     good, bad = read_documents_csv(spark, p)
     assert [r.doc_id for r in good.collect()] == [1]
     assert bad.count() == 1
+
+
+def test_csv_writer_rejects_newlines(spark, tmp_path):
+    """Embedded newlines can't round-trip under a multiLine-off reader
+    — the writer fails fast instead of losing the row silently."""
+    import os
+
+    import pytest
+
+    from myasynstreamjoin_spark.sources.textfiles import write_documents_csv
+
+    docs = spark.createDataFrame(
+        [(1, "line one\nline two", "en", "s", 17)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with pytest.raises(ValueError, match="newlines"):
+        write_documents_csv(docs, os.path.join(str(tmp_path), "bad_csv"))
