@@ -2098,6 +2098,20 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_perplexity(docs)
 
 
+def _q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed unigram+bigram
+    importance weights against an English-document target, top-100
+    most target-like documents kept. Bucket tables broadcast; one
+    corpus pass + a bounded top-k (no global sort). Nano-nat integer
+    sums keep the float path cross-engine deterministic."""
+    from myasynstreamjoin_spark.functions.dsir import dsir_select
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    return dsir_select(docs, target, k=100, n_buckets=4096)
+
+
 def _q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered EXACT decontamination: train docs (src2+)
     sharing no 8-gram with the src0/src1 'benchmark' docs. The oracle
@@ -2687,6 +2701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_data_budget": _q_data_budget,                  # waterfilling mix planner
         "q_stream_decontaminate": _q_stream_decontaminate,  # ingest-time decontamination
         "q_bootstrap": _q_bootstrap,                      # deterministic Poisson bootstrap
+        "q_dsir": _q_dsir,                                # DSIR hashed-ngram data selection
         # remaining streaming queries
         "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
@@ -5198,6 +5213,49 @@ def _oracle_sql_base() -> dict[str, str]:
                    round(sum(nano) / (count(*) * 1e9), 6) AS nll,
                    round(exp(sum(nano) / (count(*) * 1e9)), 4) AS ppl
             FROM scored GROUP BY doc_id
+        """,
+        # Replays functions/dsir.py exactly: md5_32(gram) % 4096
+        # buckets over unigrams+bigrams, add-one-smoothed log-ratio in
+        # nano-nats (each factor cast to double separately, one
+        # division, one ln — the engine's expression tree term for
+        # term), exact BIGINT per-doc sums, top-100 on (sum DESC,
+        # doc_id). Target = lang = 'en'.
+        "q_dsir": f"""
+            WITH tok AS (
+              SELECT doc_id, lang, {_DOC_TOKENS} AS t
+              FROM documents WHERE text IS NOT NULL
+            ),
+            grams AS (
+              SELECT doc_id, lang, unnest(list_concat(
+                list_filter(t, x -> x <> ''),
+                CASE WHEN len(t) >= 2 THEN
+                  list_transform(generate_series(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1])
+                ELSE [] END)) AS gram
+              FROM tok),
+            buck AS (
+              SELECT doc_id, lang,
+                     {_MD5_32.format(x='gram')} % 4096 AS b
+              FROM grams),
+            raw AS (SELECT b, count(*) AS rc FROM buck GROUP BY b),
+            tgt AS (SELECT b, count(*) AS tc FROM buck
+                    WHERE lang = 'en' GROUP BY b),
+            tots AS (SELECT (SELECT sum(rc) FROM raw) AS rtot,
+                            (SELECT coalesce(sum(tc), 0) FROM tgt) AS ttot),
+            w AS (
+              SELECT raw.b,
+                     CAST(round(ln(
+                       (CAST(coalesce(tc, 0) + 1 AS DOUBLE)
+                          * (CAST(rtot AS DOUBLE) + 4096.0))
+                       / (CAST(rc + 1 AS DOUBLE)
+                          * (CAST(ttot AS DOUBLE) + 4096.0))
+                     ) * 1e9) AS BIGINT) AS nano
+              FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tots),
+            scored AS (
+              SELECT doc_id, count(*) AS n_grams, sum(nano) AS s
+              FROM buck JOIN w USING (b) GROUP BY doc_id)
+            SELECT doc_id, n_grams, round(s / 1e9, 6) AS weight
+            FROM scored ORDER BY s DESC, doc_id LIMIT 100
         """,
         # The oracle is the exact string-gram anti-join: the Bloom
         # prefilter in the Spark plan is correctness-neutral by design.

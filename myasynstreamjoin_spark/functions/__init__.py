@@ -2,6 +2,7 @@ from myasynstreamjoin_spark.functions import (
     bpe,
     cluster,
     dedup,
+    dsir,
     embeddings,
     json_ops,
     multimodal,
@@ -17,6 +18,7 @@ __all__ = [
     "bpe",
     "udtf_ops",
     "dedup",
+    "dsir",
     "similarity",
     "multimodal",
     "cluster",
