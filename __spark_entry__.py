@@ -2782,7 +2782,10 @@ def _pagerank_sql(n_iters: int = 3, damping_pct: int = 85, k: int = 20) -> str:
             f" FROM nodes LEFT JOIN c{t} ON nodes.part = c{t}.dst, nn)"
         )
     base.append(
-        f"SELECT part, round(CAST(r AS DOUBLE) / {mass}, 6) AS rank"
+        # integer-ppm rounding then exact IEEE division (matches
+        # operators/graph.py) — no engine-dependent round(double, 6)
+        f"SELECT part, CAST((r * 1000000 + {mass // 2}) // {mass}"
+        f" AS DOUBLE) / 1000000.0 AS rank"
         f" FROM r{n_iters} ORDER BY rank DESC, part LIMIT {k}"
     )
     return "\n".join(base)
@@ -3533,7 +3536,11 @@ def _oracle_sql_base() -> dict[str, str]:
                      sum(deg * (deg - 1) // 2) AS n_wedges
               FROM deg)
             SELECT n_nodes, n_edges, n_wedges, n_triangles,
-                   round(3.0 * n_triangles / n_wedges, 6) AS closure
+                   -- integer-ppm rounding then one IEEE division: engines
+                   -- disagree on the low bit of round(double, 6) but never
+                   -- on BIGINT arithmetic or correctly-rounded division
+                   CAST((3 * n_triangles * 1000000 + n_wedges // 2)
+                        // n_wedges AS DOUBLE) / 1000000.0 AS closure
             FROM stats CROSS JOIN tri
         """,
         "q_langid_eval": f"""

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from myasynstreamjoin_spark.functions.text import tokens
+from myasynstreamjoin_spark.functions.text import bigrams, tokens
 
 END = "</w>"
 
@@ -99,10 +99,8 @@ def bpe_train(
     merges = []
     for step in range(n_merges):
         n = F.size("symbols")
-        pairs = F.zip_with(
-            F.slice("symbols", 1, n - 1),
-            F.slice(F.col("symbols"), 2, n - 1),
-            lambda x, y: F.struct(x.alias("l"), y.alias("r")),
+        pairs = bigrams(
+            "symbols", lambda x, y: F.struct(x.alias("l"), y.alias("r"))
         )
         best = (
             words.where(n >= 2)

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from myasynstreamjoin_spark.functions.dedup import md5_32
-from myasynstreamjoin_spark.functions.text import tokens
+from myasynstreamjoin_spark.functions.text import bigrams, tokens
 
 
 def _doc_gram_buckets(docs: DataFrame, n_buckets: int) -> DataFrame:
@@ -47,16 +47,8 @@ def _doc_gram_buckets(docs: DataFrame, n_buckets: int) -> DataFrame:
     unscoreable and are excluded from selection (mirrored by the
     oracle)."""
     toks = tokens("text")
-    n = F.size(toks)
     unis = F.filter(toks, lambda x: x != F.lit(""))
-    bis = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bis = bigrams(toks, lambda a, b: F.concat_ws(" ", a, b))
     return (
         docs.where(F.col("text").isNotNull())
         .select("doc_id", F.explode(F.concat(unis, bis)).alias("gram"))

@@ -344,7 +344,7 @@ def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
     dim: int = 64,
-    n_planes: int | None = 8,
+    n_planes: int | None = None,
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -355,7 +355,8 @@ def embedding_neardup_pairs(
     would raise recall at 2× cost), so the join is bucket-local instead
     of a full cross product.
 
-    ``n_planes=None`` auto-scales the plane count so expected bucket
+    ``n_planes=None`` (the DEFAULT — a static count is only for
+    replayable oracles and tests) auto-scales the plane count so expected bucket
     size ≈ ``target_bucket`` (one bounded count as the control-plane
     read): a STATIC plane count is a scale-killer — bucket population
     grows linearly with the corpus and the bucket-local self-join goes
@@ -726,7 +727,7 @@ def _kmeans_fit_inner(embeddings, k, n_iters, tol, vec_col, id_col):
 
 def semantic_dedup_pairs(
     embeddings: DataFrame,
-    n_seeds: int | None = 8,
+    n_seeds: int | None = None,
     threshold: float = 0.98,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -754,7 +755,8 @@ def semantic_dedup_pairs(
     ONCE before the joins (`cosine_with_norms`) — the norm folds are
     the dominant per-pair cost otherwise.
 
-    ``n_seeds=None`` auto-scales to ~√N (one bounded count as the
+    ``n_seeds=None`` (the DEFAULT — pin a literal only in replayable
+    oracles and tests) auto-scales to ~√N (one bounded count as the
     control-plane read): expected cluster size √N makes assignment
     work (N·√N dots) and pair work (N·√N/2 dots) balance, which is
     what bounds the quadratic term. A STATIC seed count is a

@@ -29,6 +29,27 @@ def tokens(col: Column | str) -> Column:
     return F.split(F.trim(F.lower(c)), r"\s+")
 
 
+def bigrams(arr: Column | str, combine) -> Column:
+    """Adjacent-element pairs of an array column: one ``zip_with`` of
+    the two off-by-one slices, combined per pair by ``combine(l, r)``
+    (a lambda returning any Column — struct, concat, …). The shared
+    core of BPE merge counting (`bpe.py`), bigram LM training
+    (`lm_perplexity*`), and DSIR gram hashing (`dsir.py`).
+
+    Arrays with fewer than 2 elements yield an EMPTY array (the slice
+    length is clamped to ≥ 0, so callers need no ``size >= 2`` guard —
+    though adding one as a row filter is still a useful plan-level
+    skip). Empty-token ("") filtering is deliberately the CALLER's
+    contract, applied per use: `tokens()` can emit "" for empty input
+    strings, and which grams must drop them differs by operator (the
+    bigram LM drops any pair touching "", DSIR drops "" unigrams but
+    scores bigrams as-is — both choices are mirrored in their oracles).
+    """
+    a = F.col(arr) if isinstance(arr, str) else arr
+    m = F.greatest(F.size(a) - F.lit(1), F.lit(0))
+    return F.zip_with(F.slice(a, 1, m), F.slice(a, 2, m), combine)
+
+
 def bpe_ish_tokens(col: Column | str) -> Column:
     """BPE-ish subword split: runs of letters, runs of digits, or single
     punctuation marks — the standard pre-tokenizer regex shape used for
@@ -313,10 +334,8 @@ def lm_perplexity_bigram(
     def _bigrams(frame: DataFrame, with_doc: bool) -> DataFrame:
         toks = tokens("text")
         n = F.size(toks)
-        pairs = F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda a, b: F.struct(a.alias("prev"), b.alias("w")),
+        pairs = bigrams(
+            toks, lambda a, b: F.struct(a.alias("prev"), b.alias("w"))
         )
         cols = (["doc_id"] if with_doc else []) + [F.explode(pairs).alias("p")]
         out = frame.where(n >= 2).select(*cols)

@@ -98,8 +98,13 @@ def triangle_count_copurchase(
     between hours and minutes on a skewed graph at 100 TB. All joins
     shuffle on node keys; nothing needs a broadcast.
 
-    Closure = 3·triangles / wedges(undirected) — one IEEE division of
-    exact integers, deterministic on any engine.
+    Closure = 3·triangles / wedges(undirected), rounded to 6 places
+    IN INTEGER ARITHMETIC: ppm = (3·t·10⁶ + w DIV 2) DIV w (round-half-up
+    on exact integers), then ONE IEEE division ppm/10⁶. Engines disagree
+    on the low bit of `round(double, 6)` (BigDecimal path vs
+    nearbyint(x·1e6)/1e6), which flips a value-hash even though both
+    print 0.089997; an integer ppm divided by 1e6 is correctly-rounded
+    IEEE division and therefore bit-identical everywhere.
 
     Output: 1 row (n_nodes, n_edges, n_wedges, n_triangles, closure).
     """
@@ -150,10 +155,9 @@ def triangle_count_copurchase(
         "n_edges",
         "n_wedges",
         "n_triangles",
-        F.round(
-            (F.lit(3) * F.col("n_triangles")).cast("double")
-            / F.col("n_wedges").cast("double"),
-            6,
+        F.expr(
+            "CAST((3 * n_triangles * 1000000 + n_wedges DIV 2) "
+            "DIV n_wedges AS DOUBLE) / 1000000.0"
         ).alias("closure"),
     )
 
@@ -229,8 +233,12 @@ def pagerank_copurchase(
     return (
         ranks.select(
             "part",
-            F.round(
-                F.col("r").cast("double") / F.lit(float(MASS)), 6
+            # integer-ppm rounding then one exact IEEE division — engines
+            # disagree on the low bit of round(double, 6), never on BIGINT
+            # arithmetic (see triangle closure note above).
+            F.expr(
+                f"CAST((r * 1000000 + {MASS // 2}) DIV {MASS} AS DOUBLE)"
+                " / 1000000.0"
             ).alias("rank"),
         )
         .orderBy(F.col("rank").desc(), F.col("part"))

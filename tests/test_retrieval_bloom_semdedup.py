@@ -246,3 +246,30 @@ def test_hybrid_fusion_rank_semantics(spark, sf_dir):
     )[:10]
     assert [(r.fused, r.doc_id) for r in sorted(
         out, key=lambda r: (r.fused, r.doc_id))] == fused_all
+
+
+def test_lsh_autoscale_is_the_library_default():
+    """Scale guard: the sf3 probe measured static LSH parameters as a
+    latent quadratic (164.6 s vs 15.1 s) — the SAFE auto-scaling mode
+    must be the library default, with pinned literals confined to the
+    oracle-replayable `_q_*` wrappers (which need a fixed bucketing so
+    DuckDB can replay the bucket assignment)."""
+    import inspect
+
+    import __spark_entry__ as entry_mod
+    from myasynstreamjoin_spark.functions.similarity import (
+        embedding_neardup_pairs,
+        semantic_dedup_pairs,
+    )
+
+    assert (
+        inspect.signature(embedding_neardup_pairs).parameters["n_planes"].default
+        is None
+    )
+    assert (
+        inspect.signature(semantic_dedup_pairs).parameters["n_seeds"].default
+        is None
+    )
+    # the oracle wrappers still pin explicit literals (replayability)
+    assert "n_planes=4" in inspect.getsource(entry_mod._q_embed_neardup_lsh)
+    assert "n_seeds=8" in inspect.getsource(entry_mod._q_semantic_dedup)
