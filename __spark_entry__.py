@@ -2547,6 +2547,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cost_model_window": _q_cost_model_window,
         # event-time / relational-window surface (all ts-arithmetic paths)
         "q_triangles": _q_triangles,                      # degree-ordered triangle census
+        "q_stream_min_count_window": _q_stream_min_count_window,  # T2/T3, J1 streaming
+        # --- rotating driver-window slots (23-50) ---
+        # The driver independently verifies the first 50 registry
+        # positions; the pytest mirror covers all 175 oracle-backed
+        # queries every session. Positions 1-22 are the fixed SURVEY §2
+        # inventory head; these slots ROTATE each round through queries
+        # the driver has never checked (union of CORRECTNESS_r*.json
+        # keys), so over rounds the driver independently confirms the
+        # whole surface. Round 5 set: graph family (fresh off the
+        # integer-ppm determinism fix), dedup/similarity tail, text/
+        # pipeline ops, and two TPC-H variants.
+        "q_pagerank": _q_pagerank,                        # integer-exact PageRank
+        "q_communities": _q_communities,                  # fixed-round label propagation
+        "q_copurchase": _q_copurchase,                    # market-basket pair counts
+        "q_event_sequences": _q_event_sequences,          # sequential-pattern n-grams
+        "q_anomalies": _q_anomalies,                      # exact-integer z-score outliers
+        "q_udtf_sentences": _q_udtf_sentences,            # Python UDTF tier (U1)
+        "q_expectations": _q_expectations,                # declarative data-quality checks
+        "q_langid_eval": _q_langid_eval,                  # langid confusion matrix
+        "q_domain_terms": _q_domain_terms,                # log-odds corpus comparison
+        "q_lm_bigram": _q_lm_bigram,                      # interpolated bigram-LM perplexity
+        "q_tfidf": _q_tfidf,                              # per-doc TF-IDF top terms
+        "q_pii_scrub": _q_pii_scrub,                      # PII span detection/redaction
+        "q_pack_sequences": _q_pack_sequences,            # greedy token-budget packing
+        "q_chunk_docs": _q_chunk_docs,                    # overlapping doc chunking
+        "q_quality_filter": _q_quality_filter,            # composite quality gate
+        "q_dsir": _q_dsir,                                # DSIR importance resampling
+        "q_dup_spans": _q_dup_spans,                      # duplicated-span fraction
+        "q_dedup_survivors": _q_dedup_survivors,          # cluster canonical-doc pick
+        "q_cluster_split": _q_cluster_split,              # leakage-free train/val split
+        "q_winnow_pairs": _q_winnow_pairs,                # winnowing fingerprint overlap
+        "q_simhash_pairs": _q_simhash_pairs,              # pigeonhole Hamming join
+        "q_bloom_decontaminate": _q_bloom_decontaminate,  # Bloom-prefiltered decontamination
+        "q_semantic_dedup": _q_semantic_dedup,            # SemDeDup cluster-then-pair dedup
+        "q_embed_neardup_exact": _q_embed_neardup_exact,  # exact cosine pair baseline
+        "q_embed_neardup_lsh": _q_embed_neardup_lsh,      # LSH-bucketed cosine pairs
+        "q_ann_recall": _q_ann_recall,                    # ANN recall audit vs exact
+        "q_stream_neardup": _q_stream_neardup,            # streaming MinHash near-dup vs index
+        "q_tpch_q10": _q_tpch_q10,
+        # --- tail (pytest oracle-parity mirror coverage) ---
+        # rotated OUT of the driver window after 1-4 green rounds
+        # (still verified by the pytest mirror every session)
         "q_bm25": _q_bm25,                                # Okapi BM25 lexical retrieval
         "q_scd2": _q_scd2,
         "q_event_gaps": _q_event_gaps,
@@ -2554,12 +2596,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": _q_asof_join,
         "q_sessionize": _q_sessionize,
         "q_range_join": _q_range_join,
-        # headline SQL shapes
         "q_topk_revenue": _q_topk_revenue,
         "q_tpch_q1": _q_tpch_q1,
         "q_funnel": _q_funnel,                            # strictly-ordered funnel depth
         "q_cohorts": _q_cohorts,                          # weekly cohort retention
-        # LLM-pipeline flagships (text / dedup / similarity / multimodal)
         "q_textstats": _q_textstats,
         "q_quality": _q_quality,
         "q_langid": _q_langid,
@@ -2574,11 +2614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_perplexity": _q_lm_perplexity,              # unigram-LM perplexity quality gate
         "q_ts_similarity": _q_ts_similarity,
         "q_multimodal_meta": _q_multimodal_meta,
-        # streaming layer run to completion (SURVEY.md §2.6 T1-T5, T8)
-        "q_stream_min_count_window": _q_stream_min_count_window,
         "q_stream_dedup": _q_stream_dedup,                # streaming dedup → windowed count
         "q_stream_sessions": _q_stream_sessions,          # streaming session windows
-        # --- tail (pytest oracle-parity mirror coverage) ---
         # SQL-layer coverage the reference lacked (SURVEY.md §2.4 "missing")
         "q_cdc_merge": _q_cdc_merge,                      # MERGE INTO change-feed apply
         "q_cube_pricing": _q_cube_pricing,
@@ -2588,15 +2625,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_props": _q_json_props,
         "q_profile": _q_profile,
         "q_topk_per_group": _q_topk_per_group,
-        "q_copurchase": _q_copurchase,                    # market-basket pair counts
-        "q_event_sequences": _q_event_sequences,          # sequential-pattern n-grams
-        "q_pagerank": _q_pagerank,                        # integer-exact PageRank
         "q_latest_event": _q_latest_event,
-        "q_anomalies": _q_anomalies,                      # exact-integer z-score outliers
         "q_phrase_search": _q_phrase_search,              # exact consecutive-token phrase match
         "q_temperature_mix": _q_temperature_mix,          # α-sampling domain mixture audit
         "q_weighted_sample": _q_weighted_sample,          # Efraimidis–Spirakis weighted top-k
-        "q_udtf_sentences": _q_udtf_sentences,            # Python UDTF tier (U1)
         "q_embed_cov": _q_embed_cov,                      # exact covariance matrix (Arrow Gram partials)
         "q_domain_kl": _q_domain_kl,                      # per-source KL drift monitor
         "q_pca": _q_pca,                                  # rows-only (LAPACK eigen; pytest invariants)
@@ -2607,12 +2639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_autocorr": _q_autocorr,                        # hourly-series autocorrelation (seasonality)
         "q_incr_agg": _q_incr_agg,                        # Δ-maintained count view == recompute
         "q_dedup_audit": _q_dedup_audit,                  # LSH-vs-exact precision/recall audit
-        "q_lm_bigram": _q_lm_bigram,                      # interpolated bigram-LM perplexity
         "q_psi": _q_psi,                                  # population-stability drift score
-        "q_stream_neardup": _q_stream_neardup,            # streaming MinHash near-dup vs index
-        "q_langid_eval": _q_langid_eval,                  # langid confusion matrix
-        "q_domain_terms": _q_domain_terms,                # log-odds corpus comparison
-        "q_expectations": _q_expectations,                # declarative data-quality checks
         "q_distinct_users": _q_distinct_users,
         "q_repeat_customers": _q_repeat_customers,
         "q_churned_customers": _q_churned_customers,
@@ -2627,7 +2654,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q4": _q_tpch_q4,
         "q_tpch_q7": _q_tpch_q7,
         "q_tpch_q8": _q_tpch_q8,
-        "q_tpch_q10": _q_tpch_q10,
         "q_tpch_q12": _q_tpch_q12,
         "q_tpch_q13": _q_tpch_q13,
         "q_tpch_q15": _q_tpch_q15,
@@ -2644,13 +2670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_pivot": _q_event_pivot,
         "q_percentiles": _q_percentiles,
         "q_stratified_sample": _q_stratified_sample,
-        "q_tfidf": _q_tfidf,
         "q_hash_split": _q_hash_split,
-        "q_pack_sequences": _q_pack_sequences,
-        "q_chunk_docs": _q_chunk_docs,
         "q_frame_sample": _q_frame_sample,
         "q_media_decode": _q_media_decode,                # REAL WAV/PPM/BMP header decode
-        "q_pii_scrub": _q_pii_scrub,
         "q_embed_norm": _q_embed_norm,
         "q_embed_quant": _q_embed_quant,
         "q_zorder": _q_zorder,
@@ -2659,15 +2681,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simsearch_lsh": _q_simsearch_lsh,              # bucket-replayable oracle
         "q_simsearch_multiprobe": _q_simsearch_multiprobe,  # multi-probe LSH (recall recovery)
         "q_simsearch_ivf": _q_simsearch_ivf,              # index-replayable oracle
-        "q_ann_recall": _q_ann_recall,                    # index-replayable oracle
         "q_kmeans": _q_kmeans,                            # rows-only (iterative)
-        "q_embed_neardup_exact": _q_embed_neardup_exact,
-        "q_embed_neardup_lsh": _q_embed_neardup_lsh,      # bucket-replayable oracle
         "q_star_join_cube": _q_star_join_cube,            # materializing hypercube join (J3/X13)
-        "q_dedup_survivors": _q_dedup_survivors,          # pairs → clusters → canonical corpus
         "q_domain_mix": _q_domain_mix,                    # target-mixture deterministic sampling
-        "q_dup_spans": _q_dup_spans,                      # exact-substring dup fraction per doc
-        "q_quality_filter": _q_quality_filter,            # dynamic percentile-threshold filter
         "q_group_cap": _q_group_cap,                      # fixed-k per-group deterministic cap
         "q_negative_pairs": _q_negative_pairs,            # contrastive negative sampling
         "q_latest_event_maxby": _q_latest_event_maxby,    # max_by twin of q_latest_event
@@ -2675,24 +2691,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simsearch_multi": _q_simsearch_multi,
         "q_rollup_pricing": _q_rollup_pricing,
         "q_stream_cdc": _q_stream_cdc,                    # streaming MERGE → versioned snapshot
-        "q_bloom_decontaminate": _q_bloom_decontaminate,  # Bloom-prefiltered exact anti-join
-        "q_semantic_dedup": _q_semantic_dedup,            # SemDeDup cluster-then-pair dedup
         "q_semantic_dedup_arrow": _q_semantic_dedup_arrow,  # rows-only (Arrow kernel twin)
-        "q_winnow_pairs": _q_winnow_pairs,                # MOSS winnowing fingerprint pairs
         "q_pareto": _q_pareto,                            # 2-D skyline, no dominance cross-join
         "q_markov": _q_markov,                            # event-type transition matrix
         "q_attribution": _q_attribution,                  # first/last-touch, range window
         "q_setjoin": _q_setjoin,                          # exact prefix-filtered set-sim join
-        "q_cluster_split": _q_cluster_split,              # leakage-free cluster-unit split
         "q_collocations": _q_collocations,                # bigram lift phrase mining
         "q_pq_encode": _q_pq_encode,                      # product quantization (rows-only)
         "q_pq_topk": _q_pq_topk,                          # ADC top-k over PQ codes (rows-only)
         "q_resample": _q_resample,                        # calendar gap-fill + trailing MA
         "q_fuzzy_match": _q_fuzzy_match,                  # sorted-neighborhood linkage
-        "q_simhash_pairs": _q_simhash_pairs,              # banded Hamming join (lossless)
         "q_span_corruption": _q_span_corruption,          # T5 denoising pair generation
         "q_snapshot_diff": _q_snapshot_diff,              # reverse CDC: version diff feed
-        "q_communities": _q_communities,                  # fixed-round LPA communities
         "q_cep_match": _q_cep_match,                      # pattern w/ veto, range window
         "q_join_profile": _q_join_profile,                # join-explosion diagnostics
         "q_audio_stats": _q_audio_stats,                  # real-WAV PCM sample stats
@@ -2701,7 +2711,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_data_budget": _q_data_budget,                  # waterfilling mix planner
         "q_stream_decontaminate": _q_stream_decontaminate,  # ingest-time decontamination
         "q_bootstrap": _q_bootstrap,                      # deterministic Poisson bootstrap
-        "q_dsir": _q_dsir,                                # DSIR hashed-ngram data selection
         # remaining streaming queries
         "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join

@@ -1,0 +1,94 @@
+"""Materialized co-purchase edge-table path (operators/graph.py).
+
+The sf3 probe showed the edge-list build dominating every graph op
+(~2/3 of pagerank's wall and 16 GiB of spill); the scale fix is
+build-once: `write_copurchase_edges` materializes the directed edge
+list bucketed by src, and the `*_edges` operator forms consume the
+catalog scan. These tests pin (a) result parity with the inline
+builders and (b) the exchange-free plan on the bucketed key — the
+entire point of paying the bucket shuffle at write time.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from myasynstreamjoin_spark.operators.graph import (
+    label_propagation_copurchase,
+    label_propagation_edges,
+    pagerank_copurchase,
+    pagerank_edges,
+    read_copurchase_edges,
+    triangle_count_copurchase,
+    triangle_count_edges,
+    write_copurchase_edges,
+)
+from myasynstreamjoin_spark.sources.tables import load_table
+
+TABLE = "test_copurchase_edges"
+
+
+@pytest.fixture(scope="module")
+def edge_table(spark, sf_dir):
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    write_copurchase_edges(lineitem, TABLE, n_buckets=8)
+    yield read_copurchase_edges(spark, TABLE)
+    spark.sql(f"DROP TABLE IF EXISTS {TABLE}")
+
+
+def test_bucketed_degree_agg_has_no_exchange(edge_table):
+    """groupBy on the bucket column must run without any shuffle — the
+    scan's bucket partitioning satisfies the aggregation's required
+    distribution. If an Exchange appears, the table was read without
+    bucket metadata (bare parquet path) or the bucketing was dropped."""
+    plan = (
+        edge_table.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_bucketed_join_on_src_has_no_shuffle_exchange(edge_table):
+    """edges ⋈ deg on src: the edges side arrives pre-partitioned and
+    deg derives from the same bucketed scan, so NO shuffle exchange may
+    appear anywhere in the plan (a BroadcastExchange of the small deg
+    side is acceptable — that's a plan improvement, not a shuffle). The
+    inline builder pays two full shuffles (build + join) for the same
+    result."""
+    deg = edge_table.groupBy("src").agg(F.count("*").alias("deg"))
+    plan = (
+        edge_table.join(deg, "src")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_pagerank_parity_with_inline_builder(spark, sf_dir, edge_table):
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    inline = pagerank_copurchase(lineitem, n_iters=2, k=15).collect()
+    prebuilt = pagerank_edges(edge_table, n_iters=2, k=15).collect()
+    assert [tuple(r) for r in inline] == [tuple(r) for r in prebuilt]
+
+
+def test_triangles_parity_with_inline_builder(spark, sf_dir, edge_table):
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    inline = triangle_count_copurchase(lineitem).collect()
+    prebuilt = triangle_count_edges(edge_table).collect()
+    assert [tuple(r) for r in inline] == [tuple(r) for r in prebuilt]
+
+
+def test_lpa_parity_with_inline_builder(spark, sf_dir, edge_table):
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    inline = sorted(
+        tuple(r) for r in label_propagation_copurchase(lineitem, n_rounds=2).collect()
+    )
+    prebuilt = sorted(
+        tuple(r) for r in label_propagation_edges(edge_table, n_rounds=2).collect()
+    )
+    assert inline == prebuilt

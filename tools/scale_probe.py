@@ -7,10 +7,15 @@ metrics pulled from the Spark status store (the numbers SCALE.md
 records). Exits non-zero on any query error.
 
 Usage: python tools/scale_probe.py [probe_dir] [query ...]
+
+Set SPARK_GRAFT_PROBE_JSON=/path/out.json to additionally write the
+per-query rows as a JSON artifact (checked into the repo per round as
+SCALEPROBE_r{N}.json so probe regressions diff like bench regressions).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -37,6 +42,10 @@ DEFAULT = [
     "q_dup_spans",
     "q_copurchase",
     "q_pagerank",
+    "edges_materialize",
+    "pagerank_prebuilt",
+    "triangles_prebuilt",
+    "lpa_prebuilt",
     "q_event_sequences",
     "q_expectations",
     "q_stream_min_count_window",
@@ -97,13 +106,63 @@ def _semantic_dedup_arrow(spark, sf_dir):
     return semantic_dedup_pairs(embs, n_seeds=None, threshold=0.4, kernel="arrow")
 
 
+_EDGE_TABLE = "probe_copurchase_edges"
+
+
+def _edges_materialize(spark, sf_dir):
+    """Build-once cost of the bucketed co-purchase edge table — the
+    price the prebuilt graph ops amortize. Row count = directed edges."""
+    from myasynstreamjoin_spark.operators.graph import (
+        read_copurchase_edges,
+        write_copurchase_edges,
+    )
+    from myasynstreamjoin_spark.sources.tables import load_table
+
+    write_copurchase_edges(
+        load_table(spark, sf_dir, "lineitem"), _EDGE_TABLE, n_buckets=32
+    )
+    return read_copurchase_edges(spark, _EDGE_TABLE)
+
+
+def _pagerank_prebuilt(spark, sf_dir):
+    from myasynstreamjoin_spark.operators.graph import (
+        pagerank_edges,
+        read_copurchase_edges,
+    )
+
+    return pagerank_edges(read_copurchase_edges(spark, _EDGE_TABLE))
+
+
+def _triangles_prebuilt(spark, sf_dir):
+    from myasynstreamjoin_spark.operators.graph import (
+        read_copurchase_edges,
+        triangle_count_edges,
+    )
+
+    return triangle_count_edges(read_copurchase_edges(spark, _EDGE_TABLE))
+
+
+def _lpa_prebuilt(spark, sf_dir):
+    from myasynstreamjoin_spark.operators.graph import (
+        label_propagation_edges,
+        read_copurchase_edges,
+    )
+
+    return label_propagation_edges(read_copurchase_edges(spark, _EDGE_TABLE))
+
+
 def main() -> int:
     spark = get_spark(app_name="scale-probe")
     queries = dict(contract.queries())
     queries["embed_neardup_auto"] = _embed_neardup_auto
     queries["semantic_dedup_auto"] = _semantic_dedup_auto
     queries["semantic_dedup_arrow"] = _semantic_dedup_arrow
+    queries["edges_materialize"] = _edges_materialize
+    queries["pagerank_prebuilt"] = _pagerank_prebuilt
+    queries["triangles_prebuilt"] = _triangles_prebuilt
+    queries["lpa_prebuilt"] = _lpa_prebuilt
     failures = 0
+    records = []
     base = stage_metrics(spark)
     for name in NAMES:
         t0 = time.perf_counter()
@@ -111,17 +170,35 @@ def main() -> int:
             n = queries[name](spark, PROBE_DIR).count()
         except Exception as exc:  # noqa: BLE001
             print(f"{name}: FAIL {type(exc).__name__}: {exc}")
+            records.append({"query": name, "error": f"{type(exc).__name__}: {exc}"})
             failures += 1
             continue
         wall = time.perf_counter() - t0
         cur = stage_metrics(spark)
         delta = [c - b for c, b in zip(cur, base)]
         base = cur
+        records.append(
+            {
+                "query": name,
+                "wall_sec": round(wall, 1),
+                "rows": n,
+                "spill_mem_mib": round(delta[0] / 2**20),
+                "spill_disk_mib": round(delta[1] / 2**20),
+                "shuffle_read_mib": round(delta[2] / 2**20),
+                "shuffle_write_mib": round(delta[3] / 2**20),
+            }
+        )
         print(
             f"{name}: {wall:.1f}s rows={n} "
             f"spill_mem={delta[0]/2**20:.0f}MiB spill_disk={delta[1]/2**20:.0f}MiB "
             f"shuffle_r={delta[2]/2**20:.0f}MiB shuffle_w={delta[3]/2**20:.0f}MiB"
         )
+    out = os.environ.get("SPARK_GRAFT_PROBE_JSON")
+    if out:
+        with open(out, "w") as fh:
+            json.dump(
+                {"probe_dir": PROBE_DIR, "queries": records}, fh, indent=1
+            )
     return 1 if failures else 0
 
 
