@@ -1752,6 +1752,21 @@ def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_stats(tables.load_table(spark, sf_dir, "documents"), k=8)
 
 
+def _q_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicate-span REMOVAL: every 8-token span
+    occurring more than once corpus-wide keeps only its first
+    (doc_id, pos) occurrence; documents are reassembled from the
+    surviving token positions (functions/dedup.py
+    remove_duplicate_spans — the op that produces the cleaned corpus,
+    where q_dup_spans only scores it)."""
+    from myasynstreamjoin_spark.functions.dedup import remove_duplicate_spans
+
+    _prep(spark)
+    return remove_duplicate_spans(
+        tables.load_table(spark, sf_dir, "documents"), k=8
+    )
+
+
 def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup pipeline to its actual product: near-dup pairs →
     connected components → ONE canonical survivor per cluster (max
@@ -2696,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_markov": _q_markov,                            # event-type transition matrix
         "q_attribution": _q_attribution,                  # first/last-touch, range window
         "q_setjoin": _q_setjoin,                          # exact prefix-filtered set-sim join
+        "q_remove_spans": _q_remove_spans,                # ExactSubstr-style span removal
         "q_collocations": _q_collocations,                # bigram lift phrase mining
         "q_pq_encode": _q_pq_encode,                      # product quantization (rows-only)
         "q_pq_topk": _q_pq_topk,                          # ADC top-k over PQ codes (rows-only)
@@ -4973,6 +4989,49 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(coalesce(d.n_dup_spans, 0) AS DOUBLE)
                      / CAST(t.n_spans AS DOUBLE) AS dup_frac
             FROM totals t LEFT JOIN dup d USING (doc_id)
+        """,
+        # Same canonical-first election in SQL: row_number over
+        # (doc_id, pos) per gram; rn > 1 occurrences donate their k
+        # positions to the delete set; reassembly is an ordered
+        # string_agg over surviving positions.
+        "q_remove_spans": f"""
+            WITH toked AS (
+              SELECT doc_id, {_DOC_TOKENS} AS t
+              FROM documents WHERE text IS NOT NULL),
+            grams AS (
+              SELECT doc_id, i - 1 AS pos,
+                     t[i]   || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                     t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                     t[i+6] || ' ' || t[i+7] AS gram
+              FROM toked, unnest(generate_series(1, len(t) - 7)) AS u(i)
+              WHERE len(t) >= 8),
+            ranked AS (
+              SELECT doc_id, pos, gram,
+                     row_number() OVER (PARTITION BY gram
+                                        ORDER BY doc_id, pos) AS rn,
+                     count(*) OVER (PARTITION BY gram) AS c
+              FROM grams),
+            dels AS (
+              SELECT DISTINCT doc_id, pos + j AS pos
+              FROM ranked, unnest(generate_series(0, 7)) AS u(j)
+              WHERE rn > 1),
+            pos_tok AS (
+              SELECT doc_id, t[i] AS tok, i - 1 AS pos
+              FROM toked, unnest(generate_series(1, len(t))) AS u(i)),
+            kept AS (
+              SELECT p.doc_id, p.pos, p.tok
+              FROM pos_tok p LEFT JOIN dels d
+                ON p.doc_id = d.doc_id AND p.pos = d.pos
+              WHERE d.doc_id IS NULL),
+            agg AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(len(t.t) AS BIGINT) AS n_tokens,
+                   CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+                   coalesce(a.text_clean, '') AS text_clean
+            FROM toked t LEFT JOIN agg a USING (doc_id)
         """,
         "q_cohorts": """
             WITH e AS (

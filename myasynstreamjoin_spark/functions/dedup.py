@@ -222,6 +222,134 @@ def dup_span_stats(docs: DataFrame, k: int = 8, min_df: int = 2) -> DataFrame:
         ex.unpersist()
 
 
+def remove_duplicate_spans(
+    docs: DataFrame, k: int = 8, hashed: bool | str = False
+) -> DataFrame:
+    """Corpus-level exact-substring REMOVAL at token-k-gram granularity
+    — the ExactSubstr dedup of Lee et al. 2022 (arXiv:2107.06499 §4.1,
+    there via a suffix array; here on fixed k-token spans, the Spark-
+    expressible granularity): every k-token span occurring more than
+    once in the corpus (across documents OR twice in one document)
+    keeps only its FIRST occurrence in (doc_id, pos) order; the k token
+    positions of every other occurrence are cut and each document's
+    text is reassembled from the surviving positions. Complements
+    `dup_span_stats` (which only SCORES the duplication) — this is the
+    op that actually produces the cleaned corpus.
+
+    Semantics pinned for replayability: grams are computed ONCE on the
+    original text; removal is the UNION of non-canonical occurrences'
+    position ranges, so overlapping occurrences may cut into a kept
+    span (greedy position-set removal — ExactSubstr shares the
+    property); an exact duplicate document empties entirely
+    (text_clean = '', n_removed = n_tokens). NULL-text docs are
+    excluded, like every dedup op here. Output text is whitespace-
+    normalized (tokens joined by single spaces).
+
+    Scale shape: the gram explode is the standard rebalanced shingle
+    pass (k·N amplification, never all-pairs); canonical-occurrence
+    election is ONE hash groupBy(gram) with a partial min over the
+    (doc_id, pos) struct (map-side combined — no window sort); deleted
+    positions shuffle on (doc_id, pos) bounded by k × duplicate
+    occurrences; reassembly is one groupBy(doc_id) whose collect_list
+    is bounded by document length — corpora are wide, not deep. The
+    token table is localCheckpoint-ed: three branches (grams, position
+    table, totals) re-resolve it as clones, and the checkpoint also
+    stops InferFiltersFromGenerate from re-inlining the tokenizer
+    under the explode (SCALE.md HOF rule).
+
+    ``hashed=True`` elects canonical occurrences on the 8-byte
+    ``xxhash64`` of the token slice instead of the gram STRING — the
+    100 TB setting: the election shuffle carries ~6× fewer bytes, and
+    a 2⁻⁶⁴ collision (which would wrongly delete one non-duplicate
+    span) is noise next to the tokenizer's own approximations.
+    ``hashed="md5"`` uses the 32-bit oracle-replayable hash —
+    replayable but collision-REAL at corpus scale (2³² space), so it
+    exists for verification, not production. Default is exact strings.
+
+    Output: (doc_id, n_tokens, n_removed, text_clean).
+    """
+    toked = (
+        rebalance(
+            docs.where(F.col("text").isNotNull()).select(
+                "doc_id", tokens("text").alias("__t")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    t = F.col("__t")
+    n = F.size(t)
+    if hashed == "md5":
+        gram = lambda i: md5_32(  # noqa: E731
+            F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(k)])
+        )
+    elif hashed:
+        gram = lambda i: F.xxhash64(  # noqa: E731
+            *[F.element_at(t, i + j + 1) for j in range(k)]
+        )
+    else:
+        gram = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(t, i + j + 1) for j in range(k)]
+        )
+    spans = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"), gram(i).alias("gram")
+        ),
+    )
+    grams = (
+        toked.where(n >= k)
+        .select("doc_id", F.explode(spans).alias("g"))
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    )
+    first = grams.groupBy("gram").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+        F.count("*").alias("__c"),
+    )
+    dels = (
+        grams.join(first.where(F.col("__c") >= 2), "gram")
+        .where(
+            ~(
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        # k delete positions per non-canonical occurrence; duplicates
+        # are fine — the anti-join below is set-semantics anyway
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+    )
+    pos_tok = toked.select(
+        "doc_id", F.posexplode("__t").alias("pos", "tok")
+    )
+    kept = pos_tok.join(dels, ["doc_id", "pos"], "left_anti")
+    out = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("text_clean"),
+        F.count("*").alias("__n_kept"),
+    )
+    return (
+        toked.select("doc_id", n.cast("long").alias("n_tokens"))
+        .join(out, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0))
+            ).cast("long").alias("n_removed"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     k: int = 3,
