@@ -760,6 +760,48 @@ def _q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_neardup_pairs(spark, os.path.join(tmp, "nd"))
 
 
+def _q_stream_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_remove_spans: documents arrive in two
+    ASCENDING doc_id ranges, so first-seen canonical order equals the
+    batch operator's (doc_id, pos) order and the per-batch cleaned
+    sinks union to EXACTLY the batch answer — shared DuckDB oracle
+    (streaming/spanremove.py)."""
+    import os
+    import tempfile
+
+    from myasynstreamjoin_spark.streaming.spanremove import (
+        read_clean_docs,
+        run_stream_remove_spans,
+    )
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="stream_spans_")
+    feed = _stage_parquet_feed(
+        (
+            docs.where(F.col("doc_id") <= mid),
+            docs.where(F.col("doc_id") > mid),
+        ),
+        tmp,
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    run_stream_remove_spans(
+        stream,
+        spark,
+        work_dir=os.path.join(tmp, "rs"),
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        k=8,
+    )
+    return read_clean_docs(spark, os.path.join(tmp, "rs"))
+
+
 def _q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of the decontamination gate: train docs arrive in
     two micro-batches and are filtered against the static src0/src1
@@ -2712,6 +2754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_attribution": _q_attribution,                  # first/last-touch, range window
         "q_setjoin": _q_setjoin,                          # exact prefix-filtered set-sim join
         "q_remove_spans": _q_remove_spans,                # ExactSubstr-style span removal
+        "q_stream_remove_spans": _q_stream_remove_spans,  # ingest-time span removal vs gram index
         "q_collocations": _q_collocations,                # bigram lift phrase mining
         "q_pq_encode": _q_pq_encode,                      # product quantization (rows-only)
         "q_pq_topk": _q_pq_topk,                          # ADC top-k over PQ codes (rows-only)
@@ -5826,6 +5869,9 @@ def oracle_sql() -> dict[str, str]:
     # Ingest-time decontamination must pass exactly the batch gate's
     # clean set (static bench ⇒ no cross-batch state ⇒ stream ≡ batch).
     d["q_stream_decontaminate"] = d["q_bloom_decontaminate"]
+    # Ascending-range batches make first-seen order ≡ (doc_id, pos)
+    # order, so the streamed cleaned corpus equals the batch one.
+    d["q_stream_remove_spans"] = d["q_remove_spans"]
     # Both pair sets replay in SQL (md5 shingles/permutations), so
     # the audit's oracle recomputes precision/recall from scratch.
     d["q_dedup_audit"] = f"""

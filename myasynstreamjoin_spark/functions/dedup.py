@@ -268,14 +268,25 @@ def remove_duplicate_spans(
 
     Output: (doc_id, n_tokens, n_removed, text_clean).
     """
-    toked = (
-        rebalance(
-            docs.where(F.col("text").isNotNull()).select(
-                "doc_id", tokens("text").alias("__t")
-            )
+    toked = _span_toked(docs)
+    grams = _span_grams(toked, k, hashed)
+    dels = _span_election_dels(grams, k)
+    return _span_reassemble(toked, dels)
+
+
+def _span_toked(docs: DataFrame) -> DataFrame:
+    """(doc_id, __t): the rebalanced, checkpointed token table every
+    span-removal stage branches from (see remove_duplicate_spans)."""
+    return rebalance(
+        docs.where(F.col("text").isNotNull()).select(
+            "doc_id", tokens("text").alias("__t")
         )
-        .localCheckpoint(eager=True)
-    )
+    ).localCheckpoint(eager=True)
+
+
+def _span_grams(toked: DataFrame, k: int, hashed: bool | str) -> DataFrame:
+    """(doc_id, pos, gram): one row per k-gram occurrence, docs shorter
+    than k contribute none."""
     t = F.col("__t")
     n = F.size(t)
     if hashed == "md5":
@@ -296,16 +307,24 @@ def remove_duplicate_spans(
             i.cast("int").alias("pos"), gram(i).alias("gram")
         ),
     )
-    grams = (
+    return (
         toked.where(n >= k)
         .select("doc_id", F.explode(spans).alias("g"))
         .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
     )
+
+
+def _span_election_dels(grams: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos) delete positions: every occurrence of a ≥2-count
+    gram except the (doc_id, pos)-min canonical one donates its k
+    positions. One hash groupBy with a partial min over the struct —
+    never a row_number window (which would sort the exploded gram
+    table)."""
     first = grams.groupBy("gram").agg(
         F.min(F.struct("doc_id", "pos")).alias("first"),
         F.count("*").alias("__c"),
     )
-    dels = (
+    return (
         grams.join(first.where(F.col("__c") >= 2), "gram")
         .where(
             ~(
@@ -314,7 +333,7 @@ def remove_duplicate_spans(
             )
         )
         # k delete positions per non-canonical occurrence; duplicates
-        # are fine — the anti-join below is set-semantics anyway
+        # are fine — the anti-join in reassembly is set-semantics anyway
         .select(
             "doc_id",
             F.explode(
@@ -322,6 +341,11 @@ def remove_duplicate_spans(
             ).alias("pos"),
         )
     )
+
+
+def _span_reassemble(toked: DataFrame, dels: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_removed, text_clean): rebuild each doc from
+    the token positions not in ``dels``."""
     pos_tok = toked.select(
         "doc_id", F.posexplode("__t").alias("pos", "tok")
     )
@@ -337,7 +361,7 @@ def remove_duplicate_spans(
         F.count("*").alias("__n_kept"),
     )
     return (
-        toked.select("doc_id", n.cast("long").alias("n_tokens"))
+        toked.select("doc_id", F.size("__t").cast("long").alias("n_tokens"))
         .join(out, "doc_id", "left")
         .select(
             "doc_id",

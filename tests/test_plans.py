@@ -501,3 +501,19 @@ def test_pair_candidate_joins_are_hash_joins(spark, sf_dir):
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "Join" in plan
+
+
+def test_remove_spans_elects_canonical_without_window_sort(spark, sf_dir):
+    """remove_duplicate_spans must elect canonical occurrences with a
+    partial-aggregated groupBy min over the (doc_id, pos) struct — a
+    row_number() window over gram partitions would add a full sort of
+    the exploded gram table (k·N rows) that the aggregate formulation
+    avoids. Also: no cartesian anywhere, and the reassembly stays one
+    hash aggregation."""
+    from myasynstreamjoin_spark.functions.dedup import remove_duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = simple_plan(remove_duplicate_spans(docs, k=8))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
