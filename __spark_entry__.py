@@ -1585,6 +1585,18 @@ def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard export manifest (doc count, token count, order-free
+    content checksum) over the deterministic md5 shard assignment —
+    the verification artifact of functions/pipeline.py::export_shards."""
+    from myasynstreamjoin_spark.functions.pipeline import shard_manifest
+
+    _prep(spark)
+    return shard_manifest(
+        tables.load_table(spark, sf_dir, "documents"), n_shards=16
+    )
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concatenate-and-chunk sequence packing at a 512-token budget."""
     from myasynstreamjoin_spark.functions.pipeline import pack_sequences
@@ -2728,6 +2740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentiles": _q_percentiles,
         "q_stratified_sample": _q_stratified_sample,
         "q_hash_split": _q_hash_split,
+        "q_shard_manifest": _q_shard_manifest,            # export-shard verification manifest
         "q_frame_sample": _q_frame_sample,
         "q_media_decode": _q_media_decode,                # REAL WAV/PPM/BMP header decode
         "q_embed_norm": _q_embed_norm,
@@ -4163,6 +4176,21 @@ def _oracle_sql_base() -> dict[str, str]:
                         ELSE 'val' END AS split,
                    count(*) AS n_docs, sum(n_chars) AS sum_chars
             FROM b GROUP BY 1
+        """,
+        "q_shard_manifest": f"""
+            WITH b AS (
+              SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+                       % 16 AS shard,
+                     CASE WHEN text IS NULL THEN 0
+                          ELSE len({_DOC_TOKENS}) END AS nt,
+                     CAST(('0x' || substring(md5(
+                       regexp_replace(trim(lower(coalesce(text, ''))),
+                                      '\\s+', ' ', 'g')), 1, 8)) AS BIGINT) AS h
+              FROM documents)
+            SELECT shard, count(*) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS n_tokens,
+                   CAST(sum(h) AS BIGINT) AS checksum
+            FROM b GROUP BY shard
         """,
         "q_pack_sequences": f"""
             WITH d AS (

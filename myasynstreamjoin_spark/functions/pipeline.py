@@ -597,3 +597,94 @@ def plan_data_budget(
             "repeat_factor"
         ),
     )
+
+
+def shard_manifest(
+    docs: DataFrame,
+    n_shards: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-shard manifest of a training-corpus export:
+    each document is hash-assigned to a shard (`hash_bucket`, the
+    engine-portable md5 bucket every sampling op here uses), and the
+    manifest reports per shard the doc count, total whitespace-token
+    count, and an ORDER-INDEPENDENT content checksum — the artifact a
+    downstream trainer checks before reading a single shard, and the
+    invariant a re-export must reproduce bit-for-bit.
+
+    checksum = Σ md5_32(normalized(text)) as BIGINT: a sum of 32-bit
+    values is order-free (no float, no concat ordering) and overflows
+    only past 2³¹ docs PER SHARD — far beyond any real shard. NULL
+    texts hash as '' and count 0 tokens; export never DROPS rows (an
+    exporter that silently loses data is worse than one that ships an
+    empty doc).
+
+    Scale shape: one map-side-combined groupBy on the shard id —
+    n_shards rows out regardless of corpus size.
+
+    Output: (shard, n_docs, n_tokens, checksum).
+    """
+    from myasynstreamjoin_spark.functions.dedup import md5_32
+    from myasynstreamjoin_spark.functions.text import normalized, tokens
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    return (
+        docs.select(
+            hash_bucket(F.col(id_col).cast("string"), n_shards).alias("shard"),
+            F.when(F.col(text_col).isNull(), F.lit(0))
+            .otherwise(F.size(tokens(text_col)))
+            .cast("long")
+            .alias("__nt"),
+            md5_32(normalized(t)).alias("__h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__nt").alias("n_tokens"),
+            F.sum("__h").alias("checksum"),
+        )
+    )
+
+
+def export_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Write the corpus as ``n_shards`` hash-assigned parquet shard
+    directories (``shard=N/``) with a DETERMINISTIC pseudo-shuffled
+    within-shard row order — the export step at the end of a training
+    -data pipeline. The order key is md5(doc_id || ':shuffle'): a
+    reproducible corpus shuffle (same bytes every run, every engine),
+    which is what training-data reads want instead of rand() — the
+    run is replayable and the shard a given doc lands in never moves.
+
+    Scale shape: one repartition on the shard id, sort within
+    partitions only (never a global sort); shard directories prune on
+    read (`shard = N` touches one directory — asserted in
+    tests/test_export_shards.py). At 100 TB pick n_shards so a shard
+    fits a reader node, and verify the written tree against
+    `shard_manifest` before deleting upstream state.
+    """
+    staged = docs.withColumn(
+        "shard", hash_bucket(F.col(id_col).cast("string"), n_shards)
+    ).withColumn(
+        "sort_key",
+        F.md5(
+            F.encode(
+                F.concat(F.col(id_col).cast("string"), F.lit(":shuffle")),
+                "UTF-8",
+            )
+        ),
+    )
+    (
+        staged.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "sort_key")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )

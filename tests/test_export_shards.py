@@ -1,0 +1,77 @@
+"""Training-corpus export (functions/pipeline.py::export_shards +
+shard_manifest): deterministic shard assignment and within-shard
+order, directory pruning on read, and manifest/file agreement —
+manifest parity with DuckDB is covered by test_oracle_parity
+(q_shard_manifest)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from myasynstreamjoin_spark.functions.dedup import md5_32
+from myasynstreamjoin_spark.functions.pipeline import (
+    export_shards,
+    shard_manifest,
+)
+from myasynstreamjoin_spark.functions.text import normalized
+from myasynstreamjoin_spark.sources.tables import load_table
+
+N_SHARDS = 8
+
+
+def test_export_round_trips_and_matches_manifest(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "shards")
+    export_shards(docs, path, n_shards=N_SHARDS)
+    back = spark.read.parquet(path)
+    # nothing dropped, nothing duplicated
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    # the written tree reproduces the manifest exactly
+    from_files = (
+        back.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("text").isNull(), F.lit(0)).otherwise(
+                    F.size(F.split(F.trim(F.lower("text")), r"\s+"))
+                ).cast("long")
+            ).alias("n_tokens"),
+            F.sum(
+                md5_32(normalized(F.coalesce("text", F.lit(""))))
+            ).alias("checksum"),
+        )
+    )
+    a = sorted(tuple(r) for r in from_files.collect())
+    b = sorted(
+        tuple(r) for r in shard_manifest(docs, n_shards=N_SHARDS).collect()
+    )
+    assert a == b
+
+
+def test_shard_filter_prunes_directories(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "shards")
+    export_shards(docs, path, n_shards=N_SHARDS)
+    one = spark.read.parquet(path).where(F.col("shard") == 3)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # partition filter on the directory column, not a data filter
+    assert "PartitionFilters: [isnotnull(shard" in plan or "shard#" in plan
+    files = one.select(F.col("_metadata.file_path")).distinct().collect()
+    assert all("shard=3" in r[0] for r in files)
+
+
+def test_within_shard_order_is_deterministic_shuffle(spark, sf_dir, tmp_path):
+    """Rows inside each shard file are ordered by the md5 shuffle key —
+    re-exporting produces byte-identical row order, and the order is
+    NOT doc_id order (it's a shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    export_shards(docs, p1, n_shards=N_SHARDS)
+    export_shards(docs, p2, n_shards=N_SHARDS)
+    a = [r["doc_id"] for r in spark.read.parquet(p1)
+         .where(F.col("shard") == 0).collect()]
+    b = [r["doc_id"] for r in spark.read.parquet(p2)
+         .where(F.col("shard") == 0).collect()]
+    assert a == b and len(a) > 2
+    assert a != sorted(a)
