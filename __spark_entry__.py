@@ -1585,6 +1585,16 @@ def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy per document (gibberish gate):
+    integer nano-nat contributions, micro-nat-rounded result — no
+    engine-fragile round(double, 6) anywhere."""
+    from myasynstreamjoin_spark.functions.text import char_entropy
+
+    _prep(spark)
+    return char_entropy(tables.load_table(spark, sf_dir, "documents"))
+
+
 def _q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-shard export manifest (doc count, token count, order-free
     content checksum) over the deterministic md5 shard assignment —
@@ -2741,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": _q_stratified_sample,
         "q_hash_split": _q_hash_split,
         "q_shard_manifest": _q_shard_manifest,            # export-shard verification manifest
+        "q_char_entropy": _q_char_entropy,                # char-entropy gibberish gate
         "q_frame_sample": _q_frame_sample,
         "q_media_decode": _q_media_decode,                # REAL WAV/PPM/BMP header decode
         "q_embed_norm": _q_embed_norm,
@@ -4176,6 +4187,29 @@ def _oracle_sql_base() -> dict[str, str]:
                         ELSE 'val' END AS split,
                    count(*) AS n_docs, sum(n_chars) AS sum_chars
             FROM b GROUP BY 1
+        """,
+        "q_char_entropy": """
+            WITH ch AS (
+              SELECT doc_id,
+                     unnest(string_split(
+                       regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                       '')) AS c0
+              FROM documents WHERE text IS NOT NULL),
+            f AS (SELECT doc_id, c0, count(*) AS c
+                  FROM ch WHERE c0 <> '' GROUP BY 1, 2),
+            t AS (SELECT doc_id, sum(c) AS n, count(*) AS nd
+                  FROM f GROUP BY 1),
+            nn AS (
+              SELECT f.doc_id,
+                     CAST(round((CAST(c AS DOUBLE) / n)
+                                * ln(CAST(n AS DOUBLE) / c)
+                                * 1e9) AS BIGINT) AS nano
+              FROM f JOIN t USING (doc_id)),
+            s AS (SELECT doc_id, sum(nano) AS s FROM nn GROUP BY 1)
+            SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_chars,
+                   CAST(t.nd AS BIGINT) AS n_distinct,
+                   CAST((s.s + 500) // 1000 AS DOUBLE) / 1e6 AS entropy
+            FROM t JOIN s USING (doc_id)
         """,
         "q_shard_manifest": f"""
             WITH b AS (

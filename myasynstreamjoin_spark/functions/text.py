@@ -518,3 +518,58 @@ def collocations(
         .where(lift >= min_lift)
         .select("tok_a", "tok_b", "n_ab", lift.alias("lift"))
     )
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document character-distribution entropy — the cheap
+    gibberish detector quality pipelines run beside the LM gates
+    (low entropy = repeated-character junk, abnormally high = random
+    noise; cf. the symbol-ratio rules of Rae et al. 2021 "Gopher"
+    §A.1.1): H = Σ_c (n_c/n)·ln(n/n_c) over the normalized text's
+    character histogram.
+
+    Scale shape: one explode to character grain whose groupBy
+    (doc, char) map-side-combines to ≤ |alphabet| rows per doc per
+    partition, then a doc-keyed totals join and one more groupBy —
+    all narrow keyed shuffles, no model, no broadcast.
+
+    Float determinism: per-(doc, char) contributions round to integer
+    NANO-NATS and sum as BIGINT (order-free; a 1-2 ulp libm ln
+    disagreement moves one char type by one nano-nat); the reported
+    entropy is integer-rounded to MICRO-nats and divided once —
+    never round(double, 6), whose low bit differs across engines.
+
+    Docs with NULL or empty normalized text are excluded (no
+    characters to score — same contract as the dedup ops).
+
+    Output: (doc_id, n_chars, n_distinct, entropy).
+    """
+    chars = (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "doc_id", F.explode(F.split(normalized("text"), "")).alias("ch")
+        )
+        .where(F.col("ch") != "")
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count("*").alias("n_distinct")
+    )
+    nano = F.round(
+        (F.col("c") / F.col("n"))
+        * F.log(F.col("n") / F.col("c"))
+        * F.lit(1e9)
+    ).cast("long")
+    return (
+        counts.join(totals, "doc_id")
+        .select("doc_id", nano.alias("nano"))
+        .groupBy("doc_id")
+        .agg(F.sum("nano").alias("s"))
+        .join(totals, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_chars"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.expr("CAST((s + 500) DIV 1000 AS DOUBLE) / 1e6").alias("entropy"),
+        )
+    )

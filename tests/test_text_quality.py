@@ -149,3 +149,29 @@ def test_collocations_lift_semantics(spark):
     out = {(r.tok_a, r.tok_b): r.lift for r in collocations(docs, 5, 1.2).collect()}
     assert ("new", "york") in out
     assert out[("new", "york")] > 1.2
+
+
+def test_char_entropy_known_values(spark):
+    """Single-character docs score 0; a uniform k-char doc scores
+    ln(k); repeated-char gibberish scores far below normal prose."""
+    import math
+
+    from myasynstreamjoin_spark.functions.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aaaaaaaa"),                 # one char type -> H = 0
+            (1, "abcd"),                     # uniform over 4 -> ln 4
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, ""),                         # empty -> excluded
+            (4, None),                       # null -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0]["entropy"] == 0.0
+    assert abs(out[1]["entropy"] - math.log(4)) < 1e-5
+    assert out[1]["n_distinct"] == 4
+    # prose uses a wide alphabet: far higher entropy than gibberish
+    assert out[2]["entropy"] > out[0]["entropy"] + 2.0
