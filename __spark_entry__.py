@@ -1139,6 +1139,45 @@ def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count_copurchase(tables.load_table(spark, sf_dir, "lineitem"))
 
 
+def _q_edge_table_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized graph path end-to-end under the driver's eye:
+    write the directed co-purchase edge list as a BUCKETED catalog
+    table (operators/graph.py::write_copurchase_edges), read it back
+    through the catalog, and report the top-20 out-degrees — the
+    degree aggregation runs exchange-free on the bucket key
+    (plan-locked in tests/test_graph_edges.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from myasynstreamjoin_spark.operators.graph import (
+        read_copurchase_edges,
+        write_copurchase_edges,
+    )
+
+    _prep(spark)
+    table = "q_edge_degrees_tmp"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    loc = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), table
+    )
+    shutil.rmtree(loc, ignore_errors=True)
+    tmp = tempfile.mkdtemp(prefix="edge_degrees_")
+    write_copurchase_edges(
+        tables.load_table(spark, sf_dir, "lineitem"),
+        table,
+        n_buckets=16,
+        path=os.path.join(tmp, "edges"),
+    )
+    edges = read_copurchase_edges(spark, table)
+    return (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("degree"))
+        .orderBy(F.col("degree").desc(), F.col("src"))
+        .limit(20)
+    )
+
+
 def _q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-filter eval: confusion matrix of the stopword-ratio
     langid heuristic against the labeled lang column."""
@@ -2752,6 +2791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_split": _q_hash_split,
         "q_shard_manifest": _q_shard_manifest,            # export-shard verification manifest
         "q_char_entropy": _q_char_entropy,                # char-entropy gibberish gate
+        "q_edge_table_degrees": _q_edge_table_degrees,    # bucketed edge-table path end-to-end
         "q_frame_sample": _q_frame_sample,
         "q_media_decode": _q_media_decode,                # REAL WAV/PPM/BMP header decode
         "q_embed_norm": _q_embed_norm,
@@ -4187,6 +4227,21 @@ def _oracle_sql_base() -> dict[str, str]:
                         ELSE 'val' END AS split,
                    count(*) AS n_docs, sum(n_chars) AS sum_chars
             FROM b GROUP BY 1
+        """,
+        # Degrees of the directed co-purchase edge list (same bounded-
+        # basket build as the pagerank/LPA oracles), top 20 by
+        # (degree DESC, src) — verifies the bucketed-table round trip.
+        "q_edge_table_degrees": """
+            WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            bounded AS (SELECT l_orderkey FROM items
+                        GROUP BY l_orderkey HAVING count(*) <= 64),
+            edges AS (
+              SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+              FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey <> b.l_partkey
+              JOIN bounded ON a.l_orderkey = bounded.l_orderkey)
+            SELECT src, count(*) AS degree FROM edges
+            GROUP BY src ORDER BY degree DESC, src LIMIT 20
         """,
         "q_char_entropy": """
             WITH ch AS (

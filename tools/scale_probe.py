@@ -36,6 +36,8 @@ DEFAULT = [
     "q_semantic_dedup",
     "semantic_dedup_auto",
     "semantic_dedup_arrow",
+    "q_remove_spans",
+    "remove_spans_hashed",
     "q_bloom_decontaminate",
     "q_bm25",
     "q_simsearch",
@@ -106,18 +108,41 @@ def _semantic_dedup_arrow(spark, sf_dir):
     return semantic_dedup_pairs(embs, n_seeds=None, threshold=0.4, kernel="arrow")
 
 
+def _remove_spans_hashed(spark, sf_dir):
+    """The 100 TB setting of q_remove_spans: 8-byte xxhash64 election
+    keys instead of gram strings (the contract query keeps strings for
+    its oracle)."""
+    from myasynstreamjoin_spark.functions.dedup import remove_duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return remove_duplicate_spans(docs, k=8, hashed=True)
+
+
 _EDGE_TABLE = "probe_copurchase_edges"
 
 
 def _edges_materialize(spark, sf_dir):
     """Build-once cost of the bucketed co-purchase edge table — the
-    price the prebuilt graph ops amortize. Row count = directed edges."""
+    price the prebuilt graph ops amortize. Row count = directed edges.
+
+    A previous probe session's managed-table LOCATION can survive in
+    spark-warehouse/ while the (in-memory) catalog entry did not —
+    saveAsTable(overwrite) then fails with LOCATION_ALREADY_EXISTS, so
+    drop both sides first."""
+    import shutil
+
     from myasynstreamjoin_spark.operators.graph import (
         read_copurchase_edges,
         write_copurchase_edges,
     )
     from myasynstreamjoin_spark.sources.tables import load_table
 
+    spark.sql(f"DROP TABLE IF EXISTS {_EDGE_TABLE}")
+    loc = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+        _EDGE_TABLE,
+    )
+    shutil.rmtree(loc, ignore_errors=True)
     write_copurchase_edges(
         load_table(spark, sf_dir, "lineitem"), _EDGE_TABLE, n_buckets=32
     )
@@ -157,6 +182,7 @@ def main() -> int:
     queries["embed_neardup_auto"] = _embed_neardup_auto
     queries["semantic_dedup_auto"] = _semantic_dedup_auto
     queries["semantic_dedup_arrow"] = _semantic_dedup_arrow
+    queries["remove_spans_hashed"] = _remove_spans_hashed
     queries["edges_materialize"] = _edges_materialize
     queries["pagerank_prebuilt"] = _pagerank_prebuilt
     queries["triangles_prebuilt"] = _triangles_prebuilt
