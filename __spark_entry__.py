@@ -5166,10 +5166,9 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM toked, unnest(generate_series(1, len(t) - 7)) AS u(i)
               WHERE len(t) >= 8),
             ranked AS (
-              SELECT doc_id, pos, gram,
+              SELECT doc_id, pos,
                      row_number() OVER (PARTITION BY gram
-                                        ORDER BY doc_id, pos) AS rn,
-                     count(*) OVER (PARTITION BY gram) AS c
+                                        ORDER BY doc_id, pos) AS rn
               FROM grams),
             dels AS (
               SELECT DISTINCT doc_id, pos + j AS pos

@@ -684,6 +684,10 @@ def export_shards(
     (
         staged.repartition(n_shards, F.col("shard"))
         .sortWithinPartitions("shard", "sort_key")
+        # the order key did its job at sort time — exported files carry
+        # the source schema + shard only (a projection preserves the
+        # within-partition sort)
+        .drop("sort_key")
         .write.mode(mode)
         .partitionBy("shard")
         .parquet(path)

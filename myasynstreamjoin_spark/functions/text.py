@@ -562,10 +562,11 @@ def char_entropy(docs: DataFrame) -> DataFrame:
     ).cast("long")
     return (
         counts.join(totals, "doc_id")
-        .select("doc_id", nano.alias("nano"))
-        .groupBy("doc_id")
-        .agg(F.sum("nano").alias("s"))
-        .join(totals, "doc_id")
+        # n / n_distinct are constant per doc_id — grouping by them
+        # rides the same shuffle as the doc key instead of re-joining
+        # totals afterwards (one join, not two)
+        .groupBy("doc_id", "n", "n_distinct")
+        .agg(F.sum(nano).alias("s"))
         .select(
             "doc_id",
             F.col("n").cast("long").alias("n_chars"),

@@ -37,6 +37,20 @@ from myasynstreamjoin_spark.operators.cdc import cdc_apply
 _VERSION_RE = re.compile(r"^v(\d+)$")
 
 
+def replay_base_version(snapshot_dir: str, batch_id: int) -> int | None:
+    """The version a (possibly replayed) micro-batch must rebuild
+    against: the highest committed version STRICTLY BELOW its own
+    batch id. On first delivery no version ≥ batch_id exists yet, so
+    this is simply the latest; on redelivery it skips the batch's own
+    (possibly half-written) version and lands on the state the batch
+    originally saw — the one call that replaces the old two-step
+    "latest ≤ bid, fall back if it IS bid" dance (provably equivalent:
+    the fallback fired exactly when the max ≤ bid was bid itself, and
+    both paths then return the max < bid). Shared by the CDC,
+    near-dup, and span-removal streams."""
+    return latest_version(snapshot_dir, below=int(batch_id))
+
+
 def latest_version(snapshot_dir: str, below: int | None = None) -> int | None:
     """Highest committed snapshot version (optionally below a batch id).
 
@@ -87,10 +101,7 @@ def run_cdc_stream(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        base_v = latest_version(snapshot_dir, below=int(batch_id) + 1)
-        if base_v is not None and base_v == int(batch_id):
-            # replayed batch: re-merge against the version BELOW it
-            base_v = latest_version(snapshot_dir, below=int(batch_id))
+        base_v = replay_base_version(snapshot_dir, batch_id)
         if base_v is None:
             base = spark.createDataFrame(
                 [], batch_df.select(*data_cols).schema

@@ -33,7 +33,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from myasynstreamjoin_spark.streaming.cdc import latest_version
+from myasynstreamjoin_spark.streaming.cdc import replay_base_version
 
 
 def _band_rows(
@@ -94,9 +94,7 @@ def run_stream_neardup(
             batch, new_sh, n_hashes, bands, k, replayable
         ).localCheckpoint(eager=True)
 
-        base_v = latest_version(bands_dir, below=bid + 1)
-        if base_v is not None and base_v == bid:
-            base_v = latest_version(bands_dir, below=bid)
+        base_v = replay_base_version(bands_dir, bid)
         if base_v is not None:
             old_bands = bspark.read.parquet(
                 os.path.join(bands_dir, f"v{base_v}")

@@ -43,7 +43,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from myasynstreamjoin_spark.streaming.cdc import latest_version
+from myasynstreamjoin_spark.streaming.cdc import replay_base_version
 
 
 def run_stream_remove_spans(
@@ -73,9 +73,7 @@ def run_stream_remove_spans(
         toked = _span_toked(batch_df)
         grams = _span_grams(toked, k, hashed).localCheckpoint(eager=True)
 
-        base_v = latest_version(grams_dir, below=bid + 1)
-        if base_v is not None and base_v == bid:
-            base_v = latest_version(grams_dir, below=bid)
+        base_v = replay_base_version(grams_dir, bid)
         new_index = grams.select("gram").distinct()
         if base_v is not None:
             old_index = bspark.read.parquet(

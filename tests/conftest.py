@@ -81,3 +81,23 @@ def assert_matches_oracle(spark_df, duck_con, sql: str):
     b = normalize_rows(duck_cols, duck_rows)
     mism = [(x, y) for x, y in zip(a, b) if x != y]
     assert not mism, f"value mismatch ({len(mism)} rows), first: {mism[:3]}"
+
+
+def stage_stream_file(df, feed, name: str, mtime: int) -> None:
+    """Stage ``df`` as ONE parquet file ``{feed}/{name}`` with a pinned
+    mtime — the staging recipe every maxFilesPerTrigger=1 file-stream
+    fixture shares (mirrors __spark_entry__._stage_parquet_feed). The
+    mtime scheme IS the micro-batch order; keep it in one place."""
+    import shutil
+
+    feed = str(feed)
+    tmp = feed + f".{name}.tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(
+        f for f in os.listdir(tmp)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    dst = os.path.join(feed, name)
+    shutil.move(os.path.join(tmp, part), dst)
+    shutil.rmtree(tmp)
+    os.utime(dst, (mtime, mtime))

@@ -24,7 +24,9 @@ def test_export_round_trips_and_matches_manifest(spark, sf_dir, tmp_path):
     path = str(tmp_path / "shards")
     export_shards(docs, path, n_shards=N_SHARDS)
     back = spark.read.parquet(path)
-    # nothing dropped, nothing duplicated
+    # nothing dropped, nothing duplicated, schema = source + shard only
+    # (the internal sort_key must NOT leak into the export)
+    assert sorted(back.columns) == sorted(docs.columns + ["shard"])
     assert back.count() == docs.count()
     assert back.select("doc_id").distinct().count() == docs.count()
     # the written tree reproduces the manifest exactly
@@ -55,9 +57,13 @@ def test_shard_filter_prunes_directories(spark, sf_dir, tmp_path):
     export_shards(docs, path, n_shards=N_SHARDS)
     one = spark.read.parquet(path).where(F.col("shard") == 3)
     plan = one._jdf.queryExecution().executedPlan().toString()
-    # partition filter on the directory column, not a data filter
-    assert "PartitionFilters: [isnotnull(shard" in plan or "shard#" in plan
+    # the shard predicate must appear in the scan's PartitionFilters
+    # clause (directory pruning), not as a post-scan data filter
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "shard" in pf and "= 3" in pf
     files = one.select(F.col("_metadata.file_path")).distinct().collect()
+    assert len(files) >= 1
     assert all("shard=3" in r[0] for r in files)
 
 

@@ -15,18 +15,9 @@ SCHEMA = "event_id long, event_type string, value double"
 
 
 def _write_batch(spark, feed, name, rows, mtime):
-    tmp = str(feed) + f".{name}.tmp"
-    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(tmp)
-    part = next(
-        f for f in os.listdir(tmp)
-        if f.startswith("part-") and f.endswith(".parquet")
-    )
-    dst = os.path.join(str(feed), name)
-    shutil.move(os.path.join(tmp, part), dst)
-    shutil.rmtree(tmp)
-    os.utime(dst, (mtime, mtime))
+    from tests.conftest import stage_stream_file
+
+    stage_stream_file(spark.createDataFrame(rows, SCHEMA), feed, name, mtime)
 
 
 def _run(spark, tmp_path, k=3, min_count=10):

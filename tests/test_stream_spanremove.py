@@ -16,20 +16,13 @@ from myasynstreamjoin_spark.streaming.spanremove import (
     run_stream_remove_spans,
 )
 
+from tests.conftest import stage_stream_file
+
 SCHEMA = "doc_id long, text string"
 
 
 def _write_batch(spark, feed, name, df, mtime):
-    tmp = str(feed) + f".{name}.tmp"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    part = next(
-        f for f in os.listdir(tmp)
-        if f.startswith("part-") and f.endswith(".parquet")
-    )
-    dst = os.path.join(str(feed), name)
-    shutil.move(os.path.join(tmp, part), dst)
-    shutil.rmtree(tmp)
-    os.utime(dst, (mtime, mtime))
+    stage_stream_file(df, feed, name, mtime)
 
 
 def _run(spark, tmp_path, k=8):

@@ -149,31 +149,36 @@ def _edges_materialize(spark, sf_dir):
     return read_copurchase_edges(spark, _EDGE_TABLE)
 
 
-def _pagerank_prebuilt(spark, sf_dir):
-    from myasynstreamjoin_spark.operators.graph import (
-        pagerank_edges,
-        read_copurchase_edges,
-    )
+def _edges(spark, sf_dir):
+    """The prebuilt edge table, materializing it on demand — so the
+    prebuilt probes also work when invoked individually (fresh
+    in-memory catalog) instead of only after edges_materialize in the
+    same run. When the table already exists, its one-time build cost
+    stays out of the prebuilt queries' walls — which is the number
+    being measured."""
+    from myasynstreamjoin_spark.operators.graph import read_copurchase_edges
 
-    return pagerank_edges(read_copurchase_edges(spark, _EDGE_TABLE))
+    if not spark.catalog.tableExists(_EDGE_TABLE):
+        _edges_materialize(spark, sf_dir)
+    return read_copurchase_edges(spark, _EDGE_TABLE)
+
+
+def _pagerank_prebuilt(spark, sf_dir):
+    from myasynstreamjoin_spark.operators.graph import pagerank_edges
+
+    return pagerank_edges(_edges(spark, sf_dir))
 
 
 def _triangles_prebuilt(spark, sf_dir):
-    from myasynstreamjoin_spark.operators.graph import (
-        read_copurchase_edges,
-        triangle_count_edges,
-    )
+    from myasynstreamjoin_spark.operators.graph import triangle_count_edges
 
-    return triangle_count_edges(read_copurchase_edges(spark, _EDGE_TABLE))
+    return triangle_count_edges(_edges(spark, sf_dir))
 
 
 def _lpa_prebuilt(spark, sf_dir):
-    from myasynstreamjoin_spark.operators.graph import (
-        label_propagation_edges,
-        read_copurchase_edges,
-    )
+    from myasynstreamjoin_spark.operators.graph import label_propagation_edges
 
-    return label_propagation_edges(read_copurchase_edges(spark, _EDGE_TABLE))
+    return label_propagation_edges(_edges(spark, sf_dir))
 
 
 def main() -> int:
