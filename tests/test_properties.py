@@ -501,3 +501,94 @@ def test_snapshot_diff_matches_dict_diff(spark, old, new):
         elif old[k] != new[k]:
             expected[k] = "changed"
     assert got == expected
+
+
+# Tiny word pool → dense k-gram collisions: the input class where the
+# canonical-first election and overlapping-removal policy actually bite.
+_SPAN_DOC = st.tuples(
+    st.integers(0, 500),
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0,
+             max_size=12).map(" ".join),
+)
+
+
+def _remove_spans_model(docs, k):
+    """Brute-force Python model of remove_duplicate_spans: global
+    (doc_id, pos)-ordered canonical election, position-set union
+    removal, whitespace-normalized reassembly."""
+    import re
+    from collections import Counter, defaultdict
+
+    toked = {
+        i: re.split(r"\s+", t.strip().lower())
+        for i, t in docs
+        if t is not None
+    }
+    occs = [
+        (i, p, " ".join(toked[i][p:p + k]))
+        for i in sorted(toked)
+        for p in range(len(toked[i]) - k + 1)
+    ]
+    counts = Counter(g for _, _, g in occs)
+    first = {}
+    for i, p, g in occs:
+        first.setdefault(g, (i, p))
+    dels = defaultdict(set)
+    for i, p, g in occs:
+        if counts[g] >= 2 and first[g] != (i, p):
+            dels[i].update(range(p, p + k))
+    return {
+        i: (
+            len(toks),
+            len(dels[i] & set(range(len(toks)))),
+            " ".join(t for j, t in enumerate(toks) if j not in dels[i]),
+        )
+        for i, toks in toked.items()
+    }
+
+
+@given(docs=st.lists(_SPAN_DOC, min_size=1, max_size=12,
+                     unique_by=lambda d: d[0]))
+@PROP_SETTINGS
+def test_remove_duplicate_spans_matches_python_model(spark, docs):
+    from myasynstreamjoin_spark.functions.dedup import remove_duplicate_spans
+
+    k = 3
+    frame = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_clean"])
+        for r in remove_duplicate_spans(frame, k=k).collect()
+    }
+    assert got == _remove_spans_model(docs, k)
+
+
+@given(docs=st.lists(st.tuples(st.integers(0, 500), _TEXT), min_size=1,
+                     max_size=10, unique_by=lambda d: d[0]))
+@PROP_SETTINGS
+def test_char_entropy_matches_python_model(spark, docs):
+    """Exact integer columns match a brute-force model exactly; the
+    entropy float matches to ≤2 micro-nats (1-ulp libm ln skew can
+    move one nano-nat per char type — the documented tolerance)."""
+    import math
+    import re
+    from collections import Counter
+
+    from myasynstreamjoin_spark.functions.text import char_entropy
+
+    frame = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in char_entropy(frame).collect()}
+    for i, t in docs:
+        norm = re.sub(r"\s+", " ", t.strip().lower())
+        counts = Counter(norm)
+        if not counts:
+            assert i not in got
+            continue
+        n = sum(counts.values())
+        s = sum(
+            math.floor((c / n) * math.log(n / c) * 1e9 + 0.5)
+            for c in counts.values()
+        )
+        want = ((s + 500) // 1000) / 1e6
+        assert got[i]["n_chars"] == n
+        assert got[i]["n_distinct"] == len(counts)
+        assert abs(got[i]["entropy"] - want) <= 2e-6
