@@ -551,7 +551,15 @@ def char_entropy(docs: DataFrame) -> DataFrame:
         )
         .where(F.col("ch") != "")
     )
-    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    # counts feeds two branches of one plan (totals + the join probe);
+    # without a checkpoint both branches re-run the character explode
+    # and its aggregation — the expensive part (SCALE.md persist-vs-
+    # checkpoint rule; verified: 2 parquet scans, 0 ReusedExchange).
+    counts = (
+        chars.groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     totals = counts.groupBy("doc_id").agg(
         F.sum("c").alias("n"), F.count("*").alias("n_distinct")
     )

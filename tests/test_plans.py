@@ -517,3 +517,28 @@ def test_remove_spans_elects_canonical_without_window_sort(spark, sf_dir):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_round5_doc_ops_prune_to_two_columns(spark, sf_dir):
+    """char_entropy and shard_manifest read ONLY (doc_id, text) from
+    the 5-column documents table — the projection must reach the
+    parquet scan; and char_entropy's branched counts frame is
+    checkpointed, so the character explode runs once, not per branch."""
+    from myasynstreamjoin_spark.functions.pipeline import shard_manifest
+    from myasynstreamjoin_spark.functions.text import char_entropy
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scans = [
+        s for s in scan_report(shard_manifest(docs)) if s["read_schema"]
+    ]
+    assert scans and all(
+        s["read_schema"] == "struct<doc_id:bigint,text:string>"
+        for s in scans
+    )
+    # char_entropy materializes the (doc, char) counts ONCE (eager
+    # checkpoint): the final plan reads the shared LogicalRDD leaf on
+    # both branches and contains no parquet scan at all — the explode
+    # cannot re-run per branch.
+    plan = simple_plan(char_entropy(docs))
+    assert "Scan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
