@@ -319,7 +319,14 @@ def _span_election_dels(grams: DataFrame, k: int) -> DataFrame:
     gram except the (doc_id, pos)-min canonical one donates its k
     positions. One hash groupBy with a partial min over the struct —
     never a row_number window (which would sort the exploded gram
-    table)."""
+    table).
+
+    The input branches twice here (election + join probe) and exchange
+    reuse does NOT kick in for the differently-shaped subplans, so the
+    gram construction would run per branch (verified: 2 Generate
+    explodes, 0 ReusedExchange) — checkpoint it once (SCALE.md
+    persist-vs-checkpoint rule)."""
+    grams = grams.localCheckpoint(eager=True)
     first = grams.groupBy("gram").agg(
         F.min(F.struct("doc_id", "pos")).alias("first"),
         F.count("*").alias("__c"),
