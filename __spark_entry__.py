@@ -1624,6 +1624,23 @@ def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion end-to-end: pack documents into multi-record
+    ISO-28500-style blobs, walk them back with the Content-Length-
+    framed Arrow parser, and recover (doc_id, text) — the oracle is
+    the identity SELECT on documents, so any framing or encoding slip
+    shows up as a driver mismatch (sources/warc.py)."""
+    from myasynstreamjoin_spark.sources.warc import (
+        encode_warc_blobs,
+        parse_warc_blobs,
+        warc_documents,
+    )
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return warc_documents(parse_warc_blobs(encode_warc_blobs(docs)))
+
+
 def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-distribution entropy per document (gibberish gate):
     integer nano-nat contributions, micro-nat-rounded result — no
@@ -2792,6 +2809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shard_manifest": _q_shard_manifest,            # export-shard verification manifest
         "q_char_entropy": _q_char_entropy,                # char-entropy gibberish gate
         "q_edge_table_degrees": _q_edge_table_degrees,    # bucketed edge-table path end-to-end
+        "q_warc_roundtrip": _q_warc_roundtrip,            # WARC blob encode→parse identity
         "q_frame_sample": _q_frame_sample,
         "q_media_decode": _q_media_decode,                # REAL WAV/PPM/BMP header decode
         "q_embed_norm": _q_embed_norm,
@@ -4242,6 +4260,11 @@ def _oracle_sql_base() -> dict[str, str]:
               JOIN bounded ON a.l_orderkey = bounded.l_orderkey)
             SELECT src, count(*) AS degree FROM edges
             GROUP BY src ORDER BY degree DESC, src LIMIT 20
+        """,
+        # Round-trip identity: the WARC walk must recover exactly the
+        # non-null corpus it encoded.
+        "q_warc_roundtrip": """
+            SELECT doc_id, text FROM documents WHERE text IS NOT NULL
         """,
         "q_char_entropy": """
             WITH ch AS (
