@@ -592,3 +592,67 @@ def test_char_entropy_matches_python_model(spark, docs):
         assert got[i]["n_chars"] == n
         assert got[i]["n_distinct"] == len(counts)
         assert abs(got[i]["entropy"] - want) <= 2e-6
+
+
+@given(docs=st.lists(
+    st.tuples(
+        st.integers(0, 300),
+        st.one_of(st.none(), st.text(max_size=40)),
+    ),
+    min_size=1, max_size=10, unique_by=lambda d: d[0],
+))
+@PROP_SETTINGS
+def test_warc_codec_round_trips_arbitrary_text(spark, docs):
+    """encode→parse recovers exactly the non-null corpus for ARBITRARY
+    unicode text — including \\r\\n runs, WARC-header-looking bodies,
+    and empty strings (Content-Length framing is the only contract)."""
+    from myasynstreamjoin_spark.sources.warc import (
+        encode_warc_blobs,
+        parse_warc_blobs,
+        warc_documents,
+    )
+
+    frame = spark.createDataFrame(docs, "doc_id long, text string")
+    back = sorted(
+        tuple(r)
+        for r in warc_documents(
+            parse_warc_blobs(encode_warc_blobs(frame))
+        ).collect()
+    )
+    assert back == sorted((i, t) for i, t in docs if t is not None)
+
+
+@given(docs=st.lists(
+    st.tuples(st.integers(0, 300), st.one_of(st.none(), _TEXT)),
+    min_size=1, max_size=10, unique_by=lambda d: d[0],
+))
+@PROP_SETTINGS
+def test_shard_manifest_matches_python_model(spark, docs):
+    """Shard assignment, token counts (null → 0), and the order-free
+    md5_32-sum checksum replicate exactly in plain Python."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    from myasynstreamjoin_spark.functions.pipeline import shard_manifest
+
+    def md5_32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def bucket(s, n):
+        return int(hashlib.md5(s.encode()).hexdigest()[:4], 16) % n
+
+    model = defaultdict(lambda: [0, 0, 0])
+    for i, t in docs:
+        norm = re.sub(r"\s+", " ", (t or "").strip().lower())
+        nt = 0 if t is None else len(re.split(r"\s+", t.strip().lower()))
+        m = model[bucket(str(i), 16)]
+        m[0] += 1
+        m[1] += nt
+        m[2] += md5_32(norm)
+    frame = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["shard"]: [r["n_docs"], r["n_tokens"], r["checksum"]]
+        for r in shard_manifest(frame, n_shards=16).collect()
+    }
+    assert got == dict(model)
