@@ -639,6 +639,24 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-benchmark leak report: the train corpus screened against
+    TWO suites (src0, src1) in one broadcast pass — per suite, its doc
+    count, leaked-train-doc count, and distinct-gram hit count
+    (functions/dedup.py::contamination_report)."""
+    from myasynstreamjoin_spark.functions.dedup import contamination_report
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    bench_sources = ("src0", "src1")
+    bench = docs.where(F.col("source").isin(*bench_sources)).withColumn(
+        "bench", F.col("source")
+    )
+    return contamination_report(
+        docs.where(~F.col("source").isin(*bench_sources)), bench, k=8
+    )
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.functions.text import repetition_stats
 
@@ -2810,6 +2828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_char_entropy": _q_char_entropy,                # char-entropy gibberish gate
         "q_edge_table_degrees": _q_edge_table_degrees,    # bucketed edge-table path end-to-end
         "q_warc_roundtrip": _q_warc_roundtrip,            # WARC blob encode→parse identity
+        "q_contamination_report": _q_contamination_report,  # per-benchmark leak table
         "q_frame_sample": _q_frame_sample,
         "q_media_decode": _q_media_decode,                # REAL WAV/PPM/BMP header decode
         "q_embed_norm": _q_embed_norm,
@@ -4260,6 +4279,47 @@ def _oracle_sql_base() -> dict[str, str]:
               JOIN bounded ON a.l_orderkey = bounded.l_orderkey)
             SELECT src, count(*) AS degree FROM edges
             GROUP BY src ORDER BY degree DESC, src LIMIT 20
+        """,
+        # Per-suite leak table: per-doc distinct 8-grams (with the
+        # whole-text fallback for short docs, mirroring shingle_docs),
+        # suite gram sets deduped, one join, grouped per suite.
+        "q_contamination_report": f"""
+            WITH tg AS (
+              SELECT doc_id AS train_doc, unnest(list_distinct(
+                CASE WHEN len({_DOC_TOKENS}) >= 8 THEN
+                  list_transform(generate_series(1, len({_DOC_TOKENS}) - 7),
+                    i -> {_DOC_TOKENS}[i]   || ' ' || {_DOC_TOKENS}[i+1] || ' ' ||
+                         {_DOC_TOKENS}[i+2] || ' ' || {_DOC_TOKENS}[i+3] || ' ' ||
+                         {_DOC_TOKENS}[i+4] || ' ' || {_DOC_TOKENS}[i+5] || ' ' ||
+                         {_DOC_TOKENS}[i+6] || ' ' || {_DOC_TOKENS}[i+7])
+                ELSE [array_to_string({_DOC_TOKENS}, ' ')] END)) AS g
+              FROM documents
+              WHERE text IS NOT NULL AND source NOT IN ('src0', 'src1')),
+            bg0 AS (
+              SELECT source AS bench, unnest(list_distinct(
+                CASE WHEN len({_DOC_TOKENS}) >= 8 THEN
+                  list_transform(generate_series(1, len({_DOC_TOKENS}) - 7),
+                    i -> {_DOC_TOKENS}[i]   || ' ' || {_DOC_TOKENS}[i+1] || ' ' ||
+                         {_DOC_TOKENS}[i+2] || ' ' || {_DOC_TOKENS}[i+3] || ' ' ||
+                         {_DOC_TOKENS}[i+4] || ' ' || {_DOC_TOKENS}[i+5] || ' ' ||
+                         {_DOC_TOKENS}[i+6] || ' ' || {_DOC_TOKENS}[i+7])
+                ELSE [array_to_string({_DOC_TOKENS}, ' ')] END)) AS g
+              FROM documents
+              WHERE text IS NOT NULL AND source IN ('src0', 'src1')),
+            bg AS (SELECT DISTINCT bench, g FROM bg0),
+            totals AS (
+              SELECT source AS bench, count(*) AS n_bench_docs
+              FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+            hits AS (
+              SELECT bg.bench,
+                     count(DISTINCT tg.train_doc) AS n_train_docs_hit,
+                     count(*) AS n_gram_hits
+              FROM tg JOIN bg USING (g) GROUP BY 1)
+            SELECT t.bench, CAST(t.n_bench_docs AS BIGINT) AS n_bench_docs,
+                   CAST(coalesce(h.n_train_docs_hit, 0) AS BIGINT)
+                     AS n_train_docs_hit,
+                   CAST(coalesce(h.n_gram_hits, 0) AS BIGINT) AS n_gram_hits
+            FROM totals t LEFT JOIN hits h USING (bench)
         """,
         # Round-trip identity: the WARC walk must recover exactly the
         # non-null corpus it encoded.

@@ -1011,3 +1011,52 @@ def prefix_jaccard_pairs(
         )
     finally:
         base.unpersist()
+
+
+def contamination_report(
+    train: DataFrame,
+    bench: DataFrame,
+    k: int = 8,
+    bench_col: str = "bench",
+) -> DataFrame:
+    """Per-benchmark leak report — the multi-benchmark form of the
+    decontamination gate: real pipelines screen one training corpus
+    against MANY held-out suites at once and publish a per-suite
+    overlap table, not a single pass/fail. ``bench`` carries a
+    ``bench_col`` label naming each suite.
+
+    Scale shape: the training corpus reduces to its per-doc distinct
+    gram table ONCE (the standard rebalanced shingle pass) and is
+    probed by the union of all suites' gram sets in ONE broadcast hash
+    join — benchmark corpora are small by definition, so adding suites
+    costs broadcast bytes, never extra train scans. Suites with zero
+    leaks still report (left join from the suite totals).
+
+    Output: (bench, n_bench_docs, n_train_docs_hit, n_gram_hits) —
+    n_gram_hits counts (train_doc, gram) pairs over per-doc DISTINCT
+    grams, so a gram repeated inside one training doc counts once.
+    """
+    tg = shingle_docs(train, k).select(
+        F.col("doc_id").alias("train_doc"), F.explode_outer("sh").alias("g")
+    )
+    bg = (
+        shingle_docs(bench, k)
+        .join(bench.select("doc_id", bench_col), "doc_id")
+        .select(F.col(bench_col).alias("bench"), F.explode_outer("sh").alias("g"))
+        .distinct()
+    )
+    totals = bench.groupBy(F.col(bench_col).alias("bench")).agg(
+        F.count("*").alias("n_bench_docs")
+    )
+    hits = tg.join(F.broadcast(bg), "g").groupBy("bench").agg(
+        F.countDistinct("train_doc").alias("n_train_docs_hit"),
+        F.count("*").alias("n_gram_hits"),
+    )
+    return totals.join(hits, "bench", "left").select(
+        "bench",
+        "n_bench_docs",
+        F.coalesce("n_train_docs_hit", F.lit(0)).cast("long").alias(
+            "n_train_docs_hit"
+        ),
+        F.coalesce("n_gram_hits", F.lit(0)).cast("long").alias("n_gram_hits"),
+    )

@@ -273,3 +273,34 @@ def test_lsh_autoscale_is_the_library_default():
     # the oracle wrappers still pin explicit literals (replayability)
     assert "n_planes=4" in inspect.getsource(entry_mod._q_embed_neardup_lsh)
     assert "n_seeds=8" in inspect.getsource(entry_mod._q_semantic_dedup)
+
+
+def test_contamination_report_per_suite_counts(spark):
+    """Hand corpus: suite A leaks into two train docs, suite B into
+    none — B still reports a zero row; gram hits count per-doc
+    DISTINCT grams."""
+    from myasynstreamjoin_spark.functions.dedup import contamination_report
+
+    span = "w1 w2 w3 w4 w5 w6 w7 w8"
+    train = spark.createDataFrame(
+        [
+            (0, f"{span} tail tokens here"),
+            (1, f"prefix {span}"),
+            (2, "nothing shared at all in this doc"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, span, "suiteA"),
+            (101, "completely different benchmark text", "suiteB"),
+            (102, "another clean suite b doc", "suiteB"),
+        ],
+        "doc_id long, text string, bench string",
+    )
+    out = {r["bench"]: tuple(r)[1:] for r in
+           contamination_report(train, bench, k=8).collect()}
+    # suiteA: 1 bench doc; train docs 0 and 1 each share exactly the
+    # one 8-gram (doc 0: positions 0..; doc 1 contains it once)
+    assert out["suiteA"] == (1, 2, 2)
+    assert out["suiteB"] == (2, 0, 0)
