@@ -39,6 +39,8 @@ DEFAULT = [
     "q_remove_spans",
     "remove_spans_hashed",
     "q_bloom_decontaminate",
+    "q_contamination_report",
+    "q_warc_roundtrip",
     "q_bm25",
     "q_simsearch",
     "q_dup_spans",
