@@ -1691,6 +1691,19 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, F.size(tokens("text")), budget=512, n_shards=8)
 
 
+def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packed training samples: exactly-128-token
+    sequences laid head-to-tail per shard in doc_id order, partial
+    tails dropped (functions/pipeline.py::pack_chunks — the
+    materializer on top of q_pack_sequences' assignment)."""
+    from myasynstreamjoin_spark.functions.pipeline import pack_chunks
+
+    _prep(spark)
+    return pack_chunks(
+        tables.load_table(spark, sf_dir, "documents"), budget=128, n_shards=8
+    )
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over documents with deterministically injected PII
     (the synthetic corpus has none): both engines append the same
@@ -2829,6 +2842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_edge_table_degrees": _q_edge_table_degrees,    # bucketed edge-table path end-to-end
         "q_warc_roundtrip": _q_warc_roundtrip,            # WARC blob encode→parse identity
         "q_contamination_report": _q_contamination_report,  # per-benchmark leak table
+        "q_pack_chunks": _q_pack_chunks,                  # materialized packed samples
         "q_frame_sample": _q_frame_sample,
         "q_media_decode": _q_media_decode,                # REAL WAV/PPM/BMP header decode
         "q_embed_norm": _q_embed_norm,
@@ -4380,6 +4394,35 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT doc_id, shard, n_tokens,
                    prefix // 512 AS seq_id, prefix % 512 AS seq_offset
             FROM p
+        """,
+        # Materializer on top of the q_pack_sequences assignment:
+        # global position prefix+i-1 places each token; list(... ORDER
+        # BY off) rebuilds the sample; full-budget samples only.
+        "q_pack_chunks": f"""
+            WITH d AS (
+              SELECT doc_id, {_DOC_TOKENS} AS t,
+                     CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+                       % 8 AS shard,
+                     CAST(len({_DOC_TOKENS}) AS BIGINT) AS n_tokens
+              FROM documents),
+            p AS (
+              SELECT doc_id, t, shard,
+                     COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+              FROM d),
+            placed AS (
+              SELECT doc_id, shard, t[i] AS tok,
+                     (prefix + i - 1) // 128 AS seq_id,
+                     (prefix + i - 1) % 128 AS off
+              FROM p, unnest(generate_series(1, len(t))) AS u(i)),
+            agg AS (
+              SELECT shard, seq_id,
+                     count(DISTINCT doc_id) AS n_docs,
+                     list(tok ORDER BY off) AS tokens
+              FROM placed GROUP BY 1, 2)
+            SELECT shard, seq_id, CAST(n_docs AS BIGINT) AS n_docs, tokens
+            FROM agg WHERE len(tokens) = 128
         """,
         "q_pii_scrub": """
             WITH aug AS (

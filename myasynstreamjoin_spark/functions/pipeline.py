@@ -692,3 +692,66 @@ def export_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def pack_chunks(
+    docs: DataFrame,
+    budget: int = 512,
+    n_shards: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the packed training samples `pack_sequences` only
+    ASSIGNS: documents lie head-to-tail per shard in deterministic
+    id order and every output row is one sequence of EXACTLY
+    ``budget`` whitespace tokens (each shard's trailing partial
+    sequence is dropped — the standard convention; its tokens are the
+    packing waste the assignment op already lets you audit).
+
+    Scale shape: the explode is one row per corpus TOKEN — inherent to
+    materializing samples — but everything after it is a single keyed
+    shuffle: global position = seq_id·budget + seq_offset + pos is a
+    scan-stage projection, and the groupBy (shard, seq_id) collects
+    exactly ``budget`` (off, tok) pairs per output row, so no group
+    outgrows a task whatever the document length distribution. At
+    100 TB this runs once per tokenizer change and writes straight to
+    the bucketed/sharded sinks.
+
+    Output: (shard, seq_id, n_docs, tokens) — n_docs = documents
+    contributing to the sample (packing mixes doc tails/heads);
+    tokens = the budget-length array in order.
+    """
+    from myasynstreamjoin_spark.functions.text import tokens as _tokens
+
+    toked = docs.select(
+        id_col, F.col(text_col), _tokens(text_col).alias("__t")
+    )
+    base = pack_sequences(
+        toked, F.size("__t"), budget=budget, n_shards=n_shards, id_col=id_col
+    )
+    joined = base.join(toked.select(id_col, "__t"), id_col)
+    placed = joined.select(
+        id_col,
+        "shard",
+        F.posexplode("__t").alias("pos", "tok"),
+        (
+            F.col("seq_id") * F.lit(budget) + F.col("seq_offset")
+        ).alias("__start"),
+    ).select(
+        id_col,
+        "shard",
+        "tok",
+        F.expr(f"(__start + pos) DIV {int(budget)}").alias("seq_id"),
+        ((F.col("__start") + F.col("pos")) % budget).alias("off"),
+    )
+    return (
+        placed.groupBy("shard", "seq_id")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("off", "tok"))),
+                lambda s: s["tok"],
+            ).alias("tokens"),
+        )
+        .where(F.size("tokens") == budget)
+    )
