@@ -1704,6 +1704,45 @@ def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_shard_manifest: documents export in two
+    micro-batches, the manifest folds incrementally per version, and
+    the latest version equals the batch manifest of the whole corpus —
+    the statistics are order-free integer sums, so ANY batch split
+    satisfies the same oracle (streaming/export.py)."""
+    import os
+    import tempfile
+
+    from myasynstreamjoin_spark.streaming.export import (
+        read_export_manifest,
+        run_stream_export_shards,
+    )
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="stream_export_")
+    feed = _stage_parquet_feed(
+        (
+            docs.where(F.col("doc_id") % 2 == 0),
+            docs.where(F.col("doc_id") % 2 == 1),
+        ),
+        tmp,
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    run_stream_export_shards(
+        stream,
+        spark,
+        work_dir=os.path.join(tmp, "ex"),
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        n_shards=16,
+    )
+    return read_export_manifest(spark, os.path.join(tmp, "ex"))
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over documents with deterministically injected PII
     (the synthetic corpus has none): both engines append the same
@@ -2843,6 +2882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warc_roundtrip": _q_warc_roundtrip,            # WARC blob encode→parse identity
         "q_contamination_report": _q_contamination_report,  # per-benchmark leak table
         "q_pack_chunks": _q_pack_chunks,                  # materialized packed samples
+        "q_stream_shard_manifest": _q_stream_shard_manifest,  # continuous export manifest
         "q_frame_sample": _q_frame_sample,
         "q_media_decode": _q_media_decode,                # REAL WAV/PPM/BMP header decode
         "q_embed_norm": _q_embed_norm,
@@ -6114,6 +6154,9 @@ def oracle_sql() -> dict[str, str]:
     # Ascending-range batches make first-seen order ≡ (doc_id, pos)
     # order, so the streamed cleaned corpus equals the batch one.
     d["q_stream_remove_spans"] = d["q_remove_spans"]
+    # Manifest statistics are order-free integer sums: the folded
+    # latest version equals the batch manifest under ANY batch split.
+    d["q_stream_shard_manifest"] = d["q_shard_manifest"]
     # Both pair sets replay in SQL (md5 shingles/permutations), so
     # the audit's oracle recomputes precision/recall from scratch.
     d["q_dedup_audit"] = f"""
