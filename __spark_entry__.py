@@ -1165,7 +1165,6 @@ def _q_edge_table_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree aggregation runs exchange-free on the bucket key
     (plan-locked in tests/test_graph_edges.py)."""
     import os
-    import shutil
     import tempfile
 
     from myasynstreamjoin_spark.operators.graph import (
@@ -1175,11 +1174,6 @@ def _q_edge_table_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     table = "q_edge_degrees_tmp"
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    loc = os.path.join(
-        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), table
-    )
-    shutil.rmtree(loc, ignore_errors=True)
     tmp = tempfile.mkdtemp(prefix="edge_degrees_")
     write_copurchase_edges(
         tables.load_table(spark, sf_dir, "lineitem"),

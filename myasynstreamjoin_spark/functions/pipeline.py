@@ -723,9 +723,13 @@ def pack_chunks(
     """
     from myasynstreamjoin_spark.functions.text import tokens as _tokens
 
+    # toked branches into the assignment and the join probe — without
+    # a checkpoint both branches re-scan the corpus and re-run the
+    # tokenizer (SCALE.md persist-vs-checkpoint rule; verified 2
+    # parquet scans, 0 ReusedExchange un-checkpointed).
     toked = docs.select(
         id_col, F.col(text_col), _tokens(text_col).alias("__t")
-    )
+    ).localCheckpoint(eager=True)
     base = pack_sequences(
         toked, F.size("__t"), budget=budget, n_shards=n_shards, id_col=id_col
     )

@@ -56,6 +56,25 @@ def write_bucketed(
     ``spark.table``, not a bare parquet read, is required to get the
     exchange-free plans).
     """
+    if mode == "overwrite":
+        # An interrupted prior session can leave the MANAGED table's
+        # warehouse location on disk with no catalog entry (the
+        # in-memory catalog died with the session); saveAsTable then
+        # fails with LOCATION_ALREADY_EXISTS even in overwrite mode.
+        # Clear both sides up front.
+        import os
+        import shutil
+
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        if path is None:
+            loc = os.path.join(
+                spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+                    "file:"
+                ),
+                table,
+            )
+            shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

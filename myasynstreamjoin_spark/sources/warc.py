@@ -136,6 +136,10 @@ def parse_warc_blobs(
                         clen = int(headers.get("Content-Length", ""))
                     except ValueError:
                         break
+                    if clen < 0:
+                        # a negative length would move pos BACKWARDS
+                        # and re-parse the same record forever
+                        break
                     body_start = hdr_end + 4
                     body_end = body_start + clen
                     if body_end + 4 > len(buf):
@@ -170,10 +174,13 @@ def parse_warc_blobs(
 
 def warc_documents(parsed: DataFrame) -> DataFrame:
     """(doc_id, text) view of parsed records — doc_id recovered from
-    the record's urn, the join-ready shape downstream operators eat."""
+    the record's urn, the join-ready shape downstream operators eat.
+    Records whose id is not ``<urn:doc:N>`` (real archives use
+    ``<urn:uuid:...>``; headerless records parse as '') get a NULL
+    doc_id instead of killing the job — under ANSI mode a bare
+    ``cast('' AS BIGINT)`` throws."""
+    num = F.regexp_extract("record_id", r"<urn:doc:(\d+)>", 1)
     return parsed.select(
-        F.regexp_extract("record_id", r"<urn:doc:(\d+)>", 1)
-        .cast("long")
-        .alias("doc_id"),
+        F.when(num != "", num.cast("long")).alias("doc_id"),
         F.col("body").alias("text"),
     )

@@ -31,17 +31,8 @@ TABLE = "test_copurchase_edges"
 
 @pytest.fixture(scope="module")
 def edge_table(spark, sf_dir):
-    import os
-    import shutil
-
-    # an interrupted previous run can leave the managed-table LOCATION
-    # behind without a catalog entry — clear both sides before writing
-    spark.sql(f"DROP TABLE IF EXISTS {TABLE}")
-    loc = os.path.join(
-        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
-        TABLE,
-    )
-    shutil.rmtree(loc, ignore_errors=True)
+    # stale-location cleanup happens inside the bucketed writer
+    # (sources/sinks.py), so an interrupted previous run can't wedge us
     lineitem = load_table(spark, sf_dir, "lineitem")
     write_copurchase_edges(lineitem, TABLE, n_buckets=8)
     yield read_copurchase_edges(spark, TABLE)

@@ -55,3 +55,41 @@ def test_multirecord_blob_and_unicode_bodies(spark):
         for r in warc_documents(parse_warc_blobs(blobs)).collect()
     )
     assert out == sorted((i, f"doc {i} naïve café é中文") for i in range(5))
+
+
+def test_negative_content_length_ends_walk_not_loops(spark):
+    """A corrupt negative Content-Length must terminate the blob's
+    walk (it would otherwise move pos backwards and re-parse the same
+    record forever)."""
+    good = _record_bytes(1, "ok")
+    bad = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:doc:2>\r\n"
+        b"Content-Length: -108\r\n"
+        b"\r\n"
+    )
+    blobs = spark.createDataFrame(
+        [(0, bytearray(good + bad))], "blob_id long, content binary"
+    )
+    out = parse_warc_blobs(blobs).collect()
+    assert [r["record_id"] for r in out] == ["<urn:doc:1>"]
+
+
+def test_non_urn_record_ids_yield_null_doc_id(spark):
+    """Real archives use uuid record ids — warc_documents must map
+    them to NULL doc_id, not die on an ANSI '' -> BIGINT cast."""
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:12af-34cd>\r\n"
+        b"Content-Length: 4\r\n"
+        b"\r\n"
+        b"body\r\n\r\n"
+    )
+    blobs = spark.createDataFrame(
+        [(0, bytearray(rec))], "blob_id long, content binary"
+    )
+    out = warc_documents(parse_warc_blobs(blobs)).collect()
+    assert len(out) == 1
+    assert out[0]["doc_id"] is None and out[0]["text"] == "body"

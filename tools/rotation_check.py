@@ -27,8 +27,12 @@ import __spark_entry__ as contract  # noqa: E402
 
 
 def main() -> int:
+    # anchor to the repo root (like the import above) so a run from
+    # any CWD sees the CORRECTNESS history instead of silently
+    # reporting zero driver-checked queries
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     checked: set[str] = set()
-    for p in sorted(glob.glob("CORRECTNESS_r*.json")):
+    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         checked |= set(json.load(open(p)))
     qs = list(contract.queries())
     oracles = set(contract.oracle_sql())

@@ -127,24 +127,14 @@ def _edges_materialize(spark, sf_dir):
     """Build-once cost of the bucketed co-purchase edge table — the
     price the prebuilt graph ops amortize. Row count = directed edges.
 
-    A previous probe session's managed-table LOCATION can survive in
-    spark-warehouse/ while the (in-memory) catalog entry did not —
-    saveAsTable(overwrite) then fails with LOCATION_ALREADY_EXISTS, so
-    drop both sides first."""
-    import shutil
-
+    Stale managed-table locations from interrupted sessions are
+    cleared inside the bucketed writer itself (sources/sinks.py)."""
     from myasynstreamjoin_spark.operators.graph import (
         read_copurchase_edges,
         write_copurchase_edges,
     )
     from myasynstreamjoin_spark.sources.tables import load_table
 
-    spark.sql(f"DROP TABLE IF EXISTS {_EDGE_TABLE}")
-    loc = os.path.join(
-        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
-        _EDGE_TABLE,
-    )
-    shutil.rmtree(loc, ignore_errors=True)
     write_copurchase_edges(
         load_table(spark, sf_dir, "lineitem"), _EDGE_TABLE, n_buckets=32
     )
