@@ -175,3 +175,23 @@ def test_char_entropy_known_values(spark):
     assert out[1]["n_distinct"] == 4
     # prose uses a wide alphabet: far higher entropy than gibberish
     assert out[2]["entropy"] > out[0]["entropy"] + 2.0
+
+
+def test_char_entropy_arrow_twin_matches_sql_kernel(spark, sf_dir):
+    """Integer columns identical; entropy within the documented
+    1-micro-nat libm tolerance, over the whole driver corpus."""
+    from myasynstreamjoin_spark.functions.text import char_entropy
+    from myasynstreamjoin_spark.sources.tables import load_table
+
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents")
+    sql = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    arrow = {r["doc_id"]: r for r in char_entropy(docs, kernel="arrow").collect()}
+    assert set(sql) == set(arrow)
+    for i in sql:
+        assert (sql[i]["n_chars"], sql[i]["n_distinct"]) == (
+            arrow[i]["n_chars"], arrow[i]["n_distinct"])
+        assert abs(sql[i]["entropy"] - arrow[i]["entropy"]) <= 1e-6
+    with pytest.raises(ValueError):
+        char_entropy(docs, kernel="nope")
