@@ -656,3 +656,47 @@ def test_shard_manifest_matches_python_model(spark, docs):
         for r in shard_manifest(frame, n_shards=16).collect()
     }
     assert got == dict(model)
+
+
+@given(docs=st.lists(
+    st.tuples(
+        st.integers(0, 300),
+        st.lists(st.sampled_from(["tok", "x", "yy"]), min_size=0,
+                 max_size=9).map(" ".join),
+    ),
+    min_size=1, max_size=10, unique_by=lambda d: d[0],
+))
+@PROP_SETTINGS
+def test_pack_chunks_matches_python_model(spark, docs):
+    """Head-to-tail packing replicates a brute-force model: per shard,
+    concatenate token lists in doc_id order, cut every `budget`,
+    drop the partial tail; n_docs = contributing documents."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    from myasynstreamjoin_spark.functions.pipeline import pack_chunks
+
+    budget, n_shards = 8, 4
+
+    def bucket(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:4], 16) % n_shards
+
+    stream = defaultdict(list)  # shard -> [(doc_id, tok), ...]
+    for i, t in sorted(docs):
+        toks = re.split(r"\s+", t.strip().lower())
+        stream[bucket(str(i))].extend((i, tok) for tok in toks)
+    want = {}
+    for shard, pairs in stream.items():
+        for seq in range(len(pairs) // budget):
+            chunk = pairs[seq * budget : (seq + 1) * budget]
+            want[(shard, seq)] = (
+                len({i for i, _ in chunk}),
+                [tok for _, tok in chunk],
+            )
+    frame = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["shard"], r["seq_id"]): (r["n_docs"], list(r["tokens"]))
+        for r in pack_chunks(frame, budget=budget, n_shards=n_shards).collect()
+    }
+    assert got == want
