@@ -1698,6 +1698,18 @@ def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: volumes, English fraction, mean
+    quality/entropy (integer micro-unit sums, one division), and the
+    corpus-level duplicated-span fraction — the summary table a
+    shipped corpus publishes (functions/pipeline.py::dataset_card;
+    oracle = the component queries' own oracles CTE-composed)."""
+    from myasynstreamjoin_spark.functions.pipeline import dataset_card
+
+    _prep(spark)
+    return dataset_card(tables.load_table(spark, sf_dir, "documents"))
+
+
 def _q_stream_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of q_shard_manifest: documents export in two
     micro-batches, the manifest folds incrementally per version, and
@@ -2877,6 +2889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination_report": _q_contamination_report,  # per-benchmark leak table
         "q_pack_chunks": _q_pack_chunks,                  # materialized packed samples
         "q_stream_shard_manifest": _q_stream_shard_manifest,  # continuous export manifest
+        "q_dataset_card": _q_dataset_card,                # per-source dataset card rollup
         "q_frame_sample": _q_frame_sample,
         "q_media_decode": _q_media_decode,                # REAL WAV/PPM/BMP header decode
         "q_embed_norm": _q_embed_norm,
@@ -6151,6 +6164,36 @@ def oracle_sql() -> dict[str, str]:
     # Manifest statistics are order-free integer sums: the folded
     # latest version equals the batch manifest under ANY batch split.
     d["q_stream_shard_manifest"] = d["q_shard_manifest"]
+    # Dataset card: the component queries' oracles CTE-composed and
+    # rolled up per source — micro-unit integer sums, one division.
+    d["q_dataset_card"] = f"""
+        WITH q AS ({d['q_quality']}),
+        l AS ({d['q_langid']}),
+        e AS ({d['q_char_entropy']}),
+        ds AS ({d['q_dup_spans']}),
+        ts AS ({d['q_textstats']}),
+        j AS (
+          SELECT doc.source, doc.doc_id, q.quality, l.lang_guess,
+                 e.n_chars, e.entropy, ds.n_spans, ds.n_dup_spans,
+                 ts.n_tokens
+          FROM documents doc
+          JOIN q USING (doc_id) JOIN l USING (doc_id)
+          JOIN e USING (doc_id) JOIN ds USING (doc_id)
+          JOIN ts USING (doc_id))
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               CAST(sum(CASE WHEN lang_guess = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_en,
+               CAST(sum(CAST(round(quality * 1e6) AS BIGINT)) AS DOUBLE)
+                 / (count(*) * 1000000.0) AS avg_quality,
+               CAST(sum(CAST(round(entropy * 1e6) AS BIGINT)) AS DOUBLE)
+                 / (count(*) * 1000000.0) AS avg_entropy,
+               CAST(sum(n_dup_spans) AS DOUBLE)
+                 / CAST(sum(n_spans) AS DOUBLE) AS dup_frac
+        FROM j GROUP BY source
+    """
     # Both pair sets replay in SQL (md5 shingles/permutations), so
     # the audit's oracle recomputes precision/recall from scratch.
     d["q_dedup_audit"] = f"""

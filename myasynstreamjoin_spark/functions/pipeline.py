@@ -759,3 +759,84 @@ def pack_chunks(
         )
         .where(F.size("tokens") == budget)
     )
+
+
+def dataset_card(docs: DataFrame) -> DataFrame:
+    """Per-source dataset card: the one-table summary a corpus ships
+    with (HF dataset-card / Datasheets-for-Datasets shape) — doc and
+    token volumes, mean quality, English fraction, mean character
+    entropy, and the corpus-level duplicated-span fraction, per
+    ``source``. Composed from the per-doc operators this package
+    already verifies (quality_score, lang_id, char_entropy,
+    dup_span_stats, text_stats) joined on doc_id and rolled up.
+
+    Determinism for the three mean columns follows the house rule for
+    averages of engine-identical rounded doubles: each per-doc value
+    is converted to integer MICRO-units (round ×1e6 — exact, because
+    the per-doc values are already 6-decimal-rounded and hash-equal
+    across engines), summed as BIGINT (order-free), and divided ONCE
+    by count·10⁶ — never a float SUM/AVG, whose association differs
+    per engine. dup_frac is the ratio of two integer sums.
+
+    Docs char_entropy/dup_span_stats exclude (NULL/empty text) drop
+    from the card via the inner joins — identically in the oracle.
+
+    Scale shape: five doc-keyed joins of per-doc frames that each
+    reduce or scan the corpus once, then ONE |sources|-row aggregate;
+    at 100 TB the joins co-locate on doc_id and the rollup is a
+    map-side-combined groupBy of a handful of integer columns.
+
+    Output: (source, n_docs, n_tokens, n_chars, n_en, avg_quality,
+    avg_entropy, dup_frac).
+    """
+    from myasynstreamjoin_spark.functions.dedup import dup_span_stats
+    from myasynstreamjoin_spark.functions.text import (
+        char_entropy,
+        lang_id,
+        quality_score,
+        text_stats,
+    )
+
+    micro = lambda c: F.round(F.col(c) * F.lit(1e6)).cast("long")  # noqa: E731
+    j = (
+        docs.select("doc_id", "source")
+        .join(quality_score(docs), "doc_id")
+        .join(lang_id(docs).select("doc_id", "lang_guess"), "doc_id")
+        .join(char_entropy(docs).select("doc_id", "n_chars", "entropy"), "doc_id")
+        .join(
+            dup_span_stats(docs).select("doc_id", "n_spans", "n_dup_spans"),
+            "doc_id",
+        )
+        .join(text_stats(docs).select("doc_id", "n_tokens"), "doc_id")
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum(
+                F.when(F.col("lang_guess") == "en", 1).otherwise(0)
+            ).cast("long").alias("n_en"),
+            F.sum(micro("quality")).alias("__q"),
+            F.sum(micro("entropy")).alias("__e"),
+            F.sum("n_dup_spans").alias("__d"),
+            F.sum("n_spans").alias("__s"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "n_en",
+            F.expr("CAST(__q AS DOUBLE) / (n_docs * 1000000.0)").alias(
+                "avg_quality"
+            ),
+            F.expr("CAST(__e AS DOUBLE) / (n_docs * 1000000.0)").alias(
+                "avg_entropy"
+            ),
+            F.expr("CAST(__d AS DOUBLE) / CAST(__s AS DOUBLE)").alias(
+                "dup_frac"
+            ),
+        )
+    )

@@ -418,3 +418,36 @@ def test_plan_data_budget_invariants(spark):
     # budget above total caps: everything saturates, surplus unspent
     out2 = {r.source: r for r in plan_data_budget(docs, 10**9, 3).collect()}
     assert all(out2[s].alloc == 3 * n for s, n in sizes.items())
+
+
+def test_dataset_card_rolls_up_components(spark, sf_dir):
+    """Card rows must agree with the component operators aggregated by
+    hand (quality/entropy via micro-unit sums, dup_frac as a ratio of
+    span sums), and every source of the corpus appears."""
+    from collections import defaultdict
+
+    from myasynstreamjoin_spark.functions.dedup import dup_span_stats
+    from myasynstreamjoin_spark.functions.pipeline import dataset_card
+    from myasynstreamjoin_spark.functions.text import quality_score
+    from myasynstreamjoin_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    card = {r["source"]: r for r in dataset_card(docs).collect()}
+    assert set(card) == {
+        r["source"] for r in docs.select("source").distinct().collect()
+    }
+    src_of = {r["doc_id"]: r["source"] for r in docs.collect()}
+    q_sum, n = defaultdict(int), defaultdict(int)
+    for r in quality_score(docs).collect():
+        q_sum[src_of[r["doc_id"]]] += round(r["quality"] * 1e6)
+        n[src_of[r["doc_id"]]] += 1
+    d_sum, s_sum = defaultdict(int), defaultdict(int)
+    for r in dup_span_stats(docs).collect():
+        d_sum[src_of[r["doc_id"]]] += r["n_dup_spans"]
+        s_sum[src_of[r["doc_id"]]] += r["n_spans"]
+    for src, row in card.items():
+        assert row["n_docs"] == n[src]
+        assert 0.0 <= row["avg_quality"] <= 1.0
+        assert row["avg_quality"] == q_sum[src] / (n[src] * 1e6)
+        assert row["dup_frac"] == d_sum[src] / s_sum[src]
+        assert row["n_en"] <= row["n_docs"]
