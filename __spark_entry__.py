@@ -3473,7 +3473,7 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "q_rank_features": """
             SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS c_acctbal,
-                   ntile(4) OVER w AS tile,
+                   CAST(ntile(4) OVER w AS INTEGER) AS tile,
                    round(percent_rank() OVER w, 6) AS pct_rank,
                    round(cume_dist() OVER w, 6) AS cume
             FROM customer
@@ -3596,7 +3596,7 @@ def _oracle_sql_base() -> dict[str, str]:
               JOIN corpus c USING (term)
               JOIN src_tot s USING (source)
               CROSS JOIN tot t)
-            SELECT source, max(ts) AS n_tokens,
+            SELECT source, CAST(max(ts) AS BIGINT) AS n_tokens,
                    round(sum(nano) / 1e9, 6) AS kl
             FROM contrib GROUP BY source
         """,
@@ -3616,7 +3616,7 @@ def _oracle_sql_base() -> dict[str, str]:
                    FROM x a JOIN x b
                      ON a.vec_id = b.vec_id AND b.i >= a.i
                    GROUP BY a.i, b.i)
-            SELECT s2.i, s2.j,
+            SELECT CAST(s2.i AS INTEGER) AS i, CAST(s2.j AS INTEGER) AS j,
                    round(CAST(n.n * s2.s - sa.si * sb.si AS DOUBLE)
                          / CAST(n.n * n.n * 1000000 * CAST(1000000 AS HUGEINT)
                                 AS DOUBLE), 9) AS cov
@@ -3644,8 +3644,9 @@ def _oracle_sql_base() -> dict[str, str]:
                      row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
                        AS sent_idx
               FROM segs WHERE sentence <> '')
-            SELECT doc_id, sent_idx, sentence,
-                   len(string_split(sentence, ' ')) AS n_tokens
+            SELECT doc_id, CAST(sent_idx AS INTEGER) AS sent_idx, sentence,
+                   CAST(len(string_split(sentence, ' ')) AS INTEGER)
+                     AS n_tokens
             FROM kept
         """,
         # Efraimidis–Spirakis replay: same md5 uniform, same ln(u)/w
@@ -3701,7 +3702,7 @@ def _oracle_sql_base() -> dict[str, str]:
                      unnest({_DOC_TOKENS}) AS term,
                      generate_subscripts({_DOC_TOKENS}, 1) AS pos
               FROM documents)
-            SELECT a.doc_id, count(*) AS n_matches
+            SELECT a.doc_id, CAST(count(*) AS INTEGER) AS n_matches
             FROM tok a
             JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
             JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
@@ -3761,9 +3762,13 @@ def _oracle_sql_base() -> dict[str, str]:
               WHERE EXISTS (SELECT 1 FROM oriented o
                             WHERE o.lo = w.x AND o.hi = w.y)),
             stats AS (
+              -- CAST: DuckDB SUM(BIGINT) yields HUGEINT (Arrow
+              -- decimal128(38,0)); the driver's value hash is typed, so
+              -- an un-cast sum reads as a mismatch against Spark's
+              -- bigint even when values are identical.
               SELECT count(*) AS n_nodes,
-                     sum(deg) // 2 AS n_edges,
-                     sum(deg * (deg - 1) // 2) AS n_wedges
+                     CAST(sum(deg) // 2 AS BIGINT) AS n_edges,
+                     CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
               FROM deg)
             SELECT n_nodes, n_edges, n_wedges, n_triangles,
                    -- integer-ppm rounding then one IEEE division: engines
@@ -3868,7 +3873,8 @@ def _oracle_sql_base() -> dict[str, str]:
             LIMIT 20
         """,
         "q_topk_per_group": """
-            SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS c_acctbal, rn
+            SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS c_acctbal,
+                   CAST(rn AS INTEGER) AS rn
             FROM (
               SELECT c_mktsegment, c_custkey, c_acctbal,
                      row_number() OVER (PARTITION BY c_mktsegment
@@ -4008,7 +4014,7 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "q_tpch_q7": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-                   year(l_shipdate) AS l_year,
+                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
                    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
                                   * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
                         AS DOUBLE) AS revenue
@@ -4029,7 +4035,7 @@ def _oracle_sql_base() -> dict[str, str]:
               JOIN nation ON n_nationkey = c_nationkey
               JOIN region ON r_regionkey = n_regionkey
               WHERE r_name = 'ASIA')
-            SELECT year(o_orderdate) AS o_year,
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
                    round(CAST(sum(CASE WHEN n_name = 'NATION_3'
                                        THEN CAST(l_extendedprice AS DECIMAL(18,4))
                                             * (1 - CAST(l_discount AS DECIMAL(18,4)))
@@ -4311,7 +4317,8 @@ def _oracle_sql_base() -> dict[str, str]:
               SELECT *, row_number() OVER (
                        PARTITION BY doc_id ORDER BY s DESC, term ASC) AS rn
               FROM scored)
-            SELECT doc_id, term, rn, tf, df, round(s, 6) AS score
+            SELECT doc_id, term, CAST(rn AS INTEGER) AS rn, tf, df,
+                   round(s, 6) AS score
             FROM ranked WHERE rn <= 3
         """,
         "q_hash_split": """
@@ -4323,7 +4330,8 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT CASE WHEN bkt < 1000 THEN 'test'
                         WHEN bkt < 9000 THEN 'train'
                         ELSE 'val' END AS split,
-                   count(*) AS n_docs, sum(n_chars) AS sum_chars
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM b GROUP BY 1
         """,
         # Degrees of the directed co-purchase edge list (same bounded-
@@ -4439,7 +4447,10 @@ def _oracle_sql_base() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
               FROM d)
             SELECT doc_id, shard, n_tokens,
-                   prefix // 512 AS seq_id, prefix % 512 AS seq_offset
+                   -- CAST: window SUM(BIGINT) is HUGEINT/decimal128 —
+                   -- typed driver hash needs bigint like Spark's.
+                   CAST(prefix // 512 AS BIGINT) AS seq_id,
+                   CAST(prefix % 512 AS BIGINT) AS seq_offset
             FROM p
         """,
         # Materializer on top of the q_pack_sequences assignment:
@@ -4460,7 +4471,9 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM d),
             placed AS (
               SELECT doc_id, shard, t[i] AS tok,
-                     (prefix + i - 1) // 128 AS seq_id,
+                     -- CAST: prefix is a window SUM(BIGINT) → HUGEINT;
+                     -- keep seq_id bigint to match Spark's typed hash.
+                     CAST((prefix + i - 1) // 128 AS BIGINT) AS seq_id,
                      (prefix + i - 1) % 128 AS off
               FROM p, unnest(generate_series(1, len(t))) AS u(i)),
             agg AS (
@@ -4515,7 +4528,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "q_zorder": f"""
             WITH z AS ({zvalue_sql('(SELECT l_partkey, l_suppkey FROM lineitem)',
                                    'l_partkey', 'l_suppkey', 10)})
-            SELECT zv // 1024 AS zbucket, count(*) AS n_rows,
+            SELECT CAST(zv // 1024 AS BIGINT) AS zbucket, count(*) AS n_rows,
                    min(ra) AS min_ra, max(ra) AS max_ra,
                    min(rb) AS min_rb, max(rb) AS max_rb
             FROM z GROUP BY 1
@@ -4751,7 +4764,7 @@ def _oracle_sql_base() -> dict[str, str]:
               UNION ALL
               SELECT id, key, id4, key4 FROM nbrs)
             SELECT id_a, id_b, key_a, key_b,
-                   levenshtein(key_a, key_b) AS dist
+                   CAST(levenshtein(key_a, key_b) AS INTEGER) AS dist
             FROM stacked
             WHERE id_b IS NOT NULL AND levenshtein(key_a, key_b) <= 3
         """,
@@ -4776,7 +4789,8 @@ def _oracle_sql_base() -> dict[str, str]:
                        AS INT) % 65536 AS b
               FROM base CROSS JOIN rep),
             w AS (SELECT r, rev, {pois_w} AS wt FROM x)
-            SELECT r, CAST(sum(wt) AS BIGINT) AS n_rows_used,
+            SELECT CAST(r AS INTEGER) AS r,
+                   CAST(sum(wt) AS BIGINT) AS n_rows_used,
                    CAST(round(sum(wt * rev), 2) AS DOUBLE)
                      AS total_revenue
             FROM w GROUP BY r
@@ -4867,8 +4881,8 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM a)
             SELECT a.doc_id AS media_id,
                    length(a.text) AS n_samples,
-                   s.ss AS sum_dev_sq,
-                   s.pk AS peak_dev,
+                   CAST(s.ss AS BIGINT) AS sum_dev_sq,
+                   CAST(s.pk AS BIGINT) AS peak_dev,
                    sqrt(CAST(s.ss AS DOUBLE) / length(a.text)) AS rms
             FROM a JOIN (
               SELECT doc_id, sum(dev * dev) AS ss, max(abs(dev)) AS pk
@@ -5131,7 +5145,7 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM bands a JOIN bands c
                 ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id)
             SELECT doc_a, doc_b,
-                   bit_count(xor(sa.sh, sb.sh)) AS hamming
+                   CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS hamming
             FROM cand
             JOIN s sa ON sa.doc_id = doc_a
             JOIN s sb ON sb.doc_id = doc_b
@@ -5552,7 +5566,8 @@ def _oracle_sql_base() -> dict[str, str]:
               LEFT JOIN rb ON rb.bucket = g.bucket
               LEFT JOIN cb ON cb.bucket = g.bucket),
             t AS (SELECT sum(ar) AS tr, sum(ac) AS tc FROM j)
-            SELECT max(tr) - 10 AS n_ref, max(tc) - 10 AS n_cur,
+            SELECT CAST(max(tr) - 10 AS BIGINT) AS n_ref,
+                   CAST(max(tc) - 10 AS BIGINT) AS n_cur,
                    round(sum(CAST(round((ar / tr - ac / tc)
                                         * ln((ar / tr) / (ac / tc))
                                         * 1e9) AS BIGINT)) / 1e9, 6) AS psi
@@ -5944,7 +5959,9 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT m_total, k_keys, max_cnt, n_heavy, n_singletons,
                    round(raw_p1, 9) AS p1,
                    round((14.55 * raw_p1 - 0.3857 + 1.0) * m_total / 12, 6) AS cost_hh,
-                   round(m_total // 12 + 1.0 * (k_keys + n_heavy * (12 - 2) - n_singletons), 6) AS cost_apk,
+                   -- CAST: 1.0 parses as DECIMAL in DuckDB, so this sum
+                   -- is decimal(22,1) — Spark emits double.
+                   CAST(round(m_total // 12 + 1.0 * (k_keys + n_heavy * (12 - 2) - n_singletons), 6) AS DOUBLE) AS cost_apk,
                    CAST(CASE WHEN (14.55 * raw_p1 - 0.3857 + 1.0) * m_total / 12
                               <= m_total // 12 + 1.0 * (k_keys + n_heavy * (12 - 2) - n_singletons)
                          THEN 0 ELSE 1 END AS INT) AS strategy,
@@ -5964,7 +5981,7 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT ltw, m_total, k_keys, max_cnt, n_heavy,
                    round(raw_p1, 9) AS p1,
                    round((13.26 * raw_p1 + 1.02) * m_total / 12, 6) AS cost_hh,
-                   round(m_total // 12 + 1.0 * (k_keys + n_heavy * (12 - 2)), 6) AS cost_apk,
+                   CAST(round(m_total // 12 + 1.0 * (k_keys + n_heavy * (12 - 2)), 6) AS DOUBLE) AS cost_apk,
                    CAST(CASE WHEN (13.26 * raw_p1 + 1.02) * m_total / 12
                               <= m_total // 12 + 1.0 * (k_keys + n_heavy * (12 - 2))
                          THEN 0 ELSE 1 END AS INT) AS strategy,
@@ -6223,9 +6240,10 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (ORDER BY cos DESC, vec_id) AS r
           FROM ({d['q_simsearch']}))
         SELECT doc_id,
-               COALESCE(lex.r, 11) AS lex_rank,
-               COALESCE(den.r, 11) AS dense_rank,
-               COALESCE(lex.r, 11) + COALESCE(den.r, 11) AS fused
+               CAST(COALESCE(lex.r, 11) AS INTEGER) AS lex_rank,
+               CAST(COALESCE(den.r, 11) AS INTEGER) AS dense_rank,
+               CAST(COALESCE(lex.r, 11) + COALESCE(den.r, 11) AS INTEGER)
+                 AS fused
         FROM lex FULL OUTER JOIN den USING (doc_id)
         ORDER BY fused ASC, doc_id LIMIT 10
     """

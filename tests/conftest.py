@@ -64,7 +64,21 @@ def normalize_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
 
 def assert_matches_oracle(spark_df, duck_con, sql: str):
     """Order-insensitive comparison of a Spark DataFrame against a
-    DuckDB result — the local stand-in for the driver's value hash."""
+    DuckDB result — the local stand-in for the driver's value hash.
+
+    Also asserts Arrow TYPE equality (tools/type_audit.canon classes):
+    the real driver's hash is typed, so a DuckDB HUGEINT/decimal128
+    against a Spark bigint is a red even when values are bit-identical
+    (round-5 root cause). A Python-value compare alone cannot see it."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from tools.type_audit import compare_schemas
+
+    type_bad = compare_schemas(
+        to_arrow_schema(spark_df.schema), duck_con.execute(sql).arrow().schema
+    )
+    assert not type_bad, f"typed-schema mismatch: {'; '.join(type_bad)}"
+
     spark_cols = spark_df.columns
     spark_rows = [tuple(r) for r in spark_df.collect()]
     res = duck_con.execute(sql)

@@ -1,7 +1,13 @@
 """Driver simulator: exercises __spark_entry__ exactly as the harness
 would — a plain SparkSession with NO engine configs, entry() smoke at
 sf0.001, then every queries() entry at the given SF compared against
-oracle_sql() via DuckDB (row count + sorted-column value compare).
+oracle_sql() via DuckDB (row count + sorted-column value compare +
+Arrow TYPE compare).
+
+The type compare exists because the real driver's value hash is TYPED:
+round 5 proved that a DuckDB HUGEINT (decimal128(38,0)) column against
+a Spark bigint flips the driver hash even when every value is
+bit-identical, and norm()'s Python-value compare can never see that.
 
 Usage: python tools/driver_sim.py [sf_dir] [query ...]
 """
@@ -14,9 +20,11 @@ import time
 
 import duckdb
 from pyspark.sql import SparkSession
+from pyspark.sql.pandas.types import to_arrow_schema
 
 sys.path.insert(0, ".")
 import __spark_entry__ as mod  # noqa: E402
+from tools.type_audit import compare_schemas  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
@@ -72,10 +80,17 @@ def main() -> int:
         if qname not in oracles:
             print(f"{qname}: rows-only rows={len(rows)} ({dt:.1f}s)")
             continue
+        # Arrow pass for TYPES (the driver's hash is typed), then a
+        # second plain execute for the value compare — .as_py() would
+        # hand norm() Decimals whose repr-sort misaligns with ints.
+        d_schema = con.execute(oracles[qname]).arrow().schema
         res = con.execute(oracles[qname])
         dcols = [d[0] for d in res.description]
         drows = [tuple(r) for r in res.fetchall()]
         status = []
+        type_bad = compare_schemas(to_arrow_schema(sdf.schema), d_schema)
+        if type_bad:
+            status.append(f"TYPES {'; '.join(type_bad)}")
         if sorted(cols) != sorted(dcols):
             status.append(f"SCHEMA spark={sorted(cols)} duck={sorted(dcols)}")
         if len(rows) != len(drows):
