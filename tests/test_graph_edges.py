@@ -85,6 +85,42 @@ def test_triangles_parity_with_inline_builder(spark, sf_dir, edge_table):
     assert [tuple(r) for r in inline] == [tuple(r) for r in prebuilt]
 
 
+def test_graph_edges_helper_is_a_bucketed_catalog_scan(spark, sf_dir):
+    """__spark_entry__._graph_edges must serve the materialized bucketed
+    catalog table (the once-per-session scale path), not re-derive the
+    edge list from lineitem."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod._graph_edges(spark, sf_dir)
+    # a bare scan reports "Bucketed: false (disabled by query planner)"
+    # — only an agg/join on the bucket key exercises the metadata
+    plan = (
+        df.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Bucketed: true" in plan
+    assert "Exchange" not in plan
+    assert "lineitem" not in plan
+
+
+@pytest.mark.parametrize("qname", ["q_triangles", "q_pagerank", "q_communities"])
+def test_driver_graph_queries_never_scan_lineitem(spark, sf_dir, qname):
+    """The driver-checked graph wrappers must consume the materialized
+    edge table, not the inline lineitem edge build — the inline shape
+    is the one that OOMs at the sf3 probe (SCALEPROBE_r05_sf3.json).
+    pagerank/LPA eager-checkpoint the loop-invariant join, so their
+    final plans show ExistingRDD leaves; the regression signature is a
+    lineitem scan reappearing anywhere in the query's own plan."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()[qname](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan
+
+
 def test_lpa_parity_with_inline_builder(spark, sf_dir, edge_table):
     lineitem = load_table(spark, sf_dir, "lineitem")
     inline = sorted(
