@@ -2804,9 +2804,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inventory head; these slots ROTATE each round through queries
         # the driver has never checked (union of CORRECTNESS_r*.json
         # keys), so over rounds the driver independently confirms the
-        # whole surface. Round 5 set: graph family (fresh off the
-        # integer-ppm determinism fix), dedup/similarity tail, text/
-        # pipeline ops, and two TPC-H variants.
+        # whole surface. Round 6 set: the HUGEINT-audit re-typed
+        # oracles (q_pack_sequences stays in until the driver confirms
+        # the typed fix green; the other ten re-cast oracles were
+        # latent reds in the pool), every round-5 marquee op (span
+        # removal + streaming twin, WARC codec, char entropy, bucketed
+        # edge table, contamination report, dataset card, shard
+        # manifests + streaming twin), and breadth from the
+        # never-checked pool (three hard TPC-H variants, retrieval /
+        # mixture / budget ops).
+        "q_pack_sequences": _q_pack_sequences,            # greedy token-budget packing (r5 red: oracle typing)
+        "q_pack_chunks": _q_pack_chunks,                  # materialized packed samples (re-typed oracle)
+        "q_domain_kl": _q_domain_kl,                      # per-source KL drift monitor (re-typed oracle)
+        "q_hash_split": _q_hash_split,                    # split-by-hash rollup (re-typed oracle)
+        "q_audio_stats": _q_audio_stats,                  # real-WAV PCM sample stats (re-typed oracle)
+        "q_psi": _q_psi,                                  # population-stability drift score (re-typed oracle)
+        "q_zorder": _q_zorder,                            # Z-order layout buckets (re-typed oracle)
+        "q_fuzzy_match": _q_fuzzy_match,                  # sorted-neighborhood fuzzy join (re-typed oracle)
+        "q_hybrid": _q_hybrid,                            # RRF hybrid lexical+dense retrieval (re-typed oracle)
+        "q_bootstrap": _q_bootstrap,                      # deterministic Poisson bootstrap (re-typed oracle)
+        "q_phrase_search": _q_phrase_search,              # exact phrase occurrence counts (re-typed oracle)
+        "q_remove_spans": _q_remove_spans,                # duplicate-span REMOVAL (r5 marquee)
+        "q_stream_remove_spans": _q_stream_remove_spans,  # streaming span-removal twin
+        "q_warc_roundtrip": _q_warc_roundtrip,            # WARC ingestion codec round-trip
+        "q_char_entropy": _q_char_entropy,                # char-entropy gibberish gate
+        "q_edge_table_degrees": _q_edge_table_degrees,    # bucketed edge-table path end-to-end
+        "q_contamination_report": _q_contamination_report,  # multi-benchmark leak report
+        "q_dataset_card": _q_dataset_card,                # per-source dataset-card rollup
+        "q_shard_manifest": _q_shard_manifest,            # deterministic shard-export manifest
+        "q_stream_shard_manifest": _q_stream_shard_manifest,  # streaming manifest twin
+        "q_tpch_q12": _q_tpch_q12,
+        "q_tpch_q19": _q_tpch_q19,
+        "q_tpch_q21": _q_tpch_q21,
+        "q_doc_features": _q_doc_features,                # joined per-doc feature assembly
+        "q_weighted_sample": _q_weighted_sample,          # Efraimidis–Spirakis weighted sample
+        "q_temperature_mix": _q_temperature_mix,          # α-sampling mixture audit
+        "q_simsearch_lsh": _q_simsearch_lsh,              # LSH-bucketed ANN top-k
+        "q_data_budget": _q_data_budget,                  # waterfilling token budget
+        # --- tail (pytest oracle-parity mirror coverage) ---
+        # rotated OUT of the driver window after 1-4 green rounds
+        # (still verified by the pytest mirror every session)
+        # rotated out after the round-5 green sweep:
         "q_pagerank": _q_pagerank,                        # integer-exact PageRank
         "q_communities": _q_communities,                  # fixed-round label propagation
         "q_copurchase": _q_copurchase,                    # market-basket pair counts
@@ -2819,7 +2857,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_bigram": _q_lm_bigram,                      # interpolated bigram-LM perplexity
         "q_tfidf": _q_tfidf,                              # per-doc TF-IDF top terms
         "q_pii_scrub": _q_pii_scrub,                      # PII span detection/redaction
-        "q_pack_sequences": _q_pack_sequences,            # greedy token-budget packing
         "q_chunk_docs": _q_chunk_docs,                    # overlapping doc chunking
         "q_quality_filter": _q_quality_filter,            # composite quality gate
         "q_dsir": _q_dsir,                                # DSIR importance resampling
@@ -2835,9 +2872,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_recall": _q_ann_recall,                    # ANN recall audit vs exact
         "q_stream_neardup": _q_stream_neardup,            # streaming MinHash near-dup vs index
         "q_tpch_q10": _q_tpch_q10,
-        # --- tail (pytest oracle-parity mirror coverage) ---
-        # rotated OUT of the driver window after 1-4 green rounds
-        # (still verified by the pytest mirror every session)
         "q_bm25": _q_bm25,                                # Okapi BM25 lexical retrieval
         "q_scd2": _q_scd2,
         "q_event_gaps": _q_event_gaps,
@@ -2875,20 +2909,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_profile": _q_profile,
         "q_topk_per_group": _q_topk_per_group,
         "q_latest_event": _q_latest_event,
-        "q_phrase_search": _q_phrase_search,              # exact consecutive-token phrase match
-        "q_temperature_mix": _q_temperature_mix,          # α-sampling domain mixture audit
-        "q_weighted_sample": _q_weighted_sample,          # Efraimidis–Spirakis weighted top-k
         "q_embed_cov": _q_embed_cov,                      # exact covariance matrix (Arrow Gram partials)
-        "q_domain_kl": _q_domain_kl,                      # per-source KL drift monitor
         "q_pca": _q_pca,                                  # rows-only (LAPACK eigen; pytest invariants)
         "q_histogram": _q_histogram,                      # integer-exact equi-width histogram
         "q_file_stats": _q_file_stats,                    # per-file data-skipping manifest
         "q_bpe_merges": _q_bpe_merges,                    # rows-only (iterative argmax; pytest vs reference BPE)
-        "q_doc_features": _q_doc_features,                # wide per-doc feature assembly
         "q_autocorr": _q_autocorr,                        # hourly-series autocorrelation (seasonality)
         "q_incr_agg": _q_incr_agg,                        # Δ-maintained count view == recompute
         "q_dedup_audit": _q_dedup_audit,                  # LSH-vs-exact precision/recall audit
-        "q_psi": _q_psi,                                  # population-stability drift score
         "q_distinct_users": _q_distinct_users,
         "q_repeat_customers": _q_repeat_customers,
         "q_churned_customers": _q_churned_customers,
@@ -2903,11 +2931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q4": _q_tpch_q4,
         "q_tpch_q7": _q_tpch_q7,
         "q_tpch_q8": _q_tpch_q8,
-        "q_tpch_q12": _q_tpch_q12,
         "q_tpch_q13": _q_tpch_q13,
         "q_tpch_q15": _q_tpch_q15,
-        "q_tpch_q19": _q_tpch_q19,
-        "q_tpch_q21": _q_tpch_q21,
         "q_tpch_q22": _q_tpch_q22,
         "q_tpch_q2": _q_tpch_q2,
         "q_tpch_q9": _q_tpch_q9,
@@ -2919,23 +2944,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_pivot": _q_event_pivot,
         "q_percentiles": _q_percentiles,
         "q_stratified_sample": _q_stratified_sample,
-        "q_hash_split": _q_hash_split,
-        "q_shard_manifest": _q_shard_manifest,            # export-shard verification manifest
-        "q_char_entropy": _q_char_entropy,                # char-entropy gibberish gate
-        "q_edge_table_degrees": _q_edge_table_degrees,    # bucketed edge-table path end-to-end
-        "q_warc_roundtrip": _q_warc_roundtrip,            # WARC blob encode→parse identity
-        "q_contamination_report": _q_contamination_report,  # per-benchmark leak table
-        "q_pack_chunks": _q_pack_chunks,                  # materialized packed samples
-        "q_stream_shard_manifest": _q_stream_shard_manifest,  # continuous export manifest
-        "q_dataset_card": _q_dataset_card,                # per-source dataset card rollup
         "q_frame_sample": _q_frame_sample,
         "q_media_decode": _q_media_decode,                # REAL WAV/PPM/BMP header decode
         "q_embed_norm": _q_embed_norm,
         "q_embed_quant": _q_embed_quant,
-        "q_zorder": _q_zorder,
         # remaining data-pipeline operators
         "q_repetition": _q_repetition,
-        "q_simsearch_lsh": _q_simsearch_lsh,              # bucket-replayable oracle
         "q_simsearch_multiprobe": _q_simsearch_multiprobe,  # multi-probe LSH (recall recovery)
         "q_simsearch_ivf": _q_simsearch_ivf,              # index-replayable oracle
         "q_kmeans": _q_kmeans,                            # rows-only (iterative)
@@ -2953,23 +2967,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_markov": _q_markov,                            # event-type transition matrix
         "q_attribution": _q_attribution,                  # first/last-touch, range window
         "q_setjoin": _q_setjoin,                          # exact prefix-filtered set-sim join
-        "q_remove_spans": _q_remove_spans,                # ExactSubstr-style span removal
-        "q_stream_remove_spans": _q_stream_remove_spans,  # ingest-time span removal vs gram index
         "q_collocations": _q_collocations,                # bigram lift phrase mining
         "q_pq_encode": _q_pq_encode,                      # product quantization (rows-only)
         "q_pq_topk": _q_pq_topk,                          # ADC top-k over PQ codes (rows-only)
         "q_resample": _q_resample,                        # calendar gap-fill + trailing MA
-        "q_fuzzy_match": _q_fuzzy_match,                  # sorted-neighborhood linkage
         "q_span_corruption": _q_span_corruption,          # T5 denoising pair generation
         "q_snapshot_diff": _q_snapshot_diff,              # reverse CDC: version diff feed
         "q_cep_match": _q_cep_match,                      # pattern w/ veto, range window
         "q_join_profile": _q_join_profile,                # join-explosion diagnostics
-        "q_audio_stats": _q_audio_stats,                  # real-WAV PCM sample stats
         "q_mad_outliers": _q_mad_outliers,                # robust MAD gate, exact ints
-        "q_hybrid": _q_hybrid,                            # BM25+dense Borda fusion
-        "q_data_budget": _q_data_budget,                  # waterfilling mix planner
         "q_stream_decontaminate": _q_stream_decontaminate,  # ingest-time decontamination
-        "q_bootstrap": _q_bootstrap,                      # deterministic Poisson bootstrap
         # remaining streaming queries
         "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
