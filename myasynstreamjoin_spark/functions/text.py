@@ -539,6 +539,16 @@ def char_entropy(docs: DataFrame, kernel: str = "sql") -> DataFrame:
     entropy is integer-rounded to MICRO-nats and divided once —
     never round(double, 6), whose low bit differs across engines.
 
+    Residual cross-engine risk (analyzed, accepted): a 1-ulp JVM-vs-
+    libm ``ln`` disagreement flips a nano term only when x·1e9 sits
+    within ~1e-7 of a rounding boundary (P ≈ 2e-7/term, ~2e4 terms
+    → ~4e-3/run), AND the flipped nano must land the doc sum exactly
+    on the micro boundary (P ≈ 1e-3) — combined ≈ 4e-6 per full
+    oracle run. Emitting the nano sum as an oracle-facing BIGINT
+    would make it WORSE (every nano flip becomes a direct mismatch,
+    ~1000× the exposure), so the micro-grain float stays the
+    contract. Same tolerance class as the Arrow-twin note below.
+
     Docs with NULL or empty normalized text are excluded (no
     characters to score — same contract as the dedup ops).
 

@@ -55,32 +55,52 @@ def write_bucketed(
     external table (bucket metadata lives in the catalog either way —
     ``spark.table``, not a bare parquet read, is required to get the
     exchange-free plans).
-    """
-    if mode == "overwrite":
-        # An interrupted prior session can leave the MANAGED table's
-        # warehouse location on disk with no catalog entry (the
-        # in-memory catalog died with the session); saveAsTable then
-        # fails with LOCATION_ALREADY_EXISTS even in overwrite mode.
-        # Clear both sides up front.
-        import os
-        import shutil
 
-        spark = df.sparkSession
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    Overwrite is FAIL-SAFE: Spark's own CTAS-overwrite drops the old
+    managed table before writing (verified — a failing write loses the
+    previous data), so when ``table`` is live in the catalog the new
+    data is written to a ``__masj_staging`` table first and swapped in
+    (DROP + RENAME, metadata-only) only after the write commits. A
+    failed write leaves the previous table untouched; a crash inside
+    the tiny swap window leaves the data recoverable in the staging
+    table. Caveat: re-pointing an EXTERNAL table at the SAME ``path``
+    it already occupies still overwrites those files at write time —
+    pass a fresh path per version for fail-safe external rollover.
+    """
+    import os
+    import shutil
+
+    spark = df.sparkSession
+    target = table
+    swap = False
+    if mode == "overwrite":
+        if spark.catalog.tableExists(table):
+            target = f"{table}__masj_staging"
+            swap = True
+            spark.sql(f"DROP TABLE IF EXISTS {target}")
         if path is None:
+            # An interrupted prior session can leave a MANAGED table's
+            # warehouse location on disk with no catalog entry (the
+            # in-memory catalog died with the session); saveAsTable
+            # then fails with LOCATION_ALREADY_EXISTS even in
+            # overwrite mode. Clean up only that orphaned case.
             loc = os.path.join(
                 spark.conf.get("spark.sql.warehouse.dir").removeprefix(
                     "file:"
                 ),
-                table,
+                target,
             )
-            shutil.rmtree(loc, ignore_errors=True)
+            if not spark.catalog.tableExists(target):
+                shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
     if path is not None:
         w = w.option("path", path)
-    w.format("parquet").saveAsTable(table)
+    w.format("parquet").saveAsTable(target)
+    if swap:
+        spark.sql(f"DROP TABLE {table}")
+        spark.sql(f"ALTER TABLE {target} RENAME TO {table}")
 
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:

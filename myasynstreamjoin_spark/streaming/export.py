@@ -106,10 +106,14 @@ def read_exported_docs(spark: SparkSession, work_dir: str) -> DataFrame | None:
     data_dir = os.path.join(work_dir, "data")
     if not os.path.isdir(data_dir):
         return None
+    # only COMMITTED batch dirs (Spark's _SUCCESS marker), mirroring
+    # latest_version's convention — a crash mid-write leaves a
+    # half-written b{N} whose partial rows the replay will rewrite
     dirs = sorted(
         os.path.join(data_dir, d)
         for d in os.listdir(data_dir)
         if d.startswith("b")
+        and os.path.exists(os.path.join(data_dir, d, "_SUCCESS"))
     )
     if not dirs:
         return None

@@ -116,10 +116,14 @@ def read_clean_docs(spark: SparkSession, work_dir: str) -> DataFrame | None:
     clean_dir = os.path.join(work_dir, "clean")
     if not os.path.isdir(clean_dir):
         return None
+    # only COMMITTED batch dirs (Spark's _SUCCESS marker), mirroring
+    # latest_version's convention — a crash mid-write leaves a
+    # half-written b{N} whose partial rows the replay will rewrite
     dirs = [
         os.path.join(clean_dir, d)
         for d in os.listdir(clean_dir)
         if d.startswith("b")
+        and os.path.exists(os.path.join(clean_dir, d, "_SUCCESS"))
     ]
     if not dirs:
         return None

@@ -76,3 +76,42 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmpdir):
         assert n_shuffles(agg) == 0, "bucketed group-by must not exchange"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_overwrite_is_fail_safe(spark):
+    """A failing overwrite must NOT destroy the previous table. Spark's
+    own CTAS-overwrite drops the managed table before writing, so
+    write_bucketed stages into a __masj_staging table and swaps only
+    after the write commits; the swap must also preserve the bucket
+    metadata (exchange-free agg) and a retry after the failure must
+    succeed (stale staging cleanup)."""
+    df1 = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    df2 = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    try:
+        write_bucketed(df1, "failsafe_t", ["k"], n_buckets=4)
+        bad = df1.select(
+            "k", F.expr("CAST(assert_true(k < 10) AS STRING)").alias("v")
+        )
+        with pytest.raises(Exception):
+            write_bucketed(bad, "failsafe_t", ["k"], n_buckets=4)
+        # previous version intact after the failed overwrite
+        assert read_table(spark, "failsafe_t").count() == 100
+        # retry works and the swapped-in table keeps bucket metadata
+        write_bucketed(df2, "failsafe_t", ["k"], n_buckets=4)
+        assert read_table(spark, "failsafe_t").count() == 50
+        plan = (
+            read_table(spark, "failsafe_t")
+            .groupBy("k")
+            .agg(F.count("*").alias("c"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Bucketed: true" in plan and "Exchange" not in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS failsafe_t")
+        spark.sql("DROP TABLE IF EXISTS failsafe_t__masj_staging")

@@ -96,3 +96,17 @@ def test_replay_is_idempotent(spark, sf_dir, tmp_path):
     )
     assert first_m == second_m
     assert read_exported_docs(spark, work).count() == first_n
+
+
+def test_uncommitted_batch_dir_is_ignored(spark, sf_dir, tmp_path):
+    """read_exported_docs must skip a b{N} data dir without Spark's
+    _SUCCESS marker — a crash mid-write otherwise leaks partial rows
+    into the unioned corpus."""
+    _feed(spark, sf_dir, tmp_path)
+    work = _run(spark, tmp_path)
+    committed = read_exported_docs(spark, work)
+    n_committed = committed.count()
+    junk_dir = os.path.join(work, "data", "b99")
+    committed.limit(3).write.partitionBy("shard").parquet(junk_dir)
+    os.remove(os.path.join(junk_dir, "_SUCCESS"))
+    assert read_exported_docs(spark, work).count() == n_committed

@@ -108,3 +108,25 @@ def test_replay_is_idempotent(spark, tmp_path):
     work = _run(spark, tmp_path)
     second = sorted(tuple(r) for r in read_clean_docs(spark, work).collect())
     assert first == second
+
+
+def test_uncommitted_batch_dir_is_ignored(spark, tmp_path):
+    """A crash mid-batch-write leaves a b{N} dir without Spark's
+    _SUCCESS marker; read_clean_docs must skip it (partial/duplicate
+    rows) exactly like latest_version's committed-version rule."""
+    os.makedirs(tmp_path / "feed")
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    _write_batch(spark, tmp_path / "feed", "b0.parquet", b0, 1_700_000_000)
+    work = _run(spark, tmp_path)
+    committed = sorted(
+        tuple(r) for r in read_clean_docs(spark, work).collect()
+    )
+    # simulate the crash: a half-written b99 with data but no _SUCCESS
+    junk_dir = os.path.join(work, "clean", "b99")
+    b0.write.parquet(junk_dir)
+    os.remove(os.path.join(junk_dir, "_SUCCESS"))
+    after = sorted(tuple(r) for r in read_clean_docs(spark, work).collect())
+    assert after == committed
