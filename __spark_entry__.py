@@ -1749,6 +1749,88 @@ def _q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_card(tables.load_table(spark, sf_dir, "documents"))
 
 
+def _q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus pipeline as ONE registered query —
+    proof the LLM-data operators COMPOSE (each is oracle-verified
+    alone; this chains them end-to-end against one composed oracle):
+
+      1. ingest through the WARC codec (encode → Content-Length walk
+         → recover docs; identity by construction),
+      2. duplicate-span removal (k=8) over the training split
+         (benchmark sources src0/src1 held out),
+      3. quality (≥ 0.2) + language ('en') gates over the CLEANED
+         text,
+      4. Bloom-prefiltered exact decontamination of the gated docs
+         against the held-out benchmark sources,
+      5. 512-token sequence packing over 8 hash shards,
+      6. per-shard export manifest (docs, tokens, sequences started,
+         order-free checksum) — 8 rows summarizing the whole chain:
+         any upstream slip moves a count or checksum.
+
+    Scale: every stage keeps its individual operator's plan (span
+    election one groupBy-min, decontamination prune-before-shuffle,
+    packing one per-shard window); the two frames consumed down
+    multiple branches (gated, survivors) are localCheckpoint-ed per
+    the SCALE.md branched-plan rule.
+    """
+    from myasynstreamjoin_spark.functions.dedup import (
+        bloom_decontaminate,
+        remove_duplicate_spans,
+    )
+    from myasynstreamjoin_spark.functions.pipeline import (
+        pack_sequences,
+        shard_manifest,
+    )
+    from myasynstreamjoin_spark.functions.text import (
+        lang_id,
+        quality_score,
+        tokens,
+    )
+    from myasynstreamjoin_spark.sources.warc import (
+        encode_warc_blobs,
+        parse_warc_blobs,
+        warc_documents,
+    )
+
+    _prep(spark)
+    docs0 = tables.load_table(spark, sf_dir, "documents")
+    # 1. WARC ingest (drops NULL-text docs, like any archive writer)
+    ingested = warc_documents(
+        parse_warc_blobs(encode_warc_blobs(docs0))
+    ).join(docs0.select("doc_id", "source"), "doc_id")
+    bench = ingested.where(F.col("source").isin("src0", "src1"))
+    train0 = ingested.where(~F.col("source").isin("src0", "src1"))
+    # 2. corpus cleaning: drop docs left with < k tokens
+    cleaned = remove_duplicate_spans(train0, k=8)
+    clean = cleaned.where(
+        F.col("n_tokens") - F.col("n_removed") >= 8
+    ).select("doc_id", F.col("text_clean").alias("text"))
+    # 3. quality + language gates over the cleaned text
+    gated = (
+        clean.join(quality_score(clean), "doc_id")
+        .join(lang_id(clean).select("doc_id", "lang_guess"), "doc_id")
+        .where((F.col("quality") >= 0.2) & (F.col("lang_guess") == "en"))
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    # 4. decontamination vs the held-out benchmark sources
+    survivors = gated.join(
+        bloom_decontaminate(gated, bench, k=8), "doc_id"
+    ).localCheckpoint(eager=True)
+    # 5. sequence packing; 6. manifest + sequences-started rollup
+    packed = pack_sequences(
+        survivors, F.size(tokens("text")), budget=512, n_shards=8
+    )
+    n_seqs = packed.groupBy("shard").agg(
+        (F.max("seq_id") + 1).cast("long").alias("n_seqs")
+    )
+    return (
+        shard_manifest(survivors, n_shards=8)
+        .join(n_seqs, "shard")
+        .select("shard", "n_docs", "n_tokens", "n_seqs", "checksum")
+    )
+
+
 def _q_stream_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of q_shard_manifest: documents export in two
     micro-batches, the manifest folds incrementally per version, and
@@ -2840,7 +2922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample": _q_weighted_sample,          # Efraimidis–Spirakis weighted sample
         "q_temperature_mix": _q_temperature_mix,          # α-sampling mixture audit
         "q_simsearch_lsh": _q_simsearch_lsh,              # LSH-bucketed ANN top-k
-        "q_data_budget": _q_data_budget,                  # waterfilling token budget
+        "q_pipeline_e2e": _q_pipeline_e2e,                # WARC→clean→gate→decon→pack→manifest chain
         # --- tail (pytest oracle-parity mirror coverage) ---
         # rotated OUT of the driver window after 1-4 green rounds
         # (still verified by the pytest mirror every session)
@@ -2872,6 +2954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_recall": _q_ann_recall,                    # ANN recall audit vs exact
         "q_stream_neardup": _q_stream_neardup,            # streaming MinHash near-dup vs index
         "q_tpch_q10": _q_tpch_q10,
+        "q_data_budget": _q_data_budget,                  # waterfilling token budget
         "q_bm25": _q_bm25,                                # Okapi BM25 lexical retrieval
         "q_scd2": _q_scd2,
         "q_event_gaps": _q_event_gaps,
@@ -3005,6 +3088,16 @@ _PER_SOURCE = f"""
 """
 
 _DOC_TOKENS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+#: SQL literal list of functions/text.py::EN_STOPWORDS — shared by the
+#: langid oracles and the composed pipeline oracle.
+_SW_SQL = ", ".join(
+    f"'{w}'"
+    for w in (
+        "the", "a", "an", "of", "to", "and", "in", "is", "it", "for",
+        "on", "with", "as", "at", "by", "this", "that", "from", "or", "be",
+    )
+)
 _DOC_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
 _SHINGLES = f"""
@@ -3228,13 +3321,7 @@ def _oracle_sql_base() -> dict[str, str]:
         for t in poisson_thresholds()
     )
 
-    sw = ", ".join(
-        f"'{w}'"
-        for w in (
-            "the", "a", "an", "of", "to", "and", "in", "is", "it", "for",
-            "on", "with", "as", "at", "by", "this", "that", "from", "or", "be",
-        )
-    )
+    sw = _SW_SQL
     return {
         "q_min_count_batch": """
             WITH per_source AS (
@@ -6255,6 +6342,103 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(n_dup_spans) AS DOUBLE)
                  / CAST(sum(n_spans) AS DOUBLE) AS dup_frac
         FROM j GROUP BY source
+    """
+    # End-to-end pipeline oracle: one CTE chain replaying every stage —
+    # WARC ingest = identity minus NULL texts (the codec itself is
+    # independently verified by q_warc_roundtrip), span removal = the
+    # q_remove_spans election scoped to the training split, gates and
+    # decontamination grams re-tokenize the CLEANED text (bench grams
+    # stay on the originals), packing/manifest are the
+    # q_pack_sequences / q_shard_manifest formulas at (8 shards, 512
+    # budget). Every window/aggregate integer is CAST to BIGINT — the
+    # driver's value hash is typed.
+    d["q_pipeline_e2e"] = f"""
+        WITH ingested AS (
+          SELECT doc_id, source, text FROM documents
+          WHERE text IS NOT NULL),
+        toked AS (
+          SELECT doc_id, {_DOC_TOKENS} AS t FROM ingested
+          WHERE source NOT IN ('src0', 'src1')),
+        grams AS (
+          SELECT doc_id, i - 1 AS pos,
+                 t[i]   || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                 t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                 t[i+6] || ' ' || t[i+7] AS gram
+          FROM toked, unnest(generate_series(1, len(t) - 7)) AS u(i)
+          WHERE len(t) >= 8),
+        ranked AS (
+          SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY gram
+                                    ORDER BY doc_id, pos) AS rn
+          FROM grams),
+        dels AS (
+          SELECT DISTINCT doc_id, pos + j AS pos
+          FROM ranked, unnest(generate_series(0, 7)) AS u(j)
+          WHERE rn > 1),
+        pos_tok AS (
+          SELECT doc_id, t[i] AS tok, i - 1 AS pos
+          FROM toked, unnest(generate_series(1, len(t))) AS u(i)),
+        kept AS (
+          SELECT p.doc_id, p.pos, p.tok
+          FROM pos_tok p LEFT JOIN dels dd
+            ON p.doc_id = dd.doc_id AND p.pos = dd.pos
+          WHERE dd.doc_id IS NULL),
+        clean AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+          FROM kept GROUP BY doc_id HAVING count(*) >= 8),
+        ct AS (
+          SELECT doc_id, text,
+                 string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM clean),
+        gated AS (
+          SELECT doc_id, text, t FROM ct
+          WHERE round((CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+                      * least(len(t) / 50.0, 1.0), 6) >= 0.2
+            AND round(CAST(len(list_filter(list_distinct(t),
+                                           x -> x IN ({_SW_SQL}))) AS DOUBLE)
+                      / len(list_distinct(t)), 6) > 0.05),
+        tg AS (
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(t) >= 8 THEN
+              list_transform(generate_series(1, len(t) - 7),
+                i -> array_to_string(t[i:i+7], ' '))
+            ELSE [array_to_string(t, ' ')] END)) AS g
+          FROM gated),
+        bg AS (
+          SELECT DISTINCT unnest(list_distinct(
+            CASE WHEN len({_DOC_TOKENS}) >= 8 THEN
+              list_transform(generate_series(1, len({_DOC_TOKENS}) - 7),
+                i -> array_to_string(({_DOC_TOKENS})[i:i+7], ' '))
+            ELSE [array_to_string({_DOC_TOKENS}, ' ')] END)) AS g
+          FROM ingested WHERE source IN ('src0', 'src1')),
+        contaminated AS (
+          SELECT DISTINCT doc_id FROM tg
+          WHERE g IN (SELECT g FROM bg)),
+        survivors AS (
+          SELECT doc_id, text, t FROM gated
+          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        d5 AS (
+          SELECT doc_id, text,
+                 CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                      AS INT) % 8 AS shard,
+                 CAST(len(t) AS BIGINT) AS n_tokens
+          FROM survivors),
+        p5 AS (
+          SELECT doc_id, text, shard, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS prefix
+          FROM d5)
+        SELECT shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(max(prefix // 512) + 1 AS BIGINT) AS n_seqs,
+               CAST(sum(CAST(('0x' || substring(md5(
+                 regexp_replace(trim(lower(coalesce(text, ''))),
+                                '\\s+', ' ', 'g')), 1, 8)) AS BIGINT))
+                 AS BIGINT) AS checksum
+        FROM p5 GROUP BY shard
     """
     # Both pair sets replay in SQL (md5 shingles/permutations), so
     # the audit's oracle recomputes precision/recall from scratch.
