@@ -90,22 +90,34 @@ def main() -> int:
     spark.catalog.clearCache()
 
     queries = contract.queries()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+    # Two full back-to-back passes: cross-round bench deltas are
+    # sandbox noise until proven otherwise (SCALE.md round-5 bisect),
+    # so every recording now carries its own same-machine repeat —
+    # future drift questions are answerable from the artifact alone.
+    # The reported headline value stays run 1 (the cold-cache pass,
+    # comparable to all prior rounds' recordings).
+    runs: list[dict[str, float]] = []
+    for _ in range(2):
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = queries[name]
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        runs.append(timings)
+        spark.catalog.clearCache()
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(runs[0].values()), 3)
     print(json.dumps({
         "metric": "headline_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": runs[0],
         "sf": sf,
+        "runs": [round(sum(r.values()), 3) for r in runs],
+        "queries_run2": runs[1],
     }))
     return 0
 

@@ -45,6 +45,9 @@ DEFAULT = [
     "q_simsearch",
     "q_dup_spans",
     "q_copurchase",
+    # q_pagerank now consumes __spark_entry__._graph_edges (round 6):
+    # its row measures materialize-once + prebuilt consume — the shape
+    # that survives sf3 where the old inline build OOM'd.
     "q_pagerank",
     "edges_materialize",
     "pagerank_prebuilt",
@@ -52,6 +55,8 @@ DEFAULT = [
     "lpa_prebuilt",
     "q_event_sequences",
     "q_expectations",
+    "q_pipeline_e2e",
+    "q_dataset_card",
     "q_stream_min_count_window",
     "q_stream_dedup",
     "q_stream_sessions",
