@@ -1749,7 +1749,9 @@ def _q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_card(tables.load_table(spark, sf_dir, "documents"))
 
 
-def _q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_pipeline_e2e(
+    spark: SparkSession, sf_dir: str, lang_gate: bool = True
+) -> DataFrame:
     """The full training-corpus pipeline as ONE registered query —
     proof the LLM-data operators COMPOSE (each is oracle-verified
     alone; this chains them end-to-end against one composed oracle):
@@ -1805,11 +1807,17 @@ def _q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = cleaned.where(
         F.col("n_tokens") - F.col("n_removed") >= 8
     ).select("doc_id", F.col("text_clean").alias("text"))
-    # 3. quality + language gates over the cleaned text
+    # 3. quality + language gates over the cleaned text (the probe
+    # corpus prefixes every token per replica, so its stopword-based
+    # langid legitimately passes nothing — lang_gate=False lets the
+    # scale probe drive full volume through the pack/manifest tail)
+    gate = F.col("quality") >= 0.2
+    if lang_gate:
+        gate = gate & (F.col("lang_guess") == "en")
     gated = (
         clean.join(quality_score(clean), "doc_id")
         .join(lang_id(clean).select("doc_id", "lang_guess"), "doc_id")
-        .where((F.col("quality") >= 0.2) & (F.col("lang_guess") == "en"))
+        .where(gate)
         .select("doc_id", "text")
         .localCheckpoint(eager=True)
     )
@@ -1868,6 +1876,59 @@ def _q_stream_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_shards=16,
     )
     return read_export_manifest(spark, os.path.join(tmp, "ex"))
+
+
+def _q_stream_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_pipeline_e2e: the TRAIN corpus arrives in
+    two ascending-doc_id micro-batches and every stage of the batch
+    pipeline runs incrementally — WARC ingest, span removal vs the
+    accumulated gram index, gates, decontamination vs the STATIC
+    benchmark sources, packing with carried per-shard totals, folded
+    manifest. The latest manifest version equals the batch pipeline's
+    per-shard rows, so this query shares q_pipeline_e2e's oracle
+    (streaming/pipeline_e2e.py documents the stage-by-stage
+    stream ≡ batch argument)."""
+    import os
+    import tempfile
+
+    from myasynstreamjoin_spark.streaming.pipeline_e2e import (
+        read_pipeline_manifest,
+        run_stream_pipeline_e2e,
+    )
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    train = docs.where(~F.col("source").isin("src0", "src1")).select(
+        "doc_id", "source", "text"
+    )
+    bench = (
+        docs.where(F.col("source").isin("src0", "src1"))
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    half = docs.count() // 2  # ascending doc_id ranges (stream ≡ batch)
+    tmp = tempfile.mkdtemp(prefix="stream_pipeline_")
+    feed = _stage_parquet_feed(
+        (
+            train.where(F.col("doc_id") < half),
+            train.where(F.col("doc_id") >= half),
+        ),
+        tmp,
+    )
+    stream = (
+        spark.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    work = os.path.join(tmp, "work")
+    run_stream_pipeline_e2e(
+        stream,
+        spark,
+        bench,
+        work_dir=work,
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+    )
+    return read_pipeline_manifest(spark, work)
 
 
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2955,6 +3016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_neardup": _q_stream_neardup,            # streaming MinHash near-dup vs index
         "q_tpch_q10": _q_tpch_q10,
         "q_data_budget": _q_data_budget,                  # waterfilling token budget
+        "q_stream_pipeline_e2e": _q_stream_pipeline_e2e,  # continuous corpus pipeline (shares the batch oracle)
         "q_bm25": _q_bm25,                                # Okapi BM25 lexical retrieval
         "q_scd2": _q_scd2,
         "q_event_gaps": _q_event_gaps,
@@ -6440,6 +6502,10 @@ def oracle_sql() -> dict[str, str]:
                  AS BIGINT) AS checksum
         FROM p5 GROUP BY shard
     """
+    # The continuous pipeline's folded manifest equals the batch
+    # pipeline's rows under ascending-doc_id batches (stage-by-stage
+    # argument in streaming/pipeline_e2e.py).
+    d["q_stream_pipeline_e2e"] = d["q_pipeline_e2e"]
     # Both pair sets replay in SQL (md5 shingles/permutations), so
     # the audit's oracle recomputes precision/recall from scratch.
     d["q_dedup_audit"] = f"""

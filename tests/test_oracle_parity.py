@@ -38,3 +38,18 @@ def test_rows_only_queries_run(spark, sf_dir, name):
 
 def test_every_oracle_has_query():
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_driver_window_is_fully_oracle_backed():
+    """The driver independently verifies registry positions 1-50; a
+    rows-only query in that window would waste a slot on the weaker
+    check. Rotation edits must keep the whole window oracle-backed
+    and the fixed SURVEY-head stable at 1-22."""
+    first50 = list(QUERIES)[:50]
+    assert len(first50) == 50
+    assert all(name in ORACLES for name in first50), [
+        n for n in first50 if n not in ORACLES
+    ]
+    head = first50[:22]
+    assert head[0] == "q_min_count_batch"
+    assert "q_triangles" in head and "q_stream_min_count_window" in head

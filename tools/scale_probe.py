@@ -56,6 +56,7 @@ DEFAULT = [
     "q_event_sequences",
     "q_expectations",
     "q_pipeline_e2e",
+    "pipeline_e2e_nolang",
     "q_dataset_card",
     "q_stream_min_count_window",
     "q_stream_dedup",
@@ -178,9 +179,18 @@ def _lpa_prebuilt(spark, sf_dir):
     return label_propagation_edges(_edges(spark, sf_dir))
 
 
+def _pipeline_e2e_nolang(spark, sf_dir):
+    """q_pipeline_e2e with the stopword langid gate off: the probe
+    corpus prefixes every token per replica, so the 'en' gate
+    legitimately passes 0 docs there — this variant drives full
+    volume through decontamination, packing, and the manifest."""
+    return contract._q_pipeline_e2e(spark, sf_dir, lang_gate=False)
+
+
 def main() -> int:
     spark = get_spark(app_name="scale-probe")
     queries = dict(contract.queries())
+    queries["pipeline_e2e_nolang"] = _pipeline_e2e_nolang
     queries["embed_neardup_auto"] = _embed_neardup_auto
     queries["semantic_dedup_auto"] = _semantic_dedup_auto
     queries["semantic_dedup_arrow"] = _semantic_dedup_arrow
