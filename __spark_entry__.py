@@ -1834,7 +1834,8 @@ def _q_pipeline_e2e(
     )
     return (
         shard_manifest(survivors, n_shards=8)
-        .join(n_seqs, "shard")
+        # n_shards rows — always broadcast, never sort-merge
+        .join(F.broadcast(n_seqs), "shard")
         .select("shard", "n_docs", "n_tokens", "n_seqs", "checksum")
     )
 
