@@ -3152,15 +3152,12 @@ _PER_SOURCE = f"""
 
 _DOC_TOKENS = "string_split_regex(trim(lower(text)), '\\s+')"
 
-#: SQL literal list of functions/text.py::EN_STOPWORDS — shared by the
-#: langid oracles and the composed pipeline oracle.
-_SW_SQL = ", ".join(
-    f"'{w}'"
-    for w in (
-        "the", "a", "an", "of", "to", "and", "in", "is", "it", "for",
-        "on", "with", "as", "at", "by", "this", "that", "from", "or", "be",
-    )
-)
+#: SQL literal list DERIVED from the engine's stopword tuple — shared
+#: by the langid oracles and the composed pipeline oracle, so editing
+#: EN_STOPWORDS can never diverge the oracle from the engine.
+from myasynstreamjoin_spark.functions.text import EN_STOPWORDS as _EN_SW
+
+_SW_SQL = ", ".join(f"'{w}'" for w in _EN_SW)
 _DOC_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
 _SHINGLES = f"""

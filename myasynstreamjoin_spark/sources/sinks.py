@@ -63,9 +63,10 @@ def write_bucketed(
     (DROP + RENAME, metadata-only) only after the write commits. A
     failed write leaves the previous table untouched; a crash inside
     the tiny swap window leaves the data recoverable in the staging
-    table. Caveat: re-pointing an EXTERNAL table at the SAME ``path``
-    it already occupies still overwrites those files at write time —
-    pass a fresh path per version for fail-safe external rollover.
+    table. Overwriting an EXTERNAL table at the SAME ``path`` it
+    already occupies cannot be staged safely, so it raises — pass a
+    fresh path per version (or DROP first for an explicitly
+    destructive rewrite).
     """
     import os
     import shutil
@@ -75,6 +76,37 @@ def write_bucketed(
     swap = False
     if mode == "overwrite":
         if spark.catalog.tableExists(table):
+            if path is not None:
+                # Staging writes to `path` IMMEDIATELY — if that is the
+                # live table's own location, the old files would be
+                # clobbered before the swap commits and the fail-safe
+                # contract silently broken. Fail fast instead.
+                cur = next(
+                    (
+                        r["data_type"]
+                        for r in spark.sql(
+                            f"DESCRIBE FORMATTED {table}"
+                        ).collect()
+                        if r["col_name"] == "Location"
+                    ),
+                    None,
+                )
+
+                def _norm(p: str) -> str:
+                    import os
+
+                    return os.path.abspath(
+                        str(p).removeprefix("file:")
+                    ).rstrip("/")
+
+                if cur is not None and _norm(cur) == _norm(path):
+                    raise ValueError(
+                        f"write_bucketed overwrite of {table!r} at its "
+                        "CURRENT external location would clobber the "
+                        "live files before the swap commits — pass a "
+                        "fresh path per version (or DROP the table "
+                        "first for an explicitly destructive rewrite)"
+                    )
             target = f"{table}__masj_staging"
             swap = True
             spark.sql(f"DROP TABLE IF EXISTS {target}")

@@ -23,13 +23,13 @@ Why stream ≡ batch, stage by stage:
   invariant).
 - packing: ``seq_id = exclusive-prefix DIV budget`` in (shard,
   doc_id) order; ascending batches only APPEND to each shard's
-  stream, so a carried per-shard (cum_tokens, last_n) state
-  reproduces the batch assignment exactly.
-- manifest: doc/token/checksum statistics are order-free integer
-  folds; sequences-started derives from the packing state as
-  ``(cum_tokens − last_n) DIV budget + 1`` — prefixes are monotone
-  within a shard, so the LAST doc (max doc_id) carries the max
-  exclusive prefix ``cum_tokens − last_n``.
+  stream, so the carried per-shard (n_tokens, last_n) state
+  reproduces the batch assignment exactly. The state is
+  BUDGET-INDEPENDENT: sequences-started derives at READ time as
+  ``(n_tokens − last_n) DIV budget + 1`` (prefixes are monotone
+  within a shard, so the LAST doc — max doc_id — carries the max
+  exclusive prefix ``total − last_n``), which means one folded
+  state answers the manifest question for ANY packing budget.
 
 Scale: per batch this pays one gram semi/anti-join against the index,
 one broadcast-style decontamination pass, and an n_shards-row manifest
@@ -44,7 +44,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from myasynstreamjoin_spark.streaming.cdc import (
@@ -53,8 +53,7 @@ from myasynstreamjoin_spark.streaming.cdc import (
 )
 
 _STATE_SCHEMA = (
-    "shard int, n_docs long, n_tokens long, checksum long, "
-    "cum_tokens long, last_n long"
+    "shard int, n_docs long, n_tokens long, checksum long, last_n long"
 )
 
 
@@ -65,7 +64,6 @@ def run_stream_pipeline_e2e(
     work_dir: str,
     checkpoint_dir: str,
     k: int = 8,
-    budget: int = 512,
     n_shards: int = 8,
     quality_min: float = 0.2,
     lang_gate: bool = True,
@@ -77,12 +75,11 @@ def run_stream_pipeline_e2e(
     benchmark corpus (doc_id, text) the train docs are decontaminated
     against."""
     from myasynstreamjoin_spark.functions.dedup import (
-        _span_election_dels,
-        _span_grams,
-        _span_reassemble,
-        _span_toked,
         bloom_decontaminate,
         md5_32,
+    )
+    from myasynstreamjoin_spark.streaming.spanremove import (
+        clean_batch_against_index,
     )
     from myasynstreamjoin_spark.functions.text import (
         lang_id,
@@ -109,28 +106,11 @@ def run_stream_pipeline_e2e(
             parse_warc_blobs(encode_warc_blobs(batch_df))
         )
 
-        # 2. span removal vs the accumulated gram index
-        # (streaming/spanremove.py recipe, inlined so the cleaned
-        # batch stays a frame instead of a sink round-trip)
-        toked = _span_toked(ingested)
-        grams = _span_grams(toked, k, False).localCheckpoint(eager=True)
-        base_v = replay_base_version(grams_dir, bid)
-        new_index = grams.select("gram").distinct()
-        if base_v is not None:
-            old_index = bspark.read.parquet(
-                os.path.join(grams_dir, f"v{base_v}")
-            )
-        else:
-            old_index = bspark.createDataFrame([], new_index.schema)
-        cross_dels = grams.join(old_index, "gram", "left_semi").select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
-            ).alias("pos"),
+        # 2. span removal vs the accumulated gram index (the shared
+        # streaming/spanremove.py kernel; its commit_index runs LAST)
+        cleaned, commit_index = clean_batch_against_index(
+            ingested, grams_dir, bid, k
         )
-        fresh = grams.join(old_index, "gram", "left_anti")
-        dels = _span_election_dels(fresh, k).unionByName(cross_dels)
-        cleaned = _span_reassemble(toked, dels)
         clean = cleaned.where(
             F.col("n_tokens") - F.col("n_removed") >= k
         ).select("doc_id", F.col("text_clean").alias("text"))
@@ -188,9 +168,6 @@ def run_stream_pipeline_e2e(
             (
                 F.coalesce("b.checksum", z) + F.coalesce("d.checksum", z)
             ).alias("checksum"),
-            (
-                F.coalesce("b.cum_tokens", z) + F.coalesce("d.n_tokens", z)
-            ).alias("cum_tokens"),
             F.coalesce("d.last_n", "b.last_n").alias("last_n"),
         )
         merged.write.mode("overwrite").parquet(
@@ -198,9 +175,7 @@ def run_stream_pipeline_e2e(
         )
         # index advances LAST: a crash before this point replays the
         # batch against the exact state it originally saw
-        old_index.unionByName(new_index).distinct().write.mode(
-            "overwrite"
-        ).parquet(os.path.join(grams_dir, f"v{bid}"))
+        commit_index()
 
     q = (
         docs.writeStream.outputMode("append")
@@ -218,7 +193,9 @@ def read_pipeline_manifest(
     spark: SparkSession, work_dir: str, budget: int = 512
 ) -> DataFrame | None:
     """The latest committed manifest, in the batch pipeline's shape:
-    (shard, n_docs, n_tokens, n_seqs, checksum)."""
+    (shard, n_docs, n_tokens, n_seqs, checksum). ``budget`` is applied
+    HERE — the folded state is budget-independent (see module
+    docstring), so one run answers any packing budget at read time."""
     man_dir = os.path.join(work_dir, "manifest")
     v = latest_version(man_dir)
     if v is None:
@@ -228,7 +205,7 @@ def read_pipeline_manifest(
         "shard",
         "n_docs",
         "n_tokens",
-        F.expr(f"(cum_tokens - last_n) DIV {int(budget)} + 1").alias(
+        F.expr(f"(n_tokens - last_n) DIV {int(budget)} + 1").alias(
             "n_seqs"
         ),
         "checksum",

@@ -46,6 +46,59 @@ from pyspark.sql import functions as F
 from myasynstreamjoin_spark.streaming.cdc import replay_base_version
 
 
+def clean_batch_against_index(
+    batch_df: DataFrame,
+    grams_dir: str,
+    batch_id: int,
+    k: int = 8,
+    hashed: bool | str = False,
+):
+    """The shared micro-batch kernel of the streaming span-removal
+    family (used here and by `streaming/pipeline_e2e.py`): clean
+    ``batch_df`` against the accumulated gram index at
+    ``{grams_dir}/v{N}``. Returns ``(cleaned, commit_index)`` where
+    ``cleaned`` is (doc_id, n_tokens, n_removed, text_clean) and
+    ``commit_index()`` advances the versioned index to v{batch_id} —
+    call it LAST in the batch, after every other sink commits, so a
+    crash replays the batch against the exact state it originally
+    saw (`replay_base_version` is strictly-below)."""
+    from myasynstreamjoin_spark.functions.dedup import (
+        _span_election_dels,
+        _span_grams,
+        _span_reassemble,
+        _span_toked,
+    )
+
+    bid = int(batch_id)
+    bspark = batch_df.sparkSession
+    toked = _span_toked(batch_df)
+    grams = _span_grams(toked, k, hashed).localCheckpoint(eager=True)
+
+    base_v = replay_base_version(grams_dir, bid)
+    new_index = grams.select("gram").distinct()
+    if base_v is not None:
+        old_index = bspark.read.parquet(os.path.join(grams_dir, f"v{base_v}"))
+    else:
+        old_index = bspark.createDataFrame([], new_index.schema)
+
+    cross_dels = grams.join(old_index, "gram", "left_semi").select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+        ).alias("pos"),
+    )
+    fresh = grams.join(old_index, "gram", "left_anti")
+    dels = _span_election_dels(fresh, k).unionByName(cross_dels)
+    cleaned = _span_reassemble(toked, dels)
+
+    def commit_index() -> None:
+        old_index.unionByName(new_index).distinct().write.mode(
+            "overwrite"
+        ).parquet(os.path.join(grams_dir, f"v{bid}"))
+
+    return cleaned, commit_index
+
+
 def run_stream_remove_spans(
     docs: DataFrame,
     spark: SparkSession,
@@ -57,48 +110,18 @@ def run_stream_remove_spans(
     """Drain a (bounded, for tests) document stream; cleaned docs
     appear under ``{work_dir}/clean/b{N}``, the gram-index versions
     under ``{work_dir}/grams/v{N}``."""
-    from myasynstreamjoin_spark.functions.dedup import (
-        _span_election_dels,
-        _span_grams,
-        _span_reassemble,
-        _span_toked,
-    )
-
     clean_dir = os.path.join(work_dir, "clean")
     grams_dir = os.path.join(work_dir, "grams")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
-        bspark = batch_df.sparkSession
-        toked = _span_toked(batch_df)
-        grams = _span_grams(toked, k, hashed).localCheckpoint(eager=True)
-
-        base_v = replay_base_version(grams_dir, bid)
-        new_index = grams.select("gram").distinct()
-        if base_v is not None:
-            old_index = bspark.read.parquet(
-                os.path.join(grams_dir, f"v{base_v}")
-            )
-        else:
-            old_index = bspark.createDataFrame([], new_index.schema)
-
-        cross_dels = (
-            grams.join(old_index, "gram", "left_semi")
-            .select(
-                "doc_id",
-                F.explode(
-                    F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
-                ).alias("pos"),
-            )
+        cleaned, commit_index = clean_batch_against_index(
+            batch_df, grams_dir, bid, k, hashed
         )
-        fresh = grams.join(old_index, "gram", "left_anti")
-        dels = _span_election_dels(fresh, k).unionByName(cross_dels)
-        _span_reassemble(toked, dels).write.mode("overwrite").parquet(
+        cleaned.write.mode("overwrite").parquet(
             os.path.join(clean_dir, f"b{bid}")
         )
-        old_index.unionByName(new_index).distinct().write.mode(
-            "overwrite"
-        ).parquet(os.path.join(grams_dir, f"v{bid}"))
+        commit_index()
 
     q = (
         docs.writeStream.outputMode("append")

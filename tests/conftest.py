@@ -72,10 +72,10 @@ def assert_matches_oracle(spark_df, duck_con, sql: str):
     (round-5 root cause). A Python-value compare alone cannot see it."""
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    from tools.type_audit import compare_schemas
+    from tools.type_audit import compare_schemas, oracle_arrow_schema
 
     type_bad = compare_schemas(
-        to_arrow_schema(spark_df.schema), duck_con.execute(sql).arrow().schema
+        to_arrow_schema(spark_df.schema), oracle_arrow_schema(duck_con, sql)
     )
     assert not type_bad, f"typed-schema mismatch: {'; '.join(type_bad)}"
 

@@ -115,3 +115,20 @@ def test_bucketed_overwrite_is_fail_safe(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS failsafe_t")
         spark.sql("DROP TABLE IF EXISTS failsafe_t__masj_staging")
+
+
+def test_bucketed_overwrite_same_external_path_raises(spark, tmpdir):
+    """Re-pointing an external table at its OWN current location can't
+    be staged fail-safely (the staging write would clobber the live
+    files first) — it must fail fast instead of silently breaking the
+    overwrite contract."""
+    df = spark.range(10).select(F.col("id").alias("k"))
+    p = f"{tmpdir}/same_path"
+    try:
+        write_bucketed(df, "samepath_t", ["k"], n_buckets=2, path=p)
+        with pytest.raises(ValueError, match="fresh path"):
+            write_bucketed(df, "samepath_t", ["k"], n_buckets=2, path=p)
+        # the live table is untouched by the refused overwrite
+        assert read_table(spark, "samepath_t").count() == 10
+    finally:
+        spark.sql("DROP TABLE IF EXISTS samepath_t")

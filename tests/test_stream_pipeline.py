@@ -84,7 +84,7 @@ def test_any_ascending_split_matches_single_batch(spark, tmp_path):
             stream, spark, bench,
             work_dir=str(base / "work"),
             checkpoint_dir=str(base / "ckpt"),
-            budget=16, n_shards=4,
+            n_shards=4,
             quality_min=0.0, lang_gate=False,
         )
         results[n_batches] = sorted(

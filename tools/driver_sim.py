@@ -24,7 +24,7 @@ from pyspark.sql.pandas.types import to_arrow_schema
 
 sys.path.insert(0, ".")
 import __spark_entry__ as mod  # noqa: E402
-from tools.type_audit import compare_schemas  # noqa: E402
+from tools.type_audit import compare_schemas, oracle_arrow_schema  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
@@ -80,10 +80,11 @@ def main() -> int:
         if qname not in oracles:
             print(f"{qname}: rows-only rows={len(rows)} ({dt:.1f}s)")
             continue
-        # Arrow pass for TYPES (the driver's hash is typed), then a
-        # second plain execute for the value compare — .as_py() would
-        # hand norm() Decimals whose repr-sort misaligns with ints.
-        d_schema = con.execute(oracles[qname]).arrow().schema
+        # LIMIT-0 Arrow pass for TYPES (the driver's hash is typed;
+        # no rows materialize), then the plain execute for the value
+        # compare — .as_py() would hand norm() Decimals whose
+        # repr-sort misaligns with ints.
+        d_schema = oracle_arrow_schema(con, oracles[qname])
         res = con.execute(oracles[qname])
         dcols = [d[0] for d in res.description]
         drows = [tuple(r) for r in res.fetchall()]

@@ -5,9 +5,14 @@ DuckDB HUGEINT (decimal128(38,0)) column against a Spark bigint flips
 the hash even when every value is bit-identical (round-5 verdict root
 cause for q_triangles / q_pack_sequences).
 
-Spark side is lazy: we only build the DataFrame and map its schema via
-pyspark's to_arrow_schema, so the audit is cheap even over the full
-registry.  DuckDB side executes at the given SF (default sf0.001).
+DuckDB side is free (LIMIT-0 plan, no rows materialize). Spark side
+maps the DataFrame's schema via pyspark's to_arrow_schema WITHOUT
+collecting — cheap for lazy queries, but NOT free across the whole
+registry: the streaming twins run their bounded stream to completion
+inside the query builder, q_edge_table_degrees materializes a bucketed
+table, and the e2e pipeline eager-checkpoints its gated stages. A
+full no-arg run therefore executes those jobs; use the query-name
+arguments when iterating.
 
 Importable: canon(), compare_schemas(), audit_query() are reused by
 tests/test_oracle_types.py and tools/driver_sim.py.
@@ -71,13 +76,20 @@ def register_views(con, sf_dir: str) -> None:
         )
 
 
+def oracle_arrow_schema(con, sql: str):
+    """Arrow schema of an oracle WITHOUT materializing any rows —
+    DuckDB plans the full query under a LIMIT 0 wrapper (CTEs are
+    legal inside a subquery) and returns an empty, fully-typed
+    result."""
+    return con.execute(f"SELECT * FROM ({sql}) LIMIT 0").arrow().schema
+
+
 def audit_query(spark, con, fn, sql: str, sf_dir: str) -> list[str]:
     """Type-compare one query pair; returns mismatch descriptions."""
     from pyspark.sql.pandas.types import to_arrow_schema
 
     s_schema = to_arrow_schema(fn(spark, sf_dir).schema)
-    d_schema = con.execute(sql).arrow().schema
-    return compare_schemas(s_schema, d_schema)
+    return compare_schemas(s_schema, oracle_arrow_schema(con, sql))
 
 
 def main() -> int:
