@@ -1749,6 +1749,19 @@ def _q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_card(tables.load_table(spark, sf_dir, "documents"))
 
 
+def _q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded per-epoch corpus reshuffle, verified by its per-shard
+    manifest with an ORDER-SENSITIVE checksum (Σ rank × doc_id mod P)
+    — unlike q_shard_manifest's order-free checksum, this pins the
+    PERMUTATION itself, so the oracle replays the exact shuffle order
+    a training run would read (functions/pipeline.py::epoch_shuffle)."""
+    from myasynstreamjoin_spark.functions.pipeline import epoch_shuffle_manifest
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return epoch_shuffle_manifest(docs, seed=1, n_shards=16)
+
+
 def _q_pipeline_e2e(
     spark: SparkSession, sf_dir: str, lang_gate: bool = True
 ) -> DataFrame:
@@ -3135,6 +3148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_topk": _q_stream_topk,                  # complete-mode sort+limit
         "q_stream_interval_join": _q_stream_interval_join,  # interval stream-stream join
         "q_stream_interval_join_outer": _q_stream_interval_join_outer,  # + outer null emission
+        "q_epoch_shuffle": _q_epoch_shuffle,              # seeded epoch reshuffle manifest
     }
 
 
@@ -6352,6 +6366,34 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT key, ltw, round(max(value), 6) AS max_val
             FROM parsed GROUP BY key, ltw
             HAVING (ltw + 1) * {CFG.lgw_ms} <= (SELECT wm_ms FROM wm)
+        """,
+        # Seeded epoch reshuffle: digest = md5(doc_id || ':epoch1')
+        # drives both shard (first 16 bits mod 16) and within-shard
+        # order (full digest); the rank × (doc_id mod P) checksum is
+        # order-SENSITIVE, so this replays the exact permutation.
+        # CASTs: window row_number and SUM(BIGINT) promote to
+        # HUGEINT/decimal128 in DuckDB — pin every sum to BIGINT.
+        "q_epoch_shuffle": """
+            WITH h AS (
+              SELECT doc_id, n_chars,
+                     md5(CAST(doc_id AS VARCHAR) || ':epoch1') AS dg
+              FROM documents),
+            s AS (
+              SELECT doc_id, n_chars, dg,
+                     CAST(('0x' || substring(dg, 1, 4)) AS INT) % 16 AS shard
+              FROM h),
+            r AS (
+              SELECT doc_id, n_chars, shard,
+                     CAST(row_number() OVER (
+                       PARTITION BY shard ORDER BY dg, doc_id) AS BIGINT) AS rnk
+              FROM s)
+            SELECT shard,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_weight,
+                   CAST(sum(rnk * (doc_id % 1000003)) AS BIGINT) AS order_checksum,
+                   arg_min(doc_id, rnk) AS first_doc,
+                   arg_max(doc_id, rnk) AS last_doc
+            FROM r GROUP BY shard
         """,
     }
 

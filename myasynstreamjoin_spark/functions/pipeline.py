@@ -694,6 +694,90 @@ def export_shards(
     )
 
 
+# Modulus for the order-sensitive epoch-shuffle checksum: a prime
+# small enough that rank × residue sums stay far from BIGINT overflow
+# at any realistic per-shard row count.
+_EPOCH_CHECKSUM_MOD = 1_000_003
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    seed: int = 0,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    digest_col: str = "shuffle_key",
+    shard_col: str = "shard",
+    rank_col: str = "shard_rank",
+) -> DataFrame:
+    """Deterministic SEEDED global corpus shuffle — the per-epoch
+    reshuffle every pre-training data loader performs before packing.
+
+    Each row's md5(id || ':epoch' || seed) digest drives BOTH the
+    shard assignment (first 16 bits mod ``n_shards``) and the
+    within-shard order (full digest), so changing ``seed`` moves
+    documents ACROSS shards and permutes them WITHIN shards — a fresh
+    pseudo-random permutation per epoch that is bit-reproducible
+    across runs, engines, and stage re-executions (``export_shards``'
+    order key is the unseeded special case of this; rand() would
+    resample on every task retry).
+
+    Scale shape: one hash exchange on the shard id + an in-partition
+    sort (row_number windowed by shard) — never a global sort, no
+    driver-side state. At 100 TB pick ``n_shards`` ≥ cluster
+    parallelism so each shard sorts independently.
+
+    Output: input columns + (``digest_col``, ``shard_col``,
+    ``rank_col``) where rank is 1-based within the shard in shuffle
+    order.
+    """
+    key = F.concat(F.col(id_col).cast("string"), F.lit(f":epoch{int(seed)}"))
+    staged = docs.withColumn(digest_col, F.md5(F.encode(key, "UTF-8")))
+    staged = staged.withColumn(
+        shard_col,
+        F.conv(F.substring(digest_col, 1, 4), 16, 10).cast("int") % n_shards,
+    )
+    w = Window.partitionBy(shard_col).orderBy(digest_col, id_col)
+    return staged.withColumn(rank_col, F.row_number().over(w).cast("long"))
+
+
+def epoch_shuffle_manifest(
+    docs: DataFrame,
+    seed: int = 0,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Per-shard manifest of an epoch shuffle with an ORDER-SENSITIVE
+    checksum, so the permutation itself — not just shard membership —
+    is verifiable (and replayable by an external SQL oracle).
+
+    checksum = Σ rank × (id mod P): any swap of two rows in a shard
+    changes it, while ``shard_manifest``'s order-free checksum would
+    not. first/last doc pin the permutation's endpoints for cheap
+    spot checks. n_docs/sum weight are seed-invariant (a reshuffle
+    must lose nothing) — the pair of invariants a trainer asserts
+    between epochs.
+
+    Same single-exchange plan as ``epoch_shuffle``: the groupBy reuses
+    the window's hash partitioning on the shard id (asserted in
+    tests/test_plans.py), so the whole manifest is one shuffle with
+    n_shards rows out.
+
+    Output: (shard, n_docs, sum_weight, order_checksum, first_doc,
+    last_doc).
+    """
+    shuffled = epoch_shuffle(docs, seed=seed, n_shards=n_shards, id_col=id_col)
+    return shuffled.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col(weight_col).cast("long")).alias("sum_weight"),
+        F.sum(
+            F.col("shard_rank") * (F.col(id_col) % F.lit(_EPOCH_CHECKSUM_MOD))
+        ).alias("order_checksum"),
+        F.min_by(id_col, "shard_rank").alias("first_doc"),
+        F.max_by(id_col, "shard_rank").alias("last_doc"),
+    )
+
+
 def pack_chunks(
     docs: DataFrame,
     budget: int = 512,

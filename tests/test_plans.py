@@ -542,3 +542,18 @@ def test_round5_doc_ops_prune_to_two_columns(spark, sf_dir):
     plan = simple_plan(char_entropy(docs))
     assert "Scan parquet" not in plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_epoch_shuffle_manifest_is_one_exchange(spark, sf_dir):
+    """The manifest's groupBy(shard) must reuse the rank window's hash
+    partitioning on shard — one exchange total, never a global sort."""
+    from myasynstreamjoin_spark.functions.pipeline import epoch_shuffle_manifest
+
+    df = epoch_shuffle_manifest(
+        tables.load_table(spark, sf_dir, "documents"), seed=1, n_shards=16
+    )
+    assert n_shuffles(df) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # within-partition sort for the window is fine; a global Sort+
+    # range exchange is not
+    assert "rangepartitioning" not in plan.lower()
