@@ -1762,6 +1762,23 @@ def _q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_shuffle_manifest(docs, seed=1, n_shards=16)
 
 
+def _q_epoch_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source interleave (stride scheduling) over the seeded
+    epoch shuffle — the deterministic data-mixing read order. Weights
+    derive from the source name (suffix mod 4 + 1) so both engines
+    compute them without a lookup table; the order-sensitive checksum
+    makes the oracle replay the exact interleave
+    (functions/pipeline.py::epoch_interleave)."""
+    from myasynstreamjoin_spark.functions.pipeline import (
+        epoch_interleave_manifest,
+    )
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    weight = F.expr("CAST(substring(source, 4) AS INT) % 4 + 1")
+    return epoch_interleave_manifest(docs, weight, seed=1, n_shards=16)
+
+
 def _q_pipeline_e2e(
     spark: SparkSession, sf_dir: str, lang_gate: bool = True
 ) -> DataFrame:
@@ -3149,6 +3166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_interval_join": _q_stream_interval_join,  # interval stream-stream join
         "q_stream_interval_join_outer": _q_stream_interval_join_outer,  # + outer null emission
         "q_epoch_shuffle": _q_epoch_shuffle,              # seeded epoch reshuffle manifest
+        "q_epoch_interleave": _q_epoch_interleave,        # stride-scheduled source mixing
     }
 
 
@@ -6394,6 +6412,39 @@ def _oracle_sql_base() -> dict[str, str]:
                    arg_min(doc_id, rnk) AS first_doc,
                    arg_max(doc_id, rnk) AS last_doc
             FROM r GROUP BY shard
+        """,
+        # Stride-scheduled weighted source interleave over the epoch-1
+        # shuffle: source s's k-th doc runs at virtual time
+        # k*720720 // w_s (all-integer; 720720 = lcm(1..16)); weights
+        # derive from the source suffix so no lookup table is needed.
+        # Checksum is order-sensitive — it replays the exact mixing
+        # order, not just membership.
+        "q_epoch_interleave": """
+            WITH h AS (
+              SELECT doc_id, source,
+                     md5(CAST(doc_id AS VARCHAR) || ':epoch1') AS dg,
+                     CAST(CAST(substring(source, 4) AS INT) % 4 + 1
+                          AS BIGINT) AS w
+              FROM documents),
+            s AS (
+              SELECT *, CAST(('0x' || substring(dg, 1, 4)) AS INT) % 16 AS shard
+              FROM h),
+            r AS (
+              SELECT *, CAST(row_number() OVER (
+                       PARTITION BY shard, source ORDER BY dg, doc_id)
+                     AS BIGINT) AS sr
+              FROM s),
+            v AS (SELECT *, (sr * 720720) // w AS vt FROM r),
+            o AS (
+              SELECT *, CAST(row_number() OVER (
+                       PARTITION BY shard ORDER BY vt, dg, doc_id)
+                     AS BIGINT) AS rnk
+              FROM v)
+            SELECT shard,
+                   count(*) AS n_docs,
+                   CAST(sum(rnk * (doc_id % 1000003)) AS BIGINT) AS order_checksum,
+                   arg_min(source, rnk) AS first_source
+            FROM o GROUP BY shard
         """,
     }
 

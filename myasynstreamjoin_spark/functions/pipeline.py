@@ -778,6 +778,96 @@ def epoch_shuffle_manifest(
     )
 
 
+# Stride scale for the integer virtual clock: 720720 = lcm(1..16),
+# so rank*SCALE DIV weight is exact for any weight up to 16 and the
+# interleave positions carry no float anywhere.
+_STRIDE_SCALE = 720_720
+
+
+def epoch_interleave(
+    docs: DataFrame,
+    weight: Column,
+    seed: int = 0,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic WEIGHTED source interleave (stride scheduling) on
+    top of the epoch shuffle — the data-mixing read order a trainer
+    consumes: within every shard, source ``s``'s k-th document runs at
+    integer virtual time k·SCALE DIV w_s, so a weight-3 source appears
+    3× as often as a weight-1 source in EVERY prefix of the stream
+    (bounded-error proportionality, the stride-scheduling invariant),
+    not just in expectation. Sampling is without replacement: every
+    document appears exactly once per epoch.
+
+    ``weight`` is an integer Column (≥ 1) evaluated per row — derive
+    it from the source name, a broadcast-joined mixture table
+    (``temperature_mixture_sample``'s weights), or a literal CASE.
+    All-integer arithmetic: no float enters the sort key, so the
+    order is bit-reproducible across engines and an external SQL
+    oracle can replay it.
+
+    Scale shape: two hash exchanges — (shard, source) for the
+    per-source arrival rank, then shard for the merged order — each
+    with in-partition sorts only; never a global sort, no driver
+    state. Shards stay independent, so n_shards ≥ parallelism keeps
+    every core busy at any corpus size.
+
+    Output: input columns + (shuffle_key, shard, __src_rank, vtime,
+    interleave_rank) where interleave_rank is the 1-based read order
+    within the shard.
+    """
+    shuffled = epoch_shuffle(
+        docs, seed=seed, n_shards=n_shards, id_col=id_col, rank_col="__epoch_rank"
+    ).drop("__epoch_rank")
+    w1 = Window.partitionBy("shard", source_col).orderBy("shuffle_key", id_col)
+    staged = (
+        shuffled.withColumn("__w", weight.cast("long"))
+        .withColumn("__src_rank", F.row_number().over(w1).cast("long"))
+        .withColumn(
+            "vtime", F.expr(f"(__src_rank * {_STRIDE_SCALE}L) DIV __w")
+        )
+    )
+    w2 = Window.partitionBy("shard").orderBy("vtime", "shuffle_key", id_col)
+    return staged.drop("__w").withColumn(
+        "interleave_rank", F.row_number().over(w2).cast("long")
+    )
+
+
+def epoch_interleave_manifest(
+    docs: DataFrame,
+    weight: Column,
+    seed: int = 0,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-shard manifest of the interleaved read order, checksummed
+    ORDER-SENSITIVELY (Σ rank × (id mod P), as epoch_shuffle_manifest)
+    plus the first source read per shard — together they pin the
+    exact mixing order an external oracle must reproduce.
+
+    Output: (shard, n_docs, order_checksum, first_source).
+    """
+    mixed = epoch_interleave(
+        docs,
+        weight,
+        seed=seed,
+        n_shards=n_shards,
+        id_col=id_col,
+        source_col=source_col,
+    )
+    return mixed.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.col("interleave_rank")
+            * (F.col(id_col) % F.lit(_EPOCH_CHECKSUM_MOD))
+        ).alias("order_checksum"),
+        F.min_by(source_col, "interleave_rank").alias("first_source"),
+    )
+
+
 def pack_chunks(
     docs: DataFrame,
     budget: int = 512,

@@ -518,3 +518,48 @@ def test_epoch_shuffle_checksum_is_order_sensitive(spark):
         (i + 1) * (d % 1_000_003) for i, d in enumerate(swapped)
     )
     assert true_sum != swap_sum
+
+
+def test_epoch_interleave_stride_proportionality(spark):
+    """The stride invariant: in EVERY prefix of a shard's read order,
+    each source's count tracks its weight share within a bounded
+    error — not just in expectation over the whole epoch."""
+    from myasynstreamjoin_spark.functions.pipeline import epoch_interleave
+
+    rows = [(i, "heavy" if i % 4 != 3 else "light") for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    weight = F.when(F.col("source") == "heavy", F.lit(3)).otherwise(F.lit(1))
+    out = (
+        epoch_interleave(docs, weight, seed=0, n_shards=1)
+        .select("source", "interleave_rank")
+        .collect()
+    )
+    order = [r["source"] for r in sorted(out, key=lambda r: r["interleave_rank"])]
+    assert len(order) == 400
+    # stride emission RATES follow per-source weights (3:1), and the
+    # corpus is built 300 heavy / 100 light so both sources exhaust at
+    # the same virtual time — every prefix should be ~3/4 heavy
+    assert order.count("heavy") == 300
+    seen_h = 0
+    for t, src in enumerate(order, start=1):
+        seen_h += src == "heavy"
+        expect = t * 3 / 4
+        # stride scheduling bounds per-source drift to ~1 quantum;
+        # allow 3 for digest tie-breaks at equal virtual times
+        assert abs(seen_h - expect) <= 3, (t, seen_h, expect)
+
+
+def test_epoch_interleave_without_replacement_and_deterministic(spark, sf_dir):
+    from myasynstreamjoin_spark.functions.pipeline import (
+        epoch_interleave_manifest,
+    )
+    from myasynstreamjoin_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.expr("CAST(substring(source, 4) AS INT) % 4 + 1")
+    m = {r["shard"]: r for r in
+         epoch_interleave_manifest(docs, w, seed=1).collect()}
+    assert sum(r["n_docs"] for r in m.values()) == docs.count()
+    again = {r["shard"]: r for r in
+             epoch_interleave_manifest(docs, w, seed=1).collect()}
+    assert m == again

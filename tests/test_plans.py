@@ -557,3 +557,20 @@ def test_epoch_shuffle_manifest_is_one_exchange(spark, sf_dir):
     # within-partition sort for the window is fine; a global Sort+
     # range exchange is not
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_epoch_interleave_is_two_hash_exchanges(spark, sf_dir):
+    """(shard, source) rank exchange + shard merge exchange — the
+    manifest groupBy reuses the second; never a global sort."""
+    from myasynstreamjoin_spark.functions.pipeline import (
+        epoch_interleave_manifest,
+    )
+    from pyspark.sql import functions as F
+
+    w = F.expr("CAST(substring(source, 4) AS INT) % 4 + 1")
+    df = epoch_interleave_manifest(
+        tables.load_table(spark, sf_dir, "documents"), w, seed=1, n_shards=16
+    )
+    assert n_shuffles(df) == 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()
