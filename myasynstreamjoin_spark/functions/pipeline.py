@@ -778,6 +778,40 @@ def epoch_shuffle_manifest(
     )
 
 
+def export_epoch(
+    docs: DataFrame,
+    path: str,
+    seed: int = 0,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize one epoch's shuffled read order as ``shard=N/``
+    parquet directories whose ROW ORDER IS the permutation — the
+    artifact a trainer's data loader actually consumes. ``shard_rank``
+    is kept in the files so a resumed run can seek to its checkpoint
+    step (``shard_rank > n``) and so the written tree can be verified
+    against ``epoch_shuffle_manifest``'s order-sensitive checksum
+    without re-deriving the digest (asserted in
+    tests/test_export_shards.py).
+
+    ``export_shards`` is the unseeded single-corpus special case; this
+    writes a fresh tree per (epoch, seed) while the source corpus
+    stays untouched. Same scale shape: one repartition on the shard
+    id, sort within partitions only.
+    """
+    staged = epoch_shuffle(docs, seed=seed, n_shards=n_shards, id_col=id_col)
+    (
+        staged.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "shuffle_key", id_col)
+        # the digest did its job at sort time; rank stays for seeking
+        .drop("shuffle_key")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 # Stride scale for the integer virtual clock: 720720 = lcm(1..16),
 # so rank*SCALE DIV weight is exact for any weight up to 16 and the
 # interleave positions carry no float anywhere.

@@ -81,3 +81,50 @@ def test_within_shard_order_is_deterministic_shuffle(spark, sf_dir, tmp_path):
          .where(F.col("shard") == 0).collect()]
     assert a == b and len(a) > 2
     assert a != sorted(a)
+
+
+def test_export_epoch_row_order_is_the_permutation(spark, sf_dir, tmp_path):
+    """The written files' row order must equal the epoch permutation:
+    shard_rank is dense ascending in file order, and the recomputed
+    order-sensitive checksum matches epoch_shuffle_manifest's."""
+    from myasynstreamjoin_spark.functions.pipeline import (
+        _EPOCH_CHECKSUM_MOD,
+        epoch_shuffle_manifest,
+        export_epoch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "epoch1")
+    export_epoch(docs, path, seed=1, n_shards=N_SHARDS)
+    back = spark.read.parquet(path)
+    assert sorted(back.columns) == sorted(
+        docs.columns + ["shard", "shard_rank"]
+    )
+    assert back.count() == docs.count()
+    manifest = {
+        r["shard"]: r
+        for r in epoch_shuffle_manifest(
+            docs, seed=1, n_shards=N_SHARDS
+        ).collect()
+    }
+    for shard in range(N_SHARDS):
+        rows = spark.read.parquet(f"{path}/shard={shard}").collect()
+        # file order IS rank order (single file per shard dir)
+        ranks = [r["shard_rank"] for r in rows]
+        assert ranks == list(range(1, len(rows) + 1))
+        checksum = sum(
+            r["shard_rank"] * (r["doc_id"] % _EPOCH_CHECKSUM_MOD)
+            for r in rows
+        )
+        assert checksum == manifest[shard]["order_checksum"]
+        assert len(rows) == manifest[shard]["n_docs"]
+    # a different seed writes a different permutation of the same corpus
+    path2 = str(tmp_path / "epoch2")
+    export_epoch(docs, path2, seed=2, n_shards=N_SHARDS)
+    b2 = spark.read.parquet(path2)
+    assert b2.count() == docs.count()
+    o1 = [r["doc_id"] for r in
+          spark.read.parquet(f"{path}/shard=0").collect()]
+    o2 = [r["doc_id"] for r in
+          spark.read.parquet(f"{path2}/shard=0").collect()]
+    assert o1 != o2

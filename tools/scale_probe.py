@@ -55,6 +55,8 @@ DEFAULT = [
     "lpa_prebuilt",
     "q_event_sequences",
     "q_expectations",
+    "q_epoch_shuffle",
+    "q_epoch_interleave",
     "q_pipeline_e2e",
     "pipeline_e2e_nolang",
     "q_dataset_card",
