@@ -730,14 +730,28 @@ def epoch_shuffle(
     ``rank_col``) where rank is 1-based within the shard in shuffle
     order.
     """
+    staged = _epoch_stage(docs, seed, n_shards, id_col, digest_col, shard_col)
+    w = Window.partitionBy(shard_col).orderBy(digest_col, id_col)
+    return staged.withColumn(rank_col, F.row_number().over(w).cast("long"))
+
+
+def _epoch_stage(
+    docs: DataFrame,
+    seed: int,
+    n_shards: int,
+    id_col: str,
+    digest_col: str = "shuffle_key",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Shared map-only stage of the epoch family: the seeded digest
+    and the shard it assigns. No shuffle — callers add their own
+    rank/order windows."""
     key = F.concat(F.col(id_col).cast("string"), F.lit(f":epoch{int(seed)}"))
     staged = docs.withColumn(digest_col, F.md5(F.encode(key, "UTF-8")))
-    staged = staged.withColumn(
+    return staged.withColumn(
         shard_col,
         F.conv(F.substring(digest_col, 1, 4), 16, 10).cast("int") % n_shards,
     )
-    w = Window.partitionBy(shard_col).orderBy(digest_col, id_col)
-    return staged.withColumn(rank_col, F.row_number().over(w).cast("long"))
 
 
 def epoch_shuffle_manifest(
@@ -852,9 +866,7 @@ def epoch_interleave(
     interleave_rank) where interleave_rank is the 1-based read order
     within the shard.
     """
-    shuffled = epoch_shuffle(
-        docs, seed=seed, n_shards=n_shards, id_col=id_col, rank_col="__epoch_rank"
-    ).drop("__epoch_rank")
+    shuffled = _epoch_stage(docs, seed, n_shards, id_col)
     w1 = Window.partitionBy("shard", source_col).orderBy("shuffle_key", id_col)
     staged = (
         shuffled.withColumn("__w", weight.cast("long"))
