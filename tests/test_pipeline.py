@@ -563,3 +563,24 @@ def test_epoch_interleave_without_replacement_and_deterministic(spark, sf_dir):
     again = {r["shard"]: r for r in
              epoch_interleave_manifest(docs, w, seed=1).collect()}
     assert m == again
+
+
+def test_epoch_interleave_exhaustion_hands_over_to_remaining_sources(spark):
+    """When a source exhausts mid-epoch (weight outpaces its size),
+    the rest of the read order must be the remaining sources alone —
+    nothing is re-emitted, nothing is starved."""
+    from myasynstreamjoin_spark.functions.pipeline import epoch_interleave
+
+    rows = [(i, "heavy") for i in range(30)] + [
+        (100 + i, "light") for i in range(90)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    weight = F.when(F.col("source") == "heavy", F.lit(3)).otherwise(F.lit(1))
+    out = epoch_interleave(docs, weight, seed=0, n_shards=1).collect()
+    order = [r["source"] for r in sorted(out, key=lambda r: r["interleave_rank"])]
+    assert len(order) == 120 and order.count("heavy") == 30
+    # heavy (rate 3) exhausts its 30 docs by virtual time 10*SCALE,
+    # when light (rate 1) has emitted ~10 — all heavy docs live in the
+    # first ~40 reads (± a tie quantum), the tail is pure light
+    assert order[:43].count("heavy") == 30
+    assert all(s == "light" for s in order[45:])
