@@ -1005,6 +1005,29 @@ def _q_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable quality gate: logistic regression fit by full-batch
+    GD on the q_doc_features signals against the heuristic quality
+    gate as weak label (self-distillation), reported per source.
+    rows-only: an iterative float fit has no SQL oracle — invariant
+    pytests (loss decreases, separable data recovered, determinism)
+    stand in (functions/classifier.py, tests/test_classifier.py)."""
+    from myasynstreamjoin_spark.functions.classifier import (
+        quality_classifier_report,
+    )
+
+    _prep(spark)
+    feats = _q_doc_features(spark, sf_dir).join(
+        tables.load_table(spark, sf_dir, "documents").select("doc_id", "source"),
+        "doc_id",
+    )
+    cols = ["n_tokens", "n_distinct_tokens", "avg_token_len", "en_ratio",
+            "rep_ratio", "nll"]
+    return quality_classifier_report(
+        feats, cols, weak_label=F.col("quality") >= 0.5, iters=15
+    ).orderBy("source")
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (functions/bpe.py): corpus
     scanned once into word frequencies, 16 merge iterations on the
@@ -3167,6 +3190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_interval_join_outer": _q_stream_interval_join_outer,  # + outer null emission
         "q_epoch_shuffle": _q_epoch_shuffle,              # seeded epoch reshuffle manifest
         "q_epoch_interleave": _q_epoch_interleave,        # stride-scheduled source mixing
+        "q_quality_classifier": _q_quality_classifier,    # trainable gate (rows-only)
     }
 
 
