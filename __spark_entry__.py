@@ -2836,6 +2836,23 @@ def _q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: corpus vectors scored by max
+    cosine against the held-out benchmark slice (vec_id % 50 == 0),
+    flagging paraphrased eval leakage the exact n-gram path misses.
+    Benchmark broadcasts; exact, no candidate generation
+    (functions/similarity.py::semantic_decontaminate)."""
+    from myasynstreamjoin_spark.functions.similarity import (
+        semantic_decontaminate,
+    )
+
+    _prep(spark)
+    embs = tables.load_table(spark, sf_dir, "embeddings")
+    bench = embs.where(F.col("vec_id") % 50 == 0)
+    corpus = embs.where(F.col("vec_id") % 50 != 0)
+    return semantic_decontaminate(corpus, bench, threshold=0.4)
+
+
 def _q_stream_min_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query as a real Structured Streaming job (file source →
     watermark → windowed agg, append mode) run to completion; the oracle
@@ -3191,6 +3208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_epoch_shuffle": _q_epoch_shuffle,              # seeded epoch reshuffle manifest
         "q_epoch_interleave": _q_epoch_interleave,        # stride-scheduled source mixing
         "q_quality_classifier": _q_quality_classifier,    # trainable gate (rows-only)
+        "q_semantic_decontaminate": _q_semantic_decontaminate,  # embedding-space decon
     }
 
 
@@ -6469,6 +6487,26 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(sum(rnk * (doc_id % 1000003)) AS BIGINT) AS order_checksum,
                    arg_min(source, rnk) AS first_source
             FROM o GROUP BY shard
+        """,
+        # Embedding-space decontamination: per corpus vector, the max
+        # rounded cosine vs the benchmark slice and the count at or
+        # above threshold. Same cast-to-double + list_dot_product
+        # recipe as q_embed_neardup_exact (identical IEEE fold order).
+        "q_semantic_decontaminate": """
+            WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            bench AS (SELECT e FROM n WHERE vec_id % 50 = 0),
+            corpus AS (SELECT vec_id, e FROM n WHERE vec_id % 50 <> 0),
+            p AS (
+              SELECT c.vec_id,
+                     round(list_dot_product(c.e, b.e)
+                           / (sqrt(list_dot_product(c.e, c.e))
+                              * sqrt(list_dot_product(b.e, b.e))), 4) AS cos
+              FROM corpus c CROSS JOIN bench b)
+            SELECT vec_id, max(cos) AS max_cos,
+                   CAST(sum(CASE WHEN cos >= 0.4 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_hits
+            FROM p GROUP BY vec_id
         """,
     }
 

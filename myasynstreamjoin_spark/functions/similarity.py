@@ -340,6 +340,55 @@ def exact_embedding_pairs(
     )
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SEMANTIC train/eval decontamination: score every corpus vector
+    by its maximum cosine against the held-out benchmark embeddings —
+    the embedding-space complement of the exact n-gram
+    `decontaminate`/Bloom path (paraphrased eval leakage that shares
+    no 8-gram still lands next to its source in embedding space).
+
+    Scale shape: the benchmark side is holdout-suite-sized, so it
+    BROADCASTS; the corpus×bench cosines fold through a map-side
+    partial max/count, and only |corpus| one-row-per-doc results reach
+    the exchange — at 100 TB this is a map-only scan of the corpus
+    embeddings plus an |corpus|-row agg, no candidate generation
+    needed. Exact by construction (no recall loss to explain to an
+    auditor, unlike an LSH prefilter here).
+
+    Output: (vec_id, max_cos, n_hits) per corpus vector, where n_hits
+    counts benchmark vectors at round(cos,4) ≥ threshold; max_cos is
+    rounded like every cosine this module emits.
+    """
+    a = rebalance(corpus).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("va"),
+        l2norm(vec_col).alias("na"),
+    )
+    b = benchmark.select(
+        F.col(vec_col).alias("vb"), l2norm(vec_col).alias("nb")
+    )
+    cos = F.round(
+        cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 4
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .select("vec_id", cos.alias("cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.max("cos").alias("max_cos"),
+            F.sum((F.col("cos") >= threshold).cast("int"))
+            .cast("long")
+            .alias("n_hits"),
+        )
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -304,3 +304,50 @@ def test_contamination_report_per_suite_counts(spark):
     # one 8-gram (doc 0: positions 0..; doc 1 contains it once)
     assert out["suiteA"] == (1, 2, 2)
     assert out["suiteB"] == (2, 0, 0)
+
+
+def test_semantic_decontaminate_flags_planted_leak(spark, embs):
+    """A corpus vector equal to a benchmark vector must score
+    max_cos = 1.0; orthogonal vectors score 0; every corpus row is
+    reported exactly once."""
+    from myasynstreamjoin_spark.functions.similarity import (
+        semantic_decontaminate,
+    )
+
+    dim = len(embs.first()["embedding"])
+    e1 = [1.0] + [0.0] * (dim - 1)
+    e2 = [0.0, 1.0] + [0.0] * (dim - 2)
+    bench = spark.createDataFrame(
+        [(1000, e1)], "vec_id long, embedding array<float>"
+    )
+    corpus = spark.createDataFrame(
+        [(1, e1), (2, e2), (3, [-x for x in e1])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in
+           semantic_decontaminate(corpus, bench, threshold=0.9).collect()}
+    assert len(out) == 3
+    assert out[1]["max_cos"] == 1.0 and out[1]["n_hits"] == 1
+    assert out[2]["max_cos"] == 0.0 and out[2]["n_hits"] == 0
+    assert out[3]["max_cos"] == -1.0 and out[3]["n_hits"] == 0
+    # the real embeddings table: one row per corpus vector, no drops
+    bench_sf = embs.where(F.col("vec_id") % 50 == 0)
+    corpus_sf = embs.where(F.col("vec_id") % 50 != 0)
+    rep = semantic_decontaminate(corpus_sf, bench_sf)
+    assert rep.count() == corpus_sf.count()
+    assert rep.where(F.col("max_cos") > 1.0001).count() == 0
+
+
+def test_semantic_decontaminate_broadcasts_benchmark(spark, embs):
+    from myasynstreamjoin_spark.functions.similarity import (
+        semantic_decontaminate,
+    )
+
+    bench = embs.where(F.col("vec_id") % 50 == 0)
+    corpus = embs.where(F.col("vec_id") % 50 != 0)
+    plan = (
+        semantic_decontaminate(corpus, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
