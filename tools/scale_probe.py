@@ -57,6 +57,8 @@ DEFAULT = [
     "q_expectations",
     "q_epoch_shuffle",
     "q_epoch_interleave",
+    "q_semantic_decontaminate",
+    "q_quality_classifier",
     "q_pipeline_e2e",
     "pipeline_e2e_nolang",
     "q_dataset_card",
