@@ -82,10 +82,74 @@ def read_clean_ids(spark: SparkSession, work_dir: str) -> DataFrame | None:
     clean_dir = os.path.join(work_dir, "clean")
     if not os.path.isdir(clean_dir):
         return None
+    # only COMMITTED batch dirs (Spark's _SUCCESS marker), mirroring
+    # spanremove/export's convention — a crash mid-write leaves a
+    # half-written b{N} whose partial rows the replay will rewrite
     dirs = [
         os.path.join(clean_dir, d)
         for d in os.listdir(clean_dir)
         if d.startswith("b")
+        and os.path.exists(os.path.join(clean_dir, d, "_SUCCESS"))
+    ]
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
+
+
+def run_stream_semantic_decontaminate(
+    vecs: DataFrame,
+    spark: SparkSession,
+    bench_vecs: DataFrame,
+    work_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.4,
+) -> None:
+    """Ingest-time SEMANTIC decontamination: the streaming twin of
+    `functions/similarity.py::semantic_decontaminate`, exactly as this
+    module's gram gate twins the exact n-gram one. Per micro-batch the
+    static benchmark embeddings (localCheckpoint-ed once, broadcast)
+    score the batch's vectors; per-vector (max_cos, n_hits) rows land
+    under ``{work_dir}/scored/b{N}`` via per-batch overwrite —
+    replay-idempotent, no cross-batch state (a static benchmark makes
+    the op embarrassingly batch-parallel), so the union over committed
+    batches equals the batch operator's answer row-for-row
+    (asserted in tests/test_stream_dedup.py beside the exact twin's
+    replay test)."""
+    from myasynstreamjoin_spark.functions.similarity import (
+        semantic_decontaminate,
+    )
+
+    scored_dir = os.path.join(work_dir, "scored")
+    bench = bench_vecs.localCheckpoint(eager=True)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint(eager=True)
+        out = semantic_decontaminate(batch, bench, threshold=threshold)
+        out.write.mode("overwrite").parquet(
+            os.path.join(scored_dir, f"b{int(batch_id)}")
+        )
+
+    q = (
+        vecs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(process)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_scored_vecs(spark: SparkSession, work_dir: str) -> DataFrame | None:
+    scored_dir = os.path.join(work_dir, "scored")
+    if not os.path.isdir(scored_dir):
+        return None
+    dirs = [
+        os.path.join(scored_dir, d)
+        for d in os.listdir(scored_dir)
+        if d.startswith("b")
+        and os.path.exists(os.path.join(scored_dir, d, "_SUCCESS"))
     ]
     if not dirs:
         return None

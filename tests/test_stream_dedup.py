@@ -127,3 +127,63 @@ def test_stream_decontaminate_replay_idempotent(spark, sf_dir, tmp_path):
     second = sorted(r.doc_id for r in read_clean_ids(spark, work).collect())
     assert first == second
     assert len(first) == len(set(first))
+
+
+def test_stream_semantic_decontaminate_equals_batch(spark, sf_dir, tmp_path):
+    """The streamed per-vector (max_cos, n_hits) rows over committed
+    batches equal the batch semantic_decontaminate answer, and a
+    replay rewrites rather than duplicates."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from myasynstreamjoin_spark.functions.similarity import (
+        semantic_decontaminate,
+    )
+    from myasynstreamjoin_spark.streaming.decontaminate import (
+        read_scored_vecs,
+        run_stream_semantic_decontaminate,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bench = embs.where(F.col("vec_id") % 50 == 0).select("vec_id", "embedding")
+    corpus = embs.where(F.col("vec_id") % 50 != 0).select("vec_id", "embedding")
+    # two files => two micro-batches
+    feed = os.path.join(str(tmp_path), "feed")
+    os.makedirs(feed)
+    for i, half in enumerate(
+        (corpus.where(F.col("vec_id") % 2 == 0),
+         corpus.where(F.col("vec_id") % 2 == 1))
+    ):
+        staging = os.path.join(str(tmp_path), f"stage{i}")
+        half.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            f for f in os.listdir(staging)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        shutil.move(os.path.join(staging, part),
+                    os.path.join(feed, f"f{i}.parquet"))
+    work = os.path.join(str(tmp_path), "sdc")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    stream = spark.readStream.schema(corpus.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(feed)
+    run_stream_semantic_decontaminate(stream, spark, bench, work, ckpt)
+    got = {
+        r["vec_id"]: (r["max_cos"], r["n_hits"])
+        for r in read_scored_vecs(spark, work).collect()
+    }
+    want = {
+        r["vec_id"]: (r["max_cos"], r["n_hits"])
+        for r in semantic_decontaminate(corpus, bench).collect()
+    }
+    assert got == want
+    # replay over the same checkpoint: identical, no duplicates
+    stream2 = spark.readStream.schema(corpus.schema).parquet(feed)
+    run_stream_semantic_decontaminate(stream2, spark, bench, work, ckpt)
+    again = {
+        r["vec_id"]: (r["max_cos"], r["n_hits"])
+        for r in read_scored_vecs(spark, work).collect()
+    }
+    assert again == got
