@@ -1802,6 +1802,39 @@ def _q_epoch_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_interleave_manifest(docs, weight, seed=1, n_shards=16)
 
 
+def _q_epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The epoch export under the oracle's eye: write epoch 2's
+    shuffled corpus as shard files (export_epoch), read the TREE back
+    (read_epoch), and rebuild the manifest from the persisted
+    (shard, shard_rank) columns alone — the oracle replays the
+    permutation from scratch, so any export/read slip (dropped rows,
+    reordered files, rank corruption) is a driver mismatch
+    (functions/pipeline.py::export_epoch/read_epoch)."""
+    import os
+    import tempfile
+
+    from myasynstreamjoin_spark.functions.pipeline import (
+        _EPOCH_CHECKSUM_MOD,
+        export_epoch,
+        read_epoch,
+    )
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    tmp = os.path.join(tempfile.mkdtemp(prefix="epoch_rt_"), "epoch2")
+    export_epoch(docs, tmp, seed=2, n_shards=16)
+    back = read_epoch(spark, tmp)
+    return back.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("sum_weight"),
+        F.sum(
+            F.col("shard_rank") * (F.col("doc_id") % F.lit(_EPOCH_CHECKSUM_MOD))
+        ).alias("order_checksum"),
+        F.min_by("doc_id", "shard_rank").alias("first_doc"),
+        F.max_by("doc_id", "shard_rank").alias("last_doc"),
+    )
+
+
 def _q_pipeline_e2e(
     spark: SparkSession, sf_dir: str, lang_gate: bool = True
 ) -> DataFrame:
@@ -3209,6 +3242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_epoch_interleave": _q_epoch_interleave,        # stride-scheduled source mixing
         "q_quality_classifier": _q_quality_classifier,    # trainable gate (rows-only)
         "q_semantic_decontaminate": _q_semantic_decontaminate,  # embedding-space decon
+        "q_epoch_roundtrip": _q_epoch_roundtrip,          # epoch export/read under oracle
     }
 
 
@@ -6507,6 +6541,32 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(sum(CASE WHEN cos >= 0.4 THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_hits
             FROM p GROUP BY vec_id
+        """,
+        # Epoch-2 export round trip: the Spark side rebuilds the
+        # manifest from the PERSISTED shard files; the oracle replays
+        # the permutation from the source table — agreement proves the
+        # written tree carries the exact epoch order.
+        "q_epoch_roundtrip": """
+            WITH h AS (
+              SELECT doc_id, n_chars,
+                     md5(CAST(doc_id AS VARCHAR) || ':epoch2') AS dg
+              FROM documents),
+            s AS (
+              SELECT doc_id, n_chars, dg,
+                     CAST(('0x' || substring(dg, 1, 4)) AS INT) % 16 AS shard
+              FROM h),
+            r AS (
+              SELECT doc_id, n_chars, shard,
+                     CAST(row_number() OVER (
+                       PARTITION BY shard ORDER BY dg, doc_id) AS BIGINT) AS rnk
+              FROM s)
+            SELECT shard,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_weight,
+                   CAST(sum(rnk * (doc_id % 1000003)) AS BIGINT) AS order_checksum,
+                   arg_min(doc_id, rnk) AS first_doc,
+                   arg_max(doc_id, rnk) AS last_doc
+            FROM r GROUP BY shard
         """,
     }
 

@@ -47,6 +47,8 @@ HEADLINE = [
     "q_embed_neardup_lsh",    # LSH-bucketed embedding near-dup
     "q_bm25",                 # BM25 lexical retrieval
     "q_bloom_decontaminate",  # Bloom-prefiltered exact decontamination
+    "q_semantic_decontaminate",  # embedding-space decontamination (broadcast bench)
+    "q_epoch_interleave",     # stride-scheduled epoch shuffle + source mixing
     "q_remove_spans",         # ExactSubstr-style duplicate-span removal
     "q_semantic_dedup_arrow",  # SemDeDup cluster-then-pair (Arrow scale kernel;
                               # the SQL twin carries the DuckDB oracle)

@@ -826,6 +826,26 @@ def export_epoch(
     )
 
 
+def read_epoch(
+    spark,
+    path: str,
+    shard: int | None = None,
+    from_rank: int = 0,
+) -> DataFrame:
+    """Read an `export_epoch` tree: optionally one shard (directory-
+    pruned) and optionally seeking past a checkpoint step
+    (``shard_rank > from_rank`` — the resume path of a trainer data
+    loader). Within a single shard file Spark preserves row order on
+    read; across shards/files, order By shard_rank explicitly if a
+    total per-shard order matters to the consumer."""
+    df = spark.read.parquet(path)
+    if shard is not None:
+        df = df.where(F.col("shard") == shard)
+    if from_rank:
+        df = df.where(F.col("shard_rank") > from_rank)
+    return df
+
+
 # Stride scale for the integer virtual clock: 720720 = lcm(1..16),
 # so rank*SCALE DIV weight is exact for any weight up to 16 and the
 # interleave positions carry no float anywhere.
