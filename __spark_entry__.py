@@ -1835,6 +1835,34 @@ def _q_epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_compact_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round trip under the oracle: export the
+    corpus as 32 hash shards, compact them into token-budget-bounded
+    bins (contiguous shard ranges, bin = prefix DIV budget), read the
+    COMPACTED tree back and rebuild the per-bin manifest from the
+    persisted files — the oracle replays shard assignment, per-shard
+    sums, and the prefix-split from the source table, so any row the
+    rewrite drops or duplicates flips a count or the order-free
+    checksum (functions/pipeline.py::compact_shards)."""
+    import os
+    import tempfile
+
+    from myasynstreamjoin_spark.functions.pipeline import (
+        compact_shards,
+        compacted_manifest,
+        export_shards,
+    )
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="compact_")
+    src = os.path.join(root, "shards")
+    dst = os.path.join(root, "compacted")
+    export_shards(docs, src, n_shards=32)
+    compact_shards(spark, src, dst, budget_tokens=4096)
+    return compacted_manifest(spark, dst)
+
+
 def _q_pipeline_e2e(
     spark: SparkSession, sf_dir: str, lang_gate: bool = True
 ) -> DataFrame:
@@ -3243,6 +3271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_classifier": _q_quality_classifier,    # trainable gate (rows-only)
         "q_semantic_decontaminate": _q_semantic_decontaminate,  # embedding-space decon
         "q_epoch_roundtrip": _q_epoch_roundtrip,          # epoch export/read under oracle
+        "q_compact_shards": _q_compact_shards,            # small-file compaction round trip
     }
 
 
@@ -6567,6 +6596,40 @@ def _oracle_sql_base() -> dict[str, str]:
                    arg_min(doc_id, rnk) AS first_doc,
                    arg_max(doc_id, rnk) AS last_doc
             FROM r GROUP BY shard
+        """,
+        # Small-file compaction round trip: the Spark side rebuilds the
+        # per-bin manifest from the COMPACTED files; the oracle replays
+        # shard assignment → per-shard sums → prefix DIV budget → bin
+        # rollup from the source table. The checksum is the associative
+        # order-free Σ md5_32(normalized text), so agreement proves the
+        # rewrite lossless.
+        "q_compact_shards": f"""
+            WITH b AS (
+              SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+                       % 32 AS shard,
+                     CASE WHEN text IS NULL THEN 0
+                          ELSE len({_DOC_TOKENS}) END AS nt,
+                     CAST(('0x' || substring(md5(
+                       regexp_replace(trim(lower(coalesce(text, ''))),
+                                      '\\s+', ' ', 'g')), 1, 8)) AS BIGINT) AS h
+              FROM documents),
+            s AS (
+              SELECT shard, count(*) AS nd,
+                     CAST(sum(nt) AS BIGINT) AS n_tokens,
+                     CAST(sum(h) AS BIGINT) AS cs
+              FROM b GROUP BY shard),
+            p AS (
+              SELECT *, COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY shard
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS prefix
+              FROM s)
+            SELECT CAST(prefix // 4096 AS BIGINT) AS bin,
+                   count(*) AS n_shards,
+                   CAST(sum(nd) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(sum(cs) AS BIGINT) AS checksum
+            FROM p GROUP BY 1
         """,
     }
 

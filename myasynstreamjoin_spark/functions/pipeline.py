@@ -1001,6 +1001,134 @@ def pack_chunks(
     )
 
 
+def compact_plan(
+    manifest: DataFrame,
+    budget_tokens: int,
+    shard_col: str = "shard",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Deterministic shard → bin assignment for small-file compaction:
+    shards in id order are virtually concatenated and split at
+    ``budget_tokens`` boundaries — ``bin = exclusive-prefix-sum DIV
+    budget``. Bins are therefore CONTIGUOUS shard ranges (a compacted
+    read order is the original read order), bin ids are dense from 0,
+    and every bin's total stays under ``budget + max(shard tokens)``
+    (the classic next-fit bound). All-integer arithmetic, so an
+    external SQL oracle replays the exact assignment.
+
+    Scale shape: runs on the MANIFEST (one row per shard), so the
+    unpartitioned window is over a cluster-trivial frame — thousands
+    of rows when the corpus is 100 TB — and costs nothing regardless
+    of corpus size. The expensive part is the rewrite
+    (`compact_shards`), which this plan keeps to ONE hash exchange.
+
+    Output: manifest columns + ``bin``.
+    """
+    w = Window.orderBy(shard_col).rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        manifest.withColumn(
+            "__prefix",
+            F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long"),
+        )
+        .withColumn("bin", F.expr(f"__prefix DIV {int(budget_tokens)}L"))
+        .drop("__prefix")
+    )
+
+
+def compact_shards(
+    spark,
+    src_path: str,
+    dst_path: str,
+    budget_tokens: int = 1 << 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Rewrite an `export_shards` tree into budget-bounded compacted
+    bins — the SMALL-FILE maintenance pass every long-lived 100 TB
+    corpus store needs: exports sized for write parallelism (or
+    incrementally appended) leave shards far below the size a reader
+    wants, and a name-node / object store melts under the file count.
+
+    The per-shard token totals are recomputed FROM THE FILES (trust
+    nothing about the tree's history), the n_shards-row `compact_plan`
+    broadcast-joins onto the rows (no shuffle to plan), and the data
+    moves through exactly ONE hash exchange on ``bin`` with an
+    in-partition sort (bin, shard, id) that preserves the original
+    shard-concatenation read order. `compacted_manifest` + the
+    order-free checksum prove the rewrite lossless; bins are hive
+    directories (``bin=N/``) so they prune on read like the shards
+    they replace (asserted in tests/test_compact.py).
+
+    Returns the plan (shard, n_tokens, bin) for audit.
+    """
+    from myasynstreamjoin_spark.functions.text import tokens as _tokens
+
+    docs = spark.read.parquet(src_path)
+    per_shard = (
+        docs.select(
+            F.col("shard").cast("long").alias("shard"),
+            F.when(F.col(text_col).isNull(), F.lit(0))
+            .otherwise(F.size(_tokens(text_col)))
+            .cast("long")
+            .alias("__nt"),
+        )
+        .groupBy("shard")
+        .agg(F.sum("__nt").alias("n_tokens"))
+    )
+    plan = compact_plan(per_shard, budget_tokens)
+    assigned = docs.withColumn(
+        "shard", F.col("shard").cast("long")
+    ).join(F.broadcast(plan.select("shard", "bin")), "shard")
+    (
+        assigned.repartition(F.col("bin"))
+        .sortWithinPartitions("bin", "shard", id_col)
+        .write.mode(mode)
+        .partitionBy("bin")
+        .parquet(dst_path)
+    )
+    return plan
+
+
+def compacted_manifest(
+    spark, path: str, text_col: str = "text"
+) -> DataFrame:
+    """Per-bin manifest of a compacted tree, recomputed from the FILES
+    with `shard_manifest`'s order-free integer checksum — because the
+    checksum is an associative Σ of 32-bit hashes, each bin's value
+    must equal the sum of its constituent shards' manifest values, so
+    source-manifest vs compacted-manifest agreement proves the rewrite
+    dropped and duplicated nothing.
+
+    Output: (bin, n_shards, n_docs, n_tokens, checksum); one
+    map-side-combined groupBy, n_bins rows out.
+    """
+    from myasynstreamjoin_spark.functions.dedup import md5_32
+    from myasynstreamjoin_spark.functions.text import normalized
+    from myasynstreamjoin_spark.functions.text import tokens as _tokens
+
+    docs = spark.read.parquet(path)
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    return (
+        docs.select(
+            F.col("bin").cast("long").alias("bin"),
+            F.col("shard").cast("long").alias("shard"),
+            F.when(F.col(text_col).isNull(), F.lit(0))
+            .otherwise(F.size(_tokens(text_col)))
+            .cast("long")
+            .alias("__nt"),
+            md5_32(normalized(t)).alias("__h"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.countDistinct("shard").alias("n_shards"),
+            F.count("*").alias("n_docs"),
+            F.sum("__nt").alias("n_tokens"),
+            F.sum("__h").alias("checksum"),
+        )
+    )
+
+
 def dataset_card(docs: DataFrame) -> DataFrame:
     """Per-source dataset card: the one-table summary a corpus ships
     with (HF dataset-card / Datasheets-for-Datasets shape) — doc and
