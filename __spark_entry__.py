@@ -1039,6 +1039,40 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(tables.load_table(spark, sf_dir, "documents"), n_merges=16)
 
 
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ENCODE under a trained BPE tokenizer — train 16 merges,
+    then tokenize every document to ids the scale-right way: the merge
+    loop runs once per DISTINCT word (vocab-sized mapInPandas), word →
+    ids joins back onto the occurrence stream, flatten in word order
+    (functions/bpe.py::bpe_encode). Emits an integer digest per doc
+    (count + order-sensitive id checksum) rather than the raw arrays.
+    rows-only: the merge loop has no SQL replay; parity with the
+    per-occurrence path and the decode round trip are pinned in
+    tests/test_bpe.py."""
+    from myasynstreamjoin_spark.functions.bpe import bpe_encode, bpe_train
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=16).orderBy("step").collect()
+    ]
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.aggregate(
+            F.zip_with(
+                F.sequence(F.lit(1), F.size("token_ids")),
+                F.col("token_ids"),
+                lambda i, t: i * (t.cast("long") % F.lit(1_000_003)),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("ids_checksum"),
+    )
+
+
 def _q_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file data-skipping manifest over the events table: the
     min/max/count stats a lakehouse catalog keeps so filtered scans
@@ -3191,6 +3225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_histogram": _q_histogram,                      # integer-exact equi-width histogram
         "q_file_stats": _q_file_stats,                    # per-file data-skipping manifest
         "q_bpe_merges": _q_bpe_merges,                    # rows-only (iterative argmax; pytest vs reference BPE)
+        "q_bpe_encode": _q_bpe_encode,                    # rows-only (vocab-once corpus tokenize; pytest parity + decode)
         "q_autocorr": _q_autocorr,                        # hourly-series autocorrelation (seasonality)
         "q_incr_agg": _q_incr_agg,                        # Δ-maintained count view == recompute
         "q_dedup_audit": _q_dedup_audit,                  # LSH-vs-exact precision/recall audit

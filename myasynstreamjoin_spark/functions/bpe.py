@@ -163,3 +163,96 @@ def bpe_segment(
     return prepped.mapInPandas(
         fn, schema=f"{id_col} long, n_words long, n_bpe_tokens long"
     )
+
+
+def bpe_vocab_ids(
+    docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+) -> dict[str, int]:
+    """Deterministic symbol → token-id table for a trained merge list:
+    the base alphabet (every distinct character in the corpus + the
+    end-of-word marker) sorted lexically takes ids 0..A-1, then each
+    merge's output takes A+step — the id layout BPE tokenizers ship.
+    The alphabet scan is one distinct over corpus characters (a
+    map-side-combined groupBy yielding at most a few thousand rows);
+    the collect is a driver-sized control read like the cost models'.
+    """
+    rows = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .where(F.col("w") != "")
+        .select(F.explode(F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        )).alias("c"))
+        .distinct()
+        .collect()
+    )
+    alphabet = sorted({r["c"] for r in rows} | {END})
+    sym2id = {s: i for i, s in enumerate(alphabet)}
+    for step, (a, b) in enumerate(merges):
+        sym2id.setdefault(a + b, len(alphabet) + step)
+    return sym2id
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ENCODE every document to BPE token ids — the tokenize step a
+    training pipeline runs before packing, built the way it scales:
+    the merge loop runs ONCE PER DISTINCT WORD (the vocabulary table,
+    orders of magnitude under the corpus — `bpe_segment` by contrast
+    re-segments every occurrence), then the word → ids mapping joins
+    back onto the corpus word stream and flattens in word order.
+
+    Scale shape: one distinct on words, one Arrow-batched mapInPandas
+    over the VOCAB-sized table, one join of the occurrence stream
+    against the vocab (AQE broadcasts it while it fits; at a 100 TB
+    corpus the vocab is millions of rows — still a fine shuffle-hash
+    build side), one groupBy per doc. No SQL oracle can replay an
+    iterative merge loop (rows-only by design); parity with the
+    per-occurrence reference path and a decode round trip are pinned
+    in tests/test_bpe.py.
+
+    Output: (doc_id, n_bpe_tokens, token_ids array<int>).
+    """
+    import pandas as pd
+
+    ordered = list(merges)
+    sym2id = bpe_vocab_ids(docs, merges, text_col=text_col)
+
+    def seg(batches):
+        for pdf in batches:
+            out = []
+            for w in pdf["word"]:
+                syms = list(w) + [END]
+                for a, b in ordered:
+                    syms = _merge_symbols(syms, a, b)
+                out.append([sym2id[s] for s in syms])
+            yield pd.DataFrame({"word": pdf["word"], "ids": out})
+
+    occurrences = docs.select(
+        id_col, F.posexplode(tokens(text_col)).alias("pos", "word")
+    ).where(F.col("word") != "")
+    word_ids = (
+        occurrences.select("word")
+        .distinct()
+        .mapInPandas(seg, schema="word string, ids array<int>")
+    )
+    return (
+        occurrences.join(word_ids, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "ids"))),
+                    lambda s: s["ids"],
+                )
+            ).alias("token_ids")
+        )
+        .select(
+            id_col,
+            F.size("token_ids").cast("long").alias("n_bpe_tokens"),
+            "token_ids",
+        )
+    )

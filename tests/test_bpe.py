@@ -5,7 +5,13 @@ from __future__ import annotations
 
 from collections import Counter
 
-from myasynstreamjoin_spark.functions.bpe import END, bpe_segment, bpe_train
+from myasynstreamjoin_spark.functions.bpe import (
+    END,
+    bpe_encode,
+    bpe_segment,
+    bpe_train,
+    bpe_vocab_ids,
+)
 
 
 def _reference_bpe(texts, n_merges):
@@ -85,6 +91,54 @@ def test_bpe_segment_counts_match_reference_vocab(spark):
         ws = t.lower().split()
         expect = sum(len(vocab[w]) for w in ws)
         assert seg[i] == (len(ws), expect)
+
+
+def test_bpe_encode_counts_match_per_occurrence_path(spark):
+    # the vocab-once encode must agree with the per-occurrence
+    # reference segmentation on every document's token count
+    docs = _docs(spark)
+    merges = [
+        (r.left, r.right)
+        for r in bpe_train(docs, 8).orderBy("step").collect()
+    ]
+    fast = {r.doc_id: r.n_bpe_tokens for r in bpe_encode(docs, merges).collect()}
+    ref = {r.doc_id: r.n_bpe_tokens for r in bpe_segment(docs, merges).collect()}
+    assert fast == ref
+
+
+def test_bpe_encode_ids_decode_back_to_the_text(spark):
+    # id → symbol round trip: concatenating decoded symbols and
+    # splitting at end-of-word markers reproduces the normalized words
+    docs = _docs(spark)
+    merges = [
+        (r.left, r.right)
+        for r in bpe_train(docs, 6).orderBy("step").collect()
+    ]
+    id2sym = {v: k for k, v in bpe_vocab_ids(docs, merges).items()}
+    rows = bpe_encode(docs, merges).collect()
+    assert len(rows) == len(TEXTS)
+    for r in rows:
+        decoded = "".join(id2sym[i] for i in r.token_ids)
+        words = [w for w in decoded.split(END) if w]
+        assert words == TEXTS[r.doc_id].lower().split()
+
+
+def test_bpe_vocab_ids_layout_is_deterministic(spark):
+    docs = _docs(spark)
+    merges = [
+        (r.left, r.right)
+        for r in bpe_train(docs, 4).orderBy("step").collect()
+    ]
+    v1 = bpe_vocab_ids(docs, merges)
+    v2 = bpe_vocab_ids(docs, merges)
+    assert v1 == v2
+    alphabet = [s for s in v1 if len(s) == 1 or s == END]
+    base_ids = sorted(v1[s] for s in alphabet)
+    # alphabet occupies a dense prefix; merges follow in step order
+    assert base_ids == list(range(len(alphabet)))
+    for step, (a, b) in enumerate(merges):
+        if a + b not in alphabet:
+            assert v1[a + b] == len(alphabet) + step
 
 
 def test_more_merges_never_increase_token_count(spark):
