@@ -1073,6 +1073,43 @@ def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer chain composed end-to-end: train 16 BPE merges,
+    encode the corpus to ids (vocab-once), materialize 128-id training
+    samples (pack_token_ids), and roll up one integer digest row per
+    shard — n_seqs, docs contributing, and an order-sensitive Σ over
+    every packed id, so any slip anywhere in train → encode → pack
+    moves a value. rows-only (BPE has no SQL replay); every stage is
+    pinned alone in tests/test_bpe.py + test_pack_chunks.py."""
+    from myasynstreamjoin_spark.functions.bpe import bpe_encode, bpe_train
+    from myasynstreamjoin_spark.functions.pipeline import pack_token_ids
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=16).orderBy("step").collect()
+    ]
+    packed = pack_token_ids(
+        bpe_encode(docs, merges), budget=128, n_shards=8
+    )
+    return packed.groupBy("shard").agg(
+        F.count("*").alias("n_seqs"),
+        F.sum("n_docs").alias("n_doc_slots"),
+        F.sum(
+            F.aggregate(
+                F.zip_with(
+                    F.sequence(F.lit(1), F.size("tokens")),
+                    F.col("tokens"),
+                    lambda i, t: i * (t.cast("long") % F.lit(1_000_003)),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        ).alias("ids_checksum"),
+    )
+
+
 def _q_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file data-skipping manifest over the events table: the
     min/max/count stats a lakehouse catalog keeps so filtered scans
@@ -3226,6 +3263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_file_stats": _q_file_stats,                    # per-file data-skipping manifest
         "q_bpe_merges": _q_bpe_merges,                    # rows-only (iterative argmax; pytest vs reference BPE)
         "q_bpe_encode": _q_bpe_encode,                    # rows-only (vocab-once corpus tokenize; pytest parity + decode)
+        "q_tokenize_pack": _q_tokenize_pack,              # rows-only (train->encode->pack composed; stages pytest-pinned)
         "q_autocorr": _q_autocorr,                        # hourly-series autocorrelation (seasonality)
         "q_incr_agg": _q_incr_agg,                        # Δ-maintained count view == recompute
         "q_dedup_audit": _q_dedup_audit,                  # LSH-vs-exact precision/recall audit

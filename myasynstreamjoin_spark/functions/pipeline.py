@@ -963,17 +963,26 @@ def pack_chunks(
     """
     from myasynstreamjoin_spark.functions.text import tokens as _tokens
 
-    # toked branches into the assignment and the join probe — without
-    # a checkpoint both branches re-scan the corpus and re-run the
-    # tokenizer (SCALE.md persist-vs-checkpoint rule; verified 2
-    # parquet scans, 0 ReusedExchange un-checkpointed).
-    toked = docs.select(
-        id_col, F.col(text_col), _tokens(text_col).alias("__t")
-    ).localCheckpoint(eager=True)
+    toked = docs.select(id_col, _tokens(text_col).alias("__t"))
+    return _pack_token_arrays(toked, budget, n_shards, id_col)
+
+
+def _pack_token_arrays(
+    enc: DataFrame, budget: int, n_shards: int, id_col: str
+) -> DataFrame:
+    """Shared materializer behind `pack_chunks` (whitespace tokens) and
+    `pack_token_ids` (BPE ids): ``enc`` is (id_col, __t array<T>); the
+    element type rides through to the output ``tokens`` column.
+
+    ``enc`` branches into the assignment and the join probe — without
+    a checkpoint both branches re-scan the corpus and re-run the
+    tokenizer (SCALE.md persist-vs-checkpoint rule; verified 2 parquet
+    scans, 0 ReusedExchange un-checkpointed)."""
+    enc = enc.localCheckpoint(eager=True)
     base = pack_sequences(
-        toked, F.size("__t"), budget=budget, n_shards=n_shards, id_col=id_col
+        enc, F.size("__t"), budget=budget, n_shards=n_shards, id_col=id_col
     )
-    joined = base.join(toked.select(id_col, "__t"), id_col)
+    joined = base.join(enc, id_col)
     placed = joined.select(
         id_col,
         "shard",
@@ -999,6 +1008,32 @@ def pack_chunks(
         )
         .where(F.size("tokens") == budget)
     )
+
+
+def pack_token_ids(
+    encoded: DataFrame,
+    budget: int = 512,
+    n_shards: int = 64,
+    ids_col: str = "token_ids",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize fixed-length TRAINING SAMPLES from an encoded corpus
+    (`bpe_encode`'s (doc_id, token_ids)): documents lie head-to-tail
+    per shard in deterministic id order and every output row is one
+    sequence of EXACTLY ``budget`` token IDS (each shard's trailing
+    partial sequence is dropped — the standard convention).
+    `pack_chunks` is the whitespace-token twin; this one packs the
+    REAL ids a trainer consumes, closing the chain bpe_train →
+    bpe_encode → pack_token_ids → epoch_shuffle/export.
+
+    Same scale shape as `pack_chunks`: one row per corpus token at the
+    explode (inherent to materializing samples), then a single keyed
+    shuffle; no group outgrows ``budget`` elements.
+
+    Output: (shard, seq_id, n_docs, tokens array<int>).
+    """
+    enc = encoded.select(id_col, F.col(ids_col).alias("__t"))
+    return _pack_token_arrays(enc, budget, n_shards, id_col)
 
 
 def compact_plan(

@@ -58,3 +58,33 @@ def test_partial_trailing_sequence_dropped(spark):
     out = pack_chunks(docs, budget=16, n_shards=1).collect()
     assert len(out) == 1
     assert out[0]["n_docs"] == 3  # sample crosses all three docs
+
+
+def test_pack_token_ids_packs_real_ids_in_order(spark):
+    """The BPE-ids twin: every sample is exactly budget ids, and per
+    shard the sample concatenation is a prefix of the docs' token_ids
+    laid head-to-tail in id order."""
+    from myasynstreamjoin_spark.functions.pipeline import pack_token_ids
+
+    enc = spark.createDataFrame(
+        [(i, [i * 100 + j for j in range(7)]) for i in range(10)],
+        "doc_id long, token_ids array<int>",
+    )
+    out = pack_token_ids(enc, budget=16, n_shards=2).collect()
+    assert out and all(len(r["tokens"]) == 16 for r in out)
+    ids = {r["doc_id"]: list(r["token_ids"]) for r in enc.collect()}
+    assign = pack_sequences(
+        enc.select("doc_id", F.size("token_ids").alias("n")),
+        "n", budget=16, n_shards=2,
+    ).collect()
+    stream: dict[int, list[int]] = {}
+    for r in sorted(assign, key=lambda r: (r["shard"], r["doc_id"])):
+        stream.setdefault(r["shard"], []).extend(ids[r["doc_id"]])
+    for shard in stream:
+        samples = sorted(
+            (r for r in out if r["shard"] == shard), key=lambda r: r["seq_id"]
+        )
+        flat = [t for r in samples for t in r["tokens"]]
+        assert flat == stream[shard][: len(flat)]
+        # only the trailing partial sequence is unpacked
+        assert len(stream[shard]) - len(flat) < 16
