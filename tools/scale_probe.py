@@ -62,6 +62,8 @@ DEFAULT = [
     "q_pipeline_e2e",
     "pipeline_e2e_nolang",
     "q_dataset_card",
+    "q_compact_shards",
+    "q_tokenize_pack",
     "q_stream_min_count_window",
     "q_stream_dedup",
     "q_stream_sessions",
