@@ -2876,6 +2876,26 @@ def _q_simsearch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(tables.load_table(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
+def _q_simsearch_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — exact top-10 by cosine to vec 0 among
+    only English documents, with the predicate semi-joined into the
+    scan BEFORE any dot product (pre-filter, not the post-filter trap
+    of k/selectivity candidates)
+    (functions/similarity.py::cosine_topk_filtered)."""
+    from myasynstreamjoin_spark.functions.similarity import (
+        cosine_topk_filtered,
+    )
+
+    _prep(spark)
+    return cosine_topk_filtered(
+        tables.load_table(spark, sf_dir, "embeddings"),
+        tables.load_table(spark, sf_dir, "documents"),
+        F.col("lang") == "en",
+        query_id=0,
+        k=10,
+    )
+
+
 def _q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.functions.similarity import cosine_topk_lsh
 
@@ -3242,6 +3262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": _q_simhash,                          # md5_32 signatures → SQL-replayable
         "q_dedup_clusters": _q_dedup_clusters,
         "q_simsearch": _q_simsearch,
+        "q_simsearch_filtered": _q_simsearch_filtered,    # pre-filtered exact vector search
         "q_lm_perplexity": _q_lm_perplexity,              # unigram-LM perplexity quality gate
         "q_ts_similarity": _q_ts_similarity,
         "q_multimodal_meta": _q_multimodal_meta,
@@ -6253,6 +6274,22 @@ def _oracle_sql_base() -> dict[str, str]:
                            / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
                               * sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))), 4) AS cos
               FROM embeddings e, q WHERE e.vec_id <> 0)
+            SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 10
+        """,
+        # Filtered vector search: the predicate joins in BEFORE the
+        # dot product; the query vector comes from the FULL table (a
+        # probe is valid even when its own doc fails the filter).
+        "q_simsearch_filtered": """
+            WITH keep AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+            q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                  FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT e.vec_id,
+                     round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+                           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                              * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos
+              FROM embeddings e JOIN keep k ON e.vec_id = k.doc_id, q
+              WHERE e.vec_id <> 0)
             SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 10
         """,
         "q_simsearch_multi": """

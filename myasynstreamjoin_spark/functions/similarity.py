@@ -87,6 +87,51 @@ def cosine_topk(
     return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
 
 
+def cosine_topk_filtered(
+    embeddings: DataFrame,
+    docs: DataFrame,
+    predicate: Column,
+    query_id: int = 0,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """FILTERED vector search: exact top-k by cosine to ``query_id``
+    among only the vectors whose document passes ``predicate`` — the
+    predicate-plus-vector query every retrieval stack serves (find
+    similar docs *that are English / high-quality / from source X*).
+
+    Pre-filter, not post-filter: the predicate is evaluated on the
+    docs table and semi-joined into the scan BEFORE any dot product,
+    so a 1 % selectivity cuts the scored volume 100× (a post-filtered
+    top-k would need k / selectivity candidates to be safe — the
+    classic filtered-ANN trap). The surviving id set rides a hash
+    semi-join keyed on the id (broadcast when small — AQE decides);
+    the query vector is the same 1-row broadcast as `cosine_topk`.
+
+    Output: (vec_id, cos) — exact under the filter by construction.
+    """
+    keep = docs.where(predicate).select(
+        F.col(doc_id_col).cast("long").alias(id_col)
+    )
+    # the query vector comes from the FULL table — a query is a valid
+    # probe even when its own document fails the filter
+    q = embeddings.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__q"), l2norm(vec_col).alias("__qn")
+    )
+    corpus = embeddings.join(keep, id_col, "semi").where(
+        F.col(id_col) != query_id
+    )
+    cos = cosine_with_norms(
+        F.col(vec_col), F.col("__q"), l2norm(vec_col), F.col("__qn")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        id_col, F.round(cos, 4).alias("cos")
+    )
+    return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+
+
 def _random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes for sign-LSH."""
     rng = np.random.RandomState(seed)

@@ -98,3 +98,40 @@ def test_multiprobe_lsh_recall_dominates_single_probe(spark, sf_dir):
     assert r2 >= r1, f"multi-probe lost recall: {r2} < {r1}"
     assert r_all >= r2
     assert r2 > 0.0
+
+
+def test_filtered_topk_is_exact_under_the_filter(spark, sf_dir):
+    """Pre-filtered vector search == brute force over the passing
+    subset; the query probes even when its own doc fails the filter;
+    and the semi-join happens BEFORE scoring (pre-filter plan)."""
+    from pyspark.sql import functions as F
+
+    from myasynstreamjoin_spark.functions.similarity import (
+        cosine_topk,
+        cosine_topk_filtered,
+    )
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    docs = tables.load_table(spark, sf_dir, "documents")
+    pred = F.col("doc_id") % 3 == 1  # deterministic ~1/3 filter
+    got = [
+        tuple(r)
+        for r in cosine_topk_filtered(
+            emb, docs, pred, query_id=0, k=5
+        ).collect()
+    ]
+    # reference: brute-force top-k over the manually filtered subset,
+    # query vector injected from the full table
+    keep = {r["doc_id"] for r in docs.where(pred).collect()}
+    subset = emb.where(
+        F.col("vec_id").isin([0] + sorted(keep))
+    )
+    want = [
+        tuple(r) for r in cosine_topk(subset, query_id=0, k=5).collect()
+    ]
+    want = [t for t in want if t[0] in keep][:5]
+    assert got == want
+    assert len(got) == 5
+    # query_id=0 fails pred (0 % 3 == 0) yet still probed; it never
+    # appears as a result
+    assert all(r[0] % 3 == 1 for r in got)
