@@ -1097,12 +1097,30 @@ def compact_shards(
 
     Returns the plan (shard, n_tokens, bin) for audit.
     """
+    return _compact_frame(
+        spark.read.parquet(src_path), dst_path, budget_tokens,
+        text_col, id_col, mode,
+    )
+
+
+def _compact_frame(
+    docs: DataFrame,
+    dst_path: str,
+    budget_tokens: int,
+    text_col: str,
+    id_col: str,
+    mode: str,
+) -> DataFrame:
+    """Frame-level compaction core shared by `compact_shards` (a batch
+    export tree) and `streaming.export.compact_export` (the committed
+    b{N} dirs of a continuous export): ``docs`` must carry a ``shard``
+    column; see `compact_shards` for the scale shape."""
     from myasynstreamjoin_spark.functions.text import tokens as _tokens
 
-    docs = spark.read.parquet(src_path)
+    docs = docs.withColumn("shard", F.col("shard").cast("long"))
     per_shard = (
         docs.select(
-            F.col("shard").cast("long").alias("shard"),
+            "shard",
             F.when(F.col(text_col).isNull(), F.lit(0))
             .otherwise(F.size(_tokens(text_col)))
             .cast("long")
@@ -1112,9 +1130,7 @@ def compact_shards(
         .agg(F.sum("__nt").alias("n_tokens"))
     )
     plan = compact_plan(per_shard, budget_tokens)
-    assigned = docs.withColumn(
-        "shard", F.col("shard").cast("long")
-    ).join(F.broadcast(plan.select("shard", "bin")), "shard")
+    assigned = docs.join(F.broadcast(plan.select("shard", "bin")), "shard")
     (
         assigned.repartition(F.col("bin"))
         .sortWithinPartitions("bin", "shard", id_col)

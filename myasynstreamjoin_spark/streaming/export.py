@@ -125,3 +125,41 @@ def read_exported_docs(spark: SparkSession, work_dir: str) -> DataFrame | None:
     for d in dirs[1:]:
         out = out.unionByName(spark.read.parquet(d))
     return out
+
+
+def compact_export(
+    spark: SparkSession,
+    work_dir: str,
+    dst_path: str,
+    budget_tokens: int = 1 << 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame | None:
+    """Fold the COMMITTED ``b{N}`` batch dirs of a streaming export
+    into budget-bounded compacted bins — the maintenance pass a
+    continuous export needs most: every micro-batch writes up to
+    ``n_shards`` small files, so a day of one-minute batches is
+    1440 × n_shards objects, and the name-node/object-store pays for
+    each one. Committed batches only (the ``_SUCCESS`` rule
+    `read_exported_docs` enforces), so a crash mid-batch never leaks
+    partial rows into the compacted tree.
+
+    Same plan as the batch op (`functions/pipeline.py::compact_shards`
+    via the shared `_compact_frame`): per-shard totals recomputed from
+    the files, an n_shards-row broadcast plan, ONE hash exchange to
+    rewrite. `compacted_manifest(dst)` rolled up against
+    `read_export_manifest` through the plan proves the fold lossless —
+    the manifest's order-free integer sums are associative across both
+    batch dirs AND bins (asserted in tests/test_stream_export.py).
+
+    Returns the (shard, n_tokens, bin) plan, or None when nothing is
+    committed yet.
+    """
+    from myasynstreamjoin_spark.functions.pipeline import _compact_frame
+
+    docs = read_exported_docs(spark, work_dir)
+    if docs is None:
+        return None
+    return _compact_frame(
+        docs, dst_path, budget_tokens, text_col, id_col, "overwrite"
+    )

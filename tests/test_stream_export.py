@@ -110,3 +110,52 @@ def test_uncommitted_batch_dir_is_ignored(spark, sf_dir, tmp_path):
     committed.limit(3).write.partitionBy("shard").parquet(junk_dir)
     os.remove(os.path.join(junk_dir, "_SUCCESS"))
     assert read_exported_docs(spark, work).count() == n_committed
+
+
+def test_compacted_stream_export_matches_manifest(spark, sf_dir, tmp_path):
+    """Compacting the committed batch dirs is lossless: the per-bin
+    manifest recomputed from the compacted FILES equals the streaming
+    manifest rolled up through the plan (associative checksums across
+    batch dirs and bins)."""
+    from myasynstreamjoin_spark.functions.pipeline import (
+        compacted_manifest,
+    )
+    from myasynstreamjoin_spark.streaming.export import compact_export
+
+    docs = _feed(spark, sf_dir, tmp_path)
+    work = _run(spark, tmp_path)
+    dst = str(tmp_path / "compacted")
+    plan = compact_export(spark, work, dst, budget_tokens=2048)
+    assert plan is not None
+    back = spark.read.parquet(dst)
+    assert back.count() == docs.count()
+    got = sorted(
+        (r["bin"], r["n_docs"], r["n_tokens"], r["checksum"])
+        for r in compacted_manifest(spark, dst).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in read_export_manifest(spark, work)
+        .join(plan.select("shard", "bin"), "shard")
+        .groupBy("bin")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("checksum").alias("checksum"),
+        )
+        .select("bin", "n_docs", "n_tokens", "checksum")
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 1
+
+
+def test_compact_export_none_when_nothing_committed(spark, tmp_path):
+    from myasynstreamjoin_spark.streaming.export import compact_export
+
+    assert (
+        compact_export(
+            spark, str(tmp_path / "missing"), str(tmp_path / "out")
+        )
+        is None
+    )
