@@ -705,6 +705,25 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_headers(synthetic_media(docs))
 
 
+def _q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup over REAL decoded pixels: aHash (8×8
+    integer block means) of each PPM/BMP payload, 4×16-bit banded
+    Hamming LSH for candidates, exact bit_count verify — lossless for
+    distance ≤ 3 by pigeonhole
+    (functions/multimodal.py::image_neardup_pairs). rows-only: no SQL
+    engine decodes the binary pixels; the hash matches a pure-Python
+    reference and the candidate scheme matches brute force in
+    tests/test_multimodal_decode.py."""
+    from myasynstreamjoin_spark.functions.multimodal import (
+        image_neardup_pairs,
+        synthetic_media,
+    )
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return image_neardup_pairs(synthetic_media(docs), max_dist=3)
+
+
 def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.operators.relational import topk_per_group
 
@@ -3317,6 +3336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": _q_stratified_sample,
         "q_frame_sample": _q_frame_sample,
         "q_media_decode": _q_media_decode,                # REAL WAV/PPM/BMP header decode
+        "q_image_neardup": _q_image_neardup,              # rows-only (perceptual aHash + banded Hamming; pytest vs brute force)
         "q_embed_norm": _q_embed_norm,
         "q_embed_quant": _q_embed_quant,
         # remaining data-pipeline operators

@@ -413,3 +413,155 @@ def audio_sample_stats(media: DataFrame) -> DataFrame:
         .select("media_id", "content")
         .mapInPandas(stats, out_schema)
     )
+
+
+def _decode_pixels(b: bytes):
+    """Grayscale int64 H×W matrix from a REAL no-codec image payload
+    (P6 PPM or 24bpp BMP), gray = R+G+B (no division — scale-free for
+    the comparisons aHash makes). Raises ValueError on malformed
+    payloads, NotImplementedError on codec-bound formats."""
+    import numpy as np
+
+    if b[:2] == b"P6":
+        meta = _parse_ppm(b)
+        w, h = meta["width"], meta["height"]
+        # header ends after the third field's single whitespace byte
+        fields = 0
+        pos = 2
+        while fields < 3 and pos < len(b):
+            while pos < len(b) and b[pos : pos + 1].isspace():
+                pos += 1
+            if b[pos : pos + 1] == b"#":
+                while pos < len(b) and b[pos] != 0x0A:
+                    pos += 1
+                continue
+            while pos < len(b) and not b[pos : pos + 1].isspace():
+                pos += 1
+            fields += 1
+        pos += 1  # the single whitespace terminating the maxval field
+        px = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=pos)
+        return px.reshape(h, w, 3).astype(np.int64).sum(axis=2)
+    if b[:2] == b"BM":
+        meta = _parse_bmp(b)
+        w, h = meta["width"], meta["height"]
+        if meta["bit_depth"] != 24:
+            raise NotImplementedError("only 24bpp BMP decodes codec-free")
+        off = struct.unpack("<I", b[10:14])[0]
+        stride = (w * 3 + 3) & ~3
+        px = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off)
+        px = px.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        # BMP rows are bottom-up; aHash must see the image upright
+        return px[::-1].astype(np.int64).sum(axis=2)
+    raise NotImplementedError(f"no codec-free decode for magic {b[:4]!r}")
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual AVERAGE-HASH over real decoded pixels — the image
+    twin of the text fingerprint: an 8×8 grid of grayscale block sums,
+    bit ij = [block mean > global mean], packed into one 64-bit long.
+    All comparisons are exact integer cross-multiplications
+    (bsum·N > gsum·n — no float ever), so the hash is bit-reproducible
+    across runs and engines; visually identical images collide,
+    small edits flip few bits (Hamming distance ≈ perceptual
+    distance). Images smaller than the grid leave their unused blocks
+    at bit 0 (deterministic).
+
+    Scale shape: Arrow-batched mapInPandas over the binary column,
+    map-only, one narrow row out per image — the same plumbing as
+    decode_media_headers; non-image payloads are filtered out before
+    the UDF.
+
+    Output: (media_id, ahash long).
+    """
+    import numpy as np
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                if blob is None:
+                    continue
+                g = _decode_pixels(bytes(blob))
+                h, w = g.shape
+                rows = np.minimum(np.arange(h) * 8 // h, 7)
+                cols = np.minimum(np.arange(w) * 8 // w, 7)
+                bsum = np.zeros((8, 8), dtype=np.int64)
+                bcnt = np.zeros((8, 8), dtype=np.int64)
+                np.add.at(bsum, (rows[:, None], cols[None, :]), g)
+                np.add.at(
+                    bcnt, (rows[:, None], cols[None, :]),
+                    np.ones_like(g),
+                )
+                gsum, gcnt = int(g.sum()), int(g.size)
+                # block mean > global mean, exact in integers
+                bits = (bsum * gcnt) > (gsum * bcnt)
+                val = 0
+                for i, bit in enumerate(bits.flatten()):
+                    if bit:
+                        val |= 1 << i
+                # two's-complement into a signed 64-bit long
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                ids.append(int(mid))
+                hs.append(val)
+            yield pd.DataFrame({"media_id": ids, "ahash": hs})
+
+    return (
+        media.where(
+            (F.col("content").substr(1, 2) == F.lit(b"P6"))
+            | (F.col("content").substr(1, 2) == F.lit(b"BM"))
+        )
+        .select("media_id", "content")
+        .mapInPandas(
+            hashes, "media_id long, ahash long"
+        )
+    )
+
+
+def image_neardup_pairs(media: DataFrame, max_dist: int = 3) -> DataFrame:
+    """Perceptual image NEAR-DUP pairs by banded Hamming LSH over the
+    aHash — the same banding discipline as the SimHash text path: the
+    64-bit hash splits into 4 bands of 16 bits; candidate pairs share
+    at least one exact band; the true Hamming distance verifies each
+    candidate JVM-side (bit_count(xor) — no Python in the join). By
+    pigeonhole the candidate scheme is LOSSLESS for ``max_dist`` ≤ 3
+    (4 bands, ≤ 3 differing bits ⟹ some band untouched); asserted
+    against brute force in tests/test_multimodal.py.
+
+    Scale shape: hash once (map-only), explode ×4, ONE equi-join on
+    (band, key) — never an all-pairs comparison; the verify filter
+    runs on candidates only, exactly `simhash_pairs`' plan over binary
+    inputs.
+
+    Output: (a, b, hamming) with a < b, distinct.
+    """
+    hashed = image_ahash(media).localCheckpoint(eager=True)
+    bands = hashed.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(f"(ahash >> {16 * i}) & 65535").alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "ahash", "bk.band", "bk.key")
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = l.join(
+        r,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.key") == F.col("r.key"))
+        & (F.col("l.media_id") < F.col("r.media_id")),
+    ).select(
+        F.col("l.media_id").alias("a"),
+        F.col("r.media_id").alias("b"),
+        F.bit_count(
+            F.col("l.ahash").bitwiseXOR(F.col("r.ahash"))
+        ).cast("int").alias("hamming"),
+    )
+    return cand.where(F.col("hamming") <= max_dist).distinct()

@@ -9,6 +9,7 @@ from __future__ import annotations
 import struct
 
 import pytest
+from pyspark.sql import functions as F
 
 from myasynstreamjoin_spark.functions.multimodal import (
     _parse_bmp,
@@ -133,3 +134,107 @@ def test_audio_sample_stats_known_bytes(spark):
     assert r.sum_dev_sq == 31 * 31 + 30 * 30 + 29 * 29
     assert r.peak_dev == 31
     assert abs(r.rms - (r.sum_dev_sq / 3) ** 0.5) < 1e-12
+
+
+def _ppm(w, h, px: bytes) -> bytes:
+    assert len(px) == w * h * 3
+    return b"P6\n%d %d\n255\n" % (w, h) + px
+
+
+def _bmp(w, h, rows_topdown: list[bytes]) -> bytes:
+    stride = (w * 3 + 3) & ~3
+    body = b"".join(
+        r + b"\x00" * (stride - len(r)) for r in reversed(rows_topdown)
+    )
+    return (
+        b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+        + body
+    )
+
+
+def _reference_ahash(gray) -> int:
+    """Plain-Python aHash with the same integer comparisons."""
+    h, w = len(gray), len(gray[0])
+    bsum = [[0] * 8 for _ in range(8)]
+    bcnt = [[0] * 8 for _ in range(8)]
+    gsum = gcnt = 0
+    for r in range(h):
+        for c in range(w):
+            br, bc = min(r * 8 // h, 7), min(c * 8 // w, 7)
+            bsum[br][bc] += gray[r][c]
+            bcnt[br][bc] += 1
+            gsum += gray[r][c]
+            gcnt += 1
+    val = 0
+    for i in range(64):
+        br, bc = i // 8, i % 8
+        if bsum[br][bc] * gcnt > gsum * bcnt[br][bc]:
+            val |= 1 << i
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+def test_image_ahash_matches_reference_on_both_formats(spark):
+    from myasynstreamjoin_spark.functions.multimodal import image_ahash
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=16 * 16 * 3, dtype=np.int64).astype(
+        "uint8"
+    ).tobytes()
+    gray = [
+        [sum(px[(r * 16 + c) * 3 + k] for k in range(3)) for c in range(16)]
+        for r in range(16)
+    ]
+    rows_topdown = [px[r * 48 : (r + 1) * 48] for r in range(16)]
+    media = spark.createDataFrame(
+        [(0, bytearray(_ppm(16, 16, px))), (1, bytearray(_bmp(16, 16, rows_topdown)))],
+        "media_id long, content binary",
+    )
+    got = {r["media_id"]: r["ahash"] for r in image_ahash(media).collect()}
+    want = _reference_ahash(gray)
+    # same pixels through either container hash identically (BMP's
+    # bottom-up rows are flipped back upright before hashing)
+    assert got == {0: want, 1: want}
+
+
+def test_image_neardup_lossless_vs_brute_force(spark, sf_dir):
+    """Pigeonhole guarantee: banded candidates find EVERY pair at
+    Hamming distance ≤ 3 — checked against all-pairs brute force over
+    the synthetic corpus (duplicated docs ⇒ distance-0 pairs exist)."""
+    from myasynstreamjoin_spark.functions.multimodal import (
+        image_ahash,
+        image_neardup_pairs,
+        synthetic_media,
+    )
+    from myasynstreamjoin_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    # plant exact perceptual duplicates: same text, new ids, same
+    # format class (offset divisible by 3 keeps doc_id % 3 ⇒ same format)
+    dups = docs.where(F.col("doc_id") % 3 == 1).limit(5).select(
+        (F.col("doc_id") + 9999).alias("doc_id"), "text"
+    )
+    media = synthetic_media(docs.select("doc_id", "text").union(dups))
+    pairs = {
+        (r["a"], r["b"], r["hamming"])
+        for r in image_neardup_pairs(media, max_dist=3).collect()
+    }
+    hashes = {
+        r["media_id"]: r["ahash"] for r in image_ahash(media).collect()
+    }
+    brute = set()
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                brute.add((a, b, d))
+    assert pairs == brute
+    # the planted duplicates all surface at distance 0
+    planted = {
+        (r["doc_id"] - 9999, r["doc_id"]) for r in dups.collect()
+    }
+    assert planted and all((a, b, 0) in pairs for a, b in planted)
