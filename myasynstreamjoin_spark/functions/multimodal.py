@@ -518,23 +518,42 @@ def image_ahash(media: DataFrame) -> DataFrame:
     )
 
 
-def image_neardup_pairs(media: DataFrame, max_dist: int = 3) -> DataFrame:
+def image_neardup_pairs(
+    media: DataFrame, max_dist: int = 3, n_bands: int | None = None
+) -> DataFrame:
     """Perceptual image NEAR-DUP pairs by banded Hamming LSH over the
     aHash — the same banding discipline as the SimHash text path: the
-    64-bit hash splits into 4 bands of 16 bits; candidate pairs share
-    at least one exact band; the true Hamming distance verifies each
-    candidate JVM-side (bit_count(xor) — no Python in the join). By
-    pigeonhole the candidate scheme is LOSSLESS for ``max_dist`` ≤ 3
-    (4 bands, ≤ 3 differing bits ⟹ some band untouched); asserted
-    against brute force in tests/test_multimodal.py.
+    64-bit hash splits into ``n_bands`` equal bands; candidate pairs
+    share at least one exact band; the true Hamming distance verifies
+    each candidate JVM-side (bit_count(xor) — no Python in the join).
+    By pigeonhole the candidate scheme is LOSSLESS whenever
+    ``max_dist < n_bands`` (≤ n_bands−1 differing bits ⟹ some band
+    untouched) — so ``n_bands`` defaults to the smallest power-of-two
+    band count that keeps the requested radius lossless (4 bands for
+    the default max_dist=3, 8 bands for ≤ 7). Wider radii trade
+    shorter band keys (more candidates) for the same guarantee;
+    asserted against brute force in tests/test_multimodal_decode.py.
 
-    Scale shape: hash once (map-only), explode ×4, ONE equi-join on
-    (band, key) — never an all-pairs comparison; the verify filter
+    Scale shape: hash once (map-only), explode ×n_bands, ONE equi-join
+    on (band, key) — never an all-pairs comparison; the verify filter
     runs on candidates only, exactly `simhash_pairs`' plan over binary
     inputs.
 
     Output: (a, b, hamming) with a < b, distinct.
     """
+    if n_bands is None:
+        n_bands = 4
+        while n_bands <= 32 and max_dist >= n_bands:
+            n_bands *= 2
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    if max_dist >= n_bands:
+        raise ValueError(
+            f"max_dist={max_dist} needs more than {n_bands} bands for a "
+            "lossless candidate set"
+        )
+    width = 64 // n_bands
+    mask = (1 << width) - 1
     hashed = image_ahash(media).localCheckpoint(eager=True)
     bands = hashed.select(
         "media_id",
@@ -544,9 +563,11 @@ def image_neardup_pairs(media: DataFrame, max_dist: int = 3) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.expr(f"(ahash >> {16 * i}) & 65535").alias("key"),
+                        F.expr(f"(ahash >> {width * i}) & {mask}").alias(
+                            "key"
+                        ),
                     )
-                    for i in range(4)
+                    for i in range(n_bands)
                 ]
             )
         ).alias("bk"),

@@ -238,3 +238,46 @@ def test_image_neardup_lossless_vs_brute_force(spark, sf_dir):
         (r["doc_id"] - 9999, r["doc_id"]) for r in dups.collect()
     }
     assert planted and all((a, b, 0) in pairs for a, b in planted)
+
+
+def test_image_neardup_wider_radius_stays_lossless(spark, sf_dir):
+    """max_dist=7 auto-selects 8 bands; the candidate scheme must
+    still find EVERY pair within the radius (pigeonhole with 8-bit
+    band keys)."""
+    from myasynstreamjoin_spark.functions.multimodal import (
+        image_ahash,
+        image_neardup_pairs,
+        synthetic_media,
+    )
+    from myasynstreamjoin_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(150)
+    media = synthetic_media(docs.select("doc_id", "text"))
+    pairs = {
+        (r["a"], r["b"], r["hamming"])
+        for r in image_neardup_pairs(media, max_dist=7).collect()
+    }
+    hashes = {
+        r["media_id"]: r["ahash"] for r in image_ahash(media).collect()
+    }
+    ids = sorted(hashes)
+    brute = {
+        (a, b, bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1") <= 7
+    }
+    assert pairs == brute
+
+
+def test_image_neardup_rejects_lossy_banding():
+    import pytest as _pytest
+
+    from myasynstreamjoin_spark.functions.multimodal import (
+        image_neardup_pairs,
+    )
+
+    with _pytest.raises(ValueError):
+        image_neardup_pairs(None, max_dist=4, n_bands=4)
+    with _pytest.raises(ValueError):
+        image_neardup_pairs(None, max_dist=3, n_bands=6)
