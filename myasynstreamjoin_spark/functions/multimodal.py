@@ -518,6 +518,48 @@ def image_ahash(media: DataFrame) -> DataFrame:
     )
 
 
+def _bands_for(max_dist: int, n_bands: int | None) -> int:
+    """Smallest power-of-two band count keeping ``max_dist`` lossless
+    (pigeonhole: a pair within distance n_bands−1 shares a band)."""
+    if n_bands is None:
+        n_bands = 4
+        while n_bands <= 32 and max_dist >= n_bands:
+            n_bands *= 2
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    if max_dist >= n_bands:
+        raise ValueError(
+            f"max_dist={max_dist} needs more than {n_bands} bands for a "
+            "lossless candidate set"
+        )
+    return n_bands
+
+
+def _ahash_band_rows(hashed: DataFrame, n_bands: int) -> DataFrame:
+    """Explode a (media_id, ahash) frame into its LSH band keys:
+    (media_id, ahash, band, key) — shared by the batch pair join and
+    the streaming accumulated-index twin."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    return hashed.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(f"(ahash >> {width * i}) & {mask}").alias(
+                            "key"
+                        ),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "ahash", "bk.band", "bk.key")
+
+
 def image_neardup_pairs(
     media: DataFrame, max_dist: int = 3, n_bands: int | None = None
 ) -> DataFrame:
@@ -541,37 +583,9 @@ def image_neardup_pairs(
 
     Output: (a, b, hamming) with a < b, distinct.
     """
-    if n_bands is None:
-        n_bands = 4
-        while n_bands <= 32 and max_dist >= n_bands:
-            n_bands *= 2
-    if 64 % n_bands:
-        raise ValueError("n_bands must divide 64")
-    if max_dist >= n_bands:
-        raise ValueError(
-            f"max_dist={max_dist} needs more than {n_bands} bands for a "
-            "lossless candidate set"
-        )
-    width = 64 // n_bands
-    mask = (1 << width) - 1
+    n_bands = _bands_for(max_dist, n_bands)
     hashed = image_ahash(media).localCheckpoint(eager=True)
-    bands = hashed.select(
-        "media_id",
-        "ahash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.expr(f"(ahash >> {width * i}) & {mask}").alias(
-                            "key"
-                        ),
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("media_id", "ahash", "bk.band", "bk.key")
+    bands = _ahash_band_rows(hashed, n_bands)
     l, r = bands.alias("l"), bands.alias("r")
     cand = l.join(
         r,

@@ -165,10 +165,14 @@ def read_neardup_pairs(spark: SparkSession, work_dir: str) -> DataFrame | None:
     pairs_dir = os.path.join(work_dir, "pairs")
     if not os.path.isdir(pairs_dir):
         return None
+    # only COMMITTED batch sinks (the _SUCCESS rule shared by every
+    # foreachBatch reader here) — a crash mid-write must not leak
+    # partial pairs into the union
     dirs = [
         os.path.join(pairs_dir, d)
         for d in os.listdir(pairs_dir)
         if d.startswith("b")
+        and os.path.exists(os.path.join(pairs_dir, d, "_SUCCESS"))
     ]
     if not dirs:
         return None
