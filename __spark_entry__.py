@@ -724,6 +724,34 @@ def _q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_neardup_pairs(synthetic_media(docs), max_dist=3)
 
 
+def _q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio near-dup over REAL decoded PCM: 64 energy-
+    trend bits per WAV (integer frame energies, chromaprint's core
+    idea), banded Hamming LSH candidates, exact bit_count verify —
+    the audio member of the text/image/audio dedup triple
+    (functions/multimodal.py::audio_neardup_pairs). rows-only: no SQL
+    engine parses RIFF; the fingerprint matches a pure-Python
+    reference and the candidates match brute force in
+    tests/test_multimodal_decode.py. The corpus' random-text WAVs have
+    genuinely distinct energy trends (zero natural pairs ≤ 12 bits —
+    measured), so the query plants exact duplicates (doc_id+9999, a
+    multiple of 3 keeps the WAV format class) and must recall every
+    one at distance 0."""
+    from myasynstreamjoin_spark.functions.multimodal import (
+        audio_neardup_pairs,
+        synthetic_media,
+    )
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    dups = docs.where(
+        (F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 300)
+    ).select((F.col("doc_id") + 9999).alias("doc_id"), "text")
+    return audio_neardup_pairs(synthetic_media(docs.union(dups)), max_dist=3)
+
+
 def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.operators.relational import topk_per_group
 
@@ -3337,6 +3365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_frame_sample": _q_frame_sample,
         "q_media_decode": _q_media_decode,                # REAL WAV/PPM/BMP header decode
         "q_image_neardup": _q_image_neardup,              # rows-only (perceptual aHash + banded Hamming; pytest vs brute force)
+        "q_audio_neardup": _q_audio_neardup,              # rows-only (energy-trend fingerprint + banded Hamming; pytest vs brute force)
         "q_embed_norm": _q_embed_norm,
         "q_embed_quant": _q_embed_quant,
         # remaining data-pipeline operators

@@ -600,3 +600,94 @@ def image_neardup_pairs(
         ).cast("int").alias("hamming"),
     )
     return cand.where(F.col("hamming") <= max_dist).distinct()
+
+
+def audio_fingerprint(media: DataFrame, n_frames: int = 65) -> DataFrame:
+    """Perceptual AUDIO fingerprint over real decoded PCM — the
+    chromaprint idea reduced to its no-codec core: split each WAV's
+    8-bit sample stream into ``n_frames`` equal frames, compute the
+    integer energy (Σ (x−128)²) per frame, bit k = [energy(k+1) >
+    energy(k)] — 64 energy-trend bits packed into one long. Integer
+    end to end, bit-reproducible; identical audio collides, small
+    edits flip few bits (Hamming ≈ perceptual distance), and the
+    trend encoding is invariant to constant gain offsets the way raw
+    energies are not.
+
+    Same plumbing as `image_ahash`: Arrow-batched mapInPandas over the
+    binary column, map-only, one narrow row per file; non-WAV payloads
+    are filtered before the UDF.
+
+    Output: (media_id, afp long).
+    """
+    import numpy as np
+
+    if n_frames != 65:
+        raise ValueError("64 trend bits need exactly 65 frames")
+
+    def fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                if blob is None:
+                    continue
+                b = bytes(blob)
+                meta = _parse_wav(b)  # raises on malformed payloads
+                data = b[
+                    meta["_data_off"] : meta["_data_off"] + meta["_data_len"]
+                ]
+                x = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+                n = x.size
+                bounds = [i * n // n_frames for i in range(n_frames + 1)]
+                e = [
+                    int((x[bounds[i] : bounds[i + 1]] ** 2).sum())
+                    for i in range(n_frames)
+                ]
+                val = 0
+                for k in range(64):
+                    if e[k + 1] > e[k]:
+                        val |= 1 << k
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                ids.append(int(mid))
+                hs.append(val)
+            yield pd.DataFrame({"media_id": ids, "afp": hs})
+
+    return (
+        media.where(F.col("content").substr(1, 4) == F.lit(b"RIFF"))
+        .select("media_id", "content")
+        .mapInPandas(fps, "media_id long, afp long")
+    )
+
+
+def audio_neardup_pairs(
+    media: DataFrame, max_dist: int = 3, n_bands: int | None = None
+) -> DataFrame:
+    """Perceptual AUDIO near-dup pairs: banded Hamming LSH over the
+    energy-trend fingerprint — the audio member of the dedup triple
+    (text SimHash, image aHash, audio trend bits), same lossless
+    pigeonhole guarantee for ``max_dist < n_bands`` and the same
+    one-equi-join plan (`image_neardup_pairs`).
+
+    Output: (a, b, hamming) with a < b, distinct.
+    """
+    n_bands = _bands_for(max_dist, n_bands)
+    hashed = (
+        audio_fingerprint(media)
+        .withColumnRenamed("afp", "ahash")
+        .localCheckpoint(eager=True)
+    )
+    bands = _ahash_band_rows(hashed, n_bands)
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = l.join(
+        r,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.key") == F.col("r.key"))
+        & (F.col("l.media_id") < F.col("r.media_id")),
+    ).select(
+        F.col("l.media_id").alias("a"),
+        F.col("r.media_id").alias("b"),
+        F.bit_count(
+            F.col("l.ahash").bitwiseXOR(F.col("r.ahash"))
+        ).cast("int").alias("hamming"),
+    )
+    return cand.where(F.col("hamming") <= max_dist).distinct()

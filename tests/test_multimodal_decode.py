@@ -281,3 +281,79 @@ def test_image_neardup_rejects_lossy_banding():
         image_neardup_pairs(None, max_dist=4, n_bands=4)
     with _pytest.raises(ValueError):
         image_neardup_pairs(None, max_dist=3, n_bands=6)
+
+
+def _reference_afp(samples: list[int]) -> int:
+    """Plain-Python energy-trend fingerprint (65 frames, 64 bits)."""
+    n = len(samples)
+    bounds = [i * n // 65 for i in range(66)]
+    e = [
+        sum((s - 128) ** 2 for s in samples[bounds[i] : bounds[i + 1]])
+        for i in range(65)
+    ]
+    val = 0
+    for k in range(64):
+        if e[k + 1] > e[k]:
+            val |= 1 << k
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+def test_audio_fingerprint_matches_reference(spark):
+    from myasynstreamjoin_spark.functions.multimodal import (
+        audio_fingerprint,
+    )
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    samples = rng.randint(0, 256, size=1300, dtype=np.int64).tolist()
+    wav = _golden_wav_from(bytes(samples))
+    media = spark.createDataFrame(
+        [(0, bytearray(wav))], "media_id long, content binary"
+    )
+    got = audio_fingerprint(media).collect()
+    assert len(got) == 1
+    assert got[0]["afp"] == _reference_afp(samples)
+
+
+def _golden_wav_from(body: bytes, rate: int = 8000) -> bytes:
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate, 1, 8)
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+
+
+def test_audio_neardup_lossless_vs_brute_force(spark, sf_dir):
+    """Banded audio candidates find every pair within the radius —
+    brute-force parity over the synthetic WAV corpus, with planted
+    exact duplicates at distance 0."""
+    from myasynstreamjoin_spark.functions.multimodal import (
+        audio_fingerprint,
+        audio_neardup_pairs,
+        synthetic_media,
+    )
+    from myasynstreamjoin_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    dups = docs.where(F.col("doc_id") % 3 == 0).limit(5).select(
+        (F.col("doc_id") + 9999).alias("doc_id"), "text"
+    )
+    media = synthetic_media(docs.select("doc_id", "text").union(dups))
+    pairs = {
+        (r["a"], r["b"], r["hamming"])
+        for r in audio_neardup_pairs(media, max_dist=3).collect()
+    }
+    fps = {
+        r["media_id"]: r["afp"] for r in audio_fingerprint(media).collect()
+    }
+    ids = sorted(fps)
+    brute = {
+        (a, b, bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    assert pairs == brute
+    planted = {(r["doc_id"] - 9999, r["doc_id"]) for r in dups.collect()}
+    assert planted and all((a, b, 0) in pairs for a, b in planted)
