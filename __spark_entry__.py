@@ -724,6 +724,23 @@ def _q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_neardup_pairs(synthetic_media(docs), max_dist=3)
 
 
+def _q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sample: a 97-doc budget apportioned
+    across sources by largest remainder (Σ quotas == 97 exactly, each
+    source within one doc of proportional), drawn deterministically in
+    md5(id:quota) order — all-integer, fully SQL-replayable
+    (functions/pipeline.py::quota_sample)."""
+    from myasynstreamjoin_spark.functions.pipeline import quota_sample
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 7 != 0
+    )
+    return quota_sample(docs, 97).select(
+        "doc_id", "source", "n_group", "quota", "draw_rank"
+    )
+
+
 def _q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual audio near-dup over REAL decoded PCM: 64 energy-
     trend bits per WAV (integer frame energies, chromaprint's core
@@ -3366,6 +3383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_decode": _q_media_decode,                # REAL WAV/PPM/BMP header decode
         "q_image_neardup": _q_image_neardup,              # rows-only (perceptual aHash + banded Hamming; pytest vs brute force)
         "q_audio_neardup": _q_audio_neardup,              # rows-only (energy-trend fingerprint + banded Hamming; pytest vs brute force)
+        "q_quota_sample": _q_quota_sample,                # largest-remainder exact-quota stratified sample
         "q_embed_norm": _q_embed_norm,
         "q_embed_quant": _q_embed_quant,
         # remaining data-pipeline operators
@@ -6340,6 +6358,35 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM embeddings e JOIN keep k ON e.vec_id = k.doc_id, q
               WHERE e.vec_id <> 0)
             SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 10
+        """,
+        # Largest-remainder (Hamilton) quota sampling: all-integer
+        # apportionment + md5 draw order, replayed exactly. CASTs:
+        # window SUM -> HUGEINT, its quotients -> HUGEINT, row_number
+        # -> int64; Spark emits bigint everywhere.
+        "q_quota_sample": """
+            WITH d AS (SELECT doc_id, source FROM documents
+                       WHERE doc_id % 7 <> 0),
+            c AS (SELECT source, count(*) AS n_group FROM d GROUP BY source),
+            q0 AS (SELECT source, n_group, SUM(n_group) OVER () AS N FROM c),
+            q1 AS (SELECT source, n_group,
+                          (97 * n_group) // N AS base,
+                          (97 * n_group) % N AS rem
+                   FROM q0),
+            q2 AS (SELECT source, n_group, base,
+                          row_number() OVER (ORDER BY rem DESC, source) AS rr,
+                          97 - SUM(base) OVER () AS short
+                   FROM q1),
+            q AS (SELECT source, CAST(n_group AS BIGINT) AS n_group,
+                         CAST(base + CASE WHEN rr <= short THEN 1 ELSE 0 END
+                              AS BIGINT) AS quota
+                  FROM q2),
+            r AS (SELECT doc_id, source,
+                         CAST(row_number() OVER (PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':quota'),
+                                    doc_id) AS BIGINT) AS draw_rank
+                  FROM d)
+            SELECT r.doc_id, r.source, q.n_group, q.quota, r.draw_rank
+            FROM r JOIN q USING (source) WHERE r.draw_rank <= q.quota
         """,
         "q_simsearch_multi": """
             WITH q AS (

@@ -1036,6 +1036,71 @@ def pack_token_ids(
     return _pack_token_arrays(enc, budget, n_shards, id_col)
 
 
+def quota_sample(
+    docs: DataFrame,
+    total: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-quota stratified sample: apportion a document budget of
+    ``total`` across the ``by`` groups by LARGEST-REMAINDER (Hamilton)
+    apportionment — quota_g = ⌊total·n_g/N⌋ plus one for the groups
+    with the largest remainders until the budget is exact — then take
+    each group's quota deterministically (smallest md5(id:quota)
+    first, the same engine-portable hash order every sampling op here
+    uses). Σ quotas == total EXACTLY (never the ±k drift of
+    per-group fractional rounding), each group's share is within one
+    doc of proportional, and the whole draw is replayable by an
+    external SQL engine — all-integer arithmetic, no rand().
+
+    Scale shape: one map-side-combined groupBy for the counts (rows =
+    groups, cluster-trivial), the quota table broadcast-joins back,
+    and the draw is ONE hash exchange on the group key with an
+    in-partition rank — the same window discipline as epoch_shuffle.
+    Groups are assumed far fewer than docs (sources, languages,
+    domains); a heavily skewed group only sorts its own partitionful.
+
+    Output: the sampled rows — input columns + (n_group, quota,
+    draw_rank).
+    """
+    n_total = F.sum("n_group").over(Window.partitionBy())
+    base = F.expr(f"({int(total)}L * n_group) DIV __n")
+    rem = F.expr(f"({int(total)}L * n_group) % __n")
+    counts = (
+        docs.groupBy(by)
+        .agg(F.count("*").alias("n_group"))
+        .withColumn("__n", n_total)
+        .withColumn("__base", base)
+        .withColumn("__rem", rem)
+    )
+    # top-up the (total - Σ base) largest remainders, ties by group asc
+    w_rem = Window.orderBy(F.desc("__rem"), F.asc(by))
+    short = F.sum("__base").over(Window.partitionBy())
+    quotas = (
+        counts.withColumn("__rr", F.row_number().over(w_rem))
+        .withColumn("__short", F.lit(total) - short)
+        .select(
+            by,
+            "n_group",
+            (
+                F.col("__base")
+                + F.when(F.col("__rr") <= F.col("__short"), 1).otherwise(0)
+            ).cast("long").alias("quota"),
+        )
+    )
+    order = F.md5(
+        F.encode(
+            F.concat(F.col(id_col).cast("string"), F.lit(":quota")), "UTF-8"
+        )
+    )
+    w_draw = Window.partitionBy(by).orderBy(order.alias("__o"), id_col)
+    return (
+        docs.join(F.broadcast(quotas), by)
+        .withColumn("draw_rank", F.row_number().over(w_draw).cast("long"))
+        .where(F.col("draw_rank") <= F.col("quota"))
+    )
+
+
 def compact_plan(
     manifest: DataFrame,
     budget_tokens: int,

@@ -584,3 +584,44 @@ def test_epoch_interleave_exhaustion_hands_over_to_remaining_sources(spark):
     # first ~40 reads (± a tie quantum), the tail is pure light
     assert order[:43].count("heavy") == 30
     assert all(s == "light" for s in order[45:])
+
+
+def test_quota_sample_exact_budget_and_proportionality(spark, sf_dir):
+    """Largest-remainder apportionment: Σ quotas == total EXACTLY,
+    every group within one doc of proportional, deterministic draw."""
+    from myasynstreamjoin_spark.functions.pipeline import quota_sample
+    from myasynstreamjoin_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 7 != 0
+    )
+    total = 97
+    out = quota_sample(docs, total).collect()
+    assert len(out) == total
+    per: dict[str, int] = {}
+    for r in out:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    cnt = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    n = sum(cnt.values())
+    # reference Hamilton apportionment
+    base = {s: total * c // n for s, c in cnt.items()}
+    rem = sorted(
+        ((total * c) % n, s) for s, c in cnt.items()
+    )
+    for _, s in sorted(rem, key=lambda t: (-t[0], t[1]))[
+        : total - sum(base.values())
+    ]:
+        base[s] += 1
+    assert per == base
+    # proportionality: each group's share within one of exact
+    for s, q in per.items():
+        assert abs(q - total * cnt[s] / n) < 1
+    # determinism
+    again = {
+        (r["doc_id"], r["source"])
+        for r in quota_sample(docs, total).collect()
+    }
+    assert again == {(r["doc_id"], r["source"]) for r in out}
