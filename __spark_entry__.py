@@ -946,6 +946,19 @@ def _q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_drift_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift TIMELINE: every 1-hour event-time window of
+    events.value scored against its predecessor window in ONE corpus
+    pass (global fixed-point bucket bounds, per-(window, bucket)
+    counts, self-join on window−1) — the continuous monitoring form of
+    q_psi; nano-unit integer fold closed with one DIV
+    (operators/stats.py::drift_timeline)."""
+    from myasynstreamjoin_spark.operators.stats import drift_timeline
+
+    _prep(spark)
+    return drift_timeline(tables.load_table(spark, sf_dir, "events"))
+
+
 def _q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram-LM perplexity (0.75·bigram-MLE + 0.25·
     add-one unigram; doc-initial tokens unigram-only) — the KenLM-
@@ -3384,6 +3397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_neardup": _q_image_neardup,              # rows-only (perceptual aHash + banded Hamming; pytest vs brute force)
         "q_audio_neardup": _q_audio_neardup,              # rows-only (energy-trend fingerprint + banded Hamming; pytest vs brute force)
         "q_quota_sample": _q_quota_sample,                # largest-remainder exact-quota stratified sample
+        "q_drift_timeline": _q_drift_timeline,            # per-window PSI vs predecessor, one pass
         "q_embed_norm": _q_embed_norm,
         "q_embed_quant": _q_embed_quant,
         # remaining data-pipeline operators
@@ -6065,6 +6079,40 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         # Bigram interpolation mirrored term by term (0.75·MLE +
         # 0.25·add-one unigram); nano-nat integer sums as usual.
+        # PSI timeline: q_psi's bucket/smoothing/nano recipe, windowed
+        # and self-joined on (window-1, bucket); integer closure DIV.
+        "q_drift_timeline": """
+            WITH base AS (
+              SELECT epoch_ns(ts) // 3600000000000 AS w,
+                     CAST(round(value * 1000) AS BIGINT) AS xq
+              FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+            b AS (SELECT min(xq) AS mn, max(xq) AS mx FROM base),
+            cnt AS (
+              SELECT w, ((least(mx, greatest(mn, xq)) - mn) * 10)
+                       // (mx - mn + 1) AS bucket, count(*) AS c
+              FROM base, b GROUP BY 1, 2),
+            wins AS (SELECT DISTINCT w FROM cnt),
+            grid AS (SELECT w, unnest(generate_series(0, 9)) AS bucket
+                     FROM wins),
+            dense AS (
+              SELECT g.w, g.bucket, coalesce(cnt.c, 0) + 1 AS a
+              FROM grid g
+              LEFT JOIN cnt ON cnt.w = g.w AND cnt.bucket = g.bucket),
+            tot AS (SELECT w, sum(a) AS t FROM dense GROUP BY w),
+            d AS (SELECT dense.w, bucket, a, t FROM dense JOIN tot USING (w)),
+            j AS (
+              SELECT c.w AS w, c.bucket,
+                     p.a AS ar, p.t AS tr, c.a AS ac, c.t AS tc
+              FROM d c JOIN d p ON p.w = c.w - 1 AND p.bucket = c.bucket)
+            SELECT CAST(w * 3600000000000 AS BIGINT) AS win_start_ns,
+                   CAST(max(tr) - 10 AS BIGINT) AS n_prev,
+                   CAST(max(tc) - 10 AS BIGINT) AS n_cur,
+                   CAST((sum(CAST(round((ar / tr - ac / tc)
+                                        * ln((ar / tr) / (ac / tc))
+                                        * 1e9) AS BIGINT)) + 500) // 1000
+                        AS DOUBLE) / 1e6 AS psi
+            FROM j GROUP BY w
+        """,
         "q_lm_bigram": f"""
             WITH tok AS (
               SELECT doc_id, unnest({_DOC_TOKENS}) AS term,

@@ -519,3 +519,98 @@ def bootstrap_totals(
             .alias("total_revenue"),
         )
     )
+
+
+def drift_timeline(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    window_ns: int = 3_600_000_000_000,
+    n_buckets: int = 10,
+    unit: int = 1000,
+) -> DataFrame:
+    """PSI drift TIMELINE: the population-stability index of every
+    event-time window against its PREDECESSOR window — the continuous
+    form of `population_stability_index` a monitoring pipeline
+    actually charts (one score per window, alerting when a window
+    shifts from the last).
+
+    Formulated set-based so the whole timeline is computed in ONE
+    corpus pass, not one PSI job per window-pair: global fixed-point
+    bucket bounds (one 2-value broadcast), per (window, bucket) counts
+    (a single map-side-combined groupBy), a dense windows × buckets
+    grid for add-one smoothing, and the predecessor comparison is a
+    self-join on (window−1, bucket) over the tiny counts table. Each
+    per-bucket contribution is rounded to integer NANO units and the
+    per-window score is an exact-integer fold closed with one DIV —
+    the oracle-replayable closure recipe (no round(double) anywhere).
+
+    Scale shape: the corpus is scanned once; everything after the
+    first groupBy is windows·n_buckets rows. Output: one row per
+    window with a predecessor — (win_start_ns, n_prev, n_cur, psi).
+    """
+    xq = F.round(F.col(value_col) * F.lit(unit)).cast("long")
+    base = events.where(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.expr(f"{ts_col} DIV {int(window_ns)}L").alias("__w"),
+        xq.alias("__xq"),
+    )
+    bounds = base.agg(F.min("__xq").alias("__mn"), F.max("__xq").alias("__mx"))
+    clamped = F.greatest(F.col("__mn"), F.least(F.col("__mx"), F.col("__xq")))
+    counts = (
+        base.crossJoin(F.broadcast(bounds))
+        .select("__w", clamped.alias("__cl"), "__mn", "__mx")
+        .select(
+            "__w",
+            F.expr(
+                f"((__cl - __mn) * {n_buckets}) DIV (__mx - __mn + 1)"
+            ).alias("bucket"),
+        )
+        .groupBy("__w", "bucket")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)  # consumed down 3 branches below
+    )
+    wins = counts.select("__w").distinct()
+    grid = wins.crossJoin(
+        events.sparkSession.range(n_buckets).select(
+            F.col("id").cast("long").alias("bucket")
+        )
+    )
+    dense = grid.join(counts, ["__w", "bucket"], "left").select(
+        "__w",
+        "bucket",
+        (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).alias("a"),
+    )
+    tot = dense.groupBy("__w").agg(F.sum("a").alias("t"))
+    d = dense.join(tot, "__w")
+    cur = d.select(
+        F.col("__w").alias("w"), "bucket",
+        F.col("a").alias("ac"), F.col("t").alias("tc"),
+    )
+    prev = d.select(
+        (F.col("__w") + 1).alias("w"), "bucket",
+        F.col("a").alias("ar"), F.col("t").alias("tr"),
+    )
+    p = F.col("ar") / F.col("tr")
+    q = F.col("ac") / F.col("tc")
+    nano = F.round((p - q) * F.log(p / q) * F.lit(1e9)).cast("long")
+    return (
+        cur.join(prev, ["w", "bucket"])
+        .select("w", nano.alias("nano"), "tr", "tc")
+        .groupBy("w")
+        .agg(
+            (F.max("tr") - F.lit(n_buckets)).alias("n_prev"),
+            (F.max("tc") - F.lit(n_buckets)).alias("n_cur"),
+            (
+                # every (p−q)·ln(p/q) term is ≥ 0, so the nano sum is
+                # non-negative and half-up needs no sign handling
+                F.expr("CAST((sum(nano) + 500) DIV 1000 AS DOUBLE)")
+                / F.lit(1e6)
+            ).alias("psi"),
+        )
+        .select(
+            (F.col("w") * F.lit(window_ns)).alias("win_start_ns"),
+            "n_prev", "n_cur", "psi",
+        )
+    )

@@ -126,3 +126,33 @@ def test_bootstrap_replicates_center_on_truth(spark, sf_dir):
     assert abs(mean - truth) / truth < 0.05
     for r in rows:
         assert abs(r.n_rows_used - n) / n < 0.2
+
+
+def test_drift_timeline_flags_the_shifted_window(spark):
+    """Three hourly windows: the second repeats the first's value
+    distribution exactly (PSI must be exactly 0.0 — p == q in every
+    bucket), the third shifts hard (PSI > 0.25, the standard action
+    threshold). Oracle parity is covered by q_drift_timeline."""
+    from myasynstreamjoin_spark.operators.stats import drift_timeline
+
+    H = 3_600_000_000_000
+    rows = []
+    eid = 0
+    for w, vals in enumerate(
+        [
+            [1.0] * 30 + [5.0] * 10,
+            [1.0] * 30 + [5.0] * 10,   # identical distribution
+            [9.0] * 35 + [1.0] * 5,    # hard shift
+        ]
+    ):
+        for i, v in enumerate(vals):
+            rows.append((eid, w * H + i * 1_000_000, float(v)))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts long, value double")
+    out = {
+        r["win_start_ns"] // H: (r["n_prev"], r["n_cur"], r["psi"])
+        for r in drift_timeline(ev).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1] == (40, 40, 0.0)
+    assert out[2][2] > 0.25
