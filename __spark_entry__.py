@@ -946,6 +946,38 @@ def _q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the schema: orphan + null-fk
+    counts for the TPC-H key chain (lineitem→orders→customer→nation→
+    region, lineitem→part/supplier) plus the synthetic links
+    (events.user_id→customer, embeddings.vec_id→documents) — the
+    trust-the-joins preflight (operators/relational.py::
+    fk_orphan_audit)."""
+    from myasynstreamjoin_spark.operators.relational import fk_orphan_audit
+
+    _prep(spark)
+    t = {
+        n: tables.load_table(spark, sf_dir, n)
+        for n in (
+            "lineitem orders customer supplier part nation region "
+            "events documents embeddings"
+        ).split()
+    }
+    return fk_orphan_audit(
+        [
+            ("lineitem->orders", t["lineitem"], "l_orderkey", t["orders"], "o_orderkey"),
+            ("lineitem->part", t["lineitem"], "l_partkey", t["part"], "p_partkey"),
+            ("lineitem->supplier", t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey"),
+            ("orders->customer", t["orders"], "o_custkey", t["customer"], "c_custkey"),
+            ("customer->nation", t["customer"], "c_nationkey", t["nation"], "n_nationkey"),
+            ("supplier->nation", t["supplier"], "s_nationkey", t["nation"], "n_nationkey"),
+            ("nation->region", t["nation"], "n_regionkey", t["region"], "r_regionkey"),
+            ("events->customer", t["events"], "user_id", t["customer"], "c_custkey"),
+            ("embeddings->documents", t["embeddings"], "vec_id", t["documents"], "doc_id"),
+        ]
+    )
+
+
 def _q_drift_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI drift TIMELINE: every 1-hour event-time window of
     events.value scored against its predecessor window in ONE corpus
@@ -3398,6 +3430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_neardup": _q_audio_neardup,              # rows-only (energy-trend fingerprint + banded Hamming; pytest vs brute force)
         "q_quota_sample": _q_quota_sample,                # largest-remainder exact-quota stratified sample
         "q_drift_timeline": _q_drift_timeline,            # per-window PSI vs predecessor, one pass
+        "q_fk_audit": _q_fk_audit,                        # referential-integrity orphan audit
         "q_embed_norm": _q_embed_norm,
         "q_embed_quant": _q_embed_quant,
         # remaining data-pipeline operators
@@ -6079,6 +6112,89 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         # Bigram interpolation mirrored term by term (0.75·MLE +
         # 0.25·add-one unigram); nano-nat integer sums as usual.
+        # Orphan audit: NOT EXISTS per relation, one UNION ALL block.
+        "q_fk_audit": """
+              SELECT 'lineitem->orders' AS relation,
+                     (SELECT count(*) FROM lineitem) AS n_child,
+                     (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)
+                       AS n_null_fk,
+                     (SELECT count(*) FROM lineitem c
+                      WHERE c.l_orderkey IS NOT NULL AND NOT EXISTS
+                        (SELECT 1 FROM orders p WHERE p.o_orderkey = c.l_orderkey))
+                       AS n_orphans
+              UNION ALL
+              SELECT 'lineitem->part' AS relation,
+                     (SELECT count(*) FROM lineitem) AS n_child,
+                     (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL)
+                       AS n_null_fk,
+                     (SELECT count(*) FROM lineitem c
+                      WHERE c.l_partkey IS NOT NULL AND NOT EXISTS
+                        (SELECT 1 FROM part p WHERE p.p_partkey = c.l_partkey))
+                       AS n_orphans
+              UNION ALL
+              SELECT 'lineitem->supplier' AS relation,
+                     (SELECT count(*) FROM lineitem) AS n_child,
+                     (SELECT count(*) FROM lineitem WHERE l_suppkey IS NULL)
+                       AS n_null_fk,
+                     (SELECT count(*) FROM lineitem c
+                      WHERE c.l_suppkey IS NOT NULL AND NOT EXISTS
+                        (SELECT 1 FROM supplier p WHERE p.s_suppkey = c.l_suppkey))
+                       AS n_orphans
+              UNION ALL
+              SELECT 'orders->customer' AS relation,
+                     (SELECT count(*) FROM orders) AS n_child,
+                     (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+                       AS n_null_fk,
+                     (SELECT count(*) FROM orders c
+                      WHERE c.o_custkey IS NOT NULL AND NOT EXISTS
+                        (SELECT 1 FROM customer p WHERE p.c_custkey = c.o_custkey))
+                       AS n_orphans
+              UNION ALL
+              SELECT 'customer->nation' AS relation,
+                     (SELECT count(*) FROM customer) AS n_child,
+                     (SELECT count(*) FROM customer WHERE c_nationkey IS NULL)
+                       AS n_null_fk,
+                     (SELECT count(*) FROM customer c
+                      WHERE c.c_nationkey IS NOT NULL AND NOT EXISTS
+                        (SELECT 1 FROM nation p WHERE p.n_nationkey = c.c_nationkey))
+                       AS n_orphans
+              UNION ALL
+              SELECT 'supplier->nation' AS relation,
+                     (SELECT count(*) FROM supplier) AS n_child,
+                     (SELECT count(*) FROM supplier WHERE s_nationkey IS NULL)
+                       AS n_null_fk,
+                     (SELECT count(*) FROM supplier c
+                      WHERE c.s_nationkey IS NOT NULL AND NOT EXISTS
+                        (SELECT 1 FROM nation p WHERE p.n_nationkey = c.s_nationkey))
+                       AS n_orphans
+              UNION ALL
+              SELECT 'nation->region' AS relation,
+                     (SELECT count(*) FROM nation) AS n_child,
+                     (SELECT count(*) FROM nation WHERE n_regionkey IS NULL)
+                       AS n_null_fk,
+                     (SELECT count(*) FROM nation c
+                      WHERE c.n_regionkey IS NOT NULL AND NOT EXISTS
+                        (SELECT 1 FROM region p WHERE p.r_regionkey = c.n_regionkey))
+                       AS n_orphans
+              UNION ALL
+              SELECT 'events->customer' AS relation,
+                     (SELECT count(*) FROM events) AS n_child,
+                     (SELECT count(*) FROM events WHERE user_id IS NULL)
+                       AS n_null_fk,
+                     (SELECT count(*) FROM events c
+                      WHERE c.user_id IS NOT NULL AND NOT EXISTS
+                        (SELECT 1 FROM customer p WHERE p.c_custkey = c.user_id))
+                       AS n_orphans
+              UNION ALL
+              SELECT 'embeddings->documents' AS relation,
+                     (SELECT count(*) FROM embeddings) AS n_child,
+                     (SELECT count(*) FROM embeddings WHERE vec_id IS NULL)
+                       AS n_null_fk,
+                     (SELECT count(*) FROM embeddings c
+                      WHERE c.vec_id IS NOT NULL AND NOT EXISTS
+                        (SELECT 1 FROM documents p WHERE p.doc_id = c.vec_id))
+                       AS n_orphans
+        """,
         # PSI timeline: q_psi's bucket/smoothing/nano recipe, windowed
         # and self-joined on (window-1, bucket); integer closure DIV.
         "q_drift_timeline": """

@@ -960,3 +960,51 @@ def fuzzy_neighbor_pairs(
         F.col("n.key_b").alias("key_b"),
         dist.alias("dist"),
     )
+
+
+def fk_orphan_audit(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """REFERENTIAL-INTEGRITY audit: for each (name, child, fk_col,
+    parent, pk_col) relation, count the child rows whose foreign key
+    resolves to no parent — the orphan check a warehouse runs before
+    trusting a join (an fk join silently DROPS orphans on inner join
+    and NULL-pads them on left join; this op makes the damage visible
+    first). NULL fks are reported separately: a null is a missing
+    reference, not a dangling one.
+
+    Plan shape per relation: the parent side reduces to DISTINCT keys
+    (map-side combined, key-cardinality rows) before a LEFT ANTI join
+    against the child — AQE broadcasts the key set while it fits, and
+    at 100 TB a dimension key set still fits; the fact table is
+    scanned once per relation, never joined wide. Output rows stack
+    from k one-row aggregates (k = relations, driver-trivial).
+
+    Output: (relation, n_child, n_null_fk, n_orphans) per relation.
+    """
+    outs: list[DataFrame] = []
+    for name, child, fk, parent, pk in relations:
+        keys = parent.select(F.col(pk).alias("__k")).distinct()
+        base = child.select(F.col(fk).alias("__fk"))
+        nn = base.where(F.col("__fk").isNotNull())
+        orphans = nn.join(
+            keys, nn["__fk"] == keys["__k"], "left_anti"
+        ).agg(F.count("*").alias("n_orphans"))
+        stats = base.agg(
+            F.count("*").alias("n_child"),
+            F.sum(F.when(F.col("__fk").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_fk"),
+        )
+        outs.append(
+            stats.crossJoin(orphans).select(
+                F.lit(name).alias("relation"),
+                "n_child",
+                "n_null_fk",
+                F.col("n_orphans").cast("long").alias("n_orphans"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

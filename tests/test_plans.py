@@ -574,3 +574,30 @@ def test_epoch_interleave_is_two_hash_exchanges(spark, sf_dir):
     assert n_shuffles(df) == 2
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_fk_orphan_audit_detects_planted_orphans_and_nulls(spark):
+    """Hand tables: two orphaned fks, one null fk, one clean relation
+    — the audit separates nulls (missing reference) from orphans
+    (dangling reference) and leaves the clean relation at zero."""
+    from myasynstreamjoin_spark.operators.relational import fk_orphan_audit
+
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    child = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 99), (4, 98), (5, None)],
+        "id long, fk long",
+    )
+    clean = spark.createDataFrame([(10, 1), (11, 3)], "id long, fk long")
+    out = {
+        r["relation"]: (r["n_child"], r["n_null_fk"], r["n_orphans"])
+        for r in fk_orphan_audit(
+            [
+                ("child->parent", child, "fk", parent, "pk"),
+                ("clean->parent", clean, "fk", parent, "pk"),
+            ]
+        ).collect()
+    }
+    assert out == {
+        "child->parent": (5, 1, 2),
+        "clean->parent": (2, 0, 0),
+    }
