@@ -946,6 +946,32 @@ def _q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares TREND of value over hour index —
+    exact-BIGINT sufficient statistics, one IEEE division per output
+    (no float ever accumulates); x is rebased to the table's own min
+    hour so Σx² stays far inside BIGINT at any scale
+    (operators/stats.py::linear_trend)."""
+    from myasynstreamjoin_spark.operators.stats import linear_trend
+
+    _prep(spark)
+    ev = tables.load_table(spark, sf_dir, "events")
+    base = ev.where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "event_type",
+        F.expr("ts DIV 3600000000000L").alias("h"),
+        F.round(F.col("value") * 1000).cast("long").alias("yq"),
+    )
+    mn = base.agg(F.min("h").alias("mn"))
+    return linear_trend(
+        base.crossJoin(F.broadcast(mn)),
+        "event_type",
+        F.col("h") - F.col("mn"),
+        F.col("yq"),
+    )
+
+
 def _q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across the schema: orphan + null-fk
     counts for the TPC-H key chain (lineitem→orders→customer→nation→
@@ -3431,6 +3457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quota_sample": _q_quota_sample,                # largest-remainder exact-quota stratified sample
         "q_drift_timeline": _q_drift_timeline,            # per-window PSI vs predecessor, one pass
         "q_fk_audit": _q_fk_audit,                        # referential-integrity orphan audit
+        "q_trend": _q_trend,                              # exact-integer per-key least-squares trend
         "q_embed_norm": _q_embed_norm,
         "q_embed_quant": _q_embed_quant,
         # remaining data-pipeline operators
@@ -6112,6 +6139,30 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         # Bigram interpolation mirrored term by term (0.75·MLE +
         # 0.25·add-one unigram); nano-nat integer sums as usual.
+        # Per-key trend: BIGINT sufficient statistics, one IEEE
+        # division; x rebased to min hour. CASTs: SUM -> HUGEINT.
+        "q_trend": """
+            WITH base AS (
+              SELECT event_type AS key,
+                     epoch_ns(ts) // 3600000000000 AS h,
+                     CAST(round(value * 1000) AS BIGINT) AS yq
+              FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+            m AS (SELECT min(h) AS mn FROM base),
+            p AS (SELECT key, CAST(h - mn AS BIGINT) AS x, yq
+                  FROM base, m),
+            a AS (SELECT key, count(*) AS n,
+                         sum(x) AS sx, sum(yq) AS sy,
+                         sum(x * yq) AS sxy, sum(x * x) AS sxx
+                  FROM p GROUP BY key)
+            SELECT key, CAST(n AS BIGINT) AS n,
+                   CASE WHEN n * sxx - sx * sx <> 0 THEN
+                     CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+                   CASE WHEN n * sxx - sx * sx <> 0 THEN
+                     CAST(sy * sxx - sx * sxy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) END AS intercept
+            FROM a
+        """,
         # Orphan audit: NOT EXISTS per relation, one UNION ALL block.
         "q_fk_audit": """
               SELECT 'lineitem->orders' AS relation,

@@ -614,3 +614,55 @@ def drift_timeline(
             "n_prev", "n_cur", "psi",
         )
     )
+
+
+def linear_trend(
+    df: DataFrame,
+    key_col: str,
+    x: Column,
+    y: Column,
+) -> DataFrame:
+    """Per-key least-squares TREND line (slope + intercept) by the
+    closed form — the is-this-metric-drifting analytic, computed the
+    deterministic way: ``x`` and ``y`` must be INTEGER columns (fixed-
+    point the caller's units), all five sufficient statistics
+    (n, Σx, Σy, Σxy, Σx²) are exact BIGINT sums, and each output is
+    ONE IEEE division of exact integers — no float accumulates, so the
+    result is bit-identical across engines, partitionings, and
+    retries (the oracle replays it term for term).
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+
+    Keep ``x`` SMALL (an index from the data's own origin, not an
+    absolute epoch) — Σx² at 100 TB row counts must stay inside
+    BIGINT; re-basing x is the caller's one job. Keys whose x values
+    are all equal have a zero denominator and report NULL slope — a
+    vertical line is not a trend.
+
+    Scale shape: ONE map-side-combined groupBy; one row per key out.
+    Output: (key, n, slope, intercept).
+    """
+    prepped = df.select(
+        F.col(key_col).alias("key"),
+        x.cast("long").alias("__x"),
+        y.cast("long").alias("__y"),
+    )
+    agg = prepped.groupBy("key").agg(
+        F.count("*").alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    icept_num = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    return agg.select(
+        "key",
+        "n",
+        F.when(den != 0, slope_num.cast("double") / den.cast("double"))
+        .alias("slope"),
+        F.when(den != 0, icept_num.cast("double") / den.cast("double"))
+        .alias("intercept"),
+    )

@@ -156,3 +156,25 @@ def test_drift_timeline_flags_the_shifted_window(spark):
     assert set(out) == {1, 2}
     assert out[1] == (40, 40, 0.0)
     assert out[2][2] > 0.25
+
+
+def test_linear_trend_matches_polyfit_and_nulls_vertical_keys(spark):
+    from myasynstreamjoin_spark.operators.stats import linear_trend
+
+    import numpy as np
+
+    rows = []
+    xs = list(range(12))
+    ys = [3 * x + 7 + (1 if x % 3 == 0 else -1) for x in xs]
+    rows += [("up", x, y) for x, y in zip(xs, ys)]
+    rows += [("vertical", 4, y) for y in (1, 2, 3)]  # all-same x
+    df = spark.createDataFrame(rows, "k string, x long, y long")
+    out = {
+        r["key"]: (r["n"], r["slope"], r["intercept"])
+        for r in linear_trend(df, "k", F.col("x"), F.col("y")).collect()
+    }
+    slope, icept = np.polyfit(xs, ys, 1)
+    n, got_s, got_i = out["up"]
+    assert n == 12
+    assert abs(got_s - slope) < 1e-9 and abs(got_i - icept) < 1e-9
+    assert out["vertical"] == (3, None, None)
