@@ -64,6 +64,12 @@ DEFAULT = [
     "q_dataset_card",
     "q_compact_shards",
     "q_tokenize_pack",
+    "q_image_neardup",
+    "q_quota_sample",
+    "q_drift_timeline",
+    # q_fk_audit needs the full relational schema; the probe corpus
+    # ships only documents/embeddings/events/lineitem
+    "q_trend",
     "q_stream_min_count_window",
     "q_stream_dedup",
     "q_stream_sessions",
