@@ -2069,6 +2069,103 @@ def _q_compact_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compacted_manifest(spark, dst)
 
 
+def _q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (weight 1/n_copies instead of dropping copies): the
+    per-source EFFECTIVE corpus size in exact ppm, over a corpus with
+    planted cross-source duplicates (the corpus itself has none) —
+    the duplication-tax report a data-mix planner reads when hard
+    dedup would mis-attribute surviving copies
+    (functions/dedup.py::soft_dedup_summary)."""
+    from myasynstreamjoin_spark.functions.dedup import soft_dedup_summary
+
+    _prep(spark)
+    base = tables.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    c1 = base.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        "text",
+        F.lit("dupA").alias("source"),
+        "n_chars",
+    )
+    c2 = base.where(F.col("doc_id") % 15 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        "text",
+        F.lit("dupB").alias("source"),
+        "n_chars",
+    )
+    return soft_dedup_summary(base.union(c1).union(c2))
+
+
+def _q_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared association + Cramér's V between lang and source —
+    "is the language mix independent of the source?", answered with
+    the nano-unit integer fold over the DENSE contingency grid
+    (operators/stats.py::categorical_association)."""
+    from myasynstreamjoin_spark.operators.stats import categorical_association
+
+    _prep(spark)
+    return categorical_association(
+        tables.load_table(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
+def _q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-type winsorized event-value stats: rank-based 5/95
+    cut points (order statistics in integer milli-units, never an
+    interpolated percentile) and the clamped vs raw sums — one
+    shuffle, conditional unbounded windows, no join back
+    (operators/stats.py::winsorized_stats)."""
+    from myasynstreamjoin_spark.operators.stats import winsorized_stats
+
+    _prep(spark)
+    return winsorized_stats(
+        tables.load_table(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
+def _q_epoch_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum epoch schedule: length-bucket stages ordered easy →
+    hard within every shard, seeded-shuffled within each stage; the
+    manifest pins each stage block's rank span and an order-sensitive
+    checksum, so the oracle replays the complete permutation
+    (functions/pipeline.py::epoch_curriculum_manifest)."""
+    from myasynstreamjoin_spark.functions.pipeline import (
+        epoch_curriculum_manifest,
+    )
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return epoch_curriculum_manifest(
+        docs, F.expr("n_chars DIV 40"), seed=1, n_shards=16
+    )
+
+
+def _q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable per-shard distinct sketches (Apache DataSketches HLL):
+    one binary sketch per (event_type, day), unioned into a per-type
+    estimate and audited against the exact count — the store-sketches,
+    merge-later rollup shape that answers month-level distincts at
+    100 TB without rescanning (operators/stats.py::
+    distinct_sketch_shards / distinct_sketch_rollup). rows-only: no
+    SQL engine reproduces the DataSketches estimate; merge losslessness
+    and the audit bound are pytest-locked (tests/test_robust_stats.py).
+    """
+    from myasynstreamjoin_spark.operators.stats import (
+        distinct_sketch_rollup,
+        distinct_sketch_shards,
+    )
+
+    _prep(spark)
+    events = tables.load_table(spark, sf_dir, "events")
+    exact = events.groupBy(F.col("event_type").alias("grp")).agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return distinct_sketch_rollup(
+        distinct_sketch_shards(events, "event_type", "user_id"), exact
+    )
+
+
 def _q_pipeline_e2e(
     spark: SparkSession, sf_dir: str, lang_gate: bool = True
 ) -> DataFrame:
@@ -3507,6 +3604,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_decontaminate": _q_semantic_decontaminate,  # embedding-space decon
         "q_epoch_roundtrip": _q_epoch_roundtrip,          # epoch export/read under oracle
         "q_compact_shards": _q_compact_shards,            # small-file compaction round trip
+        "q_soft_dedup": _q_soft_dedup,                    # 1/n_copies weighting, effective sizes
+        "q_assoc": _q_assoc,                              # chi²/Cramér's V lang×source
+        "q_winsorize": _q_winsorize,                      # exact rank-based winsorized stats
+        "q_epoch_curriculum": _q_epoch_curriculum,        # staged easy→hard epoch schedule
+        "q_sketch_distinct": _q_sketch_distinct,          # mergeable HLL shard sketches (rows-only)
     }
 
 
@@ -7051,6 +7153,108 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
                    CAST(sum(cs) AS BIGINT) AS checksum
             FROM p GROUP BY 1
+        """,
+        # Soft dedup over the planted-duplicate corpus: each copy in a
+        # normalized-content cluster carries 1000000 DIV n_copies ppm.
+        "q_soft_dedup": f"""
+            WITH corpus AS (
+              SELECT doc_id, text, source, n_chars FROM documents
+              UNION ALL SELECT doc_id + 10000, text, 'dupA', n_chars
+                FROM documents WHERE doc_id % 5 = 0
+              UNION ALL SELECT doc_id + 20000, text, 'dupB', n_chars
+                FROM documents WHERE doc_id % 15 = 0),
+            w AS (SELECT source, n_chars,
+                    1000000 // count(*) OVER (
+                      PARTITION BY md5({_DOC_NORM})) AS w_ppm
+                  FROM corpus)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                   CAST(sum(w_ppm) AS BIGINT) AS eff_docs_ppm,
+                   CAST(sum(n_chars * w_ppm) AS BIGINT) AS eff_chars_ppm
+            FROM w GROUP BY source
+        """,
+        # Chi² over the DENSE grid (unobserved cells contribute e);
+        # nano-unit integer fold, IEEE-exact e and closing sqrt.
+        "q_assoc": """
+            WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o
+                           FROM documents
+                           WHERE lang IS NOT NULL AND source IS NOT NULL
+                           GROUP BY 1, 2),
+            ra AS (SELECT a, sum(o) AS rt FROM cells GROUP BY 1),
+            cb AS (SELECT b, sum(o) AS ct FROM cells GROUP BY 1),
+            tot AS (SELECT sum(o) AS n, count(DISTINCT a) AS n_a,
+                           count(DISTINCT b) AS n_b FROM cells),
+            dense AS (SELECT g.a, g.b, g.rt, g.ct, coalesce(cells.o, 0) AS o
+                      FROM (SELECT a, rt, b, ct FROM ra CROSS JOIN cb) g
+                      LEFT JOIN cells ON cells.a = g.a AND cells.b = g.b),
+            t AS (SELECT CAST(round((CAST(o AS DOUBLE) - e)
+                                    * (CAST(o AS DOUBLE) - e) / e * 1e9)
+                         AS BIGINT) AS nano, n, n_a, n_b
+                  FROM (SELECT o, CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                                  / CAST(n AS DOUBLE) AS e, n, n_a, n_b
+                        FROM dense CROSS JOIN tot)),
+            f AS (SELECT n, n_a, n_b, sum(nano) AS s FROM t GROUP BY 1, 2, 3)
+            SELECT CAST(n AS BIGINT) AS n, CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+                   CAST((s + 500) // 1000 AS DOUBLE) / 1e6 AS chi2,
+                   CASE WHEN least(n_a - 1, n_b - 1) > 0 THEN
+                     sqrt((CAST((s + 500) // 1000 AS DOUBLE) / 1e6)
+                          / (CAST(n AS DOUBLE)
+                             * CAST(least(n_a - 1, n_b - 1) AS DOUBLE)))
+                   END AS cramers_v
+            FROM f
+        """,
+        # Exact rank-based winsorization in integer milli-units.
+        "q_winsorize": """
+            WITH base AS (SELECT event_type AS key,
+                                 CAST(round(value * 1000) AS BIGINT) AS xq,
+                                 event_id AS id
+                          FROM events
+                          WHERE value IS NOT NULL AND event_type IS NOT NULL),
+            r AS (SELECT key, xq,
+                    row_number() OVER (PARTITION BY key ORDER BY xq, id) AS rn,
+                    count(*) OVER (PARTITION BY key) AS n
+                  FROM base),
+            c AS (SELECT key, xq, n,
+                    max(CASE WHEN rn <= greatest(1, (n * 5) // 100)
+                        THEN xq END) OVER (PARTITION BY key) AS cut_lo,
+                    min(CASE WHEN rn >= least(n, (n * 95 + 99) // 100)
+                        THEN xq END) OVER (PARTITION BY key) AS cut_hi
+                  FROM r)
+            SELECT key, CAST(max(n) AS BIGINT) AS n,
+                   CAST(max(cut_lo) AS BIGINT) AS cut_lo,
+                   CAST(max(cut_hi) AS BIGINT) AS cut_hi,
+                   CAST(sum(xq) AS BIGINT) AS sum_raw,
+                   CAST(sum(greatest(cut_lo, least(cut_hi, xq)))
+                        AS BIGINT) AS sum_wins,
+                   CAST(sum(CASE WHEN xq < cut_lo THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_clamped_lo,
+                   CAST(sum(CASE WHEN xq > cut_hi THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_clamped_hi
+            FROM c GROUP BY key
+        """,
+        # Curriculum epoch-1: stage-leading rank over the seeded digest
+        # order; the checksum replays the exact permutation.
+        "q_epoch_curriculum": """
+            WITH h AS (
+              SELECT doc_id, n_chars // 40 AS stage,
+                     md5(CAST(doc_id AS VARCHAR) || ':epoch1') AS dg
+              FROM documents),
+            s AS (SELECT doc_id, stage, dg,
+                         CAST(('0x' || substring(dg, 1, 4)) AS INT) % 16
+                           AS shard
+                  FROM h),
+            r AS (SELECT doc_id, stage, shard,
+                         CAST(row_number() OVER (
+                           PARTITION BY shard
+                           ORDER BY stage, dg, doc_id) AS BIGINT) AS rnk
+                  FROM s)
+            SELECT shard, CAST(stage AS BIGINT) AS stage, count(*) AS n_docs,
+                   CAST(sum(rnk * (doc_id % 1000003)) AS BIGINT)
+                     AS order_checksum,
+                   min(rnk) AS rank_from, max(rnk) AS rank_to
+            FROM r GROUP BY shard, stage
         """,
     }
 

@@ -1060,3 +1060,59 @@ def contamination_report(
         ),
         F.coalesce("n_gram_hits", F.lit(0)).cast("long").alias("n_gram_hits"),
     )
+
+
+def soft_dedup_weights(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """SoftDeDup-style duplicate *weighting*: instead of dropping the
+    copies in an exact-duplicate cluster, keep every document and give
+    it weight 1/n_copies, so the cluster contributes exactly one
+    document's worth of training mass while preserving within-cluster
+    diversity (ordering, source attribution). Weight is carried as an
+    exact integer ppm (``1_000_000 DIV n_copies``) so downstream sums
+    stay BIGINT-deterministic and oracle-replayable.
+
+    One shuffle: a count-only window over the content fingerprint — no
+    sort (no ORDER BY in the frame) and no second join pass. At 100 TB
+    the fingerprint is 16 bytes/doc and clusters are tiny, so the
+    window state per task is a single running count.
+
+    Output: docs' columns + (n_copies, weight_ppm).
+    """
+    from pyspark.sql import Window
+
+    fp = F.md5(F.encode(normalized(text_col), "UTF-8"))
+    w = Window.partitionBy("__fp")
+    return (
+        docs.withColumn("__fp", fp)
+        .withColumn("n_copies", F.count("*").over(w))
+        .withColumn("weight_ppm", F.expr("1000000 DIV n_copies"))
+        .drop("__fp")
+    )
+
+
+def soft_dedup_summary(docs: DataFrame, by: str = "source") -> DataFrame:
+    """Per-group effective corpus size under soft dedup: raw doc/char
+    counts next to duplication-discounted ones (Σ weight_ppm,
+    Σ n_chars·weight_ppm). The gap between raw and effective columns
+    is the duplication tax each group carries — the number a data-mix
+    planner actually wants when duplicates cross group boundaries and
+    hard dedup would mis-attribute the surviving copy.
+
+    All-integer: ppm weights sum as BIGINT; no float appears anywhere.
+    (Σ n_chars·weight_ppm fits BIGINT up to ~9·10¹² chars per group;
+    at larger scale drop the unit to per-mille before summing.)
+
+    Output: (by, n_docs, n_chars, eff_docs_ppm, eff_chars_ppm).
+    """
+    return (
+        soft_dedup_weights(docs)
+        .groupBy(by)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("weight_ppm").cast("long").alias("eff_docs_ppm"),
+            F.sum(F.col("n_chars") * F.col("weight_ppm"))
+            .cast("long")
+            .alias("eff_chars_ppm"),
+        )
+    )

@@ -1324,3 +1324,72 @@ def dataset_card(docs: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def epoch_curriculum(
+    docs: DataFrame,
+    stage: Column,
+    seed: int = 0,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum-ordered epoch: within every shard the read order is
+    (stage ASC, seeded shuffle) — easy documents first, hard ones
+    later, shuffled *within* each stage so the trainer still sees a
+    random stream inside every difficulty band. ``stage`` is any
+    integer Column (a quality-score band, a length bucket, a
+    perplexity decile from `lm_perplexity` joined in upstream); lower
+    runs earlier. The anti-curriculum is ``-stage``.
+
+    Same machinery and guarantees as `epoch_shuffle` (one hash
+    exchange on the shard id + in-partition sort, bit-reproducible
+    digest order, no float in the sort key) — the stage column simply
+    becomes the leading sort key, so stage blocks are contiguous in
+    every shard by construction and a resumed loader can seek to a
+    stage boundary the same way it seeks to a rank.
+
+    Output: input columns + (shuffle_key, shard, stage,
+    curriculum_rank) with rank 1-based within the shard.
+    """
+    staged = _epoch_stage(docs, seed, n_shards, id_col).withColumn(
+        "stage", stage.cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy("stage", "shuffle_key", id_col)
+    return staged.withColumn(
+        "curriculum_rank", F.row_number().over(w).cast("long")
+    )
+
+
+def epoch_curriculum_manifest(
+    docs: DataFrame,
+    stage: Column,
+    seed: int = 0,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-(shard, stage) manifest of a curriculum epoch with the
+    order-sensitive checksum (Σ rank × (id mod P), the
+    epoch_shuffle_manifest recipe) plus each stage block's rank span.
+    Because stages are contiguous within a shard, (rank_from, rank_to)
+    spans must tile [1, n_docs] exactly — the invariant a trainer
+    checks before trusting a schedule, and together with the checksum
+    it pins the complete permutation for an external SQL oracle.
+
+    Same single exchange as the shuffle itself: the groupBy reuses the
+    window's hash partitioning on the shard id.
+
+    Output: (shard, stage, n_docs, order_checksum, rank_from,
+    rank_to).
+    """
+    cur = epoch_curriculum(
+        docs, stage, seed=seed, n_shards=n_shards, id_col=id_col
+    )
+    return cur.groupBy("shard", "stage").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.col("curriculum_rank")
+            * (F.col(id_col) % F.lit(_EPOCH_CHECKSUM_MOD))
+        ).alias("order_checksum"),
+        F.min("curriculum_rank").alias("rank_from"),
+        F.max("curriculum_rank").alias("rank_to"),
+    )

@@ -666,3 +666,224 @@ def linear_trend(
         F.when(den != 0, icept_num.cast("double") / den.cast("double"))
         .alias("intercept"),
     )
+
+
+def categorical_association(
+    df: DataFrame,
+    a: str,
+    b: str,
+) -> DataFrame:
+    """Chi-squared association between two categorical columns, with
+    Cramér's V — the data-audit question "is `lang` independent of
+    `source`?" answered in one corpus pass.
+
+    Everything after the (a, b) cell-count groupBy operates on the
+    R×C contingency table (tiny: margins, total and the residual fold
+    all run on at most a few thousand rows regardless of corpus size).
+    Each cell's (o−e)²∕e contribution is rounded to integer NANO units
+    and summed as BIGINT, closed with one DIV — the oracle-replayable
+    fold recipe (`drift_timeline` pattern). The expected count e and
+    Cramér's sqrt are IEEE ops over exact integers (cast, ·, ∕, √ are
+    all correctly rounded, so an external engine reproduces the exact
+    doubles bit-for-bit).
+
+    Output: one row — (n, n_a, n_b, dof, chi2, cramers_v).
+    """
+    cells = (
+        df.where(F.col(a).isNotNull() & F.col(b).isNotNull())
+        .groupBy(F.col(a).alias("__a"), F.col(b).alias("__b"))
+        .agg(F.count("*").alias("o"))
+        # branched four ways below (row/col margins, totals, join)
+        .localCheckpoint(eager=True)
+    )
+    ra = cells.groupBy("__a").agg(F.sum("o").alias("rt"))
+    cb = cells.groupBy("__b").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("__a").alias("n_a"),
+        F.countDistinct("__b").alias("n_b"),
+    )
+    e = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n").cast("double")
+    )
+    d = F.col("o").cast("double") - e
+    nano = F.round(d * d / e * F.lit(1e9)).cast("long")
+    # chi² sums over EVERY (a, b) cell of the grid, including the
+    # unobserved ones (o = 0, whose (0−e)²∕e term is e itself) — the
+    # groupBy above only yields observed combinations, so densify via
+    # the margins' cross product before folding. R×C rows: tiny.
+    grid = ra.crossJoin(cb)
+    folded = (
+        grid.join(cells, ["__a", "__b"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .select(nano.alias("nano"), "n", "n_a", "n_b")
+        .groupBy("n", "n_a", "n_b")
+        .agg(F.sum("nano").alias("s"))
+    )
+    chi2 = F.expr("CAST((s + 500) DIV 1000 AS DOUBLE)") / F.lit(1e6)
+    dof = (F.col("n_a") - 1) * (F.col("n_b") - 1)
+    k = F.least(F.col("n_a") - 1, F.col("n_b") - 1)
+    return folded.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        dof.cast("long").alias("dof"),
+        chi2.alias("chi2"),
+        # degenerate single-category inputs have no association to
+        # measure; emit NULL rather than an engine-dependent 0/0
+        F.when(
+            k > 0,
+            F.sqrt(chi2 / (F.col("n").cast("double") * k.cast("double"))),
+        ).alias("cramers_v"),
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    key_col: str,
+    value_col: str = "value",
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    unit: int = 1000,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """EXACT per-group winsorization: clamp each group's values at its
+    own rank-based lo/hi percentile cut points and report robust sums
+    next to raw ones — the outlier-resistant aggregate a metrics
+    pipeline wants when a few wild rows would otherwise dominate.
+
+    Cut points are order statistics, not interpolated percentiles:
+    cut_lo is the value at rank ``max(1, n·lo DIV 100)`` and cut_hi at
+    rank ``min(n, (n·hi + 99) DIV 100)`` (ties broken by id), so with
+    values quantized to integer units the whole computation is exact
+    integer arithmetic — no float percentile interpolation anywhere,
+    fully SQL-replayable.
+
+    ONE shuffle: ranks come from a row_number window and both cut
+    points from conditional unbounded min/max windows over the SAME
+    partition key — no join back, no second corpus pass. Per-group
+    sort is inherent to exact order statistics; for approximate-is-ok
+    monitoring use `approx_percentile_audit` instead.
+
+    Output per group: (key, n, cut_lo, cut_hi, sum_raw, sum_wins,
+    n_clamped_lo, n_clamped_hi) — sums in quantized units.
+    """
+    from pyspark.sql import Window
+
+    xq = F.round(F.col(value_col) * F.lit(unit)).cast("long")
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(F.col(key_col).alias("key"), xq.alias("xq"), F.col(id_col).alias("id"))
+    part = Window.partitionBy("key")
+    ordered = part.orderBy("xq", "id")
+    ranked = base.select(
+        "key",
+        "xq",
+        F.row_number().over(ordered).cast("long").alias("rn"),
+        F.count("*").over(part).alias("n"),
+    )
+    k_lo = F.expr(f"greatest(1L, (n * {int(lo_pct)}) DIV 100)")
+    k_hi = F.expr(f"least(n, (n * {int(hi_pct)} + 99) DIV 100)")
+    cuts = ranked.select(
+        "key",
+        "xq",
+        "n",
+        F.max(F.when(F.col("rn") <= k_lo, F.col("xq"))).over(part).alias("cut_lo"),
+        F.min(F.when(F.col("rn") >= k_hi, F.col("xq"))).over(part).alias("cut_hi"),
+    )
+    wins = F.greatest(F.col("cut_lo"), F.least(F.col("cut_hi"), F.col("xq")))
+    return (
+        cuts.groupBy("key")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("cut_lo").alias("cut_lo"),
+            F.max("cut_hi").alias("cut_hi"),
+            F.sum("xq").alias("sum_raw"),
+            F.sum(wins).alias("sum_wins"),
+            F.sum((F.col("xq") < F.col("cut_lo")).cast("long")).alias(
+                "n_clamped_lo"
+            ),
+            F.sum((F.col("xq") > F.col("cut_hi")).cast("long")).alias(
+                "n_clamped_hi"
+            ),
+        )
+    )
+
+
+def distinct_sketch_shards(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    shard: Column | None = None,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-shard MERGEABLE distinct-count sketches (Apache DataSketches
+    HLL via ``hll_sketch_agg``) — the re-aggregatable form of
+    `approx_distinct_audit`: each (group, shard) cell yields a small
+    binary sketch that can be stored with the shard and unioned later
+    to answer distinct-counts over ANY shard subset without rescanning
+    data. That late-merge property is the whole point at 100 TB: a
+    daily pipeline keeps one ~2^lg_k-byte sketch per partition and
+    answers month/quarter rollups from sketches alone.
+
+    ``shard`` defaults to a day bucket when the frame has a ``ts``
+    column, else id-hash buckets. Output: one row per (group, shard)
+    with the sketch itself plus its local estimate — feed the frame to
+    `distinct_sketch_rollup` for the union/audit step.
+    """
+    if shard is None:
+        dtypes = dict(df.dtypes)
+        if dtypes.get("ts", "").startswith("timestamp"):
+            shard = F.expr("CAST(ts AS DATE)").cast("string")
+        elif "ts" in dtypes:  # epoch-nanos BIGINT (tables.load_table form)
+            shard = F.expr("ts DIV 86400000000000").cast("string")
+        else:
+            shard = (F.xxhash64(value_col) % 16).cast("string")
+    sketches = (
+        df.groupBy(F.col(group_col).alias("grp"), shard.alias("shard"))
+        .agg(F.hll_sketch_agg(F.col(value_col).cast("string"), F.lit(lg_k)).alias("sketch"))
+    )
+    return sketches.select(
+        "grp",
+        "shard",
+        "sketch",
+        F.hll_sketch_estimate("sketch").cast("long").alias("est_local"),
+    )
+
+
+def distinct_sketch_rollup(
+    sketches: DataFrame,
+    exact: DataFrame | None = None,
+    tolerance: float = 0.05,
+) -> DataFrame:
+    """Union per-shard HLL sketches into one estimate per group and —
+    when an ``exact`` frame (grp, n_exact) is supplied, the audit path
+    — flag whether the merged estimate landed within ``tolerance`` of
+    the exact count. This step never touches the corpus: it aggregates
+    sketch rows only (n_groups × n_shards of them), so the rollup
+    that would be a full rescan under ``countDistinct`` is a
+    driver-light metadata job under sketches.
+
+    Output: (grp, n_shards, est_merged[, n_exact, approx_ok]).
+    """
+    merged = sketches.groupBy("grp").agg(
+        F.count("*").alias("n_shards"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .cast("long")
+        .alias("est_merged"),
+    )
+    if exact is None:
+        return merged
+    return merged.join(exact, "grp").select(
+        "grp",
+        "n_shards",
+        "est_merged",
+        "n_exact",
+        (
+            F.abs(F.col("est_merged") - F.col("n_exact"))
+            <= F.lit(tolerance) * F.col("n_exact")
+        ).alias("approx_ok"),
+    )
