@@ -2166,6 +2166,65 @@ def _q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_drift_timeline at week granularity: events
+    arrive one event-time window per micro-batch (ascending), each
+    batch's value histogram is scored against its predecessor with the
+    SAME nano-fold expressions the batch operator uses (imported, not
+    copied), so the per-batch sinks union to EXACTLY the batch
+    timeline — shared DuckDB oracle with the window constant swapped
+    (streaming/drift.py). Bucket bounds are pinned up front from the
+    corpus min/max, the fixed-reference-range shape a production
+    monitor deploys with."""
+    import os
+    import tempfile
+
+    from myasynstreamjoin_spark.streaming.drift import (
+        read_drift,
+        run_streaming_drift,
+    )
+
+    _prep(spark)
+    week = 604_800_000_000_000
+    events = tables.load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    b = (
+        events.where(F.col("value").isNotNull())
+        .agg(
+            F.min(F.round(F.col("value") * 1000).cast("long")).alias("mn"),
+            F.max(F.round(F.col("value") * 1000).cast("long")).alias("mx"),
+        )
+        .collect()[0]
+    )
+    wins = [
+        int(r["w"])
+        for r in events.select(F.expr(f"ts DIV {week}L").alias("w"))
+        .distinct()
+        .orderBy("w")
+        .collect()
+    ]
+    tmp = tempfile.mkdtemp(prefix="stream_drift_")
+    feed = _stage_parquet_feed(
+        [events.where(F.expr(f"ts DIV {week}L") == w) for w in wins], tmp
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    out_dir = os.path.join(tmp, "drift")
+    run_streaming_drift(
+        stream,
+        spark,
+        out_dir=out_dir,
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        bounds=(int(b["mn"]), int(b["mx"])),
+        window_ns=week,
+    )
+    return read_drift(spark, out_dir)
+
+
 def _q_pipeline_e2e(
     spark: SparkSession, sf_dir: str, lang_gate: bool = True
 ) -> DataFrame:
@@ -3609,6 +3668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winsorize": _q_winsorize,                      # exact rank-based winsorized stats
         "q_epoch_curriculum": _q_epoch_curriculum,        # staged easy→hard epoch schedule
         "q_sketch_distinct": _q_sketch_distinct,          # mergeable HLL shard sketches (rows-only)
+        "q_stream_drift": _q_stream_drift,                # streaming PSI vs predecessor window
     }
 
 
@@ -7276,6 +7336,12 @@ def oracle_sql() -> dict[str, str]:
     # Manifest statistics are order-free integer sums: the folded
     # latest version equals the batch manifest under ANY batch split.
     d["q_stream_shard_manifest"] = d["q_shard_manifest"]
+    # One event-time window per micro-batch in order ⇒ the streamed
+    # PSI rows are the batch timeline at week granularity: the same
+    # oracle with the window constant swapped (hour → week).
+    d["q_stream_drift"] = d["q_drift_timeline"].replace(
+        "3600000000000", "604800000000000"
+    )
     # Dataset card: the component queries' oracles CTE-composed and
     # rolled up per source — micro-unit integer sums, one division.
     d["q_dataset_card"] = f"""

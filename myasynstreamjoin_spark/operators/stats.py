@@ -521,6 +521,24 @@ def bootstrap_totals(
     )
 
 
+def psi_nano_term(ar, tr, ac, tc):
+    """One smoothed PSI bucket contribution (p−q)·ln(p∕q) rounded to
+    integer NANO units — shared verbatim by `drift_timeline` and the
+    streaming monitor (streaming/drift.py) so stream ≡ batch holds
+    bit-for-bit (same JVM round/ln, same operation order)."""
+    p = ar / tr
+    q = ac / tc
+    return F.round((p - q) * F.log(p / q) * F.lit(1e9)).cast("long")
+
+
+def psi_close_expr():
+    """Close the nano fold with one exact integer DIV then one IEEE
+    division — the oracle-replayable closure shared with the
+    streaming monitor. Every (p−q)·ln(p∕q) term is ≥ 0, so the nano
+    sum is non-negative and half-up needs no sign handling."""
+    return F.expr("CAST((sum(nano) + 500) DIV 1000 AS DOUBLE)") / F.lit(1e6)
+
+
 def drift_timeline(
     events: DataFrame,
     value_col: str = "value",
@@ -528,6 +546,7 @@ def drift_timeline(
     window_ns: int = 3_600_000_000_000,
     n_buckets: int = 10,
     unit: int = 1000,
+    bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     """PSI drift TIMELINE: the population-stability index of every
     event-time window against its PREDECESSOR window — the continuous
@@ -548,6 +567,11 @@ def drift_timeline(
     Scale shape: the corpus is scanned once; everything after the
     first groupBy is windows·n_buckets rows. Output: one row per
     window with a predecessor — (win_start_ns, n_prev, n_cur, psi).
+
+    ``bounds`` pins the (min, max) quantized bucket range explicitly
+    (a monitoring deployment's fixed reference range, and what the
+    streaming twin must be given since a stream has no global min);
+    default derives it from the data as before.
     """
     xq = F.round(F.col(value_col) * F.lit(unit)).cast("long")
     base = events.where(
@@ -556,18 +580,38 @@ def drift_timeline(
         F.expr(f"{ts_col} DIV {int(window_ns)}L").alias("__w"),
         xq.alias("__xq"),
     )
-    bounds = base.agg(F.min("__xq").alias("__mn"), F.max("__xq").alias("__mx"))
-    clamped = F.greatest(F.col("__mn"), F.least(F.col("__mx"), F.col("__xq")))
-    counts = (
-        base.crossJoin(F.broadcast(bounds))
-        .select("__w", clamped.alias("__cl"), "__mn", "__mx")
-        .select(
+    if bounds is not None:
+        mn, mx = int(bounds[0]), int(bounds[1])
+        bucketed = base.select(
+            "__w",
+            F.greatest(F.lit(mn), F.least(F.lit(mx), F.col("__xq"))).alias(
+                "__cl"
+            ),
+        ).select(
             "__w",
             F.expr(
-                f"((__cl - __mn) * {n_buckets}) DIV (__mx - __mn + 1)"
+                f"((__cl - {mn}L) * {n_buckets}) DIV ({mx}L - {mn}L + 1)"
             ).alias("bucket"),
         )
-        .groupBy("__w", "bucket")
+    else:
+        bnds = base.agg(
+            F.min("__xq").alias("__mn"), F.max("__xq").alias("__mx")
+        )
+        clamped = F.greatest(
+            F.col("__mn"), F.least(F.col("__mx"), F.col("__xq"))
+        )
+        bucketed = (
+            base.crossJoin(F.broadcast(bnds))
+            .select("__w", clamped.alias("__cl"), "__mn", "__mx")
+            .select(
+                "__w",
+                F.expr(
+                    f"((__cl - __mn) * {n_buckets}) DIV (__mx - __mn + 1)"
+                ).alias("bucket"),
+            )
+        )
+    counts = (
+        bucketed.groupBy("__w", "bucket")
         .agg(F.count("*").alias("c"))
         .localCheckpoint(eager=True)  # consumed down 3 branches below
     )
@@ -592,9 +636,9 @@ def drift_timeline(
         (F.col("__w") + 1).alias("w"), "bucket",
         F.col("a").alias("ar"), F.col("t").alias("tr"),
     )
-    p = F.col("ar") / F.col("tr")
-    q = F.col("ac") / F.col("tc")
-    nano = F.round((p - q) * F.log(p / q) * F.lit(1e9)).cast("long")
+    nano = psi_nano_term(
+        F.col("ar"), F.col("tr"), F.col("ac"), F.col("tc")
+    )
     return (
         cur.join(prev, ["w", "bucket"])
         .select("w", nano.alias("nano"), "tr", "tc")
@@ -602,12 +646,7 @@ def drift_timeline(
         .agg(
             (F.max("tr") - F.lit(n_buckets)).alias("n_prev"),
             (F.max("tc") - F.lit(n_buckets)).alias("n_cur"),
-            (
-                # every (p−q)·ln(p/q) term is ≥ 0, so the nano sum is
-                # non-negative and half-up needs no sign handling
-                F.expr("CAST((sum(nano) + 500) DIV 1000 AS DOUBLE)")
-                / F.lit(1e6)
-            ).alias("psi"),
+            psi_close_expr().alias("psi"),
         )
         .select(
             (F.col("w") * F.lit(window_ns)).alias("win_start_ns"),
