@@ -2166,6 +2166,20 @@ def _q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of the exact retriever: per query,
+    NDCG@10 / MRR / precision@10 against label-match relevance —
+    recall@k's judged-ranking sibling (q_ann_recall), extended to
+    ORDER quality. All-integer: rank discounts are ppm literals (no
+    runtime log), NDCG closes with one exact DIV against the ideal
+    prefix sum (functions/similarity.py::retrieval_metrics)."""
+    from myasynstreamjoin_spark.functions.similarity import retrieval_metrics
+
+    _prep(spark)
+    embs = tables.load_table(spark, sf_dir, "embeddings")
+    return retrieval_metrics(embs, [0, 1, 2, 3], k=10)
+
+
 def _q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of q_drift_timeline at week granularity: events
     arrive one event-time window per micro-batch (ascending), each
@@ -3669,6 +3683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_epoch_curriculum": _q_epoch_curriculum,        # staged easy→hard epoch schedule
         "q_sketch_distinct": _q_sketch_distinct,          # mergeable HLL shard sketches (rows-only)
         "q_stream_drift": _q_stream_drift,                # streaming PSI vs predecessor window
+        "q_retrieval_eval": _q_retrieval_eval,            # NDCG/MRR/P@k ranking quality
     }
 
 
@@ -3786,8 +3801,19 @@ def _lpa_sql(n_rounds: int = 3) -> str:
 
 def _oracle_sql_base() -> dict[str, str]:
     from myasynstreamjoin_spark.functions.dedup import minhash_coeffs
-    from myasynstreamjoin_spark.functions.similarity import _random_hyperplanes
+    from myasynstreamjoin_spark.functions.similarity import (
+        _random_hyperplanes,
+        ndcg_discounts_ppm,
+    )
     from myasynstreamjoin_spark.operators.zorder import zvalue_sql
+
+    # the NDCG rank discounts and their prefix sums as ppm literals —
+    # constants of the metric, shared with retrieval_metrics so the
+    # oracle replays the identical integer arithmetic
+    _nd = ndcg_discounts_ppm(10)
+    _np = [sum(_nd[: i + 1]) for i in range(10)]
+    _nd_sql = "[" + ", ".join(str(x) for x in _nd) + "]"
+    _np_sql = "[" + ", ".join(str(x) for x in _np) + "]"
 
     # the seed-42 sign-LSH hyperplanes as double literals: the planes
     # are baked into the Spark plan the same way, so DuckDB replays the
@@ -7293,6 +7319,48 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(sum(CASE WHEN xq > cut_hi THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_clamped_hi
             FROM c GROUP BY key
+        """,
+        # Ranking-quality metrics over the exact retriever: the same
+        # cast-to-double cosine recipe as q_simsearch_multi, label-match
+        # relevance, ppm discount literals, exact integer closes.
+        "q_retrieval_eval": f"""
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe,
+                     label AS ql
+              FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+            scored AS (
+              SELECT q.query_id, q.ql, e.vec_id, e.label,
+                     round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+                           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                    CAST(e.embedding AS DOUBLE[])))
+                              * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos
+              FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+            top AS (
+              SELECT * FROM (
+                SELECT query_id, ql, vec_id, label,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, vec_id) AS rank
+                FROM scored)
+              WHERE rank <= 10),
+            lc AS (SELECT label, count(*) AS c FROM embeddings GROUP BY label),
+            per AS (
+              SELECT query_id, ql,
+                     sum(CASE WHEN label = ql THEN 1 ELSE 0 END) AS hits,
+                     sum(CASE WHEN label = ql THEN ({_nd_sql})[rank]
+                         ELSE 0 END) AS dcg,
+                     min(CASE WHEN label = ql THEN rank END) AS first
+              FROM top GROUP BY 1, 2)
+            SELECT per.query_id,
+                   CAST(lc.c - 1 AS BIGINT) AS n_rel_corpus,
+                   CAST(hits AS BIGINT) AS hits_at_k,
+                   CAST(dcg AS BIGINT) AS dcg_ppm,
+                   CAST(coalesce(
+                     (dcg * 1000000)
+                       // ({_np_sql})[greatest(1, least(10, lc.c - 1))],
+                     0) AS BIGINT) AS ndcg_ppm,
+                   CAST(coalesce(1000000 // first, 0) AS BIGINT) AS mrr_ppm,
+                   CAST(hits * 1000000 // 10 AS BIGINT) AS p_at_k_ppm
+            FROM per JOIN lc ON lc.label = per.ql
         """,
         # Curriculum epoch-1: stage-leading rank over the seeded digest
         # order; the checksum replays the exact permutation.

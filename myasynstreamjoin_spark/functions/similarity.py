@@ -1028,3 +1028,115 @@ def _semantic_dedup_pairs_arrow(
     return assigned.groupBy("cluster").applyInPandas(
         pairs, schema="cluster long, id_a long, id_b long, cos double"
     )
+
+
+def ndcg_discounts_ppm(k: int) -> list[int]:
+    """The fixed NDCG rank discounts 1/log₂(i+1) in exact integer ppm
+    for i = 1..k. Factored out so oracle SQL builders embed the SAME
+    literals — the discounts are constants of the metric, so no log is
+    ever evaluated at query time and the whole metric stays in exact
+    integer arithmetic."""
+    import math
+
+    return [round(1_000_000 / math.log2(i + 1)) for i in range(1, k + 1)]
+
+
+def retrieval_metrics(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Ranking-quality evaluation of the exact retriever: per query,
+    NDCG@k, MRR and precision@k against label-match relevance (a
+    retrieved vector is relevant iff it carries the query's label) —
+    the judged-ranking discipline `ann_recall` applies to candidate
+    recall, extended to ORDER quality. The metric every RAG/retrieval
+    pipeline reports before swapping retrievers.
+
+    All-integer: rank discounts are ppm literals (`ndcg_discounts_ppm`
+    — no runtime log), relevance is 0/1, NDCG closes with one exact
+    integer DIV against the ideal prefix sum, MRR is 1e6 DIV
+    first-hit rank. Fully SQL-replayable.
+
+    Scale shape: one corpus scan for the batched top-k
+    (`cosine_topk_multi`), one broadcast of per-label totals (the
+    ideal-ranking size), windows only over k·|queries| rows.
+
+    Output: (query_id, n_rel_corpus, hits_at_k, dcg_ppm, ndcg_ppm,
+    mrr_ppm, p_at_k_ppm).
+    """
+    d = ndcg_discounts_ppm(k)
+    prefix = [sum(d[: i + 1]) for i in range(k)]
+    ranked = cosine_topk_multi(
+        embeddings, query_ids, k=k, vec_col=vec_col, id_col=id_col
+    )
+    labels = embeddings.select(id_col, label_col)
+    qlab = labels.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("__ql")
+    )
+    # corpus relevant-set size per label (minus the query itself) —
+    # the ideal ranking's length, broadcast-sized (|labels| rows)
+    lcnt = labels.groupBy(label_col).agg(F.count("*").alias("__lc"))
+    rel = (F.col(label_col) == F.col("__ql")).cast("long")
+    disc = F.element_at(
+        F.array(*[F.lit(x) for x in d]), F.col("rank")
+    ).cast("long")
+    scored = (
+        ranked.join(labels, id_col)
+        .join(F.broadcast(qlab), "query_id")
+        .select(
+            "query_id",
+            "__ql",
+            "rank",
+            rel.alias("__rel"),
+            (rel * disc).alias("__gain"),
+        )
+    )
+    per_q = scored.groupBy("query_id", "__ql").agg(
+        F.sum("__rel").alias("hits_at_k"),
+        F.sum("__gain").alias("dcg_ppm"),
+        F.min(F.when(F.col("__rel") == 1, F.col("rank"))).alias("__first"),
+    )
+    # greatest(1, ·) keeps element_at in range when a query's label is
+    # unique in the corpus (no relevant docs); __num is NULL there, so
+    # NDCG still reports 0 regardless of the clamped ideal
+    ideal = F.element_at(
+        F.array(*[F.lit(x) for x in prefix]),
+        F.greatest(F.lit(1), F.least(F.lit(k), F.col("__lc") - 1)).cast(
+            "int"
+        ),
+    ).cast("long")
+    return (
+        per_q.join(
+            F.broadcast(lcnt), per_q["__ql"] == lcnt[label_col]
+        )
+        .select(
+            "query_id",
+            (F.col("__lc") - 1).cast("long").alias("n_rel_corpus"),
+            F.col("hits_at_k").cast("long").alias("hits_at_k"),
+            F.col("dcg_ppm").cast("long").alias("dcg_ppm"),
+            F.when(F.col("__lc") - 1 >= 1, F.expr(
+                "dcg_ppm * 1000000L"
+            )).otherwise(None).alias("__num"),
+            ideal.alias("__idcg"),
+            F.col("__first"),
+        )
+        .select(
+            "query_id",
+            "n_rel_corpus",
+            "hits_at_k",
+            "dcg_ppm",
+            F.coalesce(
+                F.expr("__num DIV __idcg"), F.lit(0)
+            ).cast("long").alias("ndcg_ppm"),
+            F.coalesce(
+                F.expr("1000000L DIV __first"), F.lit(0)
+            ).cast("long").alias("mrr_ppm"),
+            F.expr(f"hits_at_k * 1000000L DIV {int(k)}").cast("long").alias(
+                "p_at_k_ppm"
+            ),
+        )
+    )

@@ -289,3 +289,67 @@ def test_anti_curriculum_reverses_stage_order(spark, sf_dir):
     assert first_easy["stage"] == -(-first_easy["stage"])
     assert first_hard["stage"] <= -first_easy["stage"]
     assert first_easy["stage"] <= -first_hard["stage"]
+
+
+# ---------------------------------------------------------- retrieval eval
+
+def test_retrieval_metrics_match_brute_force(spark, sf_dir):
+    import math
+
+    import numpy as np
+
+    from myasynstreamjoin_spark.functions.similarity import (
+        ndcg_discounts_ppm,
+        retrieval_metrics,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = embs.select("vec_id", "embedding", "label").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in rows}
+    labs = {r["vec_id"]: r["label"] for r in rows}
+    qids, k = [0, 1, 2, 3], 10
+    d = ndcg_discounts_ppm(k)
+    prefix = [sum(d[: i + 1]) for i in range(k)]
+
+    got = {
+        r["query_id"]: r
+        for r in retrieval_metrics(embs, qids, k=k).collect()
+    }
+    from collections import Counter
+
+    lc = Counter(labs.values())
+    for q in qids:
+        qv = vecs[q]
+        scored = sorted(
+            (
+                (-round(float(vecs[i] @ qv
+                              / (np.linalg.norm(vecs[i]) * np.linalg.norm(qv))), 4), i)
+                for i in vecs
+                if i != q
+            ),
+        )[:k]
+        rel = [1 if labs[i] == labs[q] else 0 for _, i in scored]
+        hits = sum(rel)
+        dcg = sum(r * d[j] for j, r in enumerate(rel))
+        n_rel = lc[labs[q]] - 1
+        idcg = prefix[max(1, min(k, n_rel)) - 1]
+        ndcg = (dcg * 1_000_000) // idcg if n_rel >= 1 else 0
+        first = next((j + 1 for j, r in enumerate(rel) if r), None)
+        g = got[q]
+        assert g["n_rel_corpus"] == n_rel
+        assert g["hits_at_k"] == hits
+        assert g["dcg_ppm"] == dcg
+        assert g["ndcg_ppm"] == ndcg
+        assert g["mrr_ppm"] == (1_000_000 // first if first else 0)
+        assert g["p_at_k_ppm"] == hits * 1_000_000 // k
+
+
+def test_ndcg_discounts_are_the_metric_constants():
+    import math
+
+    from myasynstreamjoin_spark.functions.similarity import ndcg_discounts_ppm
+
+    d = ndcg_discounts_ppm(10)
+    assert d[0] == 1_000_000  # 1/log2(2)
+    assert len(d) == 10 and all(a > b for a, b in zip(d, d[1:]))
+    assert d[9] == round(1_000_000 / math.log2(11))
