@@ -70,6 +70,13 @@ DEFAULT = [
     # q_fk_audit needs the full relational schema; the probe corpus
     # ships only documents/embeddings/events/lineitem
     "q_trend",
+    "q_soft_dedup",
+    "q_assoc",
+    "q_winsorize",
+    "q_epoch_curriculum",
+    "q_sketch_distinct",
+    "q_retrieval_eval",
+    "q_stream_drift",
     "q_stream_min_count_window",
     "q_stream_dedup",
     "q_stream_sessions",
