@@ -2166,6 +2166,20 @@ def _q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio in integer milli-units —
+    the boilerplate/near-random detector (Gopher-style repetition
+    gate) as a map-only Arrow-batched codec stage
+    (functions/text.py::compression_ratio). rows-only: no SQL engine
+    runs DEFLATE; the ratio matches direct zlib byte-for-byte and the
+    gate drops planted boilerplate/junk in tests/test_robust_stats.py.
+    """
+    from myasynstreamjoin_spark.functions.text import compression_ratio
+
+    _prep(spark)
+    return compression_ratio(tables.load_table(spark, sf_dir, "documents"))
+
+
 def _q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-quality evaluation of the exact retriever: per query,
     NDCG@10 / MRR / precision@10 against label-match relevance —
@@ -3684,6 +3698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sketch_distinct": _q_sketch_distinct,          # mergeable HLL shard sketches (rows-only)
         "q_stream_drift": _q_stream_drift,                # streaming PSI vs predecessor window
         "q_retrieval_eval": _q_retrieval_eval,            # NDCG/MRR/P@k ranking quality
+        "q_compression_ratio": _q_compression_ratio,      # zlib repetition gate (rows-only)
     }
 
 

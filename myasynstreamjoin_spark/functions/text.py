@@ -646,3 +646,73 @@ def _char_entropy_arrow(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(
         score, "doc_id long, n_chars long, n_distinct long, entropy double"
     )
+
+
+def compression_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the boilerplate/templated-
+    text detector production corpus filters use alongside the heuristic
+    quality score (highly repetitive documents compress far below
+    natural prose; near-random strings barely compress at all). Gated
+    in milli-units so thresholds are integer comparisons.
+
+    Arrow-batched ``mapInPandas`` — the codec tier, like the WARC/media
+    decoders: zlib is a byte-level algorithm no SQL engine expresses,
+    so this is a legitimate Python-per-blob stage, embarrassingly
+    parallel, map-only (no shuffle at any corpus size). DEFLATE output
+    for a fixed (input, level) is deterministic for a given zlib
+    build, and the ratio is a pure size quotient — stable across runs.
+
+    Output: (id, n_bytes, n_compressed, ratio_milli) where ratio_milli
+    = n_compressed·1000 DIV n_bytes (lower = more redundant).
+    """
+    schema = (
+        f"{id_col} long, n_bytes long, n_compressed long, ratio_milli long"
+    )
+
+    def fn(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = [
+                (t or "").encode("utf-8") for t in pdf[text_col].tolist()
+            ]
+            nb = [len(b) for b in raw]
+            nc = [len(zlib.compress(b, level)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].tolist(),
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                    "ratio_milli": [
+                        (c * 1000) // b if b else 0 for c, b in zip(nc, nb)
+                    ],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(fn, schema)
+
+
+def compression_gate(
+    docs: DataFrame,
+    lo_milli: int = 300,
+    hi_milli: int = 1100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep documents whose compression ratio sits in the natural-text
+    band: below ``lo_milli`` is boilerplate/templated repetition, above
+    ``hi_milli`` is near-random (binary junk, encoded blobs). The
+    standard Gopher-style repetition gate expressed as one semi-join
+    against the map-only ratio frame."""
+    keep = compression_ratio(docs, text_col=text_col, id_col=id_col).where(
+        (F.col("ratio_milli") >= lo_milli)
+        & (F.col("ratio_milli") <= hi_milli)
+    )
+    return docs.join(keep.select(id_col), id_col, "left_semi")

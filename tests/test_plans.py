@@ -601,3 +601,53 @@ def test_fk_orphan_audit_detects_planted_orphans_and_nulls(spark):
         "child->parent": (5, 1, 2),
         "clean->parent": (2, 0, 0),
     }
+
+
+def test_epoch_curriculum_manifest_is_one_exchange(spark, sf_dir):
+    """The stage key only changes the within-shard SORT — the
+    curriculum manifest must keep epoch_shuffle_manifest's plan: one
+    hash exchange on shard (the (shard, stage) groupBy reuses it:
+    shard ⊆ the grouping keys), never a global sort."""
+    from pyspark.sql import functions as F
+
+    from myasynstreamjoin_spark.functions.pipeline import (
+        epoch_curriculum_manifest,
+    )
+
+    df = epoch_curriculum_manifest(
+        tables.load_table(spark, sf_dir, "documents"),
+        F.expr("n_chars DIV 40"),
+        seed=1,
+        n_shards=16,
+    )
+    assert n_shuffles(df) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_winsorized_stats_is_one_exchange(spark, sf_dir):
+    """Ranks, both conditional cut windows and the final groupBy all
+    run on the same key partitioning — exactly one hash exchange, no
+    join back, no global sort."""
+    from myasynstreamjoin_spark.operators.stats import winsorized_stats
+
+    df = winsorized_stats(
+        tables.load_table(spark, sf_dir, "events"), "event_type", "value"
+    )
+    assert n_shuffles(df) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_soft_dedup_summary_plan_has_no_sort_or_join(spark, sf_dir):
+    """The count-only fingerprint window must not introduce a sort
+    (no ORDER BY in the frame) nor a join back: two hash exchanges
+    total (fingerprint window, then the per-source rollup)."""
+    from myasynstreamjoin_spark.functions.dedup import soft_dedup_summary
+
+    df = soft_dedup_summary(
+        tables.load_table(spark, sf_dir, "documents")
+    )
+    assert n_shuffles(df) == 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

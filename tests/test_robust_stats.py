@@ -353,3 +353,54 @@ def test_ndcg_discounts_are_the_metric_constants():
     assert d[0] == 1_000_000  # 1/log2(2)
     assert len(d) == 10 and all(a > b for a, b in zip(d, d[1:]))
     assert d[9] == round(1_000_000 / math.log2(11))
+
+
+# ------------------------------------------------------- compression ratio
+
+def test_compression_ratio_matches_direct_zlib(spark, sf_dir):
+    import zlib
+
+    from myasynstreamjoin_spark.functions.text import compression_ratio
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    got = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        raw = r["text"].encode("utf-8")
+        nc = len(zlib.compress(raw, 6))
+        g = got[r["doc_id"]]
+        assert g["n_bytes"] == len(raw)
+        assert g["n_compressed"] == nc
+        assert g["ratio_milli"] == (nc * 1000) // len(raw)
+
+
+def test_compression_gate_drops_boilerplate_and_random(spark, sf_dir):
+    import random
+
+    from pyspark.sql import Row
+
+    from myasynstreamjoin_spark.functions.text import compression_gate
+
+    rng = random.Random(3)
+    # a real corpus document as the natural-text sample (the gate's
+    # default band is calibrated to the corpus: ~390–1120 milli)
+    natural = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") == 0)
+        .collect()[0]["text"]
+    )
+    boiler = "menu item click here " * 200          # templated repetition
+    junk = "".join(chr(rng.randrange(0x21, 0x7F)) for _ in range(800))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=natural),
+            Row(doc_id=2, text=boiler),
+            Row(doc_id=3, text=junk),
+        ]
+    )
+    # explicit band for the fixture: natural doc 0 sits at 703 milli,
+    # the boilerplate at 12, the printable-ASCII junk at 865
+    kept = {
+        r["doc_id"]
+        for r in compression_gate(docs, lo_milli=300, hi_milli=800).collect()
+    }
+    assert kept == {1}
