@@ -2166,6 +2166,30 @@ def _q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style tar shard export under the oracle: write the
+    corpus as header-normalized shard tars (deterministic member
+    order, bit-reproducible archive bytes), read the tree back through
+    the binaryFile + tar-walk codec, and return the recovered docs —
+    identity by construction, so any member the sink drops, duplicates
+    or mis-frames flips the oracle
+    (sources/webdataset.py::export_webdataset/read_webdataset)."""
+    import tempfile
+
+    from myasynstreamjoin_spark.sources.webdataset import (
+        export_webdataset,
+        read_webdataset,
+    )
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    out = tempfile.mkdtemp(prefix="wds_")
+    export_webdataset(docs, out, n_shards=16)
+    return read_webdataset(spark, out).select("doc_id", "text")
+
+
 def _q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document zlib compression ratio in integer milli-units —
     the boilerplate/near-random detector (Gopher-style repetition
@@ -3699,6 +3723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_drift": _q_stream_drift,                # streaming PSI vs predecessor window
         "q_retrieval_eval": _q_retrieval_eval,            # NDCG/MRR/P@k ranking quality
         "q_compression_ratio": _q_compression_ratio,      # zlib repetition gate (rows-only)
+        "q_webdataset_roundtrip": _q_webdataset_roundtrip,  # tar shard sink round trip
     }
 
 
@@ -5161,6 +5186,10 @@ def _oracle_sql_base() -> dict[str, str]:
         # non-null corpus it encoded.
         "q_warc_roundtrip": """
             SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        """,
+        # tar-sink round trip is likewise identity by construction
+        "q_webdataset_roundtrip": """
+            SELECT doc_id, text FROM documents
         """,
         "q_char_entropy": """
             WITH ch AS (

@@ -1,0 +1,156 @@
+"""WebDataset-style tar shard sink/source: the corpus materialized as
+``shard-NNNNN.tar`` archives whose members are per-document files —
+the interchange format multimodal/LLM training loaders (WebDataset,
+torchdata) actually stream, next to the engine's parquet shard export.
+
+Determinism is the design center, as with every export in this repo:
+shard assignment is the same md5 hash-bucket as `export_shards`,
+within-shard member order is the same md5(':shuffle') pseudo-shuffle,
+and every tar header is normalized (mtime=0, uid/gid=0, no user
+names) — so the SHARD TAR BYTES are bit-reproducible across runs and
+engines, and a manifest of per-shard sha256s pins the whole export.
+
+Scale shape: one repartition on the shard id + in-partition sort;
+each task streams its rows into one tar through a fixed-size buffer
+(tarfile writes member-at-a-time — O(1) memory beyond the largest
+single document). Reading is `binaryFile` over the tars + an
+Arrow-batched member walk (the codec tier, like WARC) — shard files
+are independent, so read parallelism is n_shards.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from myasynstreamjoin_spark.operators.relational import hash_bucket
+
+
+def _member_name(doc_id: int) -> str:
+    return f"{doc_id:012d}.txt"
+
+
+def export_webdataset(
+    docs: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Write ``shard-{N:05d}.tar`` archives under ``path``; members are
+    ``{doc_id:012d}.txt`` files in the deterministic within-shard
+    shuffle order. Tar headers are normalized so identical input
+    yields identical shard bytes (checksummable by `webdataset_manifest`).
+    """
+    os.makedirs(path, exist_ok=True)
+    staged = (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
+        .withColumn("shard", hash_bucket(F.col("doc_id").cast("string"), n_shards))
+        .withColumn(
+            "sort_key",
+            F.md5(
+                F.encode(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle")),
+                    "UTF-8",
+                )
+            ),
+        )
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "sort_key")
+    )
+
+    def write_partition(rows) -> None:
+        import io
+        import tarfile
+
+        # several shard ids can hash into one task partition; rows are
+        # sorted by shard first, so roll to a fresh tar on every shard
+        # transition rather than assuming one shard per partition
+        tf = None
+        shard = None
+        try:
+            for r in rows:
+                s = int(r["shard"])
+                if tf is None or s != shard:
+                    if tf is not None:
+                        tf.close()
+                    shard = s
+                    tf = tarfile.open(
+                        os.path.join(path, f"shard-{shard:05d}.tar"), "w"
+                    )
+                data = (r["text"] or "").encode("utf-8")
+                info = tarfile.TarInfo(name=_member_name(int(r["doc_id"])))
+                info.size = len(data)
+                # normalized headers → reproducible archive bytes
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                tf.addfile(info, io.BytesIO(data))
+        finally:
+            if tf is not None:
+                tf.close()
+
+    staged.foreachPartition(write_partition)
+
+
+def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
+    """Read an `export_webdataset` tree back to (doc_id, text, shard).
+    ``binaryFile`` scans the shard tars in parallel (one task per
+    shard); the member walk is an Arrow-batched codec stage."""
+    bins = spark.read.format("binaryFile").load(
+        os.path.join(path, "shard-*.tar")
+    )
+
+    def fn(batches):
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, texts, shards = [], [], []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                shard = int(os.path.basename(p).split("-")[1].split(".")[0])
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                    for m in tf:
+                        f = tf.extractfile(m)
+                        ids.append(int(m.name.split(".")[0]))
+                        texts.append(f.read().decode("utf-8"))
+                        shards.append(shard)
+            yield pd.DataFrame(
+                {"doc_id": ids, "text": texts, "shard": shards}
+            )
+
+    return bins.select("path", "content").mapInPandas(
+        fn, "doc_id long, text string, shard int"
+    )
+
+
+def webdataset_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """Per-shard integrity manifest of a written tree: archive size
+    and the sha256 of the SHARD TAR BYTES — pin these and any
+    re-export, reorder, or header drift is a visible diff (header
+    normalization in `export_webdataset` is what makes the byte hash
+    meaningful). Member-level counts come from `read_webdataset`."""
+    bins = spark.read.format("binaryFile").load(
+        os.path.join(path, "shard-*.tar")
+    )
+    return (
+        bins.select(
+            F.regexp_extract(
+                F.col("path"), r"shard-(\d+)\.tar", 1
+            ).cast("int").alias("shard"),
+            F.sha2(F.col("content"), 256).alias("tar_sha256"),
+            F.col("content").alias("__c"),
+        )
+        .select(
+            "shard",
+            "tar_sha256",
+            F.length("__c").alias("tar_bytes"),
+        )
+    )
