@@ -76,6 +76,8 @@ DEFAULT = [
     "q_epoch_curriculum",
     "q_sketch_distinct",
     "q_retrieval_eval",
+    "q_compression_ratio",
+    "q_webdataset_roundtrip",
     "q_stream_drift",
     "q_stream_min_count_window",
     "q_stream_dedup",
