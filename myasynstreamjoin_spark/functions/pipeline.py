@@ -1393,3 +1393,53 @@ def epoch_curriculum_manifest(
         F.min("curriculum_rank").alias("rank_from"),
         F.max("curriculum_rank").alias("rank_to"),
     )
+
+
+def export_sorted(
+    docs: DataFrame,
+    path: str,
+    order: Column,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus in GLOBAL ``order`` as ``shard=N/``
+    parquet directories where shard N's every key precedes shard
+    N+1's — the serving layout for ordered consumption (quality-ranked
+    curriculum serving, score-bucketed eval slices, merge-ready runs).
+
+    This is the engine's one deliberate RANGE exchange:
+    ``repartitionByRange`` samples split points and sorts within
+    partitions — a total order WITHOUT a single-reducer global sort,
+    the terasort shape. Sampling makes shard MEMBERSHIP run-dependent
+    (unlike the hash exports), which is why the verification artifact
+    is `sorted_manifest`'s cross-shard boundary invariant rather than
+    a per-shard checksum: (min, max) per shard must tile the order
+    with no overlap. Ties broken by ``id_col`` so the order itself is
+    still deterministic end to end.
+    """
+    (
+        docs.withColumn("__ord", order)
+        .repartitionByRange(n_shards, F.col("__ord"), F.col(id_col))
+        .sortWithinPartitions("__ord", id_col)
+        .withColumn("shard", F.spark_partition_id())
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def sorted_manifest(spark, path: str, id_col: str = "doc_id") -> DataFrame:
+    """Verify an `export_sorted` tree: per shard, row count and the
+    (min, max) of the order key — consumers assert max(shard N) ≤
+    min(shard N+1) (strict < on the (key, id) pair), which proves the
+    global order without re-sorting anything. One scan of the
+    statistics columns; shard dirs prune individually."""
+    df = spark.read.parquet(path)
+    return df.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.min("__ord").alias("min_key"),
+        F.max("__ord").alias("max_key"),
+        F.min_by(id_col, F.struct("__ord", id_col)).alias("first_id"),
+        F.max_by(id_col, F.struct("__ord", id_col)).alias("last_id"),
+    )
