@@ -2166,6 +2166,65 @@ def _q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sorted_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally-sorted range-partitioned export under the oracle:
+    write shard=N dirs via repartitionByRange (the terasort shape —
+    sampled split points, so shard MEMBERSHIP is run-dependent), read
+    the tree back and reconstruct each doc's GLOBAL rank from
+    per-shard prefix offsets + within-shard rank — which IS
+    deterministic, so the oracle is simply row_number over the full
+    order. Any boundary overlap, dropped row, or mis-sorted shard
+    flips a rank (functions/pipeline.py::export_sorted)."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from myasynstreamjoin_spark.functions.pipeline import export_sorted
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="sorted_")
+    export_sorted(docs, out, F.col("n_chars"), n_shards=8)
+    tree = spark.read.parquet(out)
+    counts = tree.groupBy("shard").agg(F.count("*").alias("c"))
+    offs = counts.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("c").over(
+                Window.orderBy("shard").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy("__ord", "doc_id")
+    return (
+        tree.withColumn("rn", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(offs.select("shard", "off")), "shard")
+        .select(
+            "doc_id",
+            F.col("__ord").cast("long").alias("n_chars"),
+            (F.col("off") + F.col("rn")).cast("long").alias("global_rank"),
+        )
+    )
+
+
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negative mining: per anchor vector, the top-5 most-similar
+    DIFFERENT-label vectors — the near-miss negatives a contrastive
+    trainer wants, filtered BEFORE the ranking window so the k hardest
+    are exact (functions/similarity.py::hard_negatives)."""
+    from myasynstreamjoin_spark.functions.similarity import hard_negatives
+
+    _prep(spark)
+    return hard_negatives(
+        tables.load_table(spark, sf_dir, "embeddings"), [0, 1, 2, 3], k=5
+    )
+
+
 def _q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset-style tar shard export under the oracle: write the
     corpus as header-normalized shard tars (deterministic member
@@ -3724,6 +3783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_retrieval_eval": _q_retrieval_eval,            # NDCG/MRR/P@k ranking quality
         "q_compression_ratio": _q_compression_ratio,      # zlib repetition gate (rows-only)
         "q_webdataset_roundtrip": _q_webdataset_roundtrip,  # tar shard sink round trip
+        "q_sorted_export": _q_sorted_export,              # range-partitioned global order
+        "q_hard_negatives": _q_hard_negatives,            # contrastive hard-negative mining
     }
 
 
@@ -5190,6 +5251,39 @@ def _oracle_sql_base() -> dict[str, str]:
         # tar-sink round trip is likewise identity by construction
         "q_webdataset_roundtrip": """
             SELECT doc_id, text FROM documents
+        """,
+        # Shard membership of the range export is sample-dependent but
+        # the reconstructed GLOBAL rank is not: row_number over the
+        # total (n_chars, doc_id) order.
+        "q_sorted_export": """
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS global_rank
+            FROM documents
+        """,
+        # Hard negatives: the q_simsearch_multi cosine recipe with the
+        # label-inequality filter applied BEFORE the ranking window.
+        "q_hard_negatives": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe,
+                     label AS ql
+              FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+            scored AS (
+              SELECT q.query_id, e.vec_id, e.label AS neg_label,
+                     round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+                           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                    CAST(e.embedding AS DOUBLE[])))
+                              * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos
+              FROM embeddings e, q
+              WHERE e.vec_id <> q.query_id AND e.label <> q.ql),
+            ranked AS (
+              SELECT query_id, vec_id, neg_label, cos,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, vec_id)
+                          AS INT) AS rank
+              FROM scored)
+            SELECT query_id, vec_id, neg_label, cos, rank
+            FROM ranked WHERE rank <= 5
         """,
         "q_char_entropy": """
             WITH ch AS (

@@ -1140,3 +1140,55 @@ def retrieval_metrics(
             ),
         )
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """HARD negative mining for contrastive training: per anchor, the
+    top-k most-similar vectors carrying a DIFFERENT label — the
+    near-miss negatives that actually move a contrastive loss, versus
+    `negative_pairs`' random negatives. The standard retrieval-training
+    companion to `retrieval_metrics`.
+
+    Same one-scan shape as `cosine_topk_multi` (anchors broadcast,
+    corpus scans once); the label inequality filters BEFORE the
+    ranking window, so the k hardest negatives are exact, not
+    top-k-then-filter survivors (which can return fewer than k when
+    the neighborhood is same-label).
+
+    Output: (query_id, vec_id, neg_label, cos, rank), rank 1..k.
+    """
+    q = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__q"),
+        F.col(label_col).alias("__ql"),
+        l2norm(vec_col).alias("__qn"),
+    )
+    cos = cosine_with_norms(
+        F.col(vec_col), F.col("__q"), l2norm(vec_col), F.col("__qn")
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(q))
+        .where(
+            (F.col(id_col) != F.col("query_id"))
+            & (F.col(label_col) != F.col("__ql"))
+        )
+        .select(
+            "query_id",
+            id_col,
+            F.col(label_col).alias("neg_label"),
+            F.round(cos, 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "neg_label", "cos", "rank")
+    )

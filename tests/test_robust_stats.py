@@ -404,3 +404,40 @@ def test_compression_gate_drops_boilerplate_and_random(spark, sf_dir):
         for r in compression_gate(docs, lo_milli=300, hi_milli=800).collect()
     }
     assert kept == {1}
+
+
+# --------------------------------------------------------- hard negatives
+
+def test_hard_negatives_match_brute_force(spark, sf_dir):
+    import numpy as np
+
+    from myasynstreamjoin_spark.functions.similarity import hard_negatives
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = embs.select("vec_id", "embedding", "label").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in rows}
+    labs = {r["vec_id"]: r["label"] for r in rows}
+    qids, k = [0, 1], 5
+
+    got = hard_negatives(embs, qids, k=k).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r)
+
+    for q in qids:
+        qv = vecs[q]
+        cand = sorted(
+            (
+                -round(float(vecs[i] @ qv
+                             / (np.linalg.norm(vecs[i]) * np.linalg.norm(qv))), 4),
+                i,
+            )
+            for i in vecs
+            if i != q and labs[i] != labs[q]
+        )[:k]
+        want = [(i, -c) for c, i in cand]
+        have = [(r["vec_id"], r["cos"]) for r in by_q[q]]
+        assert have == want
+        # every mined negative really is a different label
+        assert all(r["neg_label"] != labs[q] for r in by_q[q])
+        assert [r["rank"] for r in by_q[q]] == list(range(1, k + 1))

@@ -78,6 +78,8 @@ DEFAULT = [
     "q_retrieval_eval",
     "q_compression_ratio",
     "q_webdataset_roundtrip",
+    "q_sorted_export",
+    "q_hard_negatives",
     "q_stream_drift",
     "q_stream_min_count_window",
     "q_stream_dedup",
