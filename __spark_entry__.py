@@ -3528,6 +3528,39 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media, fake=True).select("media_id", "n_bytes", "first_byte")
 
 
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup under the oracle: build the persisted
+    bucketed fingerprint index from the even-doc_id half of the corpus
+    (the "100 TB corpus", fingerprint-shuffled once), then ingest the
+    odd-doc_id half as a delta — one bucket-local join plus a
+    sort-only window tags every delta row kept / dup_index /
+    dup_within without rescanning the corpus (plan-locked to ONE
+    exchange in tests/test_incremental_dedup.py). Reports the
+    per-source admission summary with an exact kept-doc_id checksum
+    (functions/dedup.py::write_fingerprint_index/incremental_dedup)."""
+    import os
+    import tempfile
+
+    from myasynstreamjoin_spark.functions.dedup import (
+        incremental_dedup,
+        incremental_dedup_summary,
+        write_fingerprint_index,
+    )
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    table = "q_dedup_incr_tmp"
+    tmp = tempfile.mkdtemp(prefix="fp_index_")
+    write_fingerprint_index(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        table,
+        n_buckets=16,
+        path=os.path.join(tmp, "idx"),
+    )
+    tagged = incremental_dedup(docs.filter(F.col("doc_id") % 2 == 1), table)
+    return incremental_dedup_summary(tagged)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver verifies the FIRST 49 entries against
     # their oracles; everything past 49 is covered only by the repo's own
@@ -3785,6 +3818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_webdataset_roundtrip": _q_webdataset_roundtrip,  # tar shard sink round trip
         "q_sorted_export": _q_sorted_export,              # range-partitioned global order
         "q_hard_negatives": _q_hard_negatives,            # contrastive hard-negative mining
+        "q_dedup_incremental": _q_dedup_incremental,      # delta dedup vs persisted fp index
     }
 
 
@@ -7521,6 +7555,38 @@ def _oracle_sql_base() -> dict[str, str]:
                      AS order_checksum,
                    min(rnk) AS rank_from, max(rnk) AS rank_to
             FROM r GROUP BY shard, stage
+        """,
+        # Incremental dedup: the fp index is md5(norm) but md5 equality
+        # IS norm equality, so the oracle matches on the normalized
+        # text directly; within-delta ties go to the lowest doc_id
+        # (the exact_dedup survivor rule).
+        "q_dedup_incremental": f"""
+            WITH delta AS (
+              SELECT doc_id, source, {_DOC_NORM} AS norm
+              FROM documents WHERE doc_id % 2 = 1),
+            idx AS (
+              SELECT DISTINCT {_DOC_NORM} AS norm
+              FROM documents WHERE doc_id % 2 = 0),
+            tagged AS (
+              SELECT d.doc_id, d.source,
+                     CASE
+                       WHEN i.norm IS NOT NULL THEN 'dup_index'
+                       WHEN d.doc_id = min(d.doc_id)
+                              OVER (PARTITION BY d.norm) THEN 'kept'
+                       ELSE 'dup_within'
+                     END AS status
+              FROM delta d LEFT JOIN idx i USING (norm))
+            SELECT source,
+                   count(*) AS n_new,
+                   CAST(sum(CASE WHEN status = 'dup_index' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_dup_index,
+                   CAST(sum(CASE WHEN status = 'dup_within' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_dup_within,
+                   CAST(sum(CASE WHEN status = 'kept' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(sum(CASE WHEN status = 'kept' THEN doc_id
+                            ELSE 0 END) AS BIGINT) AS kept_id_sum
+            FROM tagged GROUP BY source
         """,
     }
 

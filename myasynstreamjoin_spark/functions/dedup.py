@@ -1116,3 +1116,127 @@ def soft_dedup_summary(docs: DataFrame, by: str = "source") -> DataFrame:
             .alias("eff_chars_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental exact dedup against a persisted fingerprint index
+# ---------------------------------------------------------------------------
+
+
+def content_fp(text_col: str = "text") -> Column:
+    """The canonical 16-byte content fingerprint every exact-dedup op in
+    this module keys on: md5 of the normalized text. Factored out so the
+    index writer, the delta join, and the streaming accumulators are
+    guaranteed to agree byte-for-byte."""
+    return F.md5(F.encode(normalized(text_col), "UTF-8"))
+
+
+def write_fingerprint_index(
+    docs: DataFrame,
+    table: str = "fp_index",
+    n_buckets: int = 32,
+    text_col: str = "text",
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus's exact-dedup fingerprint index as a
+    parquet table BUCKETED BY fp — the artifact that makes dedup
+    INCREMENTAL: once the 100 TB corpus has paid its one fingerprint
+    shuffle, every future ingest batch dedups against it with a
+    bucket-local join instead of a corpus rescan (see
+    ``incremental_dedup``). The index row is (fp, keep_id): 16 bytes of
+    md5 plus the surviving doc_id, ~24 bytes/doc — a 100 TB corpus of
+    ~100 G docs indexes into ~2.4 TB, itself bucketed so no consumer
+    ever shuffles it again.
+
+    ``mode="append"`` is the steady-state: after a delta is admitted,
+    append its surviving fingerprints (``incremental_dedup``'s kept
+    rows) — appends land as new files in the same buckets, so the
+    exchange-free consumer plans survive updates.
+    """
+    from myasynstreamjoin_spark.sources.sinks import write_bucketed
+
+    fps = (
+        docs.select(content_fp(text_col).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    write_bucketed(
+        fps, table, ["fp"], n_buckets=n_buckets,
+        sort_cols=["fp"], path=path, mode=mode,
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    index_table: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup an ingest delta against a ``write_fingerprint_index`` table
+    AND against itself, tagging every delta row with its fate — the
+    ingest-time half of exact dedup at 100 TB: the corpus is never
+    rescanned; the delta pays ONE exchange (its fingerprint shuffle into
+    the index's bucket layout) and the within-delta survivor election
+    rides the join's partitioning as a sort-only window (no second
+    exchange — plan-locked in tests/test_incremental_dedup.py).
+
+    Fate column ``status``:
+      * ``dup_index``  — content already in the index (drop),
+      * ``dup_within`` — duplicate of an earlier delta row (drop),
+      * ``kept``       — first sighting; admit and append its fp to the
+        index (``write_fingerprint_index(..., mode="append")``).
+
+    Ties within the delta go to the lowest doc_id, mirroring
+    ``exact_dedup``. Output: delta columns + (fp, status).
+    """
+    from pyspark.sql import Window
+
+    spark = new_docs.sparkSession
+    idx = spark.table(index_table).select(
+        "fp", F.lit(True).alias("__in_idx")
+    )
+    with_fp = new_docs.withColumn("fp", content_fp(text_col))
+    j = with_fp.join(idx, "fp", "left")
+    w = Window.partitionBy("fp")
+    return (
+        j.withColumn("__first_id", F.min("doc_id").over(w))
+        .withColumn(
+            "status",
+            F.when(F.col("__in_idx"), F.lit("dup_index"))
+            .when(F.col("doc_id") == F.col("__first_id"), F.lit("kept"))
+            .otherwise(F.lit("dup_within")),
+        )
+        .drop("__in_idx", "__first_id")
+    )
+
+
+def incremental_dedup_summary(
+    tagged: DataFrame, by: str = "source"
+) -> DataFrame:
+    """Per-group admission report over ``incremental_dedup`` output:
+    how much of the ingest batch was new vs already-known vs
+    self-duplicated, plus an exact integer checksum (sum of admitted
+    doc_ids) so an oracle can verify WHICH documents survived, not just
+    how many.
+
+    Output: (by, n_new, n_dup_index, n_dup_within, n_kept, kept_id_sum).
+    """
+    return tagged.groupBy(by).agg(
+        F.count("*").cast("long").alias("n_new"),
+        F.sum((F.col("status") == "dup_index").cast("long"))
+        .cast("long")
+        .alias("n_dup_index"),
+        F.sum((F.col("status") == "dup_within").cast("long"))
+        .cast("long")
+        .alias("n_dup_within"),
+        F.sum((F.col("status") == "kept").cast("long"))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(
+            F.when(F.col("status") == "kept", F.col("doc_id")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("kept_id_sum"),
+    )
