@@ -3561,6 +3561,24 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup_summary(tagged)
 
 
+def _q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist scan under the oracle, deliberately on the
+    Aho-Corasick Arrow kernel (one automaton walk per doc, O(len)
+    regardless of blocklist size — the 10k-term wordlist path) while
+    the oracle recomputes every count with SQL's replace-length
+    identity: non-overlapping leftmost substring semantics must agree
+    to the integer, including the doc_id-sum membership checksum
+    (functions/text.py::blocklist_summary)."""
+    from myasynstreamjoin_spark.functions.text import blocklist_summary
+
+    _prep(spark)
+    return blocklist_summary(
+        tables.load_table(spark, sf_dir, "documents"),
+        ["table", "scan", "a", "fast merge", "window"],
+        kernel="arrow",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver verifies the FIRST 49 entries against
     # their oracles; everything past 49 is covered only by the repo's own
@@ -3819,6 +3837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sorted_export": _q_sorted_export,              # range-partitioned global order
         "q_hard_negatives": _q_hard_negatives,            # contrastive hard-negative mining
         "q_dedup_incremental": _q_dedup_incremental,      # delta dedup vs persisted fp index
+        "q_blocklist": _q_blocklist,                      # Aho-Corasick wordlist scan
     }
 
 
@@ -7587,6 +7606,25 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(sum(CASE WHEN status = 'kept' THEN doc_id
                             ELSE 0 END) AS BIGINT) AS kept_id_sum
             FROM tagged GROUP BY source
+        """,
+        # Blocklist: non-overlapping leftmost substring counts via the
+        # replace-length identity — the independent recomputation of
+        # the Aho-Corasick kernel's greedy counts.
+        "q_blocklist": f"""
+            WITH t(term) AS (VALUES ('table'), ('scan'), ('a'),
+                                    ('fast merge'), ('window')),
+            n AS (SELECT doc_id, {_DOC_NORM} AS norm FROM documents),
+            hits AS (
+              SELECT n.doc_id, t.term,
+                     (length(n.norm) - length(replace(n.norm, t.term, '')))
+                       // length(t.term) AS n_hits
+              FROM n CROSS JOIN t)
+            SELECT term,
+                   count(*) AS n_docs,
+                   CAST(sum(n_hits) AS BIGINT) AS n_hits,
+                   CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+            FROM hits WHERE n_hits > 0
+            GROUP BY term
         """,
     }
 

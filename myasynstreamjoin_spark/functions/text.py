@@ -716,3 +716,179 @@ def compression_gate(
         & (F.col("ratio_milli") <= hi_milli)
     )
     return docs.join(keep.select(id_col), id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Blocklist term scanning (SQL expression kernel + Aho-Corasick twin)
+# ---------------------------------------------------------------------------
+
+
+def blocklist_hits(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    kernel: str = "sql",
+) -> DataFrame:
+    """Per-document occurrence counts for a blocklist of literal terms
+    (NSFW wordlists, boilerplate markers, secret prefixes) over the
+    NORMALIZED text — substring semantics, non-overlapping leftmost
+    matches (``str.count``), so both kernels and the SQL oracle agree
+    exactly.
+
+    ``kernel="sql"`` (default) stays JVM-side: the term list explodes
+    map-side against each doc and the count is the classic
+    replace-length identity ``(len(s) − len(replace(s, t))) DIV
+    len(t)`` — whole-stage codegen, zero Python, zero shuffle; the
+    right kernel up to a few hundred terms (cost is O(terms·len)).
+
+    ``kernel="arrow"`` builds an Aho-Corasick automaton once per
+    partition and walks each document ONCE, so cost is O(len + hits)
+    regardless of blocklist size — the 100 TB kernel for the
+    10k-term wordlists real pipelines carry. Greedy per-term
+    non-overlap reduction keeps its counts identical to the SQL kernel
+    (pytest-pinned equality).
+
+    Output: (doc_id, term, n_hits) — only terms that hit.
+    """
+    if not terms:
+        raise ValueError("empty blocklist")
+    if sorted(set(terms)) != sorted(terms):
+        raise ValueError("duplicate blocklist terms")
+    norm = normalized(text_col)
+    if kernel == "sql":
+        base = docs.select("doc_id", norm.alias("__norm"))
+        t = F.explode(
+            F.array(*[F.lit(t) for t in sorted(terms)])
+        ).alias("term")
+        return (
+            base.select("doc_id", "__norm", t)
+            .select(
+                "doc_id",
+                "term",
+                (
+                    (
+                        F.length("__norm")
+                        - F.length(F.replace(F.col("__norm"), F.col("term")))
+                    )
+                    / F.length("term")
+                )
+                .cast("long")
+                .alias("n_hits"),
+            )
+            .filter(F.col("n_hits") > 0)
+        )
+    if kernel != "arrow":
+        raise ValueError(f"unknown kernel {kernel!r}")
+
+    import pandas as pd
+
+    term_list = sorted(terms)
+
+    def scan(batches):
+        goto, fail, out = _aho_build(term_list)
+        lens = {t: len(t) for t in term_list}
+        for pdf in batches:
+            rows = []
+            for doc_id, s in zip(pdf["doc_id"], pdf["__norm"]):
+                if s is None:
+                    continue
+                counts: dict[str, int] = {}
+                last_end: dict[str, int] = {}
+                state = 0
+                for i, ch in enumerate(s):
+                    while state and ch not in goto[state]:
+                        state = fail[state]
+                    state = goto[state].get(ch, 0)
+                    for t in out[state]:
+                        # greedy non-overlap per term == str.count
+                        start = i + 1 - lens[t]
+                        if start >= last_end.get(t, 0):
+                            counts[t] = counts.get(t, 0) + 1
+                            last_end[t] = i + 1
+                for t, c in counts.items():
+                    rows.append((doc_id, t, c))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "term", "n_hits"]
+            )
+
+    return docs.select("doc_id", norm.alias("__norm")).mapInPandas(
+        scan, "doc_id long, term string, n_hits long"
+    )
+
+
+def _aho_build(terms: list[str]):
+    """Aho-Corasick goto/fail/output tables (pure dicts — built once
+    per partition; the automaton for a 10k-word list is ~100k nodes,
+    trivially executor-resident)."""
+    from collections import deque
+
+    goto: list[dict[str, int]] = [{}]
+    out: list[list[str]] = [[]]
+    for t in terms:
+        state = 0
+        for ch in t:
+            nxt = goto[state].get(ch)
+            if nxt is None:
+                goto.append({})
+                out.append([])
+                nxt = len(goto) - 1
+                goto[state][ch] = nxt
+            state = nxt
+        out[state].append(t)
+    fail = [0] * len(goto)
+    q = deque(goto[0].values())
+    while q:
+        s = q.popleft()
+        for ch, nxt in goto[s].items():
+            q.append(nxt)
+            f = fail[s]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[nxt] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != nxt else 0
+            out[nxt] = out[nxt] + out[fail[nxt]]
+    return goto, fail, out
+
+
+def blocklist_summary(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    kernel: str = "sql",
+) -> DataFrame:
+    """Corpus-level blocklist report: per term, how many documents hit
+    and how many total occurrences, with an exact doc_id-sum checksum
+    so an oracle verifies WHICH documents matched. One groupBy on the
+    (small) term key over map-only per-doc counts.
+
+    Output: (term, n_docs, n_hits, doc_id_sum).
+    """
+    return (
+        blocklist_hits(docs, terms, text_col, kernel)
+        .groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_hits").cast("long").alias("n_hits"),
+            F.sum("doc_id").cast("long").alias("doc_id_sum"),
+        )
+    )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    terms: list[str],
+    max_hits: int = 0,
+    text_col: str = "text",
+    kernel: str = "sql",
+) -> DataFrame:
+    """Drop documents whose total blocklist occurrences exceed
+    ``max_hits`` — the gate form. Anti-join on doc_id against the
+    offender set (offenders are a tiny fraction; the corpus never
+    shuffles — broadcast-sized right side under AQE)."""
+    offenders = (
+        blocklist_hits(docs, terms, text_col, kernel)
+        .groupBy("doc_id")
+        .agg(F.sum("n_hits").alias("__total"))
+        .filter(F.col("__total") > max_hits)
+        .select("doc_id")
+    )
+    return docs.join(offenders, "doc_id", "left_anti")
