@@ -3579,6 +3579,45 @@ def _q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup under the oracle: the even-doc_id half of
+    the corpus becomes a persisted MinHash band index (two bucketed
+    tables: band rows by bh, shingle arrays by doc_id); the odd half
+    ingests against it — delta-side signatures, bucket-local band
+    probe, exact Jaccard verify on candidates only, corpus never
+    rescanned or reshuffled (plan-locked in
+    tests/test_incremental_dedup.py, with pinned equality to the batch
+    operator's cross-parity pairs). Replayable mode (md5_32 shingles,
+    exact band keys) lets DuckDB reproduce the identical candidate
+    set and verified pairs
+    (functions/dedup.py::write_minhash_index/neardup_against_index)."""
+    import os
+    import tempfile
+
+    from myasynstreamjoin_spark.functions.dedup import (
+        neardup_against_index,
+        write_minhash_index,
+    )
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    table = "q_neardup_incr_tmp"
+    tmp = tempfile.mkdtemp(prefix="mh_index_")
+    write_minhash_index(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        table,
+        n_buckets=16,
+        path=os.path.join(tmp, "idx"),
+        replayable=True,
+    )
+    return neardup_against_index(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        table,
+        threshold=0.2,
+        replayable=True,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver verifies the FIRST 49 entries against
     # their oracles; everything past 49 is covered only by the repo's own
@@ -3838,6 +3877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hard_negatives": _q_hard_negatives,            # contrastive hard-negative mining
         "q_dedup_incremental": _q_dedup_incremental,      # delta dedup vs persisted fp index
         "q_blocklist": _q_blocklist,                      # Aho-Corasick wordlist scan
+        "q_neardup_incremental": _q_neardup_incremental,  # delta near-dup vs MinHash index
     }
 
 
@@ -7625,6 +7665,44 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
             FROM hits WHERE n_hits > 0
             GROUP BY term
+        """,
+        # Incremental near-dup: q_minhash_pairs' replayable machinery
+        # with candidates restricted cross-parity (new = odd doc_ids,
+        # index = even) and oriented (doc_new, doc_old).
+        "q_neardup_incremental": f"""
+            WITH sh0 AS ({_SHINGLES}),
+            sh AS (SELECT DISTINCT doc_id,
+                     {_MD5_32.format(x='shingle')} AS h
+                   FROM sh0),
+            coef(i, a, b) AS (VALUES {mh_coef}),
+            sig AS (
+              SELECT doc_id, i, min((a * h + b) % 4294967311) AS mv
+              FROM sh CROSS JOIN coef GROUP BY 1, 2),
+            bands AS (
+              SELECT doc_id, i // 4 AS band,
+                     string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i) AS bkey
+              FROM sig GROUP BY 1, 2),
+            cand AS (
+              SELECT DISTINCT nw.doc_id AS doc_new, ol.doc_id AS doc_old
+              FROM bands nw JOIN bands ol
+                ON nw.band = ol.band AND nw.bkey = ol.bkey
+              WHERE nw.doc_id % 2 = 1 AND ol.doc_id % 2 = 0),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            common AS (
+              SELECT nw.doc_id AS doc_new, ol.doc_id AS doc_old,
+                     count(*) AS n_common
+              FROM sh nw JOIN sh ol ON nw.h = ol.h
+              WHERE nw.doc_id % 2 = 1 AND ol.doc_id % 2 = 0
+              GROUP BY 1, 2)
+            SELECT c.doc_new, c.doc_old,
+                   round(CAST(n_common AS DOUBLE)
+                         / (nn.n_sh + no.n_sh - n_common), 6) AS jaccard
+            FROM cand c
+            JOIN common USING (doc_new, doc_old)
+            JOIN sizes nn ON nn.doc_id = c.doc_new
+            JOIN sizes no ON no.doc_id = c.doc_old
+            WHERE CAST(n_common AS DOUBLE)
+                  / (nn.n_sh + no.n_sh - n_common) >= 0.2
         """,
     }
 

@@ -1240,3 +1240,133 @@ def incremental_dedup_summary(
         .cast("long")
         .alias("kept_id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup against a persisted MinHash band index
+# ---------------------------------------------------------------------------
+
+
+def write_minhash_index(
+    docs: DataFrame,
+    table: str = "mh_index",
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    n_buckets: int = 32,
+    path: str | None = None,
+    mode: str = "overwrite",
+    replayable: bool = False,
+) -> None:
+    """Materialize the corpus's MinHash LSH index as TWO bucketed
+    tables — the near-dup analogue of ``write_fingerprint_index``:
+
+    * ``{table}``     — the exploded band rows (doc_id, band, bh),
+      bucketed by bh, so a delta's band probe joins bucket-locally;
+    * ``{table}_sh``  — the per-doc deduplicated shingle arrays,
+      bucketed by doc_id, so candidate verification fetches corpus
+      shingles without shuffling the corpus.
+
+    Band identity and signatures come from the SAME
+    ``banded_signature_rows``/``minhash_signatures`` definitions as the
+    batch and streaming operators, so index lookups reproduce the
+    batch candidate set exactly (pinned in
+    tests/test_incremental_dedup.py). At 100 TB the band table is
+    bands×8 B-ish per doc and the shingle table ~the token count —
+    both written once per corpus build, never re-shuffled by ingests.
+    ``mode="append"`` admits a dedup'd delta into the index in place.
+    """
+    import os
+
+    from myasynstreamjoin_spark.sources.sinks import write_bucketed
+
+    mode_h = "md5" if replayable else True
+    shingled = shingle_docs(docs, k, hashed=mode_h).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = minhash_signatures(
+        docs, n_hashes, k, shingled=shingled, pre_hashed=mode_h
+    )
+    rows = banded_signature_rows(sigs, bands, n_hashes // bands, replayable)
+    write_bucketed(
+        rows, table, ["bh"], n_buckets=n_buckets,
+        sort_cols=["bh", "band"],
+        path=None if path is None else os.path.join(path, "bands"),
+        mode=mode,
+    )
+    write_bucketed(
+        shingled, f"{table}_sh", ["doc_id"], n_buckets=n_buckets,
+        sort_cols=["doc_id"],
+        path=None if path is None else os.path.join(path, "sh"),
+        mode=mode,
+    )
+    shingled.unpersist()
+
+
+def neardup_against_index(
+    new_docs: DataFrame,
+    table: str = "mh_index",
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.5,
+    replayable: bool = False,
+) -> DataFrame:
+    """Find near-duplicates of an ingest delta against a
+    ``write_minhash_index`` corpus WITHOUT rescanning the corpus — the
+    ingest-time half of MinHash dedup at 100 TB: the delta computes
+    its own signatures (map-only), probes the band table with a
+    bucket-local join (the corpus side never exchanges — plan-locked),
+    and exact-verifies only the candidates, fetching corpus shingles
+    from the bucketed shingle table by doc_id. Every shuffle in the
+    plan is delta- or candidate-sized.
+
+    Emits verified pairs oriented (doc_new, doc_old); a delta doc with
+    no row is fresh. Parameters must match the ones the index was
+    written with (band identity is positional).
+
+    Output: (doc_new, doc_old, jaccard).
+    """
+    spark = new_docs.sparkSession
+    idx = spark.table(table)
+    idx_sh = spark.table(f"{table}_sh")
+    mode_h = "md5" if replayable else True
+    shingled_new = shingle_docs(new_docs, k, hashed=mode_h).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = minhash_signatures(
+        new_docs, n_hashes, k, shingled=shingled_new, pre_hashed=mode_h
+    )
+    rows_new = banded_signature_rows(
+        sigs, bands, n_hashes // bands, replayable
+    )
+    # Probe on bh alone (the bucket column) so the index side needs no
+    # exchange; band equality filters after the join — bh is already a
+    # 64-bit hash (or the exact slot string) of the band's slots, so
+    # the band filter only strips cross-band hash coincidences.
+    cand = (
+        rows_new.select(
+            F.col("doc_id").alias("doc_new"),
+            F.col("band").alias("band_new"),
+            "bh",
+        )
+        .join(idx.withColumnRenamed("doc_id", "doc_old"), "bh")
+        .where(F.col("band_new") == F.col("band"))
+        .select("doc_new", "doc_old")
+        .distinct()
+    )
+    sa = shingled_new.select(
+        F.col("doc_id").alias("doc_new"), F.col("sh").alias("sh_new")
+    )
+    sb = idx_sh.select(
+        F.col("doc_id").alias("doc_old"), F.col("sh").alias("sh_old")
+    )
+    jac = F.size(F.array_intersect("sh_new", "sh_old")) / F.size(
+        F.array_union("sh_new", "sh_old")
+    )
+    return (
+        cand.join(sa, "doc_new")
+        .join(sb, "doc_old")
+        .where(jac >= threshold)
+        .select("doc_new", "doc_old", F.round(jac, 6).alias("jaccard"))
+    )
