@@ -3618,6 +3618,30 @@ def _q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF search under the oracle: write the cell-PARTITIONED
+    index + centroid sidecar once, then serve a 4-query batch where
+    probing nprobe cells is PARTITION PRUNING (only the probed cells'
+    files open — plan-locked via inputFiles in tests/test_ivf_index.py,
+    with pinned equality to the inline ivf_topk_multi)
+    (functions/similarity.py::write_ivf_index/ivf_search_index)."""
+    import tempfile
+
+    from myasynstreamjoin_spark.functions.similarity import (
+        ivf_search_index,
+        write_ivf_index,
+    )
+
+    _prep(spark)
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    table = "q_ivf_index_tmp"
+    write_ivf_index(emb, table, n_lists=16, path=tempfile.mkdtemp())
+    qv = emb.where(F.col("vec_id").isin([0, 1, 2, 3])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__q")
+    )
+    return ivf_search_index(spark, table, qv, k=10, nprobe=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver verifies the FIRST 49 entries against
     # their oracles; everything past 49 is covered only by the repo's own
@@ -3878,6 +3902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_incremental": _q_dedup_incremental,      # delta dedup vs persisted fp index
         "q_blocklist": _q_blocklist,                      # Aho-Corasick wordlist scan
         "q_neardup_incremental": _q_neardup_incremental,  # delta near-dup vs MinHash index
+        "q_ivf_index_search": _q_ivf_index_search,        # partition-pruned persisted ANN
     }
 
 
@@ -7703,6 +7728,59 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sizes no ON no.doc_id = c.doc_old
             WHERE CAST(n_common AS DOUBLE)
                   / (nn.n_sh + no.n_sh - n_common) >= 0.2
+        """,
+        # q_simsearch_ivf's replayable IVF math generalized to a
+        # 4-query batch (PARTITION BY query_id at each ranking step) —
+        # the persisted-index query must reproduce the inline
+        # assignment/probe/rerank exactly.
+        "q_ivf_index_search": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            cent0 AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16),
+            centroids AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                     e AS ce
+              FROM cent0),
+            asg AS (
+              SELECT v.vec_id, v.e, c.cell,
+                     row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_dot_product(v.e, c.ce)
+                                / (sqrt(list_dot_product(v.e, v.e))
+                                   * sqrt(list_dot_product(c.ce, c.ce))), 6)
+                                DESC, c.cell) AS rn
+              FROM v CROSS JOIN centroids c),
+            assigned AS (SELECT vec_id, e, cell FROM asg WHERE rn = 1),
+            q AS (SELECT vec_id AS query_id, e AS qe FROM v
+                  WHERE vec_id IN (0, 1, 2, 3)),
+            cprobe AS (
+              SELECT q.query_id, c.cell,
+                     row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_dot_product(c.ce, q.qe)
+                                / (sqrt(list_dot_product(c.ce, c.ce))
+                                   * sqrt(list_dot_product(q.qe, q.qe))), 6)
+                                DESC, c.cell) AS crank
+              FROM centroids c CROSS JOIN q),
+            probe AS (SELECT query_id, cell FROM cprobe WHERE crank <= 4),
+            scored AS (
+              SELECT p.query_id, a.vec_id,
+                     round(list_dot_product(a.e, q.qe)
+                           / (sqrt(list_dot_product(a.e, a.e))
+                              * sqrt(list_dot_product(q.qe, q.qe))), 4)
+                       AS cos
+              FROM assigned a
+              JOIN probe p USING (cell)
+              JOIN q ON q.query_id = p.query_id
+              WHERE a.vec_id <> p.query_id),
+            ranked AS (
+              SELECT query_id, vec_id, cos,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, vec_id)
+                          AS INT) AS rank
+              FROM scored)
+            SELECT query_id, vec_id, cos, rank
+            FROM ranked WHERE rank <= 10
         """,
     }
 

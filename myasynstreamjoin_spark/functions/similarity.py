@@ -298,6 +298,21 @@ def ivf_assign(
     # round-6 before the argmax (the semantic_dedup rule): a 1-ulp
     # cross-engine drift must not flip a cell assignment, which is what
     # lets an external oracle replay the index exactly
+    assigned = assign_to_centroids(embeddings, centroids, vec_col, id_col)
+    return assigned, centroids
+
+
+def assign_to_centroids(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment (broadcast cross-join + argmax by
+    rounded cosine, ties to the lower cell) — the one definition shared
+    by the inline ``ivf_assign`` and the frozen-centroid append path of
+    the persisted index, so an appended vector lands in exactly the
+    cell a full rebuild would give it."""
     scored = embeddings.crossJoin(F.broadcast(centroids)).select(
         id_col, vec_col,
         F.struct(F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("cos"),
@@ -305,11 +320,10 @@ def ivf_assign(
         "cell",
     )
     best = scored.groupBy(id_col).agg(F.max("__sc").alias("best"))
-    assigned = (
+    return (
         embeddings.join(best, id_col)
         .select(id_col, vec_col, (-F.col("best.neg_cell")).cast("int").alias("ivf_cell"))
     )
-    return assigned, centroids
 
 
 def ivf_topk(
@@ -1192,3 +1206,130 @@ def hard_negatives(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "neg_label", "cos", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index (cell-partitioned; probing = partition pruning)
+# ---------------------------------------------------------------------------
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    table: str = "ivf_index",
+    n_lists: int = 16,
+    path: str | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the IVF assignment as a parquet table PARTITIONED BY
+    ``ivf_cell`` plus a centroid sidecar table — the third member of
+    the persisted-index family (exact fp index, MinHash band index,
+    and this): the corpus pays the broadcast assignment pass once, and
+    a probe of nprobe cells becomes PARTITION PRUNING — the scan reads
+    nprobe/n_lists of the files and the other cells' bytes are never
+    opened (plan-locked via inputFiles in
+    tests/test_ivf_index.py). At 100 TB with n_lists sized so a cell
+    is a few hundred GB, a 4-probe search touches only those
+    partitions; re-centering is a rewrite, but appending new vectors
+    assigns against the FROZEN sidecar centroids (``append=True``) so
+    ingest never moves old files — the standard IVF freeze/retrain
+    trade.
+
+    ``{table}``           — (vec_id, embedding, ivf_cell), partitioned;
+    ``{table}_centroids`` — (cell, cvec), n_lists rows.
+    """
+    assigned, centroids = ivf_assign(embeddings, n_lists, vec_col, id_col)
+    w = assigned.write.mode("overwrite").partitionBy("ivf_cell")
+    if path is not None:
+        import os
+
+        w = w.option("path", os.path.join(path, "cells"))
+    w.format("parquet").saveAsTable(table)
+    cw = centroids.write.mode("overwrite")
+    if path is not None:
+        import os
+
+        cw = cw.option("path", os.path.join(path, "centroids"))
+    cw.format("parquet").saveAsTable(f"{table}_centroids")
+
+
+def ivf_search_index(
+    spark,
+    table: str,
+    query_vecs: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched ANN search against a ``write_ivf_index`` table.
+    ``query_vecs`` is (query_id, __q). Per query: rank the sidecar
+    centroids (broadcast-sized), keep the nprobe best cells, then scan
+    ONLY those cells — the probed cell set is collected driver-side
+    (≤ n_lists ints, a control read) and pushed into the scan as an
+    ``ivf_cell IN (...)`` partition filter, so pruning is static and
+    visible in the plan. Scoring rules are identical to
+    ``ivf_topk_multi`` (round-6 replayable rounding), and results are
+    pinned equal to it by pytest.
+
+    Output: (query_id, vec_id, cos, rank).
+    """
+    centroids = spark.table(f"{table}_centroids")
+    cw = Window.partitionBy("query_id").orderBy(
+        F.desc("ccos"), F.asc("cell")
+    )
+    probe = (
+        centroids.crossJoin(F.broadcast(query_vecs))
+        .select(
+            "query_id",
+            "cell",
+            F.round(cosine(F.col("cvec"), F.col("__q")), 6).alias("ccos"),
+        )
+        .withColumn("crank", F.row_number().over(cw))
+        .where(F.col("crank") <= nprobe)
+        .select("query_id", "cell")
+        .join(query_vecs, "query_id")
+    )
+    cells = sorted(
+        r["cell"] for r in probe.select("cell").distinct().collect()
+    )
+    pruned = spark.table(table).where(F.col("ivf_cell").isin(cells))
+    scored = (
+        pruned.join(F.broadcast(probe), pruned["ivf_cell"] == F.col("cell"))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col("embedding"), F.col("__q")), 4).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "cos", "rank")
+    )
+
+
+def append_ivf_index(
+    new_embeddings: DataFrame,
+    table: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Admit new vectors into a ``write_ivf_index`` table WITHOUT
+    touching existing files: assign against the FROZEN sidecar
+    centroids (broadcast, map-only) and append into the matching cell
+    partitions. Old partitions' files never move — the standard IVF
+    freeze/retrain trade: recall degrades only as the corpus drifts
+    away from the frozen centroids, and re-centering is an explicit
+    rebuild (``write_ivf_index`` again), not an ingest cost."""
+    spark = new_embeddings.sparkSession
+    centroids = spark.table(f"{table}_centroids")
+    assigned = assign_to_centroids(
+        new_embeddings, centroids, vec_col, id_col
+    )
+    assigned.write.mode("append").partitionBy("ivf_cell").format(
+        "parquet"
+    ).saveAsTable(table)
