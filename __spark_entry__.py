@@ -1680,6 +1680,20 @@ def _q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myasynstreamjoin_spark.operators.tpch import local_supplier_volume
+
+    _prep(spark)
+    return local_supplier_volume(
+        tables.load_table(spark, sf_dir, "customer"),
+        tables.load_table(spark, sf_dir, "orders"),
+        tables.load_table(spark, sf_dir, "lineitem"),
+        tables.load_table(spark, sf_dir, "supplier"),
+        tables.load_table(spark, sf_dir, "nation"),
+        tables.load_table(spark, sf_dir, "region"),
+    )
+
+
 def _q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.operators.tpch import returned_item_revenue
 
@@ -3903,6 +3917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_blocklist": _q_blocklist,                      # Aho-Corasick wordlist scan
         "q_neardup_incremental": _q_neardup_incremental,  # delta near-dup vs MinHash index
         "q_ivf_index_search": _q_ivf_index_search,        # partition-pruned persisted ANN
+        "q_tpch_q5": _q_tpch_q5,                          # completes TPC-H 22/22
     }
 
 
@@ -7781,6 +7796,23 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM scored)
             SELECT query_id, vec_id, cos, rank
             FROM ranked WHERE rank <= 10
+        """,
+        "q_tpch_q5": """
+            SELECT n_name,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                  * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                        AS DOUBLE) AS revenue
+            FROM customer
+            JOIN orders   ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+                         AND s_nationkey = c_nationkey
+            JOIN nation   ON n_nationkey = s_nationkey
+            JOIN region   ON r_regionkey = n_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
         """,
     }
 

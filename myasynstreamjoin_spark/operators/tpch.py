@@ -752,3 +752,67 @@ def excess_inventory_suppliers(
         ns.join(F.broadcast(pairs), ns["s_suppkey"] == pairs["l_suppkey"], "left_semi")
         .select("s_suppkey", "s_name")
     )
+
+
+def local_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    y_from: int = 1995,
+    y_to: int = 1996,
+) -> DataFrame:
+    """TPC-H Q5 shape (the last of the 22): per-nation revenue where
+    the ordering customer and the shipping supplier sit in the SAME
+    nation of one region, over an order-date year range.
+
+    Scale: region→nation is a driver-sized broadcast that semi-filters
+    supplier AND customer before either touches a fact table; orders
+    takes its date range in pushdown-able form. lineitem⋈orders is the
+    one big shuffle; the c_nationkey = s_nationkey locality predicate
+    applies right behind the broadcast dimension joins, so the final
+    aggregate groups only same-nation rows on the few-row nation key.
+
+    Output: (n_name, revenue) — revenue DECIMAL-summed, rounded to 2.
+    """
+    nat = (
+        nation.join(
+            F.broadcast(region.where(F.col("r_name") == region_name)),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = supplier.join(
+        F.broadcast(nat), supplier["s_nationkey"] == nat["n_nationkey"]
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    cust = customer.join(
+        F.broadcast(nat.select("n_nationkey")),
+        customer["c_nationkey"] == nat["n_nationkey"],
+    ).select("c_custkey", "c_nationkey")
+    # range form, not year(): reaches the parquet scan as a pushed
+    # filter (same rule as bilateral_trade)
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit(f"{y_from}-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(f"{y_to + 1}-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    # orders⋈customer first (both already dimension-filtered), THEN the
+    # one lineitem shuffle — customer is NOT broadcast: at TPC-H scale
+    # it grows with SF and belongs on the shuffle path (AQE may still
+    # demote it to broadcast when the region filter makes it small).
+    ords_c = ords.join(cust, ords["o_custkey"] == cust["c_custkey"]).select(
+        "o_orderkey", "c_nationkey"
+    )
+    return (
+        lineitem.join(ords_c, lineitem["l_orderkey"] == ords_c["o_orderkey"])
+        .join(F.broadcast(supp), lineitem["l_suppkey"] == supp["s_suppkey"])
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_revenue()).alias("rev_d"))
+        .select(
+            "n_name",
+            F.round(F.col("rev_d"), 2).cast("double").alias("revenue"),
+        )
+    )
