@@ -3656,6 +3656,62 @@ def _q_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search_index(spark, table, qv, k=10, nprobe=4)
 
 
+def _q_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed ingest ADMISSION gate under one oracle: the even
+    half of the corpus becomes the persisted fingerprint + MinHash
+    indexes; the arriving batch is the odd half plus synthesized
+    re-crawl duplicates (exact copies of every 10th even doc — caught
+    by the fp index — and of every 10th odd doc — caught within-batch).
+    Each doc's fate is decided by the first matching gate: blocklist →
+    dup_exact → dup_within → dup_near → admitted; stage order is
+    semantics (a blocked doc never counts as a duplicate, an exact dup
+    never reaches the near-dup probe) and the oracle replays the whole
+    cascade per document (functions/ingest.py::ingest_gate)."""
+    import os
+    import tempfile
+
+    from myasynstreamjoin_spark.functions.dedup import (
+        write_fingerprint_index,
+        write_minhash_index,
+    )
+    from myasynstreamjoin_spark.functions.ingest import (
+        ingest_gate,
+        ingest_summary,
+    )
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .unionByName(
+            even.filter(F.col("doc_id") % 10 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 10_000_000
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 1).withColumn(
+                "doc_id", F.col("doc_id") + 20_000_000
+            )
+        )
+    )
+    fp_t, mh_t = "q_ingest_fp_tmp", "q_ingest_mh_tmp"
+    tmp = tempfile.mkdtemp(prefix="ingest_e2e_")
+    write_fingerprint_index(
+        even, fp_t, n_buckets=16, path=os.path.join(tmp, "fp")
+    )
+    write_minhash_index(
+        even, mh_t, n_buckets=16, path=os.path.join(tmp, "mh"),
+        replayable=True,
+    )
+    gated = ingest_gate(
+        delta, fp_t, mh_t,
+        terms=["slow"], max_hits=4,
+        neardup_threshold=0.2, replayable=True,
+    )
+    return ingest_summary(gated)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver verifies the FIRST 49 entries against
     # their oracles; everything past 49 is covered only by the repo's own
@@ -3918,6 +3974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_neardup_incremental": _q_neardup_incremental,  # delta near-dup vs MinHash index
         "q_ivf_index_search": _q_ivf_index_search,        # partition-pruned persisted ANN
         "q_tpch_q5": _q_tpch_q5,                          # completes TPC-H 22/22
+        "q_ingest_e2e": _q_ingest_e2e,                    # composed admission gate
     }
 
 
@@ -7813,6 +7870,106 @@ def _oracle_sql_base() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1995-01-01'
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
+        """,
+        # Composed ingest gate: blocklist → exact-vs-index →
+        # within-batch → near-dup-vs-index, first match wins. The
+        # near-dup leg is q_neardup_incremental's replayable machinery
+        # with signatures built over corpus ∪ kept-batch docs and
+        # candidates restricted to (kept, corpus).
+        "q_ingest_e2e": f"""
+            WITH delta AS (
+              SELECT doc_id, text, source FROM documents
+              WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT doc_id + 10000000, text, source FROM documents
+              WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 20000000, text, source FROM documents
+              WHERE doc_id % 10 = 1),
+            dn AS (SELECT doc_id, source, {_DOC_NORM} AS norm
+                   FROM delta),
+            blocked AS (
+              SELECT doc_id FROM dn
+              WHERE (length(norm) - length(replace(norm, 'slow', '')))
+                    // 4 > 4),
+            idxn AS (SELECT DISTINCT {_DOC_NORM} AS norm
+                     FROM documents WHERE doc_id % 2 = 0),
+            pass1 AS (SELECT * FROM dn
+                      WHERE doc_id NOT IN (SELECT doc_id FROM blocked)),
+            ex AS (
+              SELECT p.doc_id,
+                     CASE
+                       WHEN i.norm IS NOT NULL THEN 'dup_exact'
+                       WHEN p.doc_id = min(p.doc_id)
+                              OVER (PARTITION BY p.norm) THEN 'kept'
+                       ELSE 'dup_within'
+                     END AS st
+              FROM pass1 p LEFT JOIN idxn i USING (norm)),
+            kept AS (SELECT doc_id FROM ex WHERE st = 'kept'),
+            all_docs AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT d.doc_id, d.text FROM delta d JOIN kept USING (doc_id)),
+            sh0 AS ({_SHINGLES.replace("FROM documents", "FROM all_docs")}),
+            sh AS (SELECT DISTINCT doc_id,
+                     {_MD5_32.format(x='shingle')} AS h
+                   FROM sh0),
+            coef(i, a, b) AS (VALUES {mh_coef}),
+            sig AS (
+              SELECT doc_id, i, min((a * h + b) % 4294967311) AS mv
+              FROM sh CROSS JOIN coef GROUP BY 1, 2),
+            bands AS (
+              SELECT doc_id, i // 4 AS band,
+                     string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i) AS bkey
+              FROM sig GROUP BY 1, 2),
+            cand AS (
+              SELECT DISTINCT nw.doc_id AS doc_new, ol.doc_id AS doc_old
+              FROM bands nw JOIN bands ol
+                ON nw.band = ol.band AND nw.bkey = ol.bkey
+              WHERE nw.doc_id IN (SELECT doc_id FROM kept)
+                AND ol.doc_id % 2 = 0 AND ol.doc_id < 10000000),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            common AS (
+              SELECT c.doc_new, c.doc_old, count(*) AS n_common
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_new
+              JOIN sh b ON b.doc_id = c.doc_old AND b.h = a.h
+              GROUP BY 1, 2),
+            verified AS (
+              SELECT DISTINCT c.doc_new
+              FROM cand c
+              JOIN common USING (doc_new, doc_old)
+              JOIN sizes nn ON nn.doc_id = c.doc_new
+              JOIN sizes no ON no.doc_id = c.doc_old
+              WHERE CAST(n_common AS DOUBLE)
+                    / (nn.n_sh + no.n_sh - n_common) >= 0.2),
+            status AS (
+              SELECT d.doc_id, d.source,
+                     CASE
+                       WHEN d.doc_id IN (SELECT doc_id FROM blocked)
+                         THEN 'blocked'
+                       WHEN e.st = 'dup_exact' THEN 'dup_exact'
+                       WHEN e.st = 'dup_within' THEN 'dup_within'
+                       WHEN d.doc_id IN (SELECT doc_new FROM verified)
+                         THEN 'dup_near'
+                       ELSE 'admitted'
+                     END AS status
+              FROM dn d LEFT JOIN ex e USING (doc_id))
+            SELECT source,
+                   count(*) AS n_in,
+                   CAST(sum(CASE WHEN status = 'blocked' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_blocked,
+                   CAST(sum(CASE WHEN status = 'dup_exact' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_dup_exact,
+                   CAST(sum(CASE WHEN status = 'dup_within' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_dup_within,
+                   CAST(sum(CASE WHEN status = 'dup_near' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_dup_near,
+                   CAST(sum(CASE WHEN status = 'admitted' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_admitted,
+                   CAST(sum(CASE WHEN status = 'admitted' THEN doc_id
+                            ELSE 0 END) AS BIGINT) AS admitted_id_sum
+            FROM status GROUP BY source
         """,
     }
 
