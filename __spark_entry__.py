@@ -3712,6 +3712,71 @@ def _q_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest_summary(gated)
 
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global LINE dedup (keep-first) under the oracle: the
+    token stream wraps into non-overlapping 12-token lines; every line
+    occurring more than once in the corpus survives only at its
+    (doc_id, line_no)-min occurrence and each document is reassembled
+    from its surviving lines. Election is one groupBy min-struct (no
+    window sort — plan-locked in tests/test_lines.py); the oracle
+    replays the whole election with a row_number window
+    (functions/lines.py::line_dedup)."""
+    from myasynstreamjoin_spark.functions.lines import line_dedup
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return line_dedup(docs, width=12)
+
+
+def _q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-source boilerplate report under the oracle:
+    lines whose DOCUMENT frequency within a source reaches 2 are
+    template chrome; the report pins, per source, how many distinct
+    lines were elected and what stripping them removes (occurrences,
+    docs touched, chars). Election is two hash aggs over the exploded
+    line table; application is a broadcast join (plan-locked)
+    (functions/lines.py::boilerplate_report)."""
+    from myasynstreamjoin_spark.functions.lines import boilerplate_report
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return boilerplate_report(docs, width=12, min_df=2)
+
+
+def _q_line_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LINE dedup under the oracle — the fourth persisted
+    ingest index (exact fp, MinHash bands, IVF cells, now lines): the
+    even-doc_id half of the corpus becomes a line table BUCKETED BY
+    line; the odd half ingests against it, dropping lines already in
+    the index (dup_index) or seen earlier within the delta
+    (dup_within), and reassembling the cleaned documents. The corpus
+    is never rescanned; every shuffle is delta-sized (bucket-local
+    probe plan-locked in tests/test_lines.py)
+    (functions/lines.py::write_line_index/line_dedup_against_index)."""
+    import os
+    import tempfile
+
+    from myasynstreamjoin_spark.functions.lines import (
+        line_dedup_against_index,
+        write_line_index,
+    )
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    table = "q_line_idx_tmp"
+    tmp = tempfile.mkdtemp(prefix="line_index_")
+    write_line_index(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        table,
+        width=12,
+        n_buckets=16,
+        path=os.path.join(tmp, "idx"),
+    )
+    return line_dedup_against_index(
+        docs.filter(F.col("doc_id") % 2 == 1), table, width=12
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver verifies the FIRST 49 entries against
     # their oracles; everything past 49 is covered only by the repo's own
@@ -3975,6 +4040,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_index_search": _q_ivf_index_search,        # partition-pruned persisted ANN
         "q_tpch_q5": _q_tpch_q5,                          # completes TPC-H 22/22
         "q_ingest_e2e": _q_ingest_e2e,                    # composed admission gate
+        "q_line_dedup": _q_line_dedup,                    # C4-style keep-first line dedup
+        "q_boilerplate": _q_boilerplate,                  # per-source frequent-line report
+        "q_line_dedup_incremental": _q_line_dedup_incremental,  # delta lines vs persisted index
     }
 
 
@@ -7970,6 +8038,115 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(sum(CASE WHEN status = 'admitted' THEN doc_id
                             ELSE 0 END) AS BIGINT) AS admitted_id_sum
             FROM status GROUP BY source
+        """,
+        # lines CTE shared shape: wrap the normalized token stream into
+        # non-overlapping 12-token lines (functions/lines.py::doc_lines)
+        "q_line_dedup": f"""
+            WITH toked AS (
+              SELECT doc_id, {_DOC_TOKENS} AS t
+              FROM documents WHERE text IS NOT NULL),
+            lines AS (
+              SELECT doc_id, CAST(i AS INT) AS line_no,
+                     array_to_string(t[(i*12+1):(i*12+12)], ' ') AS line
+              FROM toked,
+                   unnest(generate_series(0, CAST((len(t)+11)//12 AS BIGINT) - 1)) AS u(i)),
+            ranked AS (
+              SELECT doc_id, line_no,
+                     row_number() OVER (PARTITION BY line
+                                        ORDER BY doc_id, line_no) AS rn
+              FROM lines WHERE len(line) >= 1),
+            drops AS (SELECT doc_id, line_no FROM ranked WHERE rn > 1),
+            kept AS (
+              SELECT l.doc_id, l.line_no, l.line
+              FROM lines l LEFT JOIN drops d
+                ON l.doc_id = d.doc_id AND l.line_no = d.line_no
+              WHERE d.doc_id IS NULL),
+            agg AS (
+              SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS text_clean,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+            SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines,
+                   CAST(t.n_lines - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+                   coalesce(a.text_clean, '') AS text_clean
+            FROM tot t LEFT JOIN agg a USING (doc_id)
+        """,
+        "q_boilerplate": f"""
+            WITH toked AS (
+              SELECT doc_id, source, {_DOC_TOKENS} AS t
+              FROM documents WHERE text IS NOT NULL),
+            lines AS (
+              SELECT doc_id, source,
+                     array_to_string(t[(i*12+1):(i*12+12)], ' ') AS line
+              FROM toked,
+                   unnest(generate_series(0, CAST((len(t)+11)//12 AS BIGINT) - 1)) AS u(i)),
+            per_line AS (
+              SELECT source, line, count(DISTINCT doc_id) AS df, count(*) AS n_occ
+              FROM lines GROUP BY source, line),
+            boiler AS (SELECT source, line FROM per_line WHERE df >= 2),
+            occ AS (
+              SELECT l.source, l.line, l.doc_id
+              FROM lines l JOIN boiler b
+                ON l.source = b.source AND l.line = b.line),
+            stats AS (
+              SELECT source, count(DISTINCT line) AS n_boiler_lines,
+                     count(*) AS n_lines_removed,
+                     count(DISTINCT doc_id) AS n_docs_touched,
+                     sum(len(line)) AS chars_removed
+              FROM occ GROUP BY source)
+            SELECT s.source,
+                   CAST(coalesce(n_boiler_lines, 0) AS BIGINT) AS n_boiler_lines,
+                   CAST(coalesce(n_lines_removed, 0) AS BIGINT) AS n_lines_removed,
+                   CAST(coalesce(n_docs_touched, 0) AS BIGINT) AS n_docs_touched,
+                   CAST(coalesce(chars_removed, 0) AS BIGINT) AS chars_removed
+            FROM (SELECT DISTINCT source FROM documents WHERE text IS NOT NULL) s
+            LEFT JOIN stats USING (source)
+        """,
+        "q_line_dedup_incremental": f"""
+            WITH toked AS (
+              SELECT doc_id, {_DOC_TOKENS} AS t
+              FROM documents WHERE text IS NOT NULL),
+            lines AS (
+              SELECT doc_id, CAST(i AS INT) AS line_no,
+                     array_to_string(t[(i*12+1):(i*12+12)], ' ') AS line
+              FROM toked,
+                   unnest(generate_series(0, CAST((len(t)+11)//12 AS BIGINT) - 1)) AS u(i)),
+            idx AS (
+              SELECT DISTINCT line FROM lines
+              WHERE doc_id % 2 = 0 AND len(line) >= 1),
+            delta AS (
+              SELECT doc_id, line_no, line FROM lines WHERE doc_id % 2 = 1),
+            ranked AS (
+              SELECT doc_id, line_no, line,
+                     row_number() OVER (PARTITION BY line
+                                        ORDER BY doc_id, line_no) AS rn
+              FROM delta WHERE len(line) >= 1),
+            tagged AS (
+              SELECT r.doc_id, r.line_no,
+                     CASE WHEN i.line IS NOT NULL THEN 'dup_index'
+                          WHEN r.rn = 1 THEN 'kept'
+                          ELSE 'dup_within' END AS status
+              FROM ranked r LEFT JOIN idx i ON r.line = i.line),
+            status AS (
+              SELECT * FROM tagged
+              UNION ALL
+              SELECT doc_id, line_no, 'kept' FROM delta WHERE len(line) < 1),
+            kept AS (
+              SELECT d.doc_id,
+                     string_agg(d.line, ' ' ORDER BY d.line_no) AS text_clean
+              FROM delta d JOIN status s
+                ON d.doc_id = s.doc_id AND d.line_no = s.line_no
+              WHERE s.status = 'kept' GROUP BY d.doc_id),
+            counts AS (
+              SELECT doc_id, count(*) AS n_lines,
+                     sum(CASE WHEN status = 'dup_index' THEN 1 ELSE 0 END) AS n_dup_index,
+                     sum(CASE WHEN status = 'dup_within' THEN 1 ELSE 0 END) AS n_dup_within
+              FROM status GROUP BY doc_id)
+            SELECT c.doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+                   CAST(n_dup_index AS BIGINT) AS n_dup_index,
+                   CAST(n_dup_within AS BIGINT) AS n_dup_within,
+                   coalesce(k.text_clean, '') AS text_clean
+            FROM counts c LEFT JOIN kept k USING (doc_id)
         """,
     }
 
