@@ -80,6 +80,10 @@ DEFAULT = [
     "q_webdataset_roundtrip",
     "q_sorted_export",
     "q_hard_negatives",
+    "q_line_dedup",
+    "line_dedup_hashed",
+    "q_boilerplate",
+    "q_line_dedup_incremental",
     "q_stream_drift",
     "q_stream_min_count_window",
     "q_stream_dedup",
@@ -147,6 +151,16 @@ def _remove_spans_hashed(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return remove_duplicate_spans(docs, k=8, hashed=True)
+
+
+def _line_dedup_hashed(spark, sf_dir):
+    """The 100 TB setting of q_line_dedup: 8-byte xxhash64 election
+    keys instead of line strings (the contract query keeps strings for
+    its oracle)."""
+    from myasynstreamjoin_spark.functions.lines import line_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return line_dedup(docs, width=12, hashed=True)
 
 
 _EDGE_TABLE = "probe_copurchase_edges"
@@ -218,6 +232,7 @@ def main() -> int:
     queries["semantic_dedup_auto"] = _semantic_dedup_auto
     queries["semantic_dedup_arrow"] = _semantic_dedup_arrow
     queries["remove_spans_hashed"] = _remove_spans_hashed
+    queries["line_dedup_hashed"] = _line_dedup_hashed
     queries["edges_materialize"] = _edges_materialize
     queries["pagerank_prebuilt"] = _pagerank_prebuilt
     queries["triangles_prebuilt"] = _triangles_prebuilt
