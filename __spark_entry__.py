@@ -3777,6 +3777,25 @@ def _q_line_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interleave_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMC4/OBELICS-style interleaved multimodal assembly under the
+    oracle: each doc becomes an ordered sequence of 24-token text
+    segments and image POINTER segments (one anchored after every full
+    chunk, media_id = doc_id·100+j), with byte_offset the running
+    UTF-8 position in the packed record — the parquet shape an
+    interleaved-pretraining loader consumes. Entirely map-only (JVM
+    higher-order functions; zero-exchange plan locked in
+    tests/test_multimodal_interleave.py)
+    (functions/multimodal.py::interleave_segments)."""
+    from myasynstreamjoin_spark.functions.multimodal import (
+        interleave_segments,
+    )
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return interleave_segments(docs, chunk_tokens=24)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver verifies the FIRST 49 entries against
     # their oracles; everything past 49 is covered only by the repo's own
@@ -4043,6 +4062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_dedup": _q_line_dedup,                    # C4-style keep-first line dedup
         "q_boilerplate": _q_boilerplate,                  # per-source frequent-line report
         "q_line_dedup_incremental": _q_line_dedup_incremental,  # delta lines vs persisted index
+        "q_interleave_mm": _q_interleave_mm,              # interleaved text+image-ref assembly
     }
 
 
@@ -8147,6 +8167,41 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(n_dup_within AS BIGINT) AS n_dup_within,
                    coalesce(k.text_clean, '') AS text_clean
             FROM counts c LEFT JOIN kept k USING (doc_id)
+        """,
+        "q_interleave_mm": f"""
+            WITH toked AS (
+              SELECT doc_id, {_DOC_TOKENS} AS t
+              FROM documents WHERE text IS NOT NULL),
+            chunks AS (
+              SELECT doc_id, i,
+                     array_to_string(t[(i*24+1):(i*24+24)], ' ') AS txt,
+                     least(24, len(t) - i*24) AS n_toks,
+                     len(t) AS n
+              FROM toked,
+                   unnest(generate_series(0, CAST((len(t)+23)//24 AS BIGINT) - 1)) AS u(i)),
+            segs AS (
+              SELECT doc_id, i*2 AS ord, 'text' AS kind,
+                     CAST(NULL AS BIGINT) AS media_id,
+                     CAST(n_toks AS BIGINT) AS n_tokens,
+                     CAST(octet_length(encode(txt)) AS BIGINT) AS byte_len
+              FROM chunks
+              UNION ALL
+              SELECT doc_id, i*2+1, 'image',
+                     CAST(doc_id*100 + i AS BIGINT), 0, 0
+              FROM chunks WHERE (i+1)*24 <= n),
+            numbered AS (
+              SELECT doc_id, kind, media_id, n_tokens, byte_len,
+                     CAST(row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY ord) - 1 AS INT) AS seg_no,
+                     coalesce(sum(byte_len) OVER (PARTITION BY doc_id ORDER BY ord
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                              0) AS byte_offset
+              FROM segs)
+            SELECT doc_id, seg_no, kind, media_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(byte_offset AS BIGINT) AS byte_offset,
+                   CAST(byte_len AS BIGINT) AS byte_len
+            FROM numbered
         """,
     }
 

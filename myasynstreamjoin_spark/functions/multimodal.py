@@ -691,3 +691,86 @@ def audio_neardup_pairs(
         ).cast("int").alias("hamming"),
     )
     return cand.where(F.col("hamming") <= max_dist).distinct()
+
+
+def interleave_segments(docs: DataFrame, chunk_tokens: int = 24) -> DataFrame:
+    """MMC4/OBELICS-style interleaved multimodal record assembly: each
+    document becomes an ordered sequence of TEXT segments and IMAGE
+    references (the parquet shape interleaved-pretraining loaders
+    consume — text inline, images as pointers to be resolved from the
+    media store, à la OBELICS/WebDataset). Deterministic fixture rule
+    standing in for the HTML DOM position: an image is anchored after
+    every FULL ``chunk_tokens``-token text chunk, ``media_id =
+    doc_id·100 + j`` for the j-th anchor.
+
+    Per segment: (doc_id, seg_no, kind 'text'|'image', media_id NULL
+    for text, n_tokens 0 for images, byte_offset, byte_len) where
+    byte_offset is the running UTF-8 byte position in the packed
+    record — image refs occupy zero bytes (pointer records), so the
+    offsets are exactly where a loader splices the fetched images in.
+
+    Scale shape: ENTIRELY map-only — chunking, anchor placement, and
+    the prefix-sum offsets are JVM higher-order functions over each
+    doc's own token array (no shuffle, no UDF; the per-doc O(chunks²)
+    prefix sum is bounded by document width). Zero-exchange plan
+    locked in tests/test_multimodal_interleave.py.
+    """
+    from myasynstreamjoin_spark.functions.text import tokens
+
+    W = int(chunk_tokens)
+    t = tokens("text")
+    base = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", t.alias("__t")
+    )
+    n = F.size("__t")
+    n_chunks = F.floor((n + F.lit(W - 1)) / F.lit(W)).cast("int")
+    n_imgs = F.floor(n / F.lit(W)).cast("int")
+    chunk_txt = lambda i: F.array_join(  # noqa: E731
+        F.slice("__t", i * F.lit(W) + 1, W), " "
+    )
+    # byte_offset of chunk i = Σ byte_len(chunks < i); images add 0
+    prefix = lambda i: F.aggregate(  # noqa: E731
+        F.transform(
+            F.sequence(F.lit(0), i - 1),
+            lambda j: F.octet_length(chunk_txt(j)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    text_seg = lambda i: F.struct(  # noqa: E731
+        F.lit("text").alias("kind"),
+        F.lit(None).cast("long").alias("media_id"),
+        F.least(F.lit(W).cast("long"), (n - i * F.lit(W)).cast("long")).alias(
+            "n_tokens"
+        ),
+        F.when(i == 0, F.lit(0).cast("long"))
+        .otherwise(prefix(i))
+        .alias("byte_offset"),
+        F.octet_length(chunk_txt(i)).cast("long").alias("byte_len"),
+    )
+    img_seg = lambda i: F.struct(  # noqa: E731
+        F.lit("image").alias("kind"),
+        (F.col("doc_id") * 100 + i).cast("long").alias("media_id"),
+        F.lit(0).cast("long").alias("n_tokens"),
+        prefix(i + 1).alias("byte_offset"),
+        F.lit(0).cast("long").alias("byte_len"),
+    )
+    segs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.when(
+                i < n_imgs, F.array(text_seg(i), img_seg(i))
+            ).otherwise(F.array(text_seg(i))),
+        )
+    )
+    return base.select(
+        "doc_id", F.posexplode(segs).alias("seg_no", "s")
+    ).select(
+        "doc_id",
+        F.col("seg_no").cast("int").alias("seg_no"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.media_id").alias("media_id"),
+        F.col("s.n_tokens").alias("n_tokens"),
+        F.col("s.byte_offset").alias("byte_offset"),
+        F.col("s.byte_len").alias("byte_len"),
+    )

@@ -84,6 +84,7 @@ DEFAULT = [
     "line_dedup_hashed",
     "q_boilerplate",
     "q_line_dedup_incremental",
+    "q_interleave_mm",
     "q_stream_drift",
     "q_stream_min_count_window",
     "q_stream_dedup",
