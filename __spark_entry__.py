@@ -3796,6 +3796,34 @@ def _q_interleave_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interleave_segments(docs, chunk_tokens=24)
 
 
+def _q_fix_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-lite mojibake repair under the oracle: the corpus is pure
+    ASCII, so corruption is SYNTHESIZED replayably (docs ≡0 mod 7 get
+    'table' swapped for its UTF-8-as-cp1252 double-encoding carrying
+    two repairable signatures; docs ≡0 mod 11 get two unrepairable
+    U+FFFD replacement chars appended), then repaired with the fixed
+    ordered MOJIBAKE_MAP replace chain — map-only whole-stage codegen,
+    and the oracle replays injection + repair with the identical
+    literals derived from the same module constant
+    (functions/text.py::fix_mojibake)."""
+    from myasynstreamjoin_spark.functions.text import (
+        _mojibake,
+        fix_mojibake,
+    )
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    bad = _mojibake("tabl\u00e9\u2019")
+    c = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.replace(F.col("text"), F.lit("table"), F.lit(bad)),
+    ).otherwise(F.col("text"))
+    c = F.when(
+        F.col("doc_id") % 11 == 0, F.concat(c, F.lit("\ufffd\ufffd"))
+    ).otherwise(c)
+    return fix_mojibake(docs.withColumn("text", c))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver verifies the FIRST 49 entries against
     # their oracles; everything past 49 is covered only by the repo's own
@@ -4063,6 +4091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_boilerplate": _q_boilerplate,                  # per-source frequent-line report
         "q_line_dedup_incremental": _q_line_dedup_incremental,  # delta lines vs persisted index
         "q_interleave_mm": _q_interleave_mm,              # interleaved text+image-ref assembly
+        "q_fix_encoding": _q_fix_encoding,                # ftfy-lite mojibake repair
     }
 
 
@@ -8211,6 +8240,42 @@ def oracle_sql() -> dict[str, str]:
     share one oracle: the streaming CDC snapshot must satisfy exactly
     the batch MERGE's SQL (stream ≡ batch for the CDC path)."""
     d = _oracle_sql_base()
+    # ftfy-lite repair: the replace chain and per-entry occurrence
+    # counts are GENERATED from the engine's own MOJIBAKE_MAP constant
+    # (same literals both sides by construction), over the same
+    # synthesized corruption the Spark wrapper applies.
+    from myasynstreamjoin_spark.functions.text import MOJIBAKE_MAP
+    from myasynstreamjoin_spark.functions.text import _mojibake as _mj
+
+    def _sq(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    _bad_tok = _sq(_mj("tabl\u00e9\u2019"))
+    _expr = "corrupted"
+    _fix_terms = []
+    for _b, _g in MOJIBAKE_MAP:
+        _fix_terms.append(
+            f"(length({_expr}) - length(replace({_expr}, {_sq(_b)}, ''))) // {len(_b)}"
+        )
+        _expr = f"replace({_expr}, {_sq(_b)}, {_sq(_g)})"
+    d["q_fix_encoding"] = f"""
+        WITH corrupted_t AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0
+                      THEN base || chr(65533) || chr(65533)
+                      ELSE base END AS corrupted
+          FROM (SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN replace(text, 'table', {_bad_tok})
+                            ELSE text END AS base
+                FROM documents WHERE text IS NOT NULL))
+        SELECT doc_id,
+               CAST({' + '.join(_fix_terms)} AS BIGINT) AS n_fixes,
+               CAST(length({_expr}) - length(replace({_expr}, chr(65533), ''))
+                    AS BIGINT) AS n_bad_chars,
+               {_expr} AS text_fixed
+        FROM corrupted_t
+    """
     d["q_stream_cdc"] = d["q_cdc_merge"]
     # Streamed near-dup pairs must union to the batch operator's set.
     d["q_stream_neardup"] = d["q_minhash_pairs"]

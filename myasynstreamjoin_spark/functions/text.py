@@ -892,3 +892,63 @@ def blocklist_filter(
         .select("doc_id")
     )
     return docs.join(offenders, "doc_id", "left_anti")
+
+
+def _mojibake(s: str) -> str:
+    """What ``s`` looks like after the classic corruption: its UTF-8
+    bytes mis-decoded as Windows-1252. Deriving the signature from the
+    TRUE character (instead of hand-typing the garbled form) makes the
+    table typo-proof — the round trip is the definition."""
+    return s.encode("utf-8").decode("cp1252")
+
+
+#: ftfy-lite repair table, ordered. Repair restores the ORIGINAL
+#: character, except NBSP which normalizes to a plain space. Module
+#: constant so the oracle SQL derives its replace chain from THESE
+#: literals and can never diverge. U+201D (right double quote) is
+#: absent: its third byte (0x9D) has no cp1252 mapping, so that
+#: corruption cannot round-trip through a string.
+MOJIBAKE_MAP: tuple[tuple[str, str], ...] = tuple(
+    (_mojibake(g), g)
+    for g in ("\u2019", "\u201c", "\u2013", "\u2014",
+              "\u2026", "\u00e9", "\u00e8", "\u00fc",
+              "\u00f1", "\u00e7")
+) + ((_mojibake("\u00a0"), " "),)
+
+
+def fix_mojibake(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """ftfy-lite encoding repair: undo the standard UTF-8-decoded-as-
+    Latin-1 double-encoding artifacts with a FIXED, ordered replace
+    table (`MOJIBAKE_MAP`) and count what was repaired — the
+    deterministic core of what ftfy does heuristically, expressed so
+    that an external SQL engine replays it byte-for-byte (a chained
+    ``replace`` is exactly reproducible; a heuristic decoder is not).
+
+    Per doc: ``n_fixes`` total repaired occurrences (counted per table
+    entry on the intermediate text, so overlapping signatures count
+    once, matching sequential application), ``n_bad_chars`` U+FFFD
+    replacement characters remaining (unrepairable — the upstream
+    decoder already destroyed the byte), and ``text_fixed``.
+
+    Scale shape: map-only whole-stage-codegen string expressions —
+    zero shuffle, embarrassingly parallel; the repair table is a
+    compile-time constant, never a join.
+    """
+    c: Column = F.col(text_col)
+    n_fixes: Column = F.lit(0).cast("long")
+    for bad, good in MOJIBAKE_MAP:
+        cnt = (
+            (F.length(c) - F.length(F.replace(c, F.lit(bad), F.lit(""))))
+            / F.lit(len(bad))
+        ).cast("long")
+        n_fixes = n_fixes + cnt
+        c = F.replace(c, F.lit(bad), F.lit(good))
+    bad_chars = (
+        F.length(c) - F.length(F.replace(c, F.lit("�"), F.lit("")))
+    ).cast("long")
+    return docs.where(F.col(text_col).isNotNull()).select(
+        "doc_id",
+        n_fixes.alias("n_fixes"),
+        bad_chars.alias("n_bad_chars"),
+        c.alias("text_fixed"),
+    )

@@ -85,6 +85,7 @@ DEFAULT = [
     "q_boilerplate",
     "q_line_dedup_incremental",
     "q_interleave_mm",
+    "q_fix_encoding",
     "q_stream_drift",
     "q_stream_min_count_window",
     "q_stream_dedup",
