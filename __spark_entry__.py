@@ -3824,6 +3824,19 @@ def _q_fix_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fix_mojibake(docs.withColumn("text", c))
 
 
+def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity terciles under the oracle:
+    every doc ranked within its source by unigram-LM perplexity (the
+    q_lm_perplexity scoring reused verbatim), split by the integer
+    rank rule rn·3 ≤ n / rn·3 ≤ 2n — the oracle composes the existing
+    perplexity oracle CTE with a window replay of the same rule
+    (functions/text.py::ccnet_buckets)."""
+    from myasynstreamjoin_spark.functions.text import ccnet_buckets
+
+    _prep(spark)
+    return ccnet_buckets(tables.load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver verifies the FIRST 49 entries against
     # their oracles; everything past 49 is covered only by the repo's own
@@ -4092,6 +4105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_dedup_incremental": _q_line_dedup_incremental,  # delta lines vs persisted index
         "q_interleave_mm": _q_interleave_mm,              # interleaved text+image-ref assembly
         "q_fix_encoding": _q_fix_encoding,                # ftfy-lite mojibake repair
+        "q_ccnet_buckets": _q_ccnet_buckets,              # CCNet head/middle/tail terciles
     }
 
 
@@ -8275,6 +8289,24 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS n_bad_chars,
                {_expr} AS text_fixed
         FROM corrupted_t
+    """
+    # CCNet terciles compose the perplexity oracle with the same
+    # integer rank rule the engine applies.
+    d["q_ccnet_buckets"] = f"""
+        WITH ppl AS ({d['q_lm_perplexity']}),
+        j AS (
+          SELECT p.doc_id, d.source, p.n_tokens, p.nll, p.ppl
+          FROM ppl p JOIN documents d USING (doc_id)),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY nll, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM j)
+        SELECT doc_id, source, n_tokens, ppl,
+               CASE WHEN rn*3 <= n THEN 'head'
+                    WHEN rn*3 <= 2*n THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM r
     """
     d["q_stream_cdc"] = d["q_cdc_merge"]
     # Streamed near-dup pairs must union to the batch operator's set.

@@ -952,3 +952,49 @@ def fix_mojibake(docs: DataFrame, text_col: str = "text") -> DataFrame:
         bad_chars.alias("n_bad_chars"),
         c.alias("text_fixed"),
     )
+
+
+def ccnet_buckets(docs: DataFrame, by: str = "source") -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §3.3): rank
+    every document within its ``by`` group by unigram-LM perplexity
+    (`lm_perplexity`, trained on the corpus itself) and split the group
+    into head / middle / tail TERCILES — head = the lowest-perplexity
+    (most LM-like) third, the slice CCNet keeps preferentially when
+    budgeting pretraining data.
+
+    The tercile rule is pure integer arithmetic on the within-group
+    rank (rn·3 ≤ n → head, rn·3 ≤ 2n → middle, else tail; ranks ordered
+    by the 6-decimal nll with doc_id tie-break — both reproducible by
+    an external engine from the same exact integer sums), so bucket
+    membership is replayable, not estimator-dependent.
+
+    Scale shape: scoring inherits `lm_perplexity`'s one corpus shuffle
+    + broadcast LM; ranking is one exchange on ``by`` plus an
+    in-partition sort of NARROW doc-grain rows (doc_id, nll, n_tokens).
+    A single giant group is the window-skew case: at full scale,
+    compute the two boundary VALUES per group from this same ranking
+    on a stratified sample and broadcast them — the integer rule makes
+    the exact and sampled variants agree on everything but boundary
+    ties. Output: (doc_id, by, n_tokens, ppl, bucket).
+    """
+    from pyspark.sql import Window
+
+    scored = lm_perplexity(docs).join(
+        docs.select("doc_id", by), "doc_id"
+    )
+    w = Window.partitionBy(by).orderBy("nll", "doc_id")
+    n = Window.partitionBy(by)
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(n))
+        .select(
+            "doc_id",
+            by,
+            "n_tokens",
+            "ppl",
+            F.when(F.col("__rn") * 3 <= F.col("__n"), F.lit("head"))
+            .when(F.col("__rn") * 3 <= 2 * F.col("__n"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

@@ -195,3 +195,45 @@ def test_char_entropy_arrow_twin_matches_sql_kernel(spark, sf_dir):
         assert abs(sql[i]["entropy"] - arrow[i]["entropy"]) <= 1e-6
     with pytest.raises(ValueError):
         char_entropy(docs, kernel="nope")
+
+
+def test_ccnet_buckets_tercile_rule_and_ordering(spark):
+    """Within every source: bucket sizes follow the integer rank rule
+    (head = floor(n/3), middle = floor(2n/3) - floor(n/3)), and every
+    head doc's perplexity ≤ every middle's ≤ every tail's."""
+    from myasynstreamjoin_spark.functions.text import ccnet_buckets
+
+    rows = []
+    # source A: 7 LM-like docs + junk-graded docs → clear ppl spread
+    common = "the quick brown fox jumps over the lazy dog"
+    for i in range(7):
+        rows.append((i, common, "en", "A", len(common)))
+    rows.append((7, "zzz qqq xxx vvv kkk jjj", "en", "A", 23))
+    rows.append((8, "aaa bbb " + common, "en", "A", 50))
+    # source B: 4 docs
+    for i in range(4):
+        rows.append((10 + i, common + f" extra{i}", "en", "B", 60))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = ccnet_buckets(docs).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        n = len(rs)
+        sizes = {
+            b: sum(1 for r in rs if r["bucket"] == b)
+            for b in ("head", "middle", "tail")
+        }
+        assert sizes["head"] == n // 3
+        assert sizes["middle"] == (2 * n) // 3 - n // 3
+        assert sizes["tail"] == n - (2 * n) // 3
+        hi = {"head": 0, "middle": 1, "tail": 2}
+        srt = sorted(rs, key=lambda r: (r["ppl"], r["doc_id"]))
+        assert [hi[r["bucket"]] for r in srt] == sorted(
+            hi[r["bucket"]] for r in srt
+        )
+    # determinism: a second run buckets identically
+    again = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(docs).collect()}
+    assert again == {r["doc_id"]: r["bucket"] for r in out}

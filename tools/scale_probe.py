@@ -86,6 +86,7 @@ DEFAULT = [
     "q_line_dedup_incremental",
     "q_interleave_mm",
     "q_fix_encoding",
+    "q_ccnet_buckets",
     "q_stream_drift",
     "q_stream_min_count_window",
     "q_stream_dedup",
