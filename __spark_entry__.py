@@ -3837,6 +3837,48 @@ def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ccnet_buckets(tables.load_table(spark, sf_dir, "documents"))
 
 
+def _q_stream_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_line_dedup: documents arrive in two
+    ASCENDING doc_id ranges, so first-seen order equals the batch
+    operator's (doc_id, line_no) election order and the per-batch
+    cleaned sinks union to EXACTLY the batch answer — shared DuckDB
+    oracle (streaming/linededup.py)."""
+    import os
+    import tempfile
+
+    from myasynstreamjoin_spark.streaming.linededup import (
+        read_clean_docs,
+        run_stream_line_dedup,
+    )
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="stream_lines_")
+    feed = _stage_parquet_feed(
+        (
+            docs.where(F.col("doc_id") <= mid),
+            docs.where(F.col("doc_id") > mid),
+        ),
+        tmp,
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    run_stream_line_dedup(
+        stream,
+        spark,
+        work_dir=os.path.join(tmp, "ld"),
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        width=12,
+    )
+    return read_clean_docs(spark, os.path.join(tmp, "ld"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver verifies the FIRST 49 entries against
     # their oracles; everything past 49 is covered only by the repo's own
@@ -4106,6 +4148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interleave_mm": _q_interleave_mm,              # interleaved text+image-ref assembly
         "q_fix_encoding": _q_fix_encoding,                # ftfy-lite mojibake repair
         "q_ccnet_buckets": _q_ccnet_buckets,              # CCNet head/middle/tail terciles
+        "q_stream_line_dedup": _q_stream_line_dedup,      # streaming line-dedup twin
     }
 
 
@@ -8317,6 +8360,9 @@ def oracle_sql() -> dict[str, str]:
     # Ascending-range batches make first-seen order ≡ (doc_id, pos)
     # order, so the streamed cleaned corpus equals the batch one.
     d["q_stream_remove_spans"] = d["q_remove_spans"]
+    # Same argument at line granularity: ascending ranges ⇒ the
+    # streamed keep-first line election equals the batch one.
+    d["q_stream_line_dedup"] = d["q_line_dedup"]
     # Manifest statistics are order-free integer sums: the folded
     # latest version equals the batch manifest under ANY batch split.
     d["q_stream_shard_manifest"] = d["q_shard_manifest"]

@@ -138,6 +138,16 @@ def line_dedup(
         )
         .select("doc_id", "line_no")
     )
+    return _line_reassemble(lines, drops, sep)
+
+
+def _line_reassemble(
+    lines: DataFrame, drops: DataFrame, sep: str
+) -> DataFrame:
+    """(doc_id, n_lines, n_removed, text_clean): rebuild each doc from
+    the (doc_id, line_no) occurrences not in ``drops``. Shared by the
+    batch operator and the streaming twin so the two can never
+    diverge on reassembly semantics."""
     kept = lines.join(drops, ["doc_id", "line_no"], "left_anti")
     out = kept.groupBy("doc_id").agg(
         F.concat_ws(
