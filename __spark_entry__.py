@@ -3879,6 +3879,48 @@ def _q_stream_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_clean_docs(spark, os.path.join(tmp, "ld"))
 
 
+def _q_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming reservoir twin of q_weighted_sample — and the feed is
+    deliberately an UNORDERED (doc_id-parity) split: the
+    Efraimidis–Spirakis key is a pure row function, so top-k merges
+    are order-free and the reservoir equals the batch sampler under
+    ANY batch arrangement, a stronger equality than the ascending-feed
+    twins (streaming/sample.py)."""
+    import os
+    import tempfile
+
+    from myasynstreamjoin_spark.functions.text import quality_score
+    from myasynstreamjoin_spark.streaming.sample import (
+        read_sample,
+        run_stream_weighted_sample,
+    )
+
+    _prep(spark)
+    scored = quality_score(tables.load_table(spark, sf_dir, "documents"))
+    tmp = tempfile.mkdtemp(prefix="stream_wrs_")
+    feed = _stage_parquet_feed(
+        (
+            scored.where(F.col("doc_id") % 2 == 0),
+            scored.where(F.col("doc_id") % 2 == 1),
+        ),
+        tmp,
+    )
+    stream = (
+        spark.readStream.schema(scored.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    run_stream_weighted_sample(
+        stream,
+        spark,
+        work_dir=os.path.join(tmp, "wrs"),
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        weight_col="quality",
+        k=50,
+    )
+    return read_sample(spark, os.path.join(tmp, "wrs")).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver verifies the FIRST 49 entries against
     # their oracles; everything past 49 is covered only by the repo's own
@@ -4149,6 +4191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fix_encoding": _q_fix_encoding,                # ftfy-lite mojibake repair
         "q_ccnet_buckets": _q_ccnet_buckets,              # CCNet head/middle/tail terciles
         "q_stream_line_dedup": _q_stream_line_dedup,      # streaming line-dedup twin
+        "q_stream_weighted_sample": _q_stream_weighted_sample,  # order-free streaming reservoir
     }
 
 
@@ -8363,6 +8406,9 @@ def oracle_sql() -> dict[str, str]:
     # Same argument at line granularity: ascending ranges ⇒ the
     # streamed keep-first line election equals the batch one.
     d["q_stream_line_dedup"] = d["q_line_dedup"]
+    # The reservoir equality needs no feed-order assumption at all:
+    # the E–S key is a pure row function, top-k merges are order-free.
+    d["q_stream_weighted_sample"] = d["q_weighted_sample"]
     # Manifest statistics are order-free integer sums: the folded
     # latest version equals the batch manifest under ANY batch split.
     d["q_stream_shard_manifest"] = d["q_shard_manifest"]

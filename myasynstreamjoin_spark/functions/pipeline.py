@@ -226,6 +226,31 @@ def sample_k_per_group(
     )
 
 
+def wrs_key(
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wrs",
+    n_buckets: int = 65_536,
+) -> Column:
+    """The Efraimidis–Spirakis selection key ln(u)/w with the exact
+    rational u = (md5-bucket + 0.5)/n_buckets — factored out so the
+    batch sampler and the streaming reservoir compute the IDENTICAL
+    key (the order-free merge property 'top-k of a union = top-k of
+    the per-part top-ks' only holds when both sides agree on the key
+    bit-for-bit)."""
+    if n_buckets > 65_536:
+        # hash_bucket draws 16 bits; more buckets would silently skew
+        # u toward 0 (same guard as domain_mixture_sample)
+        raise ValueError(f"n_buckets must be <= 65536, got {n_buckets}")
+    u = (
+        hash_bucket(
+            F.concat(F.col(id_col).cast("string"), F.lit(salt)), n_buckets
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(n_buckets))
+    return F.log(u) / F.col(weight_col)
+
+
 def weighted_sample_k(
     df: DataFrame,
     weight_col: str,
@@ -252,17 +277,7 @@ def weighted_sample_k(
 
     Output: the selected rows (schema unchanged).
     """
-    if n_buckets > 65_536:
-        # hash_bucket draws 16 bits; more buckets would silently skew
-        # u toward 0 (same guard as domain_mixture_sample)
-        raise ValueError(f"n_buckets must be <= 65536, got {n_buckets}")
-    u = (
-        hash_bucket(
-            F.concat(F.col(id_col).cast("string"), F.lit(salt)), n_buckets
-        ).cast("double")
-        + F.lit(0.5)
-    ) / F.lit(float(n_buckets))
-    key = F.log(u) / F.col(weight_col)
+    key = wrs_key(weight_col, id_col, salt, n_buckets)
     w = F.col(weight_col)
     return (
         df.where((w > 0) & ~F.isnan(w.cast("double")))
