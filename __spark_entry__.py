@@ -3921,6 +3921,18 @@ def _q_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_sample(spark, os.path.join(tmp, "wrs")).orderBy("doc_id")
 
 
+def _q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt under the oracle: the four lineitem measures
+    unpivot to (metric, value) rows — a map-side Expand, no extra
+    shuffle — then aggregate per (returnflag, metric); the oracle
+    replays the reshape as a UNION ALL
+    (operators/relational.py::unpivot_metrics)."""
+    from myasynstreamjoin_spark.operators.relational import unpivot_metrics
+
+    _prep(spark)
+    return unpivot_metrics(tables.load_table(spark, sf_dir, "lineitem"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver verifies the FIRST 49 entries against
     # their oracles; everything past 49 is covered only by the repo's own
@@ -4192,6 +4204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ccnet_buckets": _q_ccnet_buckets,              # CCNet head/middle/tail terciles
         "q_stream_line_dedup": _q_stream_line_dedup,      # streaming line-dedup twin
         "q_stream_weighted_sample": _q_stream_weighted_sample,  # order-free streaming reservoir
+        "q_unpivot": _q_unpivot,                          # wide→long melt + per-metric agg
     }
 
 
@@ -8393,6 +8406,24 @@ def oracle_sql() -> dict[str, str]:
                     WHEN rn*3 <= 2*n THEN 'middle'
                     ELSE 'tail' END AS bucket
         FROM r
+    """
+    d["q_unpivot"] = """
+        WITH long AS (
+          SELECT l_returnflag, 'quantity' AS metric,
+                 CAST(l_quantity AS DECIMAL(18,4)) AS value FROM lineitem
+          UNION ALL
+          SELECT l_returnflag, 'extendedprice',
+                 CAST(l_extendedprice AS DECIMAL(18,4)) FROM lineitem
+          UNION ALL
+          SELECT l_returnflag, 'discount',
+                 CAST(l_discount AS DECIMAL(18,4)) FROM lineitem
+          UNION ALL
+          SELECT l_returnflag, 'tax',
+                 CAST(l_tax AS DECIMAL(18,4)) FROM lineitem)
+        SELECT l_returnflag, metric, count(*) AS n,
+               CAST(round(sum(value), 2) AS DOUBLE) AS total,
+               CAST(round(max(value), 2) AS DOUBLE) AS max_value
+        FROM long GROUP BY l_returnflag, metric
     """
     d["q_stream_cdc"] = d["q_cdc_merge"]
     # Streamed near-dup pairs must union to the batch operator's set.

@@ -1008,3 +1008,35 @@ def fk_orphan_audit(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def unpivot_metrics(lineitem: DataFrame) -> DataFrame:
+    """Wide→long reshape (`DataFrame.unpivot`, the melt surface): the
+    four lineitem measures become (metric, value) rows, then one hash
+    agg per (l_returnflag, metric). The unpivot itself is a map-side
+    Expand (4× row amplification before the agg's partial combine, no
+    extra shuffle) — the reshape every metrics store / long-format
+    export needs, with the group agg as the only exchange.
+
+    Money math follows the house DECIMAL rule (sum over decimal(18,4),
+    round, cast double — IEEE-exact and oracle-replayable).
+
+    Output: (l_returnflag, metric, n, total, max_value).
+    """
+    long = lineitem.select(
+        "l_returnflag",
+        _dec("l_quantity").alias("quantity"),
+        _dec("l_extendedprice").alias("extendedprice"),
+        _dec("l_discount").alias("discount"),
+        _dec("l_tax").alias("tax"),
+    ).unpivot(
+        ["l_returnflag"],
+        ["quantity", "extendedprice", "discount", "tax"],
+        "metric",
+        "value",
+    )
+    return long.groupBy("l_returnflag", "metric").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).cast("double").alias("total"),
+        F.round(F.max("value"), 2).cast("double").alias("max_value"),
+    )

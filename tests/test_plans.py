@@ -651,3 +651,22 @@ def test_soft_dedup_summary_plan_has_no_sort_or_join(spark, sf_dir):
     assert n_shuffles(df) == 2
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_unpivot_is_expand_plus_one_exchange(spark, sf_dir, duck):
+    """The melt must be the map-side Expand (no join, no union scan
+    repetition: ONE lineitem scan) and the group agg the only
+    exchange."""
+    from myasynstreamjoin_spark.operators.relational import unpivot_metrics
+    from myasynstreamjoin_spark.sources import tables
+
+    df = unpivot_metrics(tables.load_table(spark, sf_dir, "lineitem"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+    from tests.conftest import assert_matches_oracle
+
+    import __spark_entry__ as contract
+
+    assert_matches_oracle(df, duck, contract.oracle_sql()["q_unpivot"])
