@@ -3933,6 +3933,23 @@ def _q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unpivot_metrics(tables.load_table(spark, sf_dir, "lineitem"))
 
 
+def _q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The waterfilling plan MATERIALIZED under one oracle: per domain,
+    select whole docs in (quality DESC, doc_id) order while the
+    running token total has not reached min(alloc, n_tokens) — the
+    greedy whole-document cut. The per-domain report carries a
+    selected-doc_id checksum so the oracle pins WHICH documents were
+    chosen, composing the q_data_budget and q_quality oracles
+    (functions/pipeline.py::select_to_budget)."""
+    from myasynstreamjoin_spark.functions.pipeline import select_to_budget
+
+    _prep(spark)
+    return select_to_budget(
+        tables.load_table(spark, sf_dir, "documents"),
+        budget_tokens=75_000, max_repeat=3,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver verifies the FIRST 49 entries against
     # their oracles; everything past 49 is covered only by the repo's own
@@ -4205,6 +4222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_line_dedup": _q_stream_line_dedup,      # streaming line-dedup twin
         "q_stream_weighted_sample": _q_stream_weighted_sample,  # order-free streaming reservoir
         "q_unpivot": _q_unpivot,                          # wide→long melt + per-metric agg
+        "q_budget_select": _q_budget_select,              # waterfilling plan materialized
     }
 
 
@@ -8424,6 +8442,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(round(sum(value), 2) AS DOUBLE) AS total,
                CAST(round(max(value), 2) AS DOUBLE) AS max_value
         FROM long GROUP BY l_returnflag, metric
+    """
+    # Budget selection composes the waterfilling-plan and quality
+    # oracles, then replays the greedy whole-doc cut with a window.
+    d["q_budget_select"] = f"""
+        WITH plan AS ({d['q_data_budget']}),
+        q AS ({d['q_quality']}),
+        per_doc AS (
+          SELECT d.doc_id, d.source,
+                 CAST(len(string_split_regex(trim(lower(d.text)), '\\s+'))
+                      AS BIGINT) AS toks,
+                 q.quality
+          FROM documents d JOIN q USING (doc_id)
+          WHERE d.text IS NOT NULL),
+        eff AS (
+          SELECT source, least(alloc, n_tokens) AS eff FROM plan),
+        cum AS (
+          SELECT p.doc_id, p.source, p.toks, e.eff,
+                 COALESCE(sum(p.toks) OVER (
+                   PARTITION BY p.source
+                   ORDER BY p.quality DESC, p.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS cum_prev
+          FROM per_doc p JOIN eff e USING (source))
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs_sel,
+               CAST(sum(toks) AS BIGINT) AS tokens_sel,
+               CAST(sum(doc_id) AS BIGINT) AS sel_id_sum
+        FROM cum WHERE cum_prev < eff
+        GROUP BY source
     """
     d["q_stream_cdc"] = d["q_cdc_merge"]
     # Streamed near-dup pairs must union to the batch operator's set.

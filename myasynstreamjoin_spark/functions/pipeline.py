@@ -1458,3 +1458,64 @@ def sorted_manifest(spark, path: str, id_col: str = "doc_id") -> DataFrame:
         F.min_by(id_col, F.struct("__ord", id_col)).alias("first_id"),
         F.max_by(id_col, F.struct("__ord", id_col)).alias("last_id"),
     )
+
+
+def select_to_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    max_repeat: int = 3,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize the waterfilling plan: `plan_data_budget` decides
+    how many tokens each domain contributes; this op SELECTS the
+    actual documents — per domain, take whole docs in (quality DESC,
+    doc_id) order while the running token total has not yet reached
+    the domain's effective allocation min(alloc, n_tokens) (the doc
+    that crosses the boundary is kept: greedy whole-document cut, the
+    rule curation pipelines use because splitting a doc mid-budget is
+    worse than a few % overshoot). Allocations beyond one epoch
+    (repeat_factor > 1) are an epoch-count concern, not a selection
+    one — selection saturates at the domain's own corpus.
+
+    Scale shape: the plan is a |domains|-row broadcast; scoring +
+    token counts are map-only; the greedy cut is ONE exchange on the
+    domain key with an in-partition cumulative-sum window over NARROW
+    doc-grain rows. Output per domain: (source, n_docs_sel,
+    tokens_sel, sel_id_sum) with the doc_id checksum pinning WHICH
+    docs were chosen, not just how many.
+    """
+    from pyspark.sql import Window
+
+    from myasynstreamjoin_spark.functions.text import quality_score, tokens
+
+    plan = plan_data_budget(
+        docs, budget_tokens, max_repeat, source_col, text_col
+    ).select(
+        "source",
+        F.least(F.col("alloc"), F.col("n_tokens")).alias("__eff"),
+    )
+    per_doc = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            "doc_id",
+            F.col(source_col).alias("source"),
+            F.size(tokens(text_col)).cast("long").alias("__toks"),
+        )
+        .join(quality_score(docs), "doc_id")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sel = (
+        per_doc.join(F.broadcast(plan), "source")
+        .withColumn("__cum_prev", F.coalesce(F.sum("__toks").over(w), F.lit(0)))
+        .where(F.col("__cum_prev") < F.col("__eff"))
+    )
+    return sel.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs_sel"),
+        F.sum("__toks").cast("long").alias("tokens_sel"),
+        F.sum("doc_id").cast("long").alias("sel_id_sum"),
+    )

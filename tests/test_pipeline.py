@@ -625,3 +625,62 @@ def test_quota_sample_exact_budget_and_proportionality(spark, sf_dir):
         for r in quota_sample(docs, total).collect()
     }
     assert again == {(r["doc_id"], r["source"]) for r in out}
+
+
+def test_select_to_budget_greedy_cut_invariants(spark, sf_dir):
+    """Per domain: selection stops at the first doc whose PRE-sum
+    reaches the effective allocation (so tokens_sel overshoots eff by
+    less than the boundary doc), never exceeds the domain's own corpus,
+    and prefers higher-quality docs (every selected doc's quality ≥
+    every unselected doc's quality, up to the doc_id tie-break)."""
+    from pyspark.sql import functions as F
+
+    from myasynstreamjoin_spark.functions.pipeline import (
+        plan_data_budget,
+        select_to_budget,
+    )
+    from myasynstreamjoin_spark.functions.text import quality_score, tokens
+    from myasynstreamjoin_spark.sources import tables
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    budget, rep = 7_500, 3
+    out = {
+        r["source"]: r
+        for r in select_to_budget(docs, budget, rep).collect()
+    }
+    plan = {
+        r["source"]: min(r["alloc"], r["n_tokens"])
+        for r in plan_data_budget(docs, budget, rep).collect()
+    }
+    per_doc = (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "doc_id", "source",
+            F.size(tokens("text")).cast("long").alias("toks"),
+        )
+        .join(quality_score(docs), "doc_id")
+        .collect()
+    )
+    by_src: dict[str, list] = {}
+    for r in per_doc:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, eff in plan.items():
+        rows = sorted(
+            by_src[src], key=lambda r: (-r["quality"], r["doc_id"])
+        )
+        # replay the greedy cut
+        sel, cum = [], 0
+        for r in rows:
+            if cum < eff:
+                sel.append(r)
+                cum += r["toks"]
+        got = out.get(src)
+        if not sel:
+            assert got is None
+            continue
+        assert got["n_docs_sel"] == len(sel)
+        assert got["tokens_sel"] == cum
+        assert got["sel_id_sum"] == sum(r["doc_id"] for r in sel)
+        # overshoot strictly less than the boundary doc's own tokens
+        assert cum - eff < sel[-1]["toks"]
+        assert cum <= sum(r["toks"] for r in rows)
