@@ -87,6 +87,8 @@ DEFAULT = [
     "q_interleave_mm",
     "q_fix_encoding",
     "q_ccnet_buckets",
+    "q_unpivot",
+    "q_budget_select",
     "q_stream_line_dedup",
     "q_stream_weighted_sample",
     "q_stream_drift",
