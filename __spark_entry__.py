@@ -3950,6 +3950,22 @@ def _q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncated-dimension retrieval eval under the oracle:
+    per query (0-3) and prefix dim (8/16/32), the exact cosine top-10
+    on the truncated vectors vs the full-64-dim top-10 — overlap count
+    plus a vec_id-sum checksum of the truncated top-k, the measurement
+    that prices how far an MRL index can cut storage/FLOPs before
+    recall drops (functions/similarity.py::matryoshka_recall)."""
+    from myasynstreamjoin_spark.functions.similarity import (
+        matryoshka_recall,
+    )
+
+    _prep(spark)
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return matryoshka_recall(emb, dims=(8, 16, 32), k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver verifies the FIRST 49 entries against
     # their oracles; everything past 49 is covered only by the repo's own
@@ -4223,6 +4239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_weighted_sample": _q_stream_weighted_sample,  # order-free streaming reservoir
         "q_unpivot": _q_unpivot,                          # wide→long melt + per-metric agg
         "q_budget_select": _q_budget_select,              # waterfilling plan materialized
+        "q_matryoshka": _q_matryoshka,                    # truncated-dim recall eval
     }
 
 
@@ -8471,6 +8488,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(doc_id) AS BIGINT) AS sel_id_sum
         FROM cum WHERE cum_prev < eff
         GROUP BY source
+    """
+    d["q_matryoshka"] = """
+        WITH q AS (
+          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+        dims(d) AS (VALUES (8), (16), (32), (64)),
+        scored AS (
+          SELECT q.query_id, dims.d AS dim, e.vec_id,
+                 round(
+                   list_dot_product((CAST(e.embedding AS DOUBLE[]))[1:dims.d],
+                                    q.qe[1:dims.d])
+                   / (sqrt(list_dot_product((CAST(e.embedding AS DOUBLE[]))[1:dims.d],
+                                            (CAST(e.embedding AS DOUBLE[]))[1:dims.d]))
+                      * sqrt(list_dot_product(q.qe[1:dims.d], q.qe[1:dims.d]))),
+                   4) AS cos
+          FROM embeddings e, q, dims WHERE e.vec_id <> q.query_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id, dim
+                                       ORDER BY cos DESC, vec_id) AS rn
+          FROM scored),
+        topk AS (SELECT query_id, dim, vec_id FROM ranked WHERE rn <= 10),
+        full_k AS (SELECT query_id, vec_id FROM topk WHERE dim = 64),
+        trunc AS (SELECT * FROM topk WHERE dim <> 64),
+        ov AS (
+          SELECT t.query_id, t.dim, count(*) AS n_overlap
+          FROM trunc t JOIN full_k f
+            ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+          GROUP BY 1, 2),
+        sums AS (
+          SELECT query_id, dim, CAST(sum(vec_id) AS BIGINT) AS topk_id_sum
+          FROM trunc GROUP BY 1, 2)
+        SELECT s.query_id, CAST(s.dim AS INT) AS dim,
+               CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+               s.topk_id_sum
+        FROM sums s LEFT JOIN ov o USING (query_id, dim)
     """
     d["q_stream_cdc"] = d["q_cdc_merge"]
     # Streamed near-dup pairs must union to the batch operator's set.

@@ -1333,3 +1333,101 @@ def append_ivf_index(
     assigned.write.mode("append").partitionBy("ivf_cell").format(
         "parquet"
     ).saveAsTable(table)
+
+
+def matryoshka_recall(
+    embs: DataFrame,
+    dims: tuple[int, ...] = (8, 16, 32),
+    k: int = 10,
+    query_ids: tuple[int, ...] = (0, 1, 2, 3),
+) -> DataFrame:
+    """Matryoshka-style truncated-dimension retrieval evaluation: for
+    each query, compare the exact cosine top-k computed on only the
+    FIRST d embedding components against the full-dimension top-k —
+    the measurement that decides how far an MRL-trained index can
+    truncate its vectors (d/64 of the storage and FLOPs) before recall
+    degrades. Emits, per (query, d): the overlap count with the
+    full-dim top-k and a vec_id-sum checksum of the truncated top-k
+    itself, so an oracle verifies WHICH neighbors survive truncation.
+
+    Ranking rule shared with every retrieval op here: cosine rounded
+    to 4 decimals, ties by vec_id — replayable externally.
+
+    Scale shape: queries broadcast (|Q| rows); ONE corpus pass scores
+    every (query, d) pair via slices of the same embedding array
+    (whole-stage codegen zip_with/aggregate, no UDF); per-(query, d)
+    top-k is one window over rows already partitioned by the
+    broadcast-join fan-out — corpus shuffles once into the window.
+
+    Output: (query_id, dim, n_overlap, topk_id_sum).
+    """
+    from pyspark.sql import Window
+
+    full_dim = embs.select(F.size("embedding").alias("d")).first()["d"]
+    if full_dim in dims:
+        # the full dim is the REFERENCE ranking, not a truncation —
+        # including it would silently drop those rows from the output
+        raise ValueError(
+            f"dims must be proper truncations; {full_dim} is the full dim"
+        )
+    qv = (
+        embs.where(F.col("vec_id").isin(*query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("__q"),
+        )
+    )
+    pairs = embs.crossJoin(F.broadcast(qv)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    variants = []
+    for d in tuple(dims) + (full_dim,):
+        a = F.slice("embedding", 1, d)
+        b = F.slice("__q", 1, d)
+        variants.append(
+            F.struct(
+                F.lit(d).cast("int").alias("dim"),
+                F.round(cosine(a, b), 4).alias("cos"),
+            )
+        )
+    long = pairs.select(
+        "query_id",
+        "vec_id",
+        F.explode(F.array(*variants)).alias("v"),
+    ).select("query_id", "vec_id", "v.dim", "v.cos")
+    w = Window.partitionBy("query_id", "dim").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    topk = (
+        long.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("query_id", "dim", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    full = topk.where(F.col("dim") == full_dim).select(
+        F.col("query_id").alias("__fq"), F.col("vec_id").alias("__fv")
+    )
+    trunc = topk.where(F.col("dim") != full_dim)
+    overlap = trunc.join(
+        full,
+        (F.col("query_id") == F.col("__fq"))
+        & (F.col("vec_id") == F.col("__fv")),
+        "left_semi",
+    )
+    return (
+        trunc.groupBy("query_id", "dim")
+        .agg(F.sum("vec_id").cast("long").alias("topk_id_sum"))
+        .join(
+            overlap.groupBy("query_id", "dim").agg(
+                F.count("*").cast("long").alias("n_overlap")
+            ),
+            ["query_id", "dim"],
+            "left",
+        )
+        .select(
+            "query_id",
+            "dim",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            "topk_id_sum",
+        )
+    )

@@ -135,3 +135,27 @@ def test_filtered_topk_is_exact_under_the_filter(spark, sf_dir):
     # query_id=0 fails pred (0 % 3 == 0) yet still probed; it never
     # appears as a result
     assert all(r[0] % 3 == 1 for r in got)
+
+
+def test_matryoshka_recall_invariants(spark, sf_dir):
+    """Every (query, truncation) row present; overlaps bounded by k;
+    a near-full truncation (63 of 64 dims) keeps recall high; passing
+    the full dim as a 'truncation' is rejected (it is the reference
+    ranking, not a variant)."""
+    import pytest
+
+    from myasynstreamjoin_spark.functions.similarity import matryoshka_recall
+    from myasynstreamjoin_spark.sources import tables
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    out = matryoshka_recall(emb, dims=(8, 32, 63), k=10).collect()
+    rows = {(r["query_id"], r["dim"]): r for r in out}
+    assert set(rows) == {(q, d) for q in (0, 1, 2, 3) for d in (8, 32, 63)}
+    for (q, d), r in rows.items():
+        assert 0 <= r["n_overlap"] <= 10
+        assert r["topk_id_sum"] > 0
+        if d == 63:
+            # dropping one of 64 components barely moves the ranking
+            assert r["n_overlap"] >= 8
+    with pytest.raises(ValueError, match="full dim"):
+        matryoshka_recall(emb, dims=(8, 64), k=10)

@@ -89,6 +89,7 @@ DEFAULT = [
     "q_ccnet_buckets",
     "q_unpivot",
     "q_budget_select",
+    "q_matryoshka",
     "q_stream_line_dedup",
     "q_stream_weighted_sample",
     "q_stream_drift",
