@@ -199,6 +199,16 @@ def boilerplate_lines(
     two map-side-combinable hash aggs over the exploded line table;
     the per-group doc totals are a group-count agg small enough to
     broadcast-join back.
+
+    The line explode deliberately RECOMPUTES per branch (here and in
+    `boilerplate_report`/`strip_boilerplate`) instead of being
+    localCheckpoint-ed once: it is a cheap map-only projection that
+    pipelines into each branch's scan stage, and materializing the
+    exploded string table measured ~2× SLOWER at sf1ish (7.5 s vs
+    3.8 s) than three pipelined scans of the compressed source — the
+    opposite trade from the span family's tokenize+gram table, whose
+    recomputation is the expensive part (SCALE.md multi-branch rule
+    applies to expensive branches, not to free ones).
     """
     lines = doc_lines(docs, width, delim, text_col, keep_cols=(by,))
     per_line = (
