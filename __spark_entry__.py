@@ -3966,6 +3966,51 @@ def _q_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matryoshka_recall(emb, dims=(8, 16, 32), k=10)
 
 
+def _q_hygiene_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round's hygiene ops COMPOSED under one oracle: synthesized
+    mojibake corruption (q_fix_encoding's rules) → `fix_mojibake`
+    repair → C4 `line_dedup` on the REPAIRED text → per-source rollup
+    (docs, repairs, residual bad chars, lines, lines removed, clean
+    chars). Each stage is verified alone; this query pins that they
+    chain — the oracle replays corruption, the generated repair chain,
+    the line election, and the rollup in one CTE pipeline
+    (functions/text.py::fix_mojibake + functions/lines.py::line_dedup)."""
+    from myasynstreamjoin_spark.functions.lines import line_dedup
+    from myasynstreamjoin_spark.functions.text import (
+        _mojibake,
+        fix_mojibake,
+    )
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    bad = _mojibake("tabl\u00e9\u2019")
+    c = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.replace(F.col("text"), F.lit("table"), F.lit(bad)),
+    ).otherwise(F.col("text"))
+    c = F.when(
+        F.col("doc_id") % 11 == 0, F.concat(c, F.lit("\ufffd\ufffd"))
+    ).otherwise(c)
+    fixed = fix_mojibake(docs.withColumn("text", c))
+    cleaned = line_dedup(
+        fixed.select("doc_id", F.col("text_fixed").alias("text")),
+        width=12,
+    )
+    return (
+        fixed.join(cleaned, "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_fixes").cast("long").alias("n_fixes"),
+            F.sum("n_bad_chars").cast("long").alias("n_bad_chars"),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.sum("n_removed").cast("long").alias("n_lines_removed"),
+            F.sum(F.length("text_clean")).cast("long").alias("clean_chars"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver verifies the FIRST 49 entries against
     # their oracles; everything past 49 is covered only by the repo's own
@@ -4240,6 +4285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unpivot": _q_unpivot,                          # wide→long melt + per-metric agg
         "q_budget_select": _q_budget_select,              # waterfilling plan materialized
         "q_matryoshka": _q_matryoshka,                    # truncated-dim recall eval
+        "q_hygiene_e2e": _q_hygiene_e2e,                  # repair→line-dedup composed chain
     }
 
 
@@ -8423,6 +8469,69 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS n_bad_chars,
                {_expr} AS text_fixed
         FROM corrupted_t
+    """
+    # The hygiene chain: the SAME corruption + generated repair chain,
+    # then the q_line_dedup election replayed on the REPAIRED text,
+    # rolled up per source.
+    d["q_hygiene_e2e"] = f"""
+        WITH corrupted_t AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0
+                      THEN base || chr(65533) || chr(65533)
+                      ELSE base END AS corrupted
+          FROM (SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN replace(text, 'table', {_bad_tok})
+                            ELSE text END AS base
+                FROM documents WHERE text IS NOT NULL)),
+        fixed AS (
+          SELECT doc_id,
+                 CAST({' + '.join(_fix_terms)} AS BIGINT) AS n_fixes,
+                 CAST(length({_expr}) - length(replace({_expr}, chr(65533), ''))
+                      AS BIGINT) AS n_bad_chars,
+                 {_expr} AS text_fixed
+          FROM corrupted_t),
+        toked AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text_fixed)), '\\s+') AS t
+          FROM fixed),
+        lines AS (
+          SELECT doc_id, CAST(i AS INT) AS line_no,
+                 array_to_string(t[(i*12+1):(i*12+12)], ' ') AS line
+          FROM toked,
+               unnest(generate_series(0, CAST((len(t)+11)//12 AS BIGINT) - 1)) AS u(i)),
+        ranked AS (
+          SELECT doc_id, line_no,
+                 row_number() OVER (PARTITION BY line
+                                    ORDER BY doc_id, line_no) AS rn
+          FROM lines WHERE len(line) >= 1),
+        drops AS (SELECT doc_id, line_no FROM ranked WHERE rn > 1),
+        kept AS (
+          SELECT l.doc_id, l.line_no, l.line
+          FROM lines l LEFT JOIN drops dr
+            ON l.doc_id = dr.doc_id AND l.line_no = dr.line_no
+          WHERE dr.doc_id IS NULL),
+        agg AS (
+          SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS text_clean,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id),
+        per_doc AS (
+          SELECT t.doc_id, t.n_lines,
+                 t.n_lines - coalesce(a.n_kept, 0) AS n_removed,
+                 coalesce(a.text_clean, '') AS text_clean
+          FROM tot t LEFT JOIN agg a USING (doc_id))
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(f.n_fixes) AS BIGINT) AS n_fixes,
+               CAST(sum(f.n_bad_chars) AS BIGINT) AS n_bad_chars,
+               CAST(sum(p.n_lines) AS BIGINT) AS n_lines,
+               CAST(sum(p.n_removed) AS BIGINT) AS n_lines_removed,
+               CAST(sum(len(p.text_clean)) AS BIGINT) AS clean_chars
+        FROM per_doc p
+        JOIN fixed f USING (doc_id)
+        JOIN documents d USING (doc_id)
+        GROUP BY d.source
     """
     # CCNet terciles compose the perplexity oracle with the same
     # integer rank rule the engine applies.

@@ -90,6 +90,7 @@ DEFAULT = [
     "q_unpivot",
     "q_budget_select",
     "q_matryoshka",
+    "q_hygiene_e2e",
     "q_stream_line_dedup",
     "q_stream_weighted_sample",
     "q_stream_drift",
