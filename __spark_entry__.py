@@ -4011,6 +4011,32 @@ def _q_hygiene_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round trip under the oracle: documents export
+    hive-PARTITIONED by source to ORC (the second built-in columnar
+    format; Avro's module jar is environment-gated like Kafka), read
+    back with a one-source partition filter — directory pruning, the
+    unmatched partitions' files never open (PartitionFilters-locked in
+    tests/test_textfile_sources.py) — and the surviving rows must equal the
+    parquet truth for that source, column for column
+    (sources/textfiles.py::write_documents_orc/read_documents_orc)."""
+    import tempfile
+
+    from myasynstreamjoin_spark.sources.textfiles import (
+        read_documents_orc,
+        write_documents_orc,
+    )
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="orc_rt_") + "/docs"
+    write_documents_orc(docs, path)
+    src = docs.select("source").orderBy("source").first()["source"]
+    return read_documents_orc(spark, path, source=src).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver verifies the FIRST 49 entries against
     # their oracles; everything past 49 is covered only by the repo's own
@@ -4286,6 +4312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_budget_select": _q_budget_select,              # waterfilling plan materialized
         "q_matryoshka": _q_matryoshka,                    # truncated-dim recall eval
         "q_hygiene_e2e": _q_hygiene_e2e,                  # repair→line-dedup composed chain
+        "q_orc_roundtrip": _q_orc_roundtrip,              # hive-partitioned ORC round trip
     }
 
 
@@ -8632,6 +8659,11 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
                s.topk_id_sum
         FROM sums s LEFT JOIN ov o USING (query_id, dim)
+    """
+    d["q_orc_roundtrip"] = """
+        SELECT doc_id, text, lang, source, n_chars
+        FROM documents
+        WHERE source = (SELECT min(source) FROM documents)
     """
     d["q_stream_cdc"] = d["q_cdc_merge"]
     # Streamed near-dup pairs must union to the batch operator's set.

@@ -50,6 +50,8 @@ HEADLINE = [
     "q_semantic_decontaminate",  # embedding-space decontamination (broadcast bench)
     "q_epoch_interleave",     # stride-scheduled epoch shuffle + source mixing
     "q_remove_spans",         # ExactSubstr-style duplicate-span removal
+    "q_line_dedup",           # C4-style keep-first line dedup (r6)
+    "q_interleave_mm",        # interleaved multimodal assembly (r6)
     "q_semantic_dedup_arrow",  # SemDeDup cluster-then-pair (Arrow scale kernel;
                               # the SQL twin carries the DuckDB oracle)
     "q_stream_min_count_window",  # Structured Streaming flagship

@@ -127,3 +127,28 @@ def read_documents_csv(
         .csv(path)
     )
     return _split_corrupt(raw)
+
+
+def write_documents_orc(
+    docs: DataFrame, path: str, partition_by: str = "source"
+) -> None:
+    """Hive-partitioned ORC export — the second columnar interchange
+    format next to parquet (Avro stays environment-gated like Kafka:
+    its external module jar is not in this sandbox and there is no
+    network; ORC support is built into Spark core). Partitioning by a
+    low-cardinality column makes the partition value a DIRECTORY, so
+    a reader filtering on it opens only that directory's files —
+    verified via the executed plan's PartitionFilters in
+    tests/test_textfile_sources.py."""
+    docs.write.mode("overwrite").partitionBy(partition_by).orc(path)
+
+
+def read_documents_orc(
+    spark: SparkSession, path: str, source: str | None = None
+) -> DataFrame:
+    """Read the ORC export back; ``source`` pushes a partition filter
+    (directory pruning — unmatched partitions' files never open)."""
+    df = spark.read.orc(path)
+    if source is not None:
+        df = df.where(F.col("source") == source)
+    return df

@@ -87,3 +87,38 @@ def test_csv_writer_rejects_newlines(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="newlines"):
         write_documents_csv(docs, os.path.join(str(tmp_path), "bad_csv"))
+
+
+def test_orc_roundtrip_and_partition_pruning(spark, tmp_path):
+    """ORC hive-partitioned export: a source filter opens ONLY that
+    partition's directory (inputFiles), and the surviving rows round-
+    trip exactly."""
+    from myasynstreamjoin_spark.sources.textfiles import (
+        read_documents_orc,
+        write_documents_orc,
+    )
+
+    rows = [
+        (1, "alpha beta", "en", "web", 10),
+        (2, "gamma delta", "en", "book", 11),
+        (3, "epsilon zeta", "de", "web", 12),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "orc")
+    write_documents_orc(docs, path)
+    got = read_documents_orc(spark, path, source="web")
+    # path-based relations don't re-plan inputFiles() under a filter;
+    # the executed plan's PartitionFilters entry is the pruning proof
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*source[^\]]*web[^\]]*\]", plan)
+    assert m, plan
+    back = sorted(
+        (r["doc_id"], r["text"], r["source"]) for r in got.collect()
+    )
+    assert back == [(1, "alpha beta", "web"), (3, "epsilon zeta", "web")]
+    # no filter → both partitions, all rows
+    assert read_documents_orc(spark, path).count() == 3
