@@ -4037,6 +4037,49 @@ def _q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL quantile-sketch bank (rows-only: no SQL engine
+    reproduces the estimator): per (event_type, day) sketches merged
+    per type, p10/p50/p90 estimates audited in-query against exact
+    percentiles with a 5% band — `q_sketch_distinct`'s sibling for
+    ORDER statistics (operators/stats.py::quantile_sketch_shards /
+    quantile_sketch_rollup)."""
+    from myasynstreamjoin_spark.operators.stats import (
+        quantile_sketch_rollup,
+        quantile_sketch_shards,
+    )
+
+    _prep(spark)
+    ev = tables.load_table(spark, sf_dir, "events")
+    exact = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        *[
+            F.expr(f"percentile(value, {q + s * 0.05})").alias(
+                f"q{int(q*100)}_{'hi' if s > 0 else 'lo'}"
+            )
+            for q in (0.1, 0.5, 0.9)
+            for s in (-1, 1)
+        ]
+    )
+    return quantile_sketch_rollup(
+        quantile_sketch_shards(ev), exact=exact
+    )
+
+
+def _q_theta_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch distinct-set algebra (rows-only): per-event-type
+    user sketches, then union / intersection / difference estimates
+    per pair — the audience-overlap questions that are anti-join +
+    countDistinct rescans in exact form. Exactness below the sketch
+    threshold is pinned against join-based truth in
+    tests/test_sketches.py (operators/stats.py::audience_set_algebra)."""
+    from myasynstreamjoin_spark.operators.stats import audience_set_algebra
+
+    _prep(spark)
+    ev = tables.load_table(spark, sf_dir, "events")
+    pairs = [("click", "purchase"), ("view", "error"), ("signup", "click")]
+    return audience_set_algebra(ev, pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver verifies the FIRST 49 entries against
     # their oracles; everything past 49 is covered only by the repo's own
@@ -4313,6 +4356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_matryoshka": _q_matryoshka,                    # truncated-dim recall eval
         "q_hygiene_e2e": _q_hygiene_e2e,                  # repair→line-dedup composed chain
         "q_orc_roundtrip": _q_orc_roundtrip,              # hive-partitioned ORC round trip
+        "q_kll_quantiles": _q_kll_quantiles,              # mergeable quantile-sketch bank (rows-only)
+        "q_theta_audience": _q_theta_audience,            # theta set algebra (rows-only)
     }
 
 

@@ -926,3 +926,165 @@ def distinct_sketch_rollup(
             <= F.lit(tolerance) * F.col("n_exact")
         ).alias("approx_ok"),
     )
+
+
+def quantile_sketch_shards(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    shard: Column | None = None,
+    k: int = 200,
+) -> DataFrame:
+    """Per-shard MERGEABLE quantile sketches (Apache DataSketches KLL
+    via ``kll_sketch_agg_double``) — `distinct_sketch_shards`' sibling
+    for ORDER statistics: each (group, shard) cell keeps one ~KB
+    sketch that merges later to answer any-quantile queries over any
+    shard subset without rescanning data. At 100 TB this is how
+    percentile dashboards work: exact percentiles need a global sort
+    per question; the sketch bank answers every question from
+    metadata. Shard rule shared with the HLL op (day bucket when a
+    ``ts`` column exists, else id-hash buckets).
+
+    Output: (grp, shard, sketch, n_local).
+    """
+    if shard is None:
+        dtypes = dict(df.dtypes)
+        if dtypes.get("ts", "").startswith("timestamp"):
+            shard = F.expr("CAST(ts AS DATE)").cast("string")
+        elif "ts" in dtypes:
+            shard = F.expr("ts DIV 86400000000000").cast("string")
+        else:
+            shard = (F.xxhash64(value_col) % 16).cast("string")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"), shard.alias("shard"))
+        .agg(
+            F.kll_sketch_agg_double(
+                F.col(value_col).cast("double"), F.lit(k)
+            ).alias("sketch")
+        )
+        .select(
+            "grp",
+            "shard",
+            "sketch",
+            F.kll_sketch_get_n_double("sketch").cast("long").alias("n_local"),
+        )
+    )
+
+
+def quantile_sketch_rollup(
+    sketches: DataFrame,
+    quantiles: tuple[float, ...] = (0.1, 0.5, 0.9),
+    exact: DataFrame | None = None,
+    tolerance: float = 0.05,
+) -> DataFrame:
+    """Merge per-shard KLL sketches into per-group quantile estimates;
+    with an ``exact`` frame carrying RANK bands (grp, q<pct>_lo =
+    exact percentile at q−tolerance, q<pct>_hi = at q+tolerance), the
+    audit path flags whether every merged estimate lies inside its
+    band. Rank (never value) error is KLL's guarantee: where the CDF
+    is sparse, the value at rank q±ε can sit far from the value at q,
+    so a relative-VALUE band would flag correct sketches. Aggregates
+    sketch rows only — the rollup never rescans data.
+
+    Output: (grp, n_shards, n_total, est_q<pct>...
+    [, q<pct>_lo/q<pct>_hi..., approx_ok]).
+    """
+    # kll_sketch_merge_double is a BINARY scalar (no union aggregate
+    # exists for KLL, unlike hll_union_agg) — collect the per-group
+    # shard sketches (n_shards smallish by construction: one per
+    # (group, day)) and fold them with a higher-order aggregate.
+    merged = (
+        sketches.groupBy("grp")
+        .agg(
+            F.count("*").alias("n_shards"),
+            F.collect_list("sketch").alias("__arr"),
+        )
+        .withColumn(
+            "__m",
+            F.aggregate(
+                F.slice(F.col("__arr"), 2, F.greatest(F.size("__arr") - 1, F.lit(0))),
+                F.element_at("__arr", 1),
+                lambda acc, x: F.kll_sketch_merge_double(acc, x),
+            ),
+        )
+    )
+    cols = [
+        F.kll_sketch_get_quantile_double(F.col("__m"), F.lit(q)).alias(
+            f"est_q{int(q * 100)}"
+        )
+        for q in quantiles
+    ]
+    out = merged.select(
+        "grp",
+        "n_shards",
+        F.kll_sketch_get_n_double("__m").cast("long").alias("n_total"),
+        *cols,
+    )
+    if exact is None:
+        return out
+    checks = [
+        F.col(f"est_q{int(q*100)}").between(
+            F.col(f"q{int(q*100)}_lo"), F.col(f"q{int(q*100)}_hi")
+        )
+        for q in quantiles
+    ]
+    ok = checks[0]
+    for c in checks[1:]:
+        ok = ok & c
+    return out.join(exact, "grp").withColumn("approx_ok", ok)
+
+
+def audience_set_algebra(
+    df: DataFrame,
+    pairs: list[tuple[str, str]],
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Distinct-set ALGEBRA without joins (Apache DataSketches Theta
+    via ``theta_sketch_agg``): one sketch per group, then union /
+    intersection / difference estimates for the requested group pairs
+    — "users who did BOTH a and b" / "a but never b", the audience-
+    overlap questions that are anti-join + countDistinct rescans in
+    exact form but pure sketch arithmetic here. Theta (unlike HLL)
+    supports intersection/difference, which is why both sketch
+    families exist in the bank: HLL for cheapest pure unions, Theta
+    for set expressions.
+
+    One corpus pass builds |groups| sketches; every pair row after
+    that is driver-light sketch math. Output per pair: (a, b, est_a,
+    est_b, est_union, est_intersection, est_a_minus_b).
+    """
+    sk = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.theta_sketch_agg(
+                F.col(value_col).cast("string"), F.lit(lg_k)
+            ).alias("sk")
+        )
+    )
+    a = sk.select(F.col("g").alias("a"), F.col("sk").alias("__sa"))
+    b = sk.select(F.col("g").alias("b"), F.col("sk").alias("__sb"))
+    spark = df.sparkSession
+    want = spark.createDataFrame(pairs, "a string, b string")
+    return (
+        want.join(F.broadcast(a), "a")
+        .join(F.broadcast(b), "b")
+        .select(
+            "a",
+            "b",
+            F.theta_sketch_estimate("__sa").cast("long").alias("est_a"),
+            F.theta_sketch_estimate("__sb").cast("long").alias("est_b"),
+            F.theta_sketch_estimate(
+                F.theta_union(F.col("__sa"), F.col("__sb"))
+            ).cast("long").alias("est_union"),
+            F.theta_sketch_estimate(
+                F.theta_intersection(F.col("__sa"), F.col("__sb"))
+            ).cast("long").alias("est_intersection"),
+            F.theta_sketch_estimate(
+                F.theta_difference(F.col("__sa"), F.col("__sb"))
+            ).cast("long").alias("est_a_minus_b"),
+        )
+    )
