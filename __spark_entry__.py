@@ -4080,6 +4080,48 @@ def _q_theta_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audience_set_algebra(ev, pairs)
 
 
+def _q_stream_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Theta accumulator (rows-only, like its batch twin):
+    events arrive in an UNORDERED user-parity split; sketch union is
+    order-free and exact below threshold, so the streamed audience
+    algebra equals q_theta_audience's batch answer integer-for-integer
+    (pinned in tests/test_stream_sketches.py)
+    (streaming/sketches.py)."""
+    import os
+    import tempfile
+
+    from myasynstreamjoin_spark.streaming.sketches import (
+        read_theta_algebra,
+        run_stream_theta_sketches,
+    )
+
+    _prep(spark)
+    ev = tables.load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_theta_")
+    feed = _stage_parquet_feed(
+        (
+            ev.where(F.col("user_id") % 2 == 0),
+            ev.where(F.col("user_id") % 2 == 1),
+        ),
+        tmp,
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    run_stream_theta_sketches(
+        stream,
+        spark,
+        work_dir=os.path.join(tmp, "wt"),
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+    )
+    pairs = [("click", "purchase"), ("view", "error"), ("signup", "click")]
+    return read_theta_algebra(spark, os.path.join(tmp, "wt"), pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver verifies the FIRST 49 entries against
     # their oracles; everything past 49 is covered only by the repo's own
@@ -4358,6 +4400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_orc_roundtrip": _q_orc_roundtrip,              # hive-partitioned ORC round trip
         "q_kll_quantiles": _q_kll_quantiles,              # mergeable quantile-sketch bank (rows-only)
         "q_theta_audience": _q_theta_audience,            # theta set algebra (rows-only)
+        "q_stream_theta": _q_stream_theta,                # streaming theta accumulator (rows-only)
     }
 
 
