@@ -236,3 +236,88 @@ def read_theta_algebra(
             ).cast("long").alias("est_a_minus_b"),
         )
     )
+
+
+def update_batch_hll_sketches(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    lg_k: int = 12,
+):
+    """Merge one micro-batch into per-group HLL distinct-count state —
+    the third accumulator, completing the trio (quantiles, set
+    algebra, pure distinct counts; HLL is the cheapest when only
+    unions are ever needed)."""
+    bid = int(batch_id)
+    bspark = batch_df.sparkSession
+    fresh = (
+        batch_df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.hll_sketch_agg(
+                F.col(value_col).cast("string"), F.lit(lg_k)
+            ).alias("sketch")
+        )
+    )
+    base_v = replay_base_version(state_dir, bid)
+    if base_v is not None:
+        old = bspark.read.parquet(os.path.join(state_dir, f"v{base_v}"))
+    else:
+        old = bspark.createDataFrame([], fresh.schema)
+    merged = (
+        old.unionByName(fresh)
+        .groupBy("grp")
+        .agg(F.hll_union_agg("sketch").alias("sketch"))
+    )
+
+    def commit_state() -> None:
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{bid}")
+        )
+
+    return commit_state
+
+
+def run_stream_hll_sketches(
+    docs: DataFrame,
+    spark: SparkSession,
+    work_dir: str,
+    checkpoint_dir: str,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    lg_k: int = 12,
+) -> None:
+    state_dir = os.path.join(work_dir, "hll")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        update_batch_hll_sketches(
+            batch_df, state_dir, int(batch_id), group_col, value_col, lg_k
+        )()
+
+    q = (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(process)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_distinct_estimates(
+    spark: SparkSession, work_dir: str
+) -> DataFrame | None:
+    """Per-group distinct-count estimates from the LATEST committed
+    HLL state."""
+    state_dir = os.path.join(work_dir, "hll")
+    v = latest_version(state_dir)
+    if v is None:
+        return None
+    return spark.read.parquet(os.path.join(state_dir, f"v{v}")).select(
+        "grp",
+        F.hll_sketch_estimate("sketch").cast("long").alias("est_distinct"),
+    )

@@ -123,3 +123,32 @@ def test_stream_theta_replay_is_idempotent(spark, sf_dir, tmp_path):
         for r in read_theta_algebra(spark, str(tmp_path / "wt"), PAIRS).collect()
     )
     assert first == second
+
+
+def test_stream_hll_matches_exact_at_test_cardinality(spark, sf_dir, tmp_path):
+    """HLL at lg_k=12 over test cardinalities (≪ 2^12) estimates
+    exactly; the streamed accumulator must therefore equal exact
+    countDistinct per group under the unordered split."""
+    from myasynstreamjoin_spark.streaming.sketches import (
+        read_distinct_estimates,
+        run_stream_hll_sketches,
+    )
+
+    ev, schema = _stage_events(spark, sf_dir, tmp_path)
+    run_stream_hll_sketches(
+        _stream(spark, tmp_path, schema),
+        spark,
+        work_dir=str(tmp_path / "wh"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = {
+        r["grp"]: r["est_distinct"]
+        for r in read_distinct_estimates(spark, str(tmp_path / "wh")).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == exact
