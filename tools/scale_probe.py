@@ -91,6 +91,9 @@ DEFAULT = [
     "q_budget_select",
     "q_matryoshka",
     "q_hygiene_e2e",
+    "q_kll_quantiles",
+    "q_theta_audience",
+    "q_stream_theta",
     "q_stream_line_dedup",
     "q_stream_weighted_sample",
     "q_stream_drift",
