@@ -4122,6 +4122,28 @@ def _q_stream_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_theta_algebra(spark, os.path.join(tmp, "wt"), pairs)
 
 
+def _q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-edge per-(user, type) debounce under the oracle: bursts
+    chain while consecutive raw gaps < 1 h and each burst keeps its
+    first event — the retry/double-fire suppressor; the oracle replays
+    the lag+cumsum burst assignment
+    (operators/sessions.py::debounce_events)."""
+    from myasynstreamjoin_spark.operators.sessions import debounce_events
+
+    _prep(spark)
+    return debounce_events(tables.load_table(spark, sf_dir, "events"))
+
+
+def _q_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-clock rate limit under the oracle: at most one event per
+    (user, type) per 1 h bucket, integer floor-div bucketing
+    (operators/sessions.py::throttle_events)."""
+    from myasynstreamjoin_spark.operators.sessions import throttle_events
+
+    _prep(spark)
+    return throttle_events(tables.load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver verifies the FIRST 49 entries against
     # their oracles; everything past 49 is covered only by the repo's own
@@ -4401,6 +4423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kll_quantiles": _q_kll_quantiles,              # mergeable quantile-sketch bank (rows-only)
         "q_theta_audience": _q_theta_audience,            # theta set algebra (rows-only)
         "q_stream_theta": _q_stream_theta,                # streaming theta accumulator (rows-only)
+        "q_debounce": _q_debounce,                        # leading-edge event debounce
+        "q_throttle": _q_throttle,                        # fixed-clock event rate limit
     }
 
 
@@ -8752,6 +8776,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, text, lang, source, n_chars
         FROM documents
         WHERE source = (SELECT min(source) FROM documents)
+    """
+    d["q_debounce"] = """
+        WITH e AS (
+          SELECT user_id, event_type, event_id,
+                 epoch_ns(ts) // 1000 AS ts_us
+          FROM events),
+        l AS (
+          SELECT *, lag(ts_us) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts_us, event_id) AS prev
+          FROM e),
+        b AS (
+          SELECT *, sum(CASE WHEN prev IS NOT NULL
+                              AND ts_us - prev >= 3600000000
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id, event_type
+                          ORDER BY ts_us, event_id) AS burst
+          FROM l),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY user_id, event_type, burst
+                                       ORDER BY ts_us, event_id) AS rn
+          FROM b)
+        SELECT user_id, event_type, event_id, CAST(ts_us AS BIGINT) AS ts_us
+        FROM r WHERE rn = 1
+    """
+    d["q_throttle"] = """
+        WITH e AS (
+          SELECT user_id, event_type, event_id,
+                 epoch_ns(ts) // 1000 AS ts_us
+          FROM events),
+        b AS (
+          SELECT *, CAST(ts_us // 3600000000 AS BIGINT) AS bucket FROM e),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY user_id, event_type, bucket
+                                       ORDER BY ts_us, event_id) AS rn
+          FROM b)
+        SELECT user_id, event_type, event_id,
+               CAST(ts_us AS BIGINT) AS ts_us, bucket
+        FROM r WHERE rn = 1
     """
     d["q_stream_cdc"] = d["q_cdc_merge"]
     # Streamed near-dup pairs must union to the batch operator's set.

@@ -370,3 +370,77 @@ def cep_pattern(
             & (F.col("__veto.ts") < F.col("__then.ts")),
         ).alias("blocked"),
     )
+
+
+def debounce_events(
+    events: DataFrame, min_gap_us: int = 3_600_000_000
+) -> DataFrame:
+    """Per-(user, event_type) DEBOUNCE, leading edge: the inactivity
+    timer resets on EVERY arrival (the classic debounce contract), so
+    events chain into a burst while consecutive raw gaps are
+    < ``min_gap_us`` and each burst keeps exactly its FIRST event —
+    the double-click/retry suppressor every event pipeline runs before
+    counting anything. A continuous burst, however long, collapses to
+    one event; if instead you want "at most one event per key per time
+    window" regardless of burst shape, that is `throttle_events`.
+
+    Implemented as the lag+cumsum burst assignment and a first-of-
+    burst filter. ONE exchange on the key; both window passes ride the
+    same partitioning. Timestamps compared at µs like `event_gaps`.
+
+    Output: the surviving events as (user_id, event_type, event_id,
+    ts_us) — downstream counts join back by event_id if they need the
+    full row.
+    """
+    ts_us = F.expr("ts DIV 1000")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_us", "event_id"
+    )
+    burst = F.sum(
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(w) >= min_gap_us, 1
+        ).otherwise(0)
+    ).over(w)
+    flagged = (
+        events.select("user_id", "event_type", "event_id", ts_us.alias("ts_us"))
+        .withColumn("__burst", burst)
+        .withColumn("__rn", F.row_number().over(
+            Window.partitionBy("user_id", "event_type", "__burst").orderBy(
+                "ts_us", "event_id"
+            )
+        ))
+    )
+    return flagged.where(F.col("__rn") == 1).select(
+        "user_id", "event_type", "event_id", "ts_us"
+    )
+
+
+def throttle_events(
+    events: DataFrame, window_us: int = 3_600_000_000
+) -> DataFrame:
+    """Per-(user, event_type) RATE LIMIT: at most one event per key per
+    fixed ``window_us`` time bucket (the first one) — debounce's
+    fixed-clock sibling: a continuous burst spanning three buckets
+    keeps three events (one per bucket) where `debounce_events` would
+    keep one. Bucketing is floor(ts / window_us), so the rule is a
+    pure projection; survivor election is one groupBy-free window
+    ranked pass. ONE exchange on (key, bucket).
+
+    Output: (user_id, event_type, event_id, ts_us, bucket).
+    """
+    ts_us = F.expr("ts DIV 1000")
+    # integer DIV, never `/`+cast: ANSI `/` on longs is a DOUBLE whose
+    # rounding can flip a bucket boundary that exact floor-div wouldn't
+    bucket = F.expr(f"ts_us DIV {int(window_us)}")
+    w = Window.partitionBy("user_id", "event_type", "bucket").orderBy(
+        "ts_us", "event_id"
+    )
+    return (
+        events.select(
+            "user_id", "event_type", "event_id", ts_us.alias("ts_us")
+        )
+        .withColumn("bucket", bucket)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -94,6 +94,8 @@ DEFAULT = [
     "q_kll_quantiles",
     "q_theta_audience",
     "q_stream_theta",
+    "q_debounce",
+    "q_throttle",
     "q_stream_line_dedup",
     "q_stream_weighted_sample",
     "q_stream_drift",
