@@ -4144,6 +4144,44 @@ def _q_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return throttle_events(tables.load_table(spark, sf_dir, "events"))
 
 
+def _q_stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_debounce: events arrive in two ASCENDING
+    event-time ranges; the burst chain continues across the boundary
+    via one last-raw-ts state row per key (seeded into the batch
+    kernel as a non-emittable pseudo-event), so the per-batch survivor
+    sinks union to EXACTLY the batch answer — shared oracle
+    (streaming/debounce.py)."""
+    import os
+    import tempfile
+
+    from myasynstreamjoin_spark.streaming.debounce import (
+        read_kept_events,
+        run_stream_debounce,
+    )
+
+    _prep(spark)
+    ev = tables.load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_type", "event_id"
+    )
+    mid = ev.agg(F.expr("percentile(ts, 0.5)")).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="stream_deb_")
+    feed = _stage_parquet_feed(
+        (ev.where(F.col("ts") <= mid), ev.where(F.col("ts") > mid)), tmp
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    run_stream_debounce(
+        stream,
+        spark,
+        work_dir=os.path.join(tmp, "deb"),
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+    )
+    return read_kept_events(spark, os.path.join(tmp, "deb"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver verifies the FIRST 49 entries against
     # their oracles; everything past 49 is covered only by the repo's own
@@ -4425,6 +4463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_theta": _q_stream_theta,                # streaming theta accumulator (rows-only)
         "q_debounce": _q_debounce,                        # leading-edge event debounce
         "q_throttle": _q_throttle,                        # fixed-clock event rate limit
+        "q_stream_debounce": _q_stream_debounce,          # cross-batch burst-chain debounce
     }
 
 
@@ -8815,6 +8854,9 @@ def oracle_sql() -> dict[str, str]:
                CAST(ts_us AS BIGINT) AS ts_us, bucket
         FROM r WHERE rn = 1
     """
+    # Ascending event-time batches + the last-raw-ts seed make the
+    # streamed burst chain identical to the batch one.
+    d["q_stream_debounce"] = d["q_debounce"]
     d["q_stream_cdc"] = d["q_cdc_merge"]
     # Streamed near-dup pairs must union to the batch operator's set.
     d["q_stream_neardup"] = d["q_minhash_pairs"]
