@@ -4182,6 +4182,43 @@ def _q_stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_kept_events(spark, os.path.join(tmp, "deb"))
 
 
+def _q_stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_throttle: ascending event-time batches;
+    one (key, last_bucket) state row drops the later half of any
+    bucket spanning the boundary, so the per-batch survivor sinks
+    union to EXACTLY the batch answer — shared oracle
+    (streaming/debounce.py::throttle_batch_with_state)."""
+    import os
+    import tempfile
+
+    from myasynstreamjoin_spark.streaming.debounce import (
+        read_kept_events,
+        run_stream_throttle,
+    )
+
+    _prep(spark)
+    ev = tables.load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_type", "event_id"
+    )
+    mid = ev.agg(F.expr("percentile(ts, 0.5)")).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="stream_thr_")
+    feed = _stage_parquet_feed(
+        (ev.where(F.col("ts") <= mid), ev.where(F.col("ts") > mid)), tmp
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    run_stream_throttle(
+        stream,
+        spark,
+        work_dir=os.path.join(tmp, "thr"),
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+    )
+    return read_kept_events(spark, os.path.join(tmp, "thr"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver verifies the FIRST 49 entries against
     # their oracles; everything past 49 is covered only by the repo's own
@@ -4464,6 +4501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_debounce": _q_debounce,                        # leading-edge event debounce
         "q_throttle": _q_throttle,                        # fixed-clock event rate limit
         "q_stream_debounce": _q_stream_debounce,          # cross-batch burst-chain debounce
+        "q_stream_throttle": _q_stream_throttle,          # cross-batch bucket rate limit
     }
 
 
@@ -8857,6 +8895,7 @@ def oracle_sql() -> dict[str, str]:
     # Ascending event-time batches + the last-raw-ts seed make the
     # streamed burst chain identical to the batch one.
     d["q_stream_debounce"] = d["q_debounce"]
+    d["q_stream_throttle"] = d["q_throttle"]
     d["q_stream_cdc"] = d["q_cdc_merge"]
     # Streamed near-dup pairs must union to the batch operator's set.
     d["q_stream_neardup"] = d["q_minhash_pairs"]

@@ -140,3 +140,96 @@ def read_kept_events(spark: SparkSession, work_dir: str) -> DataFrame | None:
     if not dirs:
         return None
     return spark.read.parquet(*dirs)
+
+
+def throttle_batch_with_state(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    window_us: int = 3_600_000_000,
+):
+    """Streaming fixed-clock throttle: state is one (user, event_type,
+    last_bucket) row per key — under ascending event-time feeds only
+    the LATEST bucket can span a batch boundary, so dropping batch
+    survivors whose bucket equals the state bucket makes the streamed
+    survivors exactly the batch `throttle_events` answer. Returns
+    ``(kept, commit_state)``."""
+    from myasynstreamjoin_spark.operators.sessions import throttle_events
+
+    bid = int(batch_id)
+    bspark = batch_df.sparkSession
+
+    base_v = replay_base_version(state_dir, bid)
+    state_schema = "user_id long, event_type string, last_bucket long"
+    if base_v is not None:
+        state = bspark.read.parquet(os.path.join(state_dir, f"v{base_v}"))
+    else:
+        state = bspark.createDataFrame([], state_schema)
+
+    survivors = throttle_events(batch_df, window_us)
+    kept = (
+        survivors.join(
+            state.withColumnRenamed("last_bucket", "bucket"),
+            ["user_id", "event_type", "bucket"],
+            "left_anti",
+        )
+        # the list-form join moves its keys to the front; re-project
+        # the batch operator's column order so the per-batch sinks
+        # union schema-identically with it
+        .select(*survivors.columns)
+        .localCheckpoint(eager=True)
+    )
+
+    new_state = (
+        batch_df.select(
+            "user_id",
+            "event_type",
+            F.expr(f"(ts DIV 1000) DIV {int(window_us)}").alias("last_bucket"),
+        )
+        .groupBy("user_id", "event_type")
+        .agg(F.max("last_bucket").alias("last_bucket"))
+    )
+    merged_state = (
+        state.unionByName(new_state)
+        .groupBy("user_id", "event_type")
+        .agg(F.max("last_bucket").alias("last_bucket"))
+    )
+
+    def commit_state() -> None:
+        merged_state.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{bid}")
+        )
+
+    return kept, commit_state
+
+
+def run_stream_throttle(
+    docs: DataFrame,
+    spark: SparkSession,
+    work_dir: str,
+    checkpoint_dir: str,
+    window_us: int = 3_600_000_000,
+) -> None:
+    kept_dir = os.path.join(work_dir, "kept")
+    state_dir = os.path.join(work_dir, "state")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        bid = int(batch_id)
+        kept, commit_state = throttle_batch_with_state(
+            batch_df, state_dir, bid, window_us
+        )
+        kept.write.mode("overwrite").parquet(
+            os.path.join(kept_dir, f"b{bid}")
+        )
+        commit_state()
+
+    q = (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(process)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -97,6 +97,7 @@ DEFAULT = [
     "q_debounce",
     "q_throttle",
     "q_stream_debounce",
+    "q_stream_throttle",
     "q_stream_line_dedup",
     "q_stream_weighted_sample",
     "q_stream_drift",
