@@ -4219,6 +4219,46 @@ def _q_stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_kept_events(spark, os.path.join(tmp, "thr"))
 
 
+def _q_observed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`DataFrame.observe` under the oracle: per-stage pipeline
+    metrics (rows/chars in, rows/chars surviving a fixed quality gate)
+    collected as ACCUMULATOR-style observations riding the one data
+    pass — the zero-extra-cost alternative to re-counting each stage
+    with its own action; the returned frame is the metrics table and
+    the oracle recomputes every number from scratch. The observation
+    read is a driver-side control read of four longs."""
+    from pyspark.sql import Observation
+
+    from myasynstreamjoin_spark.functions.text import quality_score
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    obs_in = Observation("in")
+    obs_out = Observation("out")
+    staged = docs.observe(
+        obs_in,
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum("n_chars").cast("long").alias("chars_in"),
+    )
+    gated = (
+        staged.join(quality_score(staged), "doc_id")
+        .where(F.col("quality") >= 0.5)
+        .observe(
+            obs_out,
+            F.count(F.lit(1)).alias("n_pass"),
+            F.sum("n_chars").cast("long").alias("chars_pass"),
+        )
+    )
+    gated.count()  # one action drives both observation points
+    m = {**obs_in.get, **obs_out.get}
+    return spark.createDataFrame(
+        [(k, int(m[k] or 0)) for k in ("n_in", "chars_in", "n_pass", "chars_pass")],
+        "metric string, value long",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver verifies the FIRST 49 entries against
     # their oracles; everything past 49 is covered only by the repo's own
@@ -4502,6 +4542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_throttle": _q_throttle,                        # fixed-clock event rate limit
         "q_stream_debounce": _q_stream_debounce,          # cross-batch burst-chain debounce
         "q_stream_throttle": _q_stream_throttle,          # cross-batch bucket rate limit
+        "q_observed_pipeline": _q_observed_pipeline,      # observe()-riding stage metrics
     }
 
 
@@ -8896,6 +8937,24 @@ def oracle_sql() -> dict[str, str]:
     # streamed burst chain identical to the batch one.
     d["q_stream_debounce"] = d["q_debounce"]
     d["q_stream_throttle"] = d["q_throttle"]
+    d["q_observed_pipeline"] = f"""
+        WITH q AS (
+          SELECT d.doc_id, d.n_chars, qq.quality
+          FROM documents d JOIN ({{}}) qq USING (doc_id)
+          WHERE d.text IS NOT NULL)
+        SELECT 'n_in' AS metric,
+               CAST(count(*) AS BIGINT) AS value
+        FROM documents WHERE text IS NOT NULL
+        UNION ALL
+        SELECT 'chars_in', CAST(sum(n_chars) AS BIGINT)
+        FROM documents WHERE text IS NOT NULL
+        UNION ALL
+        SELECT 'n_pass', CAST(count(*) AS BIGINT)
+        FROM q WHERE quality >= 0.5
+        UNION ALL
+        SELECT 'chars_pass', CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+        FROM q WHERE quality >= 0.5
+    """.format(d["q_quality"])
     d["q_stream_cdc"] = d["q_cdc_merge"]
     # Streamed near-dup pairs must union to the batch operator's set.
     d["q_stream_neardup"] = d["q_minhash_pairs"]
