@@ -4259,6 +4259,20 @@ def _q_observed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_json_props' VARIANT twin: Spark 4's schema-less
+    semi-structured type — try_parse_json once, typing at extraction
+    via try_variant_get — with the from_json path's exact output
+    contract, so both share one oracle
+    (functions/json_ops.py::props_stats_variant)."""
+    from myasynstreamjoin_spark.functions.json_ops import (
+        props_stats_variant,
+    )
+
+    _prep(spark)
+    return props_stats_variant(tables.load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver verifies the FIRST 49 entries against
     # their oracles; everything past 49 is covered only by the repo's own
@@ -4543,6 +4557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_debounce": _q_stream_debounce,          # cross-batch burst-chain debounce
         "q_stream_throttle": _q_stream_throttle,          # cross-batch bucket rate limit
         "q_observed_pipeline": _q_observed_pipeline,      # observe()-riding stage metrics
+        "q_variant_props": _q_variant_props,              # VARIANT semi-structured twin
     }
 
 
@@ -8937,6 +8952,9 @@ def oracle_sql() -> dict[str, str]:
     # streamed burst chain identical to the batch one.
     d["q_stream_debounce"] = d["q_debounce"]
     d["q_stream_throttle"] = d["q_throttle"]
+    # The VARIANT extraction path must agree with from_json on every
+    # number — one oracle for both.
+    d["q_variant_props"] = d["q_json_props"]
     d["q_observed_pipeline"] = f"""
         WITH q AS (
           SELECT d.doc_id, d.n_chars, qq.quality

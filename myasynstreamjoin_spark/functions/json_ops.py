@@ -45,3 +45,39 @@ def props_stats(
             F.max("__k").cast("int").alias("max_k"),
         )
     )
+
+
+def props_stats_variant(
+    events: DataFrame,
+    json_col: str = "props",
+    path: str = "$.k",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """`props_stats`' VARIANT twin (Spark 4's semi-structured type):
+    ``try_parse_json`` ingests the blob ONCE into the binary VARIANT
+    encoding with no up-front schema, and typing happens at EXTRACTION
+    (``try_variant_get`` with a JSON path) — the open-schema lakehouse
+    pattern for event properties whose fields drift, where
+    ``from_json`` would need a schema migration per drift. Malformed
+    blobs become NULL variants (counted, like the from_json path —
+    silent drop rates are a data-quality signal).
+
+    Same output contract as `props_stats`, so the two paths share one
+    oracle and can never diverge semantically:
+    (group, n_rows, n_bad, sum_k, min_k, max_k).
+    """
+    v = F.expr(f"try_parse_json({json_col})")
+    k = F.try_variant_get(v, path, "int")
+    return (
+        events.select(group_col, k.alias("__k"))
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("__k").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_bad"),
+            F.sum("__k").cast("long").alias("sum_k"),
+            F.min("__k").cast("int").alias("min_k"),
+            F.max("__k").cast("int").alias("max_k"),
+        )
+    )

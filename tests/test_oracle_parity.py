@@ -53,3 +53,30 @@ def test_driver_window_is_fully_oracle_backed():
     head = first50[:22]
     assert head[0] == "q_min_count_batch"
     assert "q_triangles" in head and "q_stream_min_count_window" in head
+
+
+def test_variant_twin_handles_malformed_and_matches_from_json(spark):
+    """The VARIANT path must (a) null-count malformed blobs exactly
+    like the from_json path and (b) agree with it row-for-row on a
+    mixed feed."""
+    from myasynstreamjoin_spark.functions.json_ops import (
+        props_stats,
+        props_stats_variant,
+    )
+
+    rows = [
+        (1, "click", '{"k": 3}'),
+        (2, "click", "not json"),
+        (3, "click", None),
+        (4, "view", '{"k": -7}'),
+        (5, "view", '{"other": 1}'),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, props string"
+    )
+    a = sorted(tuple(r) for r in props_stats(ev).collect())
+    b = sorted(tuple(r) for r in props_stats_variant(ev).collect())
+    assert a == b
+    d = {r[0]: r for r in b}
+    assert d["click"][2] == 2  # n_bad: malformed + NULL blob
+    assert d["view"][2] == 1   # n_bad: missing field
