@@ -4312,7 +4312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_min_count_window": _q_stream_min_count_window,  # T2/T3, J1 streaming
         # --- rotating driver-window slots (23-50) ---
         # The driver independently verifies the first 50 registry
-        # positions; the pytest mirror covers all 175 oracle-backed
+        # positions; the pytest mirror covers every oracle-backed
         # queries every session. Positions 1-22 are the fixed SURVEY §2
         # inventory head; these slots ROTATE each round through queries
         # the driver has never checked (union of CORRECTNESS_r*.json
