@@ -171,3 +171,22 @@ def vacuum_snapshots(snapshot_dir: str, keep: int = 2) -> list[int]:
         shutil.rmtree(os.path.join(snapshot_dir, f"v{v}"))
         removed.append(v)
     return sorted(removed)
+
+
+def drain_foreach_batch(docs, checkpoint_dir: str, process) -> None:
+    """The shared drain loop of every accumulated-index / stateful
+    foreachBatch stream in this package: run the (bounded, for tests)
+    stream to exhaustion and stop. Factored so the replay-safety
+    contract (checkpointLocation + processAllAvailable + stop in a
+    finally) lives in one place; the older stream modules predate it
+    and still inline the identical block."""
+    q = (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(process)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

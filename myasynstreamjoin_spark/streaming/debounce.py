@@ -28,7 +28,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from myasynstreamjoin_spark.streaming.cdc import replay_base_version
+from myasynstreamjoin_spark.streaming.cdc import drain_foreach_batch, replay_base_version
 
 
 def debounce_batch_with_state(
@@ -114,16 +114,7 @@ def run_stream_debounce(
         )
         commit_state()
 
-    q = (
-        docs.writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(process)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    drain_foreach_batch(docs, checkpoint_dir, process)
 
 
 def read_kept_events(spark: SparkSession, work_dir: str) -> DataFrame | None:
@@ -223,13 +214,4 @@ def run_stream_throttle(
         )
         commit_state()
 
-    q = (
-        docs.writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(process)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    drain_foreach_batch(docs, checkpoint_dir, process)

@@ -39,7 +39,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from myasynstreamjoin_spark.streaming.cdc import replay_base_version
+from myasynstreamjoin_spark.streaming.cdc import drain_foreach_batch, replay_base_version
 
 
 def dedup_batch_against_lines(
@@ -131,16 +131,7 @@ def run_stream_line_dedup(
         )
         commit_index()
 
-    q = (
-        docs.writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(process)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    drain_foreach_batch(docs, checkpoint_dir, process)
 
 
 def read_clean_docs(spark: SparkSession, work_dir: str) -> DataFrame | None:

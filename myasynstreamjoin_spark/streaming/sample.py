@@ -27,7 +27,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from myasynstreamjoin_spark.streaming.cdc import latest_version, replay_base_version
+from myasynstreamjoin_spark.streaming.cdc import drain_foreach_batch, latest_version, replay_base_version
 
 
 def sample_batch_with_reservoir(
@@ -91,16 +91,7 @@ def run_stream_weighted_sample(
         )
         commit_state()
 
-    q = (
-        docs.writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(process)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    drain_foreach_batch(docs, checkpoint_dir, process)
 
 
 def read_sample(spark: SparkSession, work_dir: str) -> DataFrame | None:

@@ -24,7 +24,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from myasynstreamjoin_spark.streaming.cdc import latest_version, replay_base_version
+from myasynstreamjoin_spark.streaming.cdc import drain_foreach_batch, latest_version, replay_base_version
 
 
 def _merge_kll(sketches_col):
@@ -101,16 +101,7 @@ def run_stream_quantile_sketches(
             batch_df, state_dir, int(batch_id), group_col, value_col, k
         )()
 
-    q = (
-        docs.writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(process)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    drain_foreach_batch(docs, checkpoint_dir, process)
 
 
 def read_quantile_estimates(
@@ -190,16 +181,7 @@ def run_stream_theta_sketches(
             batch_df, state_dir, int(batch_id), group_col, value_col, lg_k
         )()
 
-    q = (
-        docs.writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(process)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    drain_foreach_batch(docs, checkpoint_dir, process)
 
 
 def read_theta_algebra(
@@ -296,16 +278,7 @@ def run_stream_hll_sketches(
             batch_df, state_dir, int(batch_id), group_col, value_col, lg_k
         )()
 
-    q = (
-        docs.writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(process)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    drain_foreach_batch(docs, checkpoint_dir, process)
 
 
 def read_distinct_estimates(
