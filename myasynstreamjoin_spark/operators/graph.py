@@ -27,6 +27,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def _ckpt_edge_grain(df: DataFrame) -> DataFrame:
+    """localCheckpoint for EDGE-grain frames, DISK_ONLY blocks: the
+    default storage buffers per-task block arrays on heap while
+    writing, and at the sf10ish probe's 239 M-edge table that OOM'd
+    the JVM during the checkpoint itself. Edge-grain loop invariants
+    are written once and re-read sequentially per iteration, so disk
+    blocks cost one scan's latency and nothing else; NODE-grain
+    frames (ranks, labels, node lists) stay on the default level —
+    they are small and re-read hot."""
+    return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
 
 #: total PageRank mass in micro-units (10^12 — headroom: sums stay
 #: far below 2^63 even with 10^9 nodes).
@@ -143,7 +156,8 @@ def triangle_count_edges(
     oriented = with_deg.select(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
-    ).localCheckpoint(eager=True)
+    )
+    oriented = _ckpt_edge_grain(oriented)
     # out-neighbor adjacency arrays (≤ O(√m) entries each, by
     # orientation); intersect per edge row — no wedge materialization
     adj = oriented.groupBy("lo").agg(F.collect_list("hi").alias("nbrs"))
@@ -230,7 +244,7 @@ def pagerank_edges(
     # join it once and checkpoint — otherwise each of the n_iters plans
     # re-runs the edges⋈deg shuffle (measured 1.67 GB → 0.9 GB total
     # shuffle at the sf1 probe).
-    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
+    edges_deg = _ckpt_edge_grain(edges.join(deg, "src"))
     nodes = (
         edges.select(F.col("src").alias("part"))
         .distinct()
