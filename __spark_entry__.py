@@ -4273,6 +4273,21 @@ def _q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return props_stats_variant(tables.load_table(spark, sf_dir, "events"))
 
 
+def _q_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EDA-style augmentation under the oracle: disjoint
+    adjacent-pair swaps then per-position deletions, every decision an
+    md5 bucket of (doc_id, position, role, salt) — the oracle replays
+    the exact variant token-for-token
+    (functions/pipeline.py::augment_docs)."""
+    from myasynstreamjoin_spark.functions.pipeline import augment_docs
+
+    _prep(spark)
+    return augment_docs(
+        tables.load_table(spark, sf_dir, "documents"),
+        p_swap_pct=10, p_delete_pct=10,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver verifies the FIRST 49 entries against
     # their oracles; everything past 49 is covered only by the repo's own
@@ -4558,6 +4573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_throttle": _q_stream_throttle,          # cross-batch bucket rate limit
         "q_observed_pipeline": _q_observed_pipeline,      # observe()-riding stage metrics
         "q_variant_props": _q_variant_props,              # VARIANT semi-structured twin
+        "q_augment": _q_augment,                          # deterministic EDA augmentation
     }
 
 
@@ -8973,6 +8989,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'chars_pass', CAST(coalesce(sum(n_chars), 0) AS BIGINT)
         FROM q WHERE quality >= 0.5
     """.format(d["q_quality"])
+    d["q_augment"] = f"""
+        WITH toked AS (
+          SELECT doc_id, {_DOC_TOKENS} AS t
+          FROM documents WHERE text IS NOT NULL),
+        pos AS (
+          SELECT doc_id, t, len(t) AS n, CAST(i AS BIGINT) AS i
+          FROM toked, unnest(generate_series(1, len(t))) AS u(i)),
+        drawn AS (
+          SELECT doc_id, t, n, i,
+                 CAST('0x' || substr(md5(doc_id || ':' ||
+                      (i - ((i + 1) % 2)) || ':swap:aug'), 1, 8)
+                      AS BIGINT) % 100 AS d_swap_head,
+                 CAST('0x' || substr(md5(doc_id || ':' || i || ':del:aug'),
+                      1, 8) AS BIGINT) % 100 AS d_del
+          FROM pos),
+        sw AS (
+          SELECT doc_id, n, i,
+                 CASE WHEN i % 2 = 1 AND i < n AND d_swap_head < 10
+                        THEN t[CAST(i + 1 AS BIGINT)]
+                      WHEN i % 2 = 0 AND d_swap_head < 10
+                        THEN t[CAST(i - 1 AS BIGINT)]
+                      ELSE t[CAST(i AS BIGINT)] END AS tok,
+                 d_del >= 10 AS keep,
+                 (i % 2 = 1 AND i < n AND d_swap_head < 10) AS swap_head
+          FROM drawn)
+        SELECT doc_id,
+               CAST(max(n) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN swap_head THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_swapped_pairs,
+               CAST(count(*) - count(*) FILTER (WHERE keep) AS BIGINT)
+                 AS n_deleted,
+               coalesce(string_agg(tok, ' ' ORDER BY i)
+                        FILTER (WHERE keep), '') AS text_aug
+        FROM sw GROUP BY doc_id
+    """
     d["q_stream_cdc"] = d["q_cdc_merge"]
     # Streamed near-dup pairs must union to the batch operator's set.
     d["q_stream_neardup"] = d["q_minhash_pairs"]

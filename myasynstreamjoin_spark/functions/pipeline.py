@@ -1519,3 +1519,108 @@ def select_to_budget(
         F.sum("__toks").cast("long").alias("tokens_sel"),
         F.sum("doc_id").cast("long").alias("sel_id_sum"),
     )
+
+
+def augment_docs(
+    docs: DataFrame,
+    p_swap_pct: int = 10,
+    p_delete_pct: int = 10,
+    salt: str = "aug",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic EDA-style text augmentation (Wei & Zou 2019's
+    random-swap + random-deletion, the thesaurus-free pair): produce
+    one augmented variant per document with every property rand()
+    lacks — reproducible across runs, engines, and stage retries, and
+    REPLAYABLE by the oracle, because each decision is an md5 bucket
+    of (doc_id, position, salt).
+
+    Semantics (order matters, pinned): (1) SWAP — each disjoint
+    adjacent pair (positions 1-2, 3-4, … 1-based) swaps iff the pair's
+    first position draws < p_swap_pct of 100; (2) DELETE — each
+    position of the swapped stream is dropped iff its own draw <
+    p_delete_pct (different salt role, so swap and delete decisions
+    are independent). A fully-deleted doc yields ''. Changing ``salt``
+    draws an independent variant — run it k times for k-fold
+    augmentation.
+
+    Map-only: both stages are higher-order functions over the token
+    array (no shuffle, no UDF); the per-token md5 is the same
+    replayable draw `hash_split`/`weighted_sample_k` build on.
+
+    Output: (doc_id, n_tokens, n_swapped_pairs, n_deleted, text_aug).
+    """
+    from myasynstreamjoin_spark.functions.text import tokens
+
+    t_col = tokens(text_col)
+    base = docs.where(F.col(text_col).isNotNull()).select(
+        "doc_id", t_col.alias("__t")
+    )
+    t = F.col("__t")
+    n = F.size(t)
+
+    def draw(pos: Column, role: str) -> Column:
+        # md5 bucket in [0, 100) of (doc_id:pos:role:salt) — exactly
+        # reproducible in SQL as CAST('0x'||substr(md5(..),1,8) AS
+        # BIGINT) % 100
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("doc_id").cast("string"),
+                            pos.cast("string"),
+                            F.lit(role),
+                            F.lit(salt),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        )
+
+    # stage 1: swap disjoint adjacent pairs; position i (1-based) takes
+    # its partner's token when the pair fires
+    pair_head = lambda i: i - ((i + 1) % 2)  # noqa: E731  (1,2)->1 (3,4)->3
+    fire = lambda i: (  # noqa: E731
+        draw(pair_head(i), "swap") < F.lit(int(p_swap_pct))
+    )
+    swapped = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(
+            ((i % 2) == 1) & (i < n) & fire(i), F.element_at(t, i + 1)
+        )
+        .when(((i % 2) == 0) & fire(i), F.element_at(t, i - 1))
+        .otherwise(F.element_at(t, i)),
+    )
+    n_swapped = F.size(
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: ((i % 2) == 1) & (i < n) & fire(i),
+        )
+    )
+    # stage 2: per-position deletion over the swapped stream
+    kept_idx = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: draw(i, "del") >= F.lit(int(p_delete_pct)),
+    )
+    sw = F.col("__sw")
+    return (
+        base.withColumn("__sw", swapped)
+        .withColumn("__n_swapped", n_swapped)
+        .select(
+            "doc_id",
+            n.cast("long").alias("n_tokens"),
+            F.col("__n_swapped").cast("long").alias("n_swapped_pairs"),
+            (n - F.size(kept_idx)).cast("long").alias("n_deleted"),
+            F.concat_ws(
+                " ",
+                F.transform(kept_idx, lambda i: F.element_at(sw, i)),
+            ).alias("text_aug"),
+        )
+    )

@@ -684,3 +684,65 @@ def test_select_to_budget_greedy_cut_invariants(spark, sf_dir):
         # overshoot strictly less than the boundary doc's own tokens
         assert cum - eff < sel[-1]["toks"]
         assert cum <= sum(r["toks"] for r in rows)
+
+
+def test_augment_matches_hashlib_model(spark):
+    """The augmented variant must equal a plain-Python replay of the
+    md5-draw semantics token-for-token, and changing the salt draws a
+    different (still deterministic) variant."""
+    import hashlib
+    import re
+
+    from myasynstreamjoin_spark.functions.pipeline import augment_docs
+
+    def draw(doc_id, pos, role, salt):
+        h = hashlib.md5(f"{doc_id}:{pos}:{role}:{salt}".encode()).hexdigest()
+        return int(h[:8], 16) % 100
+
+    def model(doc_id, text, ps, pd, salt):
+        toks = re.split(r"\s+", text.strip().lower())
+        n = len(toks)
+        sw, n_sw = [], 0
+        for i in range(1, n + 1):
+            if i % 2 == 1 and i < n and draw(doc_id, i, "swap", salt) < ps:
+                sw.append(toks[i])  # partner (i+1, 0-based i)
+            elif i % 2 == 0 and draw(doc_id, i - 1, "swap", salt) < ps:
+                sw.append(toks[i - 2])
+            else:
+                sw.append(toks[i - 1])
+        for i in range(1, n + 1):
+            if i % 2 == 1 and i < n and draw(doc_id, i, "swap", salt) < ps:
+                n_sw += 1
+        kept = [
+            sw[i - 1]
+            for i in range(1, n + 1)
+            if draw(doc_id, i, "del", salt) >= pd
+        ]
+        return (n, n_sw, n - len(kept), " ".join(kept))
+
+    rows = [(i, f"w{j} " * (5 + i % 7) + "end") for i, j in enumerate(range(9))]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in rows], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_swapped_pairs"], r["n_deleted"], r["text_aug"]
+        )
+        for r in augment_docs(docs, 30, 25).collect()
+    }
+    for doc_id, text in rows:
+        assert got[doc_id] == model(doc_id, text, 30, 25, "aug"), doc_id
+    # independent variant under a different salt
+    other = {
+        r["doc_id"]: r["text_aug"]
+        for r in augment_docs(docs, 30, 25, salt="aug2").collect()
+    }
+    assert any(other[d] != got[d][3] for d, _ in rows)
+    # and augmentation is map-only
+    plan = (
+        augment_docs(docs, 30, 25)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan

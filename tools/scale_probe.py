@@ -91,6 +91,7 @@ DEFAULT = [
     "q_budget_select",
     "q_matryoshka",
     "q_hygiene_e2e",
+    "q_augment",
     "q_kll_quantiles",
     "q_theta_audience",
     "q_stream_theta",
