@@ -4288,6 +4288,19 @@ def _q_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_link_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction negative sampling under the oracle: every
+    co-purchase node pairs with the node half an md5-rotation away
+    (fixed derangement-style pairing), real edges anti-joined out —
+    the deterministic negative set a link predictor trains on; the
+    oracle replays ranking, rotation, and the anti-join
+    (operators/graph.py::link_negative_pairs)."""
+    from myasynstreamjoin_spark.operators.graph import link_negative_pairs
+
+    _prep(spark)
+    return link_negative_pairs(_graph_edges(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver verifies the FIRST 49 entries against
     # their oracles; everything past 49 is covered only by the repo's own
@@ -4574,6 +4587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_observed_pipeline": _q_observed_pipeline,      # observe()-riding stage metrics
         "q_variant_props": _q_variant_props,              # VARIANT semi-structured twin
         "q_augment": _q_augment,                          # deterministic EDA augmentation
+        "q_link_negatives": _q_link_negatives,            # link-prediction negative sampling
     }
 
 
@@ -9023,6 +9037,36 @@ def oracle_sql() -> dict[str, str]:
                coalesce(string_agg(tok, ' ' ORDER BY i)
                         FILTER (WHERE keep), '') AS text_aug
         FROM sw GROUP BY doc_id
+    """
+    d["q_link_negatives"] = """
+        WITH items AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        bounded AS (
+          SELECT l_orderkey FROM items
+          GROUP BY l_orderkey HAVING count(*) <= 64),
+        edges AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM items a
+          JOIN items b ON a.l_orderkey = b.l_orderkey
+                      AND a.l_partkey < b.l_partkey
+          JOIN bounded ON a.l_orderkey = bounded.l_orderkey),
+        nodes AS (
+          SELECT u AS node FROM edges UNION SELECT v FROM edges),
+        ranked AS (
+          SELECT node,
+                 row_number() OVER (ORDER BY md5(CAST(node AS VARCHAR)),
+                                    node) - 1 AS r
+          FROM nodes),
+        params AS (SELECT count(*) AS n FROM ranked),
+        cand AS (
+          SELECT DISTINCT least(x.node, y.node) AS u,
+                          greatest(x.node, y.node) AS v
+          FROM ranked x, ranked y, params p
+          WHERE y.r = (x.r + greatest(1, p.n // 2)) % p.n
+            AND x.node <> y.node)
+        SELECT c.u, c.v
+        FROM cand c LEFT JOIN edges e ON c.u = e.u AND c.v = e.v
+        WHERE e.u IS NULL
     """
     d["q_stream_cdc"] = d["q_cdc_merge"]
     # Streamed near-dup pairs must union to the batch operator's set.

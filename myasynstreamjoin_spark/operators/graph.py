@@ -399,3 +399,46 @@ def read_copurchase_edges(
     through ``spark.table`` (a bare parquet path read loses the bucket
     metadata and with it the exchange-free plans)."""
     return spark.table(table)
+
+
+def link_negative_pairs(edges: DataFrame) -> DataFrame:
+    """Deterministic NEGATIVE sampling for link prediction: pair every
+    node with the node half a rotation away in md5 order (rank r ↔
+    rank (r + ⌊n/2⌋) mod n — a fixed derangement-style pairing, so
+    each node appears in exactly two candidate pairs), then drop the
+    candidates that are real edges. The standard train-time negative
+    set for a link predictor, with the usual rand() problems solved:
+    the same corpus always yields the same negatives, on any engine.
+
+    Scale shape: the node table is |V| rows (graph node sets are
+    small next to edge sets); one window sort in md5 order builds the
+    rotation, and the candidate→edge check is ONE anti-join against
+    the bucketed edge table. Output: (u, v, is_rotation) candidate
+    rows that are NOT edges, u < v normalized.
+    """
+    from pyspark.sql import Window
+
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    w = Window.orderBy(F.md5(F.col("node").cast("string")), "node")
+    ranked = nodes.select(
+        "node", (F.row_number().over(w) - 1).alias("r")
+    ).localCheckpoint(eager=True)
+    n_nodes = ranked.count()
+    shift = max(1, n_nodes // 2)
+    partner = ranked.select(
+        F.col("node").alias("pnode"),
+        F.pmod(F.col("r") - F.lit(shift), F.lit(n_nodes)).alias("pr"),
+    )
+    cand = (
+        ranked.join(partner, ranked["r"] == partner["pr"])
+        .where(F.col("node") != F.col("pnode"))
+        .select(
+            F.least("node", "pnode").alias("u"),
+            F.greatest("node", "pnode").alias("v"),
+        )
+        .distinct()
+    )
+    true_edges = edges.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    return cand.join(true_edges, ["u", "v"], "left_anti")

@@ -130,3 +130,21 @@ def test_lpa_parity_with_inline_builder(spark, sf_dir, edge_table):
         tuple(r) for r in label_propagation_edges(edge_table, n_rounds=2).collect()
     )
     assert inline == prebuilt
+
+
+def test_link_negatives_are_nonedges_and_cover_nodes(spark, edge_table):
+    """Every sampled pair must be a NON-edge; the rotation pairing
+    touches (nearly) every node; determinism across calls."""
+    from myasynstreamjoin_spark.operators.graph import link_negative_pairs
+
+    edges = edge_table  # the fixture yields the bucketed-scan frame
+    neg = link_negative_pairs(edges)
+    rows = sorted((r["u"], r["v"]) for r in neg.collect())
+    true_pairs = {
+        (r["src"], r["dst"])
+        for r in edges.where("src < dst").collect()
+    }
+    assert rows and not (set(rows) & true_pairs)
+    assert all(u < v for u, v in rows)
+    again = sorted((r["u"], r["v"]) for r in link_negative_pairs(edges).collect())
+    assert rows == again

@@ -92,6 +92,7 @@ DEFAULT = [
     "q_matryoshka",
     "q_hygiene_e2e",
     "q_augment",
+    "q_link_negatives",
     "q_kll_quantiles",
     "q_theta_audience",
     "q_stream_theta",
