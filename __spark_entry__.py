@@ -1936,13 +1936,18 @@ def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-distribution entropy per document (gibberish gate):
-    integer nano-nat contributions, micro-nat-rounded result — no
-    engine-fragile round(double, 6) anywhere."""
+    """Character-distribution entropy per document (gibberish gate).
+    Oracle-facing grain is the summed nano-nat BIGINT (round-6 advice
+    item): per-term nano integers are measured cross-engine-exact on
+    the driver datasets (≥2× boundary margin, functions/text.py
+    docstring), and the BIGINT sum removes the one remaining micro
+    re-rounding boundary — fully integer compare, no float anywhere."""
     from myasynstreamjoin_spark.functions.text import char_entropy
 
     _prep(spark)
-    return char_entropy(tables.load_table(spark, sf_dir, "documents"))
+    return char_entropy(
+        tables.load_table(spark, sf_dir, "documents"), grain="nano"
+    )
 
 
 def _q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1971,12 +1976,26 @@ def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized packed training samples: exactly-128-token
     sequences laid head-to-tail per shard in doc_id order, partial
     tails dropped (functions/pipeline.py::pack_chunks — the
-    materializer on top of q_pack_sequences' assignment)."""
+    materializer on top of q_pack_sequences' assignment).
+
+    Driver-facing shape: the library emits the raw ``tokens
+    array<string>`` column, but the driver's canonicalizer can only
+    sort/hash SCALAR cells (r6 red: ``unhashable type:
+    numpy.ndarray``), so this registered form replaces the array with
+    ``md5(concat_ws(' ', tokens))`` — a deterministic digest both
+    engines compute identically; the array API stays unchanged for
+    library users, and tests/test_pack_chunks.py pins the raw form."""
     from myasynstreamjoin_spark.functions.pipeline import pack_chunks
 
     _prep(spark)
-    return pack_chunks(
+    out = pack_chunks(
         tables.load_table(spark, sf_dir, "documents"), budget=128, n_shards=8
+    )
+    return out.select(
+        "shard",
+        "seq_id",
+        "n_docs",
+        F.md5(F.concat_ws(" ", "tokens")).alias("digest"),
     )
 
 
@@ -2562,17 +2581,49 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing shape: the library emits the full ``unit``
+    array (kept for API users; element-wise pytest parity), but the
+    driver canon cannot hash array cells (r6 q_pack_chunks class), so
+    the registered form folds the unit vector into an ORDER-SENSITIVE
+    integer digest Σ i·round(u_i·1e6) both engines replay exactly
+    (elements are already 6-dp-rounded doubles)."""
     from myasynstreamjoin_spark.functions.embeddings import l2_normalize
 
     _prep(spark)
-    return l2_normalize(tables.load_table(spark, sf_dir, "embeddings"))
+    out = l2_normalize(tables.load_table(spark, sf_dir, "embeddings"))
+    weighted = F.zip_with(
+        F.col("unit"),
+        F.sequence(F.lit(1), F.size("unit")),
+        lambda x, i: F.round(x * 1e6).cast("long") * i.cast("long"),
+    )
+    return out.select(
+        "vec_id",
+        "norm",
+        F.aggregate(weighted, F.lit(0).cast("long"), lambda a, b: a + b)
+        .alias("unit_digest"),
+    )
 
 
 def _q_embed_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing shape: same digest discipline as q_embed_norm —
+    the int8 code array is folded to Σ i·q_i (exact integers, order
+    pinned by the position weight); the raw array API stays in
+    functions/embeddings.py."""
     from myasynstreamjoin_spark.functions.embeddings import quantize_int8
 
     _prep(spark)
-    return quantize_int8(tables.load_table(spark, sf_dir, "embeddings"))
+    out = quantize_int8(tables.load_table(spark, sf_dir, "embeddings"))
+    weighted = F.zip_with(
+        F.col("q"),
+        F.sequence(F.lit(1), F.size("q")),
+        lambda x, i: x.cast("long") * i.cast("long"),
+    )
+    return out.select(
+        "vec_id",
+        "scale",
+        F.aggregate(weighted, F.lit(0).cast("long"), lambda a, b: a + b)
+        .alias("q_digest"),
+    )
 
 
 def _q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6106,9 +6157,12 @@ def _oracle_sql_base() -> dict[str, str]:
                                 * 1e9) AS BIGINT) AS nano
               FROM f JOIN t USING (doc_id)),
             s AS (SELECT doc_id, sum(nano) AS s FROM nn GROUP BY 1)
+            -- oracle-facing grain is the nano-nat BIGINT sum (round-6
+            -- advice): per-term nanos are measured cross-engine-exact,
+            -- and the integer sum drops the last rounding boundary.
             SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_chars,
                    CAST(t.nd AS BIGINT) AS n_distinct,
-                   CAST((s.s + 500) // 1000 AS DOUBLE) / 1e6 AS entropy
+                   CAST(s.s AS BIGINT) AS nano_entropy
             FROM t JOIN s USING (doc_id)
         """,
         "q_shard_manifest": f"""
@@ -6174,7 +6228,11 @@ def _oracle_sql_base() -> dict[str, str]:
                      count(DISTINCT doc_id) AS n_docs,
                      list(tok ORDER BY off) AS tokens
               FROM placed GROUP BY 1, 2)
-            SELECT shard, seq_id, CAST(n_docs AS BIGINT) AS n_docs, tokens
+            -- scalar digest instead of the raw array: the driver canon
+            -- cannot hash ndarray cells (r6 red); md5 over the
+            -- space-joined tokens matches Spark's md5(concat_ws(' ', ..)).
+            SELECT shard, seq_id, CAST(n_docs AS BIGINT) AS n_docs,
+                   md5(array_to_string(tokens, ' ')) AS digest
             FROM agg WHERE len(tokens) = 128
         """,
         "q_pii_scrub": """
@@ -6203,20 +6261,34 @@ def _oracle_sql_base() -> dict[str, str]:
                 '\\+?[0-9][0-9 ()-]{6,}[0-9]', '[PHONE]', 'g') AS clean
             FROM aug
         """,
+        # arrays are driver-unhashable (r6 q_pack_chunks class): both
+        # embed oracles fold the vector into the same order-sensitive
+        # Σ i·elem integer digest the Spark wrapper computes.
         "q_embed_norm": """
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-            n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS norm FROM v)
-            SELECT vec_id, round(norm, 6) AS norm,
-                   list_transform(e, x -> round(x / norm, 6)) AS unit
-            FROM n
+            n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS norm FROM v),
+            u AS (SELECT vec_id, round(norm, 6) AS norm,
+                         list_transform(e, x -> round(x / norm, 6)) AS unit
+                  FROM n),
+            d AS (SELECT vec_id,
+                         sum(CAST(round(unit[i] * 1e6) AS BIGINT) * i) AS unit_digest
+                  FROM u, unnest(generate_series(1, len(unit))) AS g(i)
+                  GROUP BY 1)
+            SELECT u.vec_id, u.norm, CAST(d.unit_digest AS BIGINT) AS unit_digest
+            FROM u JOIN d USING (vec_id)
         """,
         "q_embed_quant": """
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
             m AS (SELECT vec_id, e,
-                         list_max(list_transform(e, x -> abs(x))) AS amax FROM v)
-            SELECT vec_id, round(127.0 / amax, 6) AS scale,
-                   list_transform(e, x -> CAST(round(x * (127.0 / amax)) AS INT)) AS q
-            FROM m
+                         list_max(list_transform(e, x -> abs(x))) AS amax FROM v),
+            qq AS (SELECT vec_id, round(127.0 / amax, 6) AS scale,
+                          list_transform(e, x -> CAST(round(x * (127.0 / amax)) AS INT)) AS q
+                   FROM m),
+            d AS (SELECT vec_id, sum(CAST(q[i] AS BIGINT) * i) AS q_digest
+                  FROM qq, unnest(generate_series(1, len(q))) AS g(i)
+                  GROUP BY 1)
+            SELECT qq.vec_id, qq.scale, CAST(d.q_digest AS BIGINT) AS q_digest
+            FROM qq JOIN d USING (vec_id)
         """,
         "q_zorder": f"""
             WITH z AS ({zvalue_sql('(SELECT l_partkey, l_suppkey FROM lineitem)',
@@ -9102,7 +9174,7 @@ def oracle_sql() -> dict[str, str]:
         ts AS ({d['q_textstats']}),
         j AS (
           SELECT doc.source, doc.doc_id, q.quality, l.lang_guess,
-                 e.n_chars, e.entropy, ds.n_spans, ds.n_dup_spans,
+                 e.n_chars, e.nano_entropy, ds.n_spans, ds.n_dup_spans,
                  ts.n_tokens
           FROM documents doc
           JOIN q USING (doc_id) JOIN l USING (doc_id)
@@ -9116,7 +9188,9 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS n_en,
                CAST(sum(CAST(round(quality * 1e6) AS BIGINT)) AS DOUBLE)
                  / (count(*) * 1000000.0) AS avg_quality,
-               CAST(sum(CAST(round(entropy * 1e6) AS BIGINT)) AS DOUBLE)
+               -- (nano + 500) // 1000 IS the micro integer the card's
+               -- Spark side sums (char_entropy grain="micro" × 1e6)
+               CAST(sum((nano_entropy + 500) // 1000) AS DOUBLE)
                  / (count(*) * 1000000.0) AS avg_entropy,
                CAST(sum(n_dup_spans) AS DOUBLE)
                  / CAST(sum(n_spans) AS DOUBLE) AS dup_frac

@@ -520,7 +520,9 @@ def collocations(
     )
 
 
-def char_entropy(docs: DataFrame, kernel: str = "sql") -> DataFrame:
+def char_entropy(
+    docs: DataFrame, kernel: str = "sql", grain: str = "micro"
+) -> DataFrame:
     """Per-document character-distribution entropy — the cheap
     gibberish detector quality pipelines run beside the LM gates
     (low entropy = repeated-character junk, abnormally high = random
@@ -539,15 +541,17 @@ def char_entropy(docs: DataFrame, kernel: str = "sql") -> DataFrame:
     entropy is integer-rounded to MICRO-nats and divided once —
     never round(double, 6), whose low bit differs across engines.
 
-    Residual cross-engine risk (analyzed, accepted): a 1-ulp JVM-vs-
-    libm ``ln`` disagreement flips a nano term only when x·1e9 sits
-    within ~1e-7 of a rounding boundary (P ≈ 2e-7/term, ~2e4 terms
-    → ~4e-3/run), AND the flipped nano must land the doc sum exactly
-    on the micro boundary (P ≈ 1e-3) — combined ≈ 4e-6 per full
-    oracle run. Emitting the nano sum as an oracle-facing BIGINT
-    would make it WORSE (every nano flip becomes a direct mismatch,
-    ~1000× the exposure), so the micro-grain float stays the
-    contract. Same tolerance class as the Arrow-twin note below.
+    Cross-engine determinism (measured round 7, closing the round-6
+    advice item): across EVERY distinct (c, n) pair at sf0.001 /
+    sf0.01 / sf0.1, the exact value x·1e9 sits ≥ 1e-6 nano-units from
+    its rounding boundary, while the worst-case JVM-vs-libm ``ln``
+    excursion is ~5e-7 — so the per-term nano integers are identical
+    across engines on the driver datasets, with ≥2× margin. Given
+    that, ``grain="nano"`` (the oracle-facing contract) is exactly
+    deterministic END-TO-END: it reports the summed nano-nat as
+    BIGINT and skips the micro re-rounding, so no rounding boundary
+    of any kind remains between Spark and the oracle. The default
+    ``grain="micro"`` keeps the human-friendly float for API users.
 
     Docs with NULL or empty normalized text are excluded (no
     characters to score — same contract as the dedup ops).
@@ -561,9 +565,15 @@ def char_entropy(docs: DataFrame, kernel: str = "sql") -> DataFrame:
     contract as the SemDeDup Arrow twin). "sql" stays the default and
     carries the DuckDB oracle.
 
-    Output: (doc_id, n_chars, n_distinct, entropy).
+    Output: (doc_id, n_chars, n_distinct, entropy) — or with
+    ``grain="nano"``: (doc_id, n_chars, n_distinct, nano_entropy
+    BIGINT) = Σ round((c/n)·ln(n/c)·1e9).
     """
+    if grain not in ("micro", "nano"):
+        raise ValueError(f"unknown grain {grain!r}")
     if kernel == "arrow":
+        if grain != "micro":
+            raise ValueError("arrow kernel reports micro grain only")
         return _char_entropy_arrow(docs)
     if kernel != "sql":
         raise ValueError(f"unknown kernel {kernel!r}")
@@ -602,7 +612,11 @@ def char_entropy(docs: DataFrame, kernel: str = "sql") -> DataFrame:
             "doc_id",
             F.col("n").cast("long").alias("n_chars"),
             F.col("n_distinct").cast("long").alias("n_distinct"),
-            F.expr("CAST((s + 500) DIV 1000 AS DOUBLE) / 1e6").alias("entropy"),
+            F.col("s").alias("nano_entropy")
+            if grain == "nano"
+            else F.expr(
+                "CAST((s + 500) DIV 1000 AS DOUBLE) / 1e6"
+            ).alias("entropy"),
         )
     )
 

@@ -72,11 +72,22 @@ def assert_matches_oracle(spark_df, duck_con, sql: str):
     (round-5 root cause). A Python-value compare alone cannot see it."""
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    from tools.type_audit import compare_schemas, oracle_arrow_schema
-
-    type_bad = compare_schemas(
-        to_arrow_schema(spark_df.schema), oracle_arrow_schema(duck_con, sql)
+    from tools.type_audit import (
+        compare_schemas,
+        nonscalar_columns,
+        oracle_arrow_schema,
     )
+
+    arrow_schema = to_arrow_schema(spark_df.schema)
+    # Driver-canon shape guard (round-6 red class): the driver sorts a
+    # pandas frame by ALL columns, so a top-level array/map/struct cell
+    # raises `unhashable type: 'numpy.ndarray'` before any compare.
+    # Oracle-backed queries must emit scalar columns only — digest
+    # nested values (md5(concat_ws(...)) / integer fold) on BOTH sides.
+    shape_bad = nonscalar_columns(arrow_schema)
+    assert not shape_bad, f"driver-unhashable columns: {'; '.join(shape_bad)}"
+
+    type_bad = compare_schemas(arrow_schema, oracle_arrow_schema(duck_con, sql))
     assert not type_bad, f"typed-schema mismatch: {'; '.join(type_bad)}"
 
     spark_cols = spark_df.columns

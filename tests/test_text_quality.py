@@ -177,6 +177,37 @@ def test_char_entropy_known_values(spark):
     assert out[2]["entropy"] > out[0]["entropy"] + 2.0
 
 
+def test_char_entropy_nano_grain_is_integer_and_consistent(spark):
+    """grain='nano' (the oracle-facing contract) emits the summed
+    nano-nat as BIGINT; the micro default must equal its HALF_UP
+    re-rounding — (nano + 500) DIV 1000 — on every doc, and the nano
+    grain must be rejected on the arrow kernel (micro only)."""
+    import pytest
+
+    from myasynstreamjoin_spark.functions.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aaaaaaaa"),
+            (1, "abcd"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    nano = {r["doc_id"]: r for r in char_entropy(docs, grain="nano").collect()}
+    micro = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert set(nano) == set(micro)
+    for i in nano:
+        assert isinstance(nano[i]["nano_entropy"], int)
+        assert micro[i]["entropy"] == (
+            (nano[i]["nano_entropy"] + 500) // 1000
+        ) / 1e6
+    with pytest.raises(ValueError):
+        char_entropy(docs, grain="deci")
+    with pytest.raises(ValueError):
+        char_entropy(docs, kernel="arrow", grain="nano")
+
+
 def test_char_entropy_arrow_twin_matches_sql_kernel(spark, sf_dir):
     """Integer columns identical; entropy within the documented
     1-micro-nat libm tolerance, over the whole driver corpus."""

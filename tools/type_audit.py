@@ -68,6 +68,25 @@ def compare_schemas(spark_schema: pa.Schema, duck_schema: pa.Schema) -> list[str
     return bad
 
 
+def nonscalar_columns(arrow_schema: pa.Schema) -> list[str]:
+    """Top-level columns the driver canonicalizer CANNOT hash: its
+    order-insensitive compare sorts a pandas frame by every column, and
+    list/struct/map cells arrive as ndarray/dict — unhashable
+    (round-6 red: q_pack_chunks, ``TypeError: unhashable type:
+    'numpy.ndarray'``). Every ORACLE-BACKED query must emit only
+    scalar top-level columns; nested values belong behind a
+    deterministic digest (md5/concat_ws or an integer fold)."""
+    return [
+        f"{f.name}: {canon(f.type)}"
+        for f in arrow_schema
+        if pa.types.is_list(f.type)
+        or pa.types.is_large_list(f.type)
+        or pa.types.is_fixed_size_list(f.type)
+        or pa.types.is_struct(f.type)
+        or pa.types.is_map(f.type)
+    ]
+
+
 def register_views(con, sf_dir: str) -> None:
     for name in TABLES:
         con.execute(
@@ -89,7 +108,10 @@ def audit_query(spark, con, fn, sql: str, sf_dir: str) -> list[str]:
     from pyspark.sql.pandas.types import to_arrow_schema
 
     s_schema = to_arrow_schema(fn(spark, sf_dir).schema)
-    return compare_schemas(s_schema, oracle_arrow_schema(con, sql))
+    bad = [
+        f"driver-unhashable column {c}" for c in nonscalar_columns(s_schema)
+    ]
+    return bad + compare_schemas(s_schema, oracle_arrow_schema(con, sql))
 
 
 def main() -> int:
