@@ -2180,9 +2180,16 @@ def _q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate and audited against the exact count — the store-sketches,
     merge-later rollup shape that answers month-level distincts at
     100 TB without rescanning (operators/stats.py::
-    distinct_sketch_shards / distinct_sketch_rollup). rows-only: no
-    SQL engine reproduces the DataSketches estimate; merge losslessness
-    and the audit bound are pytest-locked (tests/test_robust_stats.py).
+    distinct_sketch_shards / distinct_sketch_rollup).
+
+    Oracle contract (upgraded from rows-only, round-7 verdict item):
+    at the correctness SFs the sketch is in its EXACT coupon regime —
+    measured this round: est_merged == countDistinct at sf0.001 (15
+    distinct/type) and sf0.01 (150/type), far below lg_k=12's coupon
+    capacity; first divergence observed at sf0.1 (1507 vs 1500),
+    which only bench (no value compare) touches. The oracle therefore
+    pins est_merged = exact distinct count and approx_ok = TRUE.
+    Merge losslessness stays pytest-locked (tests/test_robust_stats.py).
     """
     from myasynstreamjoin_spark.operators.stats import (
         distinct_sketch_rollup,
@@ -4089,12 +4096,20 @@ def _q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable KLL quantile-sketch bank (rows-only: no SQL engine
-    reproduces the estimator): per (event_type, day) sketches merged
-    per type, p10/p50/p90 estimates audited in-query against exact
-    percentiles with a 5% band — `q_sketch_distinct`'s sibling for
-    ORDER statistics (operators/stats.py::quantile_sketch_shards /
-    quantile_sketch_rollup)."""
+    """Mergeable KLL quantile-sketch bank: per (event_type, day)
+    sketches merged per type, p10/p50/p90 estimates audited in-query
+    against exact percentiles at ±5% RANK distance —
+    `q_sketch_distinct`'s sibling for ORDER statistics
+    (operators/stats.py::quantile_sketch_shards /
+    quantile_sketch_rollup).
+
+    Oracle contract (upgraded from rows-only, round-7 verdict item):
+    the raw estimates are estimator-internal (no SQL engine replays
+    KLL), so the driver-facing form checks the sketch's RANK-ERROR
+    CONTRACT as data — (grp, n_shards, n_total, approx_ok) where
+    approx_ok is Spark's in-query band check and the oracle asserts
+    it TRUE (KLL k=200 normalized rank error ≈1.65% ≪ the 5% band).
+    A contract violation flips approx_ok and reds the driver row."""
     from myasynstreamjoin_spark.operators.stats import (
         quantile_sketch_rollup,
         quantile_sketch_shards,
@@ -4111,18 +4126,23 @@ def _q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in (-1, 1)
         ]
     )
-    return quantile_sketch_rollup(
-        quantile_sketch_shards(ev), exact=exact
-    )
+    full = quantile_sketch_rollup(quantile_sketch_shards(ev), exact=exact)
+    return full.select("grp", "n_shards", "n_total", "approx_ok")
 
 
 def _q_theta_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theta-sketch distinct-set algebra (rows-only): per-event-type
-    user sketches, then union / intersection / difference estimates
-    per pair — the audience-overlap questions that are anti-join +
-    countDistinct rescans in exact form. Exactness below the sketch
-    threshold is pinned against join-based truth in
-    tests/test_sketches.py (operators/stats.py::audience_set_algebra)."""
+    """Theta-sketch distinct-set algebra: per-event-type user
+    sketches, then union / intersection / difference estimates per
+    pair — the audience-overlap questions that are anti-join +
+    countDistinct rescans in exact form
+    (operators/stats.py::audience_set_algebra).
+
+    Oracle contract (upgraded from rows-only, round-7 verdict item):
+    Theta with 4096 nominal entries stays EXACT until 4096 retained
+    hashes — measured exact through sf0.1 (1500 distinct/type), 10×
+    the driver's correctness SF — so the oracle is the real SQL set
+    algebra (distinct counts, inclusion-exclusion union, join
+    intersection, difference)."""
     from myasynstreamjoin_spark.operators.stats import audience_set_algebra
 
     _prep(spark)
@@ -4132,12 +4152,12 @@ def _q_theta_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_stream_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming Theta accumulator (rows-only, like its batch twin):
-    events arrive in an UNORDERED user-parity split; sketch union is
-    order-free and exact below threshold, so the streamed audience
-    algebra equals q_theta_audience's batch answer integer-for-integer
-    (pinned in tests/test_stream_sketches.py)
-    (streaming/sketches.py)."""
+    """Streaming Theta accumulator: events arrive in an UNORDERED
+    user-parity split; sketch union is order-free and exact below
+    threshold, so the streamed audience algebra equals
+    q_theta_audience's batch answer integer-for-integer (pinned in
+    tests/test_stream_sketches.py) — and therefore shares its exact
+    set-algebra oracle (streaming/sketches.py)."""
     import os
     import tempfile
 
@@ -4575,7 +4595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition": _q_repetition,
         "q_simsearch_multiprobe": _q_simsearch_multiprobe,  # multi-probe LSH (recall recovery)
         "q_simsearch_ivf": _q_simsearch_ivf,              # index-replayable oracle
-        "q_kmeans": _q_kmeans,                            # rows-only (iterative)
+        "q_kmeans": _q_kmeans,                            # rows-only (iterative Lloyd — no SQL replay; pytest inertia-monotone + assignment invariants)
         "q_star_join_cube": _q_star_join_cube,            # materializing hypercube join (J3/X13)
         "q_domain_mix": _q_domain_mix,                    # target-mixture deterministic sampling
         "q_group_cap": _q_group_cap,                      # fixed-k per-group deterministic cap
@@ -4591,8 +4611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_attribution": _q_attribution,                  # first/last-touch, range window
         "q_setjoin": _q_setjoin,                          # exact prefix-filtered set-sim join
         "q_collocations": _q_collocations,                # bigram lift phrase mining
-        "q_pq_encode": _q_pq_encode,                      # product quantization (rows-only)
-        "q_pq_topk": _q_pq_topk,                          # ADC top-k over PQ codes (rows-only)
+        "q_pq_encode": _q_pq_encode,                      # rows-only (k-means codebooks are iterative seeded argmin — no SQL replay; pytest recon-error bound)
+        "q_pq_topk": _q_pq_topk,                          # rows-only (ranks depend on the trained PQ codebooks; pytest recall-vs-exact bound)
         "q_resample": _q_resample,                        # calendar gap-fill + trailing MA
         "q_span_corruption": _q_span_corruption,          # T5 denoising pair generation
         "q_snapshot_diff": _q_snapshot_diff,              # reverse CDC: version diff feed
@@ -4614,7 +4634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_interval_join_outer": _q_stream_interval_join_outer,  # + outer null emission
         "q_epoch_shuffle": _q_epoch_shuffle,              # seeded epoch reshuffle manifest
         "q_epoch_interleave": _q_epoch_interleave,        # stride-scheduled source mixing
-        "q_quality_classifier": _q_quality_classifier,    # trainable gate (rows-only)
+        "q_quality_classifier": _q_quality_classifier,    # rows-only (iterative logistic SGD — no SQL replay; pytest AUC/holdout invariants)
         "q_semantic_decontaminate": _q_semantic_decontaminate,  # embedding-space decon
         "q_epoch_roundtrip": _q_epoch_roundtrip,          # epoch export/read under oracle
         "q_compact_shards": _q_compact_shards,            # small-file compaction round trip
@@ -4622,10 +4642,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_assoc": _q_assoc,                              # chi²/Cramér's V lang×source
         "q_winsorize": _q_winsorize,                      # exact rank-based winsorized stats
         "q_epoch_curriculum": _q_epoch_curriculum,        # staged easy→hard epoch schedule
-        "q_sketch_distinct": _q_sketch_distinct,          # mergeable HLL shard sketches (rows-only)
+        "q_sketch_distinct": _q_sketch_distinct,          # HLL shard sketches — exact-coupon-regime oracle (r7)
         "q_stream_drift": _q_stream_drift,                # streaming PSI vs predecessor window
         "q_retrieval_eval": _q_retrieval_eval,            # NDCG/MRR/P@k ranking quality
-        "q_compression_ratio": _q_compression_ratio,      # zlib repetition gate (rows-only)
+        "q_compression_ratio": _q_compression_ratio,      # rows-only (zlib codec not expressible in SQL; pytest monotonicity + known-ratio pins)
         "q_webdataset_roundtrip": _q_webdataset_roundtrip,  # tar shard sink round trip
         "q_sorted_export": _q_sorted_export,              # range-partitioned global order
         "q_hard_negatives": _q_hard_negatives,            # contrastive hard-negative mining
@@ -4639,9 +4659,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interleave_mm": _q_interleave_mm,              # interleaved text+image-ref assembly
         "q_fix_encoding": _q_fix_encoding,                # ftfy-lite mojibake repair
         "q_stream_line_dedup": _q_stream_line_dedup,      # streaming line-dedup twin
-        "q_kll_quantiles": _q_kll_quantiles,              # mergeable quantile-sketch bank (rows-only)
-        "q_theta_audience": _q_theta_audience,            # theta set algebra (rows-only)
-        "q_stream_theta": _q_stream_theta,                # streaming theta accumulator (rows-only)
+        "q_kll_quantiles": _q_kll_quantiles,              # quantile sketch bank — rank-contract oracle (r7)
+        "q_theta_audience": _q_theta_audience,            # theta set algebra — exact-regime SQL oracle (r7)
+        "q_stream_theta": _q_stream_theta,                # streaming theta — shares the exact-regime oracle (r7)
     }
 
 
@@ -9352,5 +9372,66 @@ def oracle_sql() -> dict[str, str]:
         JOIN lg USING (doc_id)
         JOIN rep USING (doc_id)
         JOIN lm USING (doc_id)
+    """
+    # --- sketch-bank oracles (upgraded from rows-only, round 7) ---
+    # Theta @ 4096 nominal entries is EXACT through sf0.1 (1500
+    # distinct users/type, measured), so the oracle is the real SQL
+    # set algebra over the same pair list.
+    d["q_theta_audience"] = """
+        WITH u AS (SELECT DISTINCT event_type AS g, user_id AS uid
+                   FROM events WHERE user_id IS NOT NULL),
+        c AS (SELECT g, count(*) AS n FROM u GROUP BY 1),
+        p AS (SELECT * FROM (VALUES ('click','purchase'),
+                                    ('view','error'),
+                                    ('signup','click')) AS t(a, b)),
+        i AS (SELECT p.a, p.b, count(*) AS n_int
+              FROM p
+              JOIN u x ON x.g = p.a
+              JOIN u y ON y.g = p.b AND y.uid = x.uid
+              GROUP BY 1, 2)
+        SELECT p.a, p.b,
+               CAST(ca.n AS BIGINT) AS est_a,
+               CAST(cb.n AS BIGINT) AS est_b,
+               CAST(ca.n + cb.n - coalesce(i.n_int, 0) AS BIGINT) AS est_union,
+               CAST(coalesce(i.n_int, 0) AS BIGINT) AS est_intersection,
+               CAST(ca.n - coalesce(i.n_int, 0) AS BIGINT) AS est_a_minus_b
+        FROM p
+        JOIN c ca ON ca.g = p.a
+        JOIN c cb ON cb.g = p.b
+        LEFT JOIN i ON i.a = p.a AND i.b = p.b
+    """
+    # The streamed accumulator provably equals the batch algebra
+    # (order-free union, exact regime) — same oracle.
+    d["q_stream_theta"] = d["q_theta_audience"]
+    # HLL @ lg_k=12 is in its exact coupon regime at the correctness
+    # SFs (measured: exact at 150 distinct/type, first divergence at
+    # 1500): est_merged == exact count, audit bit true.
+    d["q_sketch_distinct"] = """
+        WITH e AS (SELECT event_type AS grp,
+                          epoch_us(ts) // 86400000000 AS day, user_id
+                   FROM events),
+        s AS (SELECT grp, count(DISTINCT day) AS n_shards,
+                     count(DISTINCT user_id) AS n_exact
+              FROM e GROUP BY 1)
+        SELECT grp, CAST(n_shards AS BIGINT) AS n_shards,
+               CAST(n_exact AS BIGINT) AS est_merged,
+               CAST(n_exact AS BIGINT) AS n_exact,
+               TRUE AS approx_ok
+        FROM s
+    """
+    # KLL estimates are estimator-internal, but the RANK-ERROR
+    # CONTRACT is checkable data: Spark computes approx_ok against
+    # exact ±5%-rank percentile bands in-query; the oracle asserts it
+    # TRUE (KLL k=200 rank error ≈1.65% ≪ 5%) plus the exact shard
+    # and row counts. A contract violation reds the driver row.
+    d["q_kll_quantiles"] = """
+        WITH e AS (SELECT event_type AS grp,
+                          epoch_us(ts) // 86400000000 AS day, value
+                   FROM events WHERE value IS NOT NULL)
+        SELECT grp,
+               CAST(count(DISTINCT day) AS BIGINT) AS n_shards,
+               CAST(count(*) AS BIGINT) AS n_total,
+               TRUE AS approx_ok
+        FROM e GROUP BY 1
     """
     return d
