@@ -324,12 +324,37 @@ def label_propagation_copurchase(
 
 
 def label_propagation_edges(
-    edges: DataFrame, n_rounds: int = 3, _renamed: bool = False
+    edges: DataFrame,
+    n_rounds: int = 3,
+    _renamed: bool = False,
+    broadcast_nodes_max: int = 8_000_000,
 ) -> DataFrame:
     """Label propagation over a PREBUILT directed (src, dst) edge table
     (see ``triangle_count_edges`` for the materialized-table
-    rationale). Per round the neighbor-label join probes the bucketed
-    edge scan exchange-free on the edges side."""
+    rationale).
+
+    Working-set design (round 7 — LPA was the one graph op that
+    needed a 48 g heap at sf10ish while pagerank/triangles completed
+    at the default 8 g, SCALEPROBE_r06_sf10):
+
+    - The label table is NODE-grain and loop-invariant in size, so
+      when the node count is at most ``broadcast_nodes_max`` it is
+      broadcast each round: the 100×-larger edge table is then never
+      shuffled — the join probes the bucketed edge scan in place and
+      the (node, label) aggregation combines map-side before its one
+      keyed exchange. Above the threshold (billions of nodes at
+      100 TB) the plan falls back to the shuffle join, where
+      per-EXECUTOR heap bounds the working set on a real cluster.
+    - The argmax is a FIXED-WIDTH aggregate whenever node ids fit in
+      31 bits: (count, smallest-label tie-break) packs into one
+      BIGINT ``c·2³¹ + (2³¹−1−label)``, so both groupBys run in
+      Spark's spill-robust UnsafeFixedWidthAggregationMap instead of
+      the object-hash path a struct-ordered ``max_by`` takes. Ids
+      beyond 31 bits (or negative) keep the struct form.
+
+    Per round the lineage is cut with a node-grain localCheckpoint —
+    small and re-read hot, so default storage (not the edge-grain
+    DISK_ONLY rule) is correct."""
     sym = (
         edges
         if _renamed
@@ -338,22 +363,49 @@ def label_propagation_edges(
         )
     )
     labels = sym.select("node").distinct().withColumn("label", F.col("node"))
+    n_nodes, min_node, max_node = labels.agg(
+        F.count("*"), F.min("node"), F.max("node")
+    ).first()
+    can_broadcast = n_nodes <= broadcast_nodes_max
+    # packing needs label ∈ [0, 2³¹): labels are always node ids, and
+    # counts stay < 2³² (a node would need 4 B in-neighbors to carry).
+    packable = (
+        n_nodes > 0 and min_node >= 0 and max_node < (1 << 31) - 1
+    )
+    half = F.lit((1 << 31) - 1)
     for _ in range(n_rounds):
+        lab = F.broadcast(labels) if can_broadcast else labels
         nbr_labels = sym.join(
-            labels.withColumnRenamed("node", "nbr"), "nbr"
+            lab.withColumnRenamed("node", "nbr"), "nbr"
         ).select("node", "label")
         counts = nbr_labels.groupBy("node", "label").agg(
             F.count("*").alias("__c")
         )
-        labels = (
-            counts.groupBy("node")
-            .agg(
-                F.max_by(
-                    "label", F.struct(F.col("__c"), (-F.col("label")).alias("__t"))
-                ).alias("label")
+        if packable:
+            packed = counts.select(
+                "node",
+                (F.col("__c") * F.lit(1 << 31) + (half - F.col("label")))
+                .alias("__s"),
             )
-            .localCheckpoint(eager=True)
-        )
+            labels = (
+                packed.groupBy("node")
+                .agg(F.max("__s").alias("__s"))
+                .select(
+                    "node", (half - F.col("__s") % F.lit(1 << 31)).alias("label")
+                )
+                .localCheckpoint(eager=True)
+            )
+        else:
+            labels = (
+                counts.groupBy("node")
+                .agg(
+                    F.max_by(
+                        "label",
+                        F.struct(F.col("__c"), (-F.col("label")).alias("__t")),
+                    ).alias("label")
+                )
+                .localCheckpoint(eager=True)
+            )
     return labels.select(
         F.col("node").alias("part"), F.col("label").alias("community")
     )

@@ -42,6 +42,29 @@ SESSION_CONFS: dict[str, str] = {
 }
 
 
+# Executor-memory sizing for the GRAPH family (operator documentation
+# distilled from the sf3/sf10ish probe campaigns, SCALEPROBE_r05/r06 +
+# round 7):
+# - Edge-grain iterative ops (pagerank_edges, triangle_count_edges)
+#   complete at the default 8 g single-JVM heap even at 239 M edges —
+#   their per-round working set is fixed-width aggregation state that
+#   spills (60-113 GiB absorbed, zero failures), PROVIDED edge-grain
+#   loop invariants checkpoint with DISK_ONLY blocks
+#   (graph.py::_ckpt_edge_grain; default-storage localCheckpoint of an
+#   edge-grain frame buffers per-task block arrays on heap and was the
+#   round-6 OOM).
+# - label_propagation_edges needed 48 g before round 7; its rewrite
+#   (broadcast node-grain labels below broadcast_nodes_max=8 M +
+#   packed-BIGINT argmax instead of struct max_by) completes sf10ish
+#   at the default 8 g in 74 s with zero edge shuffle. Above the node
+#   threshold the shuffle-join fallback engages, where per-EXECUTOR
+#   heap bounds the working set on a real cluster — size executors at
+#   ~4-8 GiB per 250 M edges of per-round join state, or raise
+#   broadcast_nodes_max if executors can hold |V| × 16 B broadcast.
+# - The single shared local[32] heap is the sandbox artifact: on a
+#   real cluster every executor brings its own heap, so these numbers
+#   are per-executor, not per-job.
+
 # Opt-in confs for LONG-RUNNING / LARGE-STATE streaming deployments.
 # Not in SESSION_CONFS because the default HDFS-backed provider is
 # faster for the finite local replays the tests and bench run (RocksDB

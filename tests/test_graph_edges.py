@@ -132,6 +132,37 @@ def test_lpa_parity_with_inline_builder(spark, sf_dir, edge_table):
     assert inline == prebuilt
 
 
+def test_lpa_working_set_paths_agree(spark, edge_table):
+    """The round-7 working-set rewrite added two plan paths: broadcast
+    labels + packed-BIGINT argmax (the default below the node
+    threshold / 31-bit ids) vs shuffle join + struct max_by (the
+    100 TB / wide-id fallback). Same labels required from both —
+    forcing the fallback via broadcast_nodes_max=0 also exercises the
+    struct path on ids made un-packable by a 2³¹ offset."""
+    from pyspark.sql import functions as F
+
+    fast = sorted(
+        tuple(r)
+        for r in label_propagation_edges(edge_table, n_rounds=2).collect()
+    )
+    slow = sorted(
+        tuple(r)
+        for r in label_propagation_edges(
+            edge_table, n_rounds=2, broadcast_nodes_max=0
+        ).collect()
+    )
+    assert fast == slow
+    off = 1 << 31
+    wide = edge_table.select(
+        (F.col("src") + off).alias("src"), (F.col("dst") + off).alias("dst")
+    )
+    wide_labels = sorted(
+        (r["part"] - off, r["community"] - off)
+        for r in label_propagation_edges(wide, n_rounds=2).collect()
+    )
+    assert wide_labels == fast
+
+
 def test_link_negatives_are_nonedges_and_cover_nodes(spark, edge_table):
     """Every sampled pair must be a NON-edge; the rotation pairing
     touches (nearly) every node; determinism across calls."""
