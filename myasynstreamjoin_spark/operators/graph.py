@@ -231,14 +231,25 @@ def pagerank_edges(
     n_iters: int = 3,
     damping_pct: int = 85,
     k: int = 20,
+    broadcast_nodes_max: int = 8_000_000,
 ) -> DataFrame:
     """PageRank over a PREBUILT directed (src, dst) edge table (see
     ``triangle_count_edges`` for the materialized-table rationale).
-    When ``edges`` is a bucketed-by-src catalog scan, the degree
-    aggregation and the edges⋈deg loop-invariant join are exchange-free
-    on the edges side — the one remaining per-iteration shuffle is the
-    contribution groupBy(dst), which is inherent to value iteration.
-    """
+
+    Working-set design (round 7, same pattern as
+    ``label_propagation_edges``): the rank table is NODE-grain and
+    loop-invariant in size, and the edge-grain checkpoint erases the
+    bucketed scan's partitioning — so without intervention every
+    iteration re-shuffles the full edge table to join 100×-smaller
+    ranks (the 113 GiB sf10ish spill of SCALEPROBE_r06_sf10). Below
+    ``broadcast_nodes_max`` the per-iteration ranks are
+    localCheckpoint-ed (node-grain, cheap; also cuts the unrolled
+    lineage so the broadcast never re-executes prior iterations) and
+    BROADCAST into the join: the edge table is never shuffled, and
+    the contribution groupBy(dst) combines map-side before its one
+    node-grain exchange. Above the threshold the shuffle join
+    remains, where per-executor heap bounds the working set on a
+    real cluster."""
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # loop-invariant: (src, dst, deg) is identical every iteration, so
     # join it once and checkpoint — otherwise each of the n_iters plans
@@ -250,22 +261,30 @@ def pagerank_edges(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_nodes = nodes.agg(F.count("*").alias("n"))
+    # node-grain count: one cheap action on the checkpointed frame;
+    # inlined as a literal (deterministic) so no per-iteration
+    # crossJoin rides the plan.
+    # max(n, 1) guards the n=0 constant-fold (empty graph has no rows
+    # to evaluate anyway, but Catalyst folds literal denominators at
+    # plan time).
+    n = max(nodes.count(), 1)
+    can_broadcast = n <= broadcast_nodes_max
 
-    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
-        "part", F.expr(f"CAST({MASS} AS BIGINT) DIV n").alias("r")
+    ranks = nodes.select(
+        "part", F.lit(MASS // n).cast("long").alias("r")
     )
     for _ in range(n_iters):
+        ranks = ranks.localCheckpoint(eager=True)
+        rk = F.broadcast(ranks) if can_broadcast else ranks
         contrib = (
             edges_deg
-            .join(ranks, edges_deg["src"] == ranks["part"])
+            .join(rk, edges_deg["src"] == rk["part"])
             .select("dst", F.expr("r DIV deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("in_sum"))
         )
         ranks = (
             nodes.join(contrib, nodes["part"] == contrib["dst"], "left")
-            .crossJoin(F.broadcast(n_nodes))
             .select(
                 "part",
                 # all-integer: `/` would detour through double (ANSI)
@@ -273,7 +292,7 @@ def pagerank_edges(
                 # truncation — DIV never does.
                 F.expr(
                     f"CAST({100 - damping_pct} AS BIGINT) "
-                    f"* CAST({MASS} AS BIGINT) DIV (100 * n) "
+                    f"* CAST({MASS} AS BIGINT) DIV (100 * {n}) "
                     f"+ (CAST({damping_pct} AS BIGINT) "
                     f"* coalesce(in_sum, CAST(0 AS BIGINT))) DIV 100"
                 ).alias("r"),

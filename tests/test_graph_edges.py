@@ -163,6 +163,22 @@ def test_lpa_working_set_paths_agree(spark, edge_table):
     assert wide_labels == fast
 
 
+def test_pagerank_working_set_paths_agree(spark, edge_table):
+    """PageRank's round-7 broadcast path (node-grain ranks broadcast
+    into the edge join, per-iteration checkpoint) must produce the
+    same top-k as the shuffle-join fallback (broadcast_nodes_max=0)."""
+    from myasynstreamjoin_spark.operators.graph import pagerank_edges
+
+    fast = [tuple(r) for r in pagerank_edges(edge_table, n_iters=2).collect()]
+    slow = [
+        tuple(r)
+        for r in pagerank_edges(
+            edge_table, n_iters=2, broadcast_nodes_max=0
+        ).collect()
+    ]
+    assert fast == slow
+
+
 def test_link_negatives_are_nonedges_and_cover_nodes(spark, edge_table):
     """Every sampled pair must be a NON-edge; the rotation pairing
     touches (nearly) every node; determinism across calls."""
