@@ -2603,7 +2603,10 @@ def _q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size("unit")),
         lambda x, i: F.round(x * 1e6).cast("long") * i.cast("long"),
     )
-    return out.select(
+    # NULL/empty vectors would diverge from the oracle's lateral
+    # unnest + inner join (which emits no row for them): drop the same
+    # rows here so both sides agree on the edge case.
+    return out.where(F.size("unit") > 0).select(
         "vec_id",
         "norm",
         F.aggregate(weighted, F.lit(0).cast("long"), lambda a, b: a + b)
@@ -2625,7 +2628,8 @@ def _q_embed_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size("q")),
         lambda x, i: x.cast("long") * i.cast("long"),
     )
-    return out.select(
+    # same NULL/empty-vector alignment as q_embed_norm
+    return out.where(F.size("q") > 0).select(
         "vec_id",
         "scale",
         F.aggregate(weighted, F.lit(0).cast("long"), lambda a, b: a + b)
@@ -9410,7 +9414,12 @@ def oracle_sql() -> dict[str, str]:
         WITH e AS (SELECT event_type AS grp,
                           epoch_us(ts) // 86400000000 AS day, user_id
                    FROM events),
-        s AS (SELECT grp, count(DISTINCT day) AS n_shards,
+        -- count(DISTINCT day) skips NULL, but Spark's groupBy keeps a
+        -- NULL-ts shard as one real sketch row — count it back in.
+        s AS (SELECT grp,
+                     count(DISTINCT day)
+                       + max(CASE WHEN day IS NULL THEN 1 ELSE 0 END)
+                       AS n_shards,
                      count(DISTINCT user_id) AS n_exact
               FROM e GROUP BY 1)
         SELECT grp, CAST(n_shards AS BIGINT) AS n_shards,
@@ -9429,7 +9438,10 @@ def oracle_sql() -> dict[str, str]:
                           epoch_us(ts) // 86400000000 AS day, value
                    FROM events WHERE value IS NOT NULL)
         SELECT grp,
-               CAST(count(DISTINCT day) AS BIGINT) AS n_shards,
+               -- NULL-day shard counted back in (see q_sketch_distinct)
+               CAST(count(DISTINCT day)
+                    + max(CASE WHEN day IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_shards,
                CAST(count(*) AS BIGINT) AS n_total,
                TRUE AS approx_ok
         FROM e GROUP BY 1

@@ -381,7 +381,15 @@ def label_propagation_edges(
             F.col("src").alias("node"), F.col("dst").alias("nbr")
         )
     )
-    labels = sym.select("node").distinct().withColumn("label", F.col("node"))
+    # eager checkpoint BEFORE the stats action: the agg below and round
+    # 1's join would otherwise each re-derive the distinct over the
+    # full edge table (pagerank_edges does the same for its nodes).
+    labels = (
+        sym.select("node")
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
     n_nodes, min_node, max_node = labels.agg(
         F.count("*"), F.min("node"), F.max("node")
     ).first()

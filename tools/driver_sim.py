@@ -24,7 +24,11 @@ from pyspark.sql.pandas.types import to_arrow_schema
 
 sys.path.insert(0, ".")
 import __spark_entry__ as mod  # noqa: E402
-from tools.type_audit import compare_schemas, oracle_arrow_schema  # noqa: E402
+from tools.type_audit import (  # noqa: E402
+    compare_schemas,
+    nonscalar_columns,
+    oracle_arrow_schema,
+)
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
@@ -89,7 +93,14 @@ def main() -> int:
         dcols = [d[0] for d in res.description]
         drows = [tuple(r) for r in res.fetchall()]
         status = []
-        type_bad = compare_schemas(to_arrow_schema(sdf.schema), d_schema)
+        arrow_schema = to_arrow_schema(sdf.schema)
+        # The real driver's canonicalizer dies sorting array/map/struct
+        # cells (r6 q_pack_chunks red) — norm() below would silently
+        # tolerate them, so fail the way the driver fails.
+        shape_bad = nonscalar_columns(arrow_schema)
+        if shape_bad:
+            status.append(f"SHAPE driver-unhashable {'; '.join(shape_bad)}")
+        type_bad = compare_schemas(arrow_schema, d_schema)
         if type_bad:
             status.append(f"TYPES {'; '.join(type_bad)}")
         if sorted(cols) != sorted(dcols):
