@@ -700,3 +700,89 @@ def test_pack_chunks_matches_python_model(spark, docs):
         for r in pack_chunks(frame, budget=budget, n_shards=n_shards).collect()
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**31 - 2),  # node
+            st.integers(min_value=0, max_value=2**31 - 2),  # label
+            st.integers(min_value=1, max_value=2**20),      # count
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_lpa_packed_argmax_equals_struct_argmax(spark, rows):
+    """The round-7 packed-BIGINT argmax (c·2³¹ + (2³¹−1−label)) must
+    pick exactly the (max count, ties → smallest label) winner the
+    struct max_by picks, for ANY (node, label, count) table in the
+    packable id range."""
+    frame = spark.createDataFrame(rows, "node long, label long, __c long")
+    half = F.lit((1 << 31) - 1)
+    packed = {
+        r["node"]: r["label"]
+        for r in frame.select(
+            "node",
+            (F.col("__c") * F.lit(1 << 31) + (half - F.col("label")))
+            .alias("__s"),
+        )
+        .groupBy("node")
+        .agg(F.max("__s").alias("__s"))
+        .select("node", (half - F.col("__s") % F.lit(1 << 31)).alias("label"))
+        .collect()
+    }
+    struct = {
+        r["node"]: r["label"]
+        for r in frame.groupBy("node")
+        .agg(
+            F.max_by(
+                "label", F.struct(F.col("__c"), (-F.col("label")).alias("__t"))
+            ).alias("label")
+        )
+        .collect()
+    }
+    # model: per node, max by (total count of that label, then -label)
+    from collections import defaultdict
+
+    totals: dict[tuple[int, int], int] = defaultdict(int)
+    for node, label, c in rows:
+        totals[(node, label)] += c
+    want: dict[int, int] = {}
+    for (node, label), c in totals.items():
+        cur = want.get(node)
+        if cur is None or (c, -label) > (totals[(node, cur)], -cur):
+            want[node] = label
+    assert packed == struct == want
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-127, max_value=127), min_size=1, max_size=24
+    )
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_embed_digest_fold_is_order_sensitive_and_exact(spark, vals):
+    """The Σ i·q_i integer fold used by the q_embed_quant driver form:
+    matches the Python model exactly, and any transposition of two
+    UNEQUAL elements changes the digest (the property that makes it an
+    ORDER-pinning digest, not a bag checksum)."""
+    frame = spark.createDataFrame([(0, vals)], "vec_id long, q array<int>")
+    weighted = F.zip_with(
+        F.col("q"),
+        F.sequence(F.lit(1), F.size("q")),
+        lambda x, i: x.cast("long") * i.cast("long"),
+    )
+    got = frame.select(
+        F.aggregate(weighted, F.lit(0).cast("long"), lambda a, b: a + b)
+        .alias("d")
+    ).first()["d"]
+    assert got == sum((i + 1) * v for i, v in enumerate(vals))
+    for j in range(len(vals) - 1):
+        if vals[j] != vals[j + 1]:
+            swapped = vals[:j] + [vals[j + 1], vals[j]] + vals[j + 2 :]
+            assert sum((i + 1) * v for i, v in enumerate(swapped)) != got
+            break
