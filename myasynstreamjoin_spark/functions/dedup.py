@@ -314,7 +314,9 @@ def _span_grams(toked: DataFrame, k: int, hashed: bool | str) -> DataFrame:
     )
 
 
-def _span_election_dels(grams: DataFrame, k: int) -> DataFrame:
+def _span_election_dels(
+    grams: DataFrame, k: int, disk: bool = False
+) -> DataFrame:
     """(doc_id, pos) delete positions: every occurrence of a ≥2-count
     gram except the (doc_id, pos)-min canonical one donates its k
     positions. One hash groupBy with a partial min over the struct —
@@ -325,8 +327,17 @@ def _span_election_dels(grams: DataFrame, k: int) -> DataFrame:
     reuse does NOT kick in for the differently-shaped subplans, so the
     gram construction would run per branch (verified: 2 Generate
     explodes, 0 ReusedExchange) — checkpoint it once (SCALE.md
-    persist-vs-checkpoint rule)."""
-    grams = grams.localCheckpoint(eager=True)
+    persist-vs-checkpoint rule). ``disk=True`` puts the checkpoint on
+    DISK_ONLY blocks — the streaming kernel's setting, where
+    accumulated multi-batch heap pressure made default-storage
+    gram-grain blocks evict constantly (the round-7 sf10ish streaming
+    e2e failure; same rule as graph.py::_ckpt_edge_grain)."""
+    from pyspark import StorageLevel
+
+    grams = grams.localCheckpoint(
+        eager=True,
+        storageLevel=StorageLevel.DISK_ONLY if disk else None,
+    )
     first = grams.groupBy("gram").agg(
         F.min(F.struct("doc_id", "pos")).alias("first"),
         F.count("*").alias("__c"),

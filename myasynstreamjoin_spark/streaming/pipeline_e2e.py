@@ -176,6 +176,10 @@ def run_stream_pipeline_e2e(
         # index advances LAST: a crash before this point replays the
         # batch against the exact state it originally saw
         commit_index()
+        # deterministic end-of-batch cleanup (GC-timed cleanup of
+        # prior batches' checkpoint blocks raced block eviction under
+        # sf10ish heap pressure — see streaming/spanremove.py)
+        gated.unpersist(blocking=True)
 
     q = (
         docs.writeStream.outputMode("append")

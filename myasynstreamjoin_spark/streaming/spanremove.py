@@ -69,10 +69,23 @@ def clean_batch_against_index(
         _span_toked,
     )
 
+    from pyspark import StorageLevel
+
     bid = int(batch_id)
     bspark = batch_df.sparkSession
     toked = _span_toked(batch_df)
-    grams = _span_grams(toked, k, hashed).localCheckpoint(eager=True)
+    # DISK_ONLY for the gram-grain checkpoint: under accumulated
+    # multi-batch heap pressure at sf10ish, default-storage blocks
+    # from prior batches evict continuously while the ContextCleaner
+    # retires them, and that eviction/cleanup overlap killed the
+    # streaming e2e probe (FileNotFound on a half-dropped block,
+    # fatal under local mode's single task attempt). Disk blocks are
+    # written once and never re-evicted; commit_index() below also
+    # unpersists them DETERMINISTICALLY at end-of-batch instead of
+    # leaving cleanup to GC timing.
+    grams = _span_grams(toked, k, hashed).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
 
     base_v = replay_base_version(grams_dir, bid)
     new_index = grams.select("gram").distinct()
@@ -88,13 +101,18 @@ def clean_batch_against_index(
         ).alias("pos"),
     )
     fresh = grams.join(old_index, "gram", "left_anti")
-    dels = _span_election_dels(fresh, k).unionByName(cross_dels)
+    dels = _span_election_dels(fresh, k, disk=True).unionByName(cross_dels)
     cleaned = _span_reassemble(toked, dels)
 
     def commit_index() -> None:
         old_index.unionByName(new_index).distinct().write.mode(
             "overwrite"
         ).parquet(os.path.join(grams_dir, f"v{bid}"))
+        # the contract says commit LAST: every sink that consumes
+        # grams-derived frames has already materialized, so drop this
+        # batch's biggest blocks synchronously (toked stays until the
+        # caller finishes with `cleaned`; it is doc-grain and small).
+        grams.unpersist(blocking=True)
 
     return cleaned, commit_index
 
