@@ -26,6 +26,14 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+
+# event-grain per-batch checkpoints use DISK_ONLY blocks + an
+# end-of-batch unpersist (round-7 streaming-e2e finding: see
+# streaming/spanremove.py) — bounded replays deliver half the corpus
+# per "batch", so these are corpus-grain, not trigger-sized.
+from pyspark import StorageLevel as _SL
+
+_DISK_ONLY = _SL.DISK_ONLY
 from pyspark.sql import functions as F
 
 from myasynstreamjoin_spark.streaming.cdc import drain_foreach_batch, replay_base_version
@@ -65,7 +73,7 @@ def debounce_batch_with_state(
     kept = (
         debounce_events(seeds.unionByName(real), min_gap_us)
         .where(F.col("event_id") >= 0)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
     )
 
     new_state = (
@@ -87,6 +95,8 @@ def debounce_batch_with_state(
         merged_state.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"v{bid}")
         )
+        # commit runs LAST: the kept sink has already materialized
+        kept.unpersist(blocking=True)
 
     return kept, commit_state
 
@@ -168,7 +178,7 @@ def throttle_batch_with_state(
         # the batch operator's column order so the per-batch sinks
         # union schema-identically with it
         .select(*survivors.columns)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
     )
 
     new_state = (
@@ -190,6 +200,8 @@ def throttle_batch_with_state(
         merged_state.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"v{bid}")
         )
+        # commit runs LAST: the kept sink has already materialized
+        kept.unpersist(blocking=True)
 
     return kept, commit_state
 

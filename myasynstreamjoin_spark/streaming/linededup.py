@@ -64,7 +64,15 @@ def dedup_batch_against_lines(
     bid = int(batch_id)
     bspark = batch_df.sparkSession
     sep = " " if width is not None else delim
-    lines = doc_lines(batch_df, width, delim).localCheckpoint(eager=True)
+    # DISK_ONLY + deterministic unpersist for the corpus-grain
+    # checkpoint (the round-7 streaming-e2e finding: default-storage
+    # big-grain blocks from prior batches evict under accumulated heap
+    # pressure and race the ContextCleaner — see streaming/spanremove.py)
+    from pyspark import StorageLevel
+
+    lines = doc_lines(batch_df, width, delim).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
     cand = lines.where(F.length("line") >= min_chars).select(
         "line", "doc_id", "line_no"
     )
@@ -102,6 +110,8 @@ def dedup_batch_against_lines(
         old_index.unionByName(new_index).distinct().write.mode(
             "overwrite"
         ).parquet(os.path.join(index_dir, f"v{bid}"))
+        # commit runs LAST: every consumer of `lines` has materialized
+        lines.unpersist(blocking=True)
 
     return cleaned, commit_index
 
