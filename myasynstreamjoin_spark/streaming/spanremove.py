@@ -109,10 +109,12 @@ def clean_batch_against_index(
             "overwrite"
         ).parquet(os.path.join(grams_dir, f"v{bid}"))
         # the contract says commit LAST: every sink that consumes
-        # grams-derived frames has already materialized, so drop this
-        # batch's biggest blocks synchronously (toked stays until the
-        # caller finishes with `cleaned`; it is doc-grain and small).
+        # grams- or toked-derived frames (`cleaned` included) has
+        # already materialized, so drop this batch's corpus-grain
+        # blocks synchronously — token arrays are corpus-sized in
+        # bytes even at doc-grain row counts.
         grams.unpersist(blocking=True)
+        toked.unpersist(blocking=True)
 
     return cleaned, commit_index
 
