@@ -3274,7 +3274,12 @@ def _q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped semantic near-dup pairs: deterministic seed
     clustering (8 lowest-id vectors) then within-cluster exact cosine
-    at 0.4 (the fixture's neardup threshold convention)."""
+    at 0.4 (the fixture's neardup threshold convention). Contract
+    scale ONLY — 8 pinned seeds mean 625 k-vector clusters at sf10ish;
+    the √N auto form runs that corpus in 451.7 s (SQL kernel) and the
+    Arrow-matmul twin in 5.0 s (SCALEPROBE_r07_families_sf10 /
+    r06_sf10) — production callers use n_seeds=None + kernel="arrow".
+    """
     from myasynstreamjoin_spark.functions.similarity import semantic_dedup_pairs
 
     _prep(spark)
@@ -3458,6 +3463,13 @@ def _q_embed_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed cosine near-dup pairs with n_planes PINNED at 4 so
+    the DuckDB oracle can replay the literal construction. Contract
+    scale ONLY: at sf10ish the pinned form is ~7.8e11 pair folds
+    (killed mid-probe, round 7) while the library's n_planes=None
+    auto-scaling does the same corpus in 18.3 s zero-spill
+    (SCALEPROBE_r07_families_sf10) — production callers use the
+    auto default."""
     from myasynstreamjoin_spark.functions.similarity import embedding_neardup_pairs
 
     _prep(spark)
