@@ -31,9 +31,13 @@ DEFAULT = [
     "q_minhash_pairs",
     "q_simhash",
     "q_dedup_clusters",
-    "q_embed_neardup_lsh",
+    # q_embed_neardup_lsh / q_semantic_dedup pin n_planes=4 / n_seeds=8
+    # for their literal DuckDB oracles — contract-scale forms whose
+    # bucket/cluster population grows linearly with the corpus (the
+    # round-7 sf10ish campaign killed the pinned LSH form mid-flight at
+    # ~7.8e11 pair folds). Probe their AUTO twins, which are the
+    # production setting.
     "embed_neardup_auto",
-    "q_semantic_dedup",
     "semantic_dedup_auto",
     "semantic_dedup_arrow",
     "q_remove_spans",
