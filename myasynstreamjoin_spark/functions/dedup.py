@@ -328,16 +328,15 @@ def _span_election_dels(
     gram construction would run per branch (verified: 2 Generate
     explodes, 0 ReusedExchange) — checkpoint it once (SCALE.md
     persist-vs-checkpoint rule). ``disk=True`` puts the checkpoint on
-    DISK_ONLY blocks — the streaming kernel's setting, where
-    accumulated multi-batch heap pressure made default-storage
-    gram-grain blocks evict constantly (the round-7 sf10ish streaming
-    e2e failure; same rule as graph.py::_ckpt_edge_grain)."""
-    from pyspark import StorageLevel
+    DISK_ONLY blocks — the streaming kernel's setting
+    (myasynstreamjoin_spark/blocks.py corpus-grain rule; the batch
+    path keeps default storage for its one-shot hot re-reads)."""
+    if disk:
+        from myasynstreamjoin_spark.blocks import ckpt_disk
 
-    grams = grams.localCheckpoint(
-        eager=True,
-        storageLevel=StorageLevel.DISK_ONLY if disk else None,
-    )
+        grams = ckpt_disk(grams)
+    else:
+        grams = grams.localCheckpoint(eager=True)
     first = grams.groupBy("gram").agg(
         F.min(F.struct("doc_id", "pos")).alias("first"),
         F.count("*").alias("__c"),

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 
 def _ckpt_edge_grain(df: DataFrame) -> DataFrame:
@@ -38,8 +37,11 @@ def _ckpt_edge_grain(df: DataFrame) -> DataFrame:
     are written once and re-read sequentially per iteration, so disk
     blocks cost one scan's latency and nothing else; NODE-grain
     frames (ranks, labels, node lists) stay on the default level —
-    they are small and re-read hot."""
-    return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    they are small and re-read hot. (Delegates to the shared
+    corpus-grain rule in myasynstreamjoin_spark/blocks.py.)"""
+    from myasynstreamjoin_spark.blocks import ckpt_disk
+
+    return ckpt_disk(df)
 
 #: total PageRank mass in micro-units (10^12 — headroom: sums stay
 #: far below 2^63 even with 10^9 nodes).

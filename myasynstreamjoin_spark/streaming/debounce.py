@@ -27,14 +27,17 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-# event-grain per-batch checkpoints use DISK_ONLY blocks + an
-# end-of-batch unpersist (round-7 streaming-e2e finding: see
-# streaming/spanremove.py) — bounded replays deliver half the corpus
-# per "batch", so these are corpus-grain, not trigger-sized.
-from pyspark import StorageLevel as _SL
-
-_DISK_ONLY = _SL.DISK_ONLY
 from pyspark.sql import functions as F
+
+# event-grain per-batch checkpoints follow the corpus-grain rule
+# (DISK_ONLY + RDD-level end-of-batch release — see
+# myasynstreamjoin_spark/blocks.py): bounded replays deliver half the
+# corpus per "batch", so these are corpus-grain, not trigger-sized.
+from myasynstreamjoin_spark.blocks import (
+    ckpt_disk,
+    persisted_ids,
+    release_blocks,
+)
 
 from myasynstreamjoin_spark.streaming.cdc import drain_foreach_batch, replay_base_version
 
@@ -52,6 +55,7 @@ def debounce_batch_with_state(
 
     bid = int(batch_id)
     bspark = batch_df.sparkSession
+    pre_batch = persisted_ids(bspark)
 
     base_v = replay_base_version(state_dir, bid)
     state_schema = "user_id long, event_type string, last_ts_us long"
@@ -73,7 +77,7 @@ def debounce_batch_with_state(
     kept = (
         debounce_events(seeds.unionByName(real), min_gap_us)
         .where(F.col("event_id") >= 0)
-        .localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
+        .transform(ckpt_disk)
     )
 
     new_state = (
@@ -95,8 +99,10 @@ def debounce_batch_with_state(
         merged_state.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"v{bid}")
         )
-        # commit runs LAST: the kept sink has already materialized
-        kept.unpersist(blocking=True)
+        # commit runs LAST: the kept sink has already materialized —
+        # release the batch's checkpoint blocks at the RDD level
+        # (DataFrame.unpersist is a no-op for localCheckpoint storage)
+        release_blocks(bspark, pre_batch)
 
     return kept, commit_state
 
@@ -159,6 +165,7 @@ def throttle_batch_with_state(
 
     bid = int(batch_id)
     bspark = batch_df.sparkSession
+    pre_batch = persisted_ids(bspark)
 
     base_v = replay_base_version(state_dir, bid)
     state_schema = "user_id long, event_type string, last_bucket long"
@@ -178,7 +185,7 @@ def throttle_batch_with_state(
         # the batch operator's column order so the per-batch sinks
         # union schema-identically with it
         .select(*survivors.columns)
-        .localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
+        .transform(ckpt_disk)
     )
 
     new_state = (
@@ -200,8 +207,10 @@ def throttle_batch_with_state(
         merged_state.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"v{bid}")
         )
-        # commit runs LAST: the kept sink has already materialized
-        kept.unpersist(blocking=True)
+        # commit runs LAST: the kept sink has already materialized —
+        # release the batch's checkpoint blocks at the RDD level
+        # (DataFrame.unpersist is a no-op for localCheckpoint storage)
+        release_blocks(bspark, pre_batch)
 
     return kept, commit_state
 

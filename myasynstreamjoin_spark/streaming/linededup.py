@@ -61,18 +61,19 @@ def dedup_batch_against_lines(
         doc_lines,
     )
 
+    from myasynstreamjoin_spark.blocks import (
+        ckpt_disk,
+        persisted_ids,
+        release_blocks,
+    )
+
     bid = int(batch_id)
     bspark = batch_df.sparkSession
     sep = " " if width is not None else delim
-    # DISK_ONLY + deterministic unpersist for the corpus-grain
-    # checkpoint (the round-7 streaming-e2e finding: default-storage
-    # big-grain blocks from prior batches evict under accumulated heap
-    # pressure and race the ContextCleaner — see streaming/spanremove.py)
-    from pyspark import StorageLevel
-
-    lines = doc_lines(batch_df, width, delim).localCheckpoint(
-        eager=True, storageLevel=StorageLevel.DISK_ONLY
-    )
+    # corpus-grain rule + end-of-batch block release — see
+    # myasynstreamjoin_spark/blocks.py (round-7 streaming-e2e finding)
+    pre_batch = persisted_ids(bspark)
+    lines = ckpt_disk(doc_lines(batch_df, width, delim))
     cand = lines.where(F.length("line") >= min_chars).select(
         "line", "doc_id", "line_no"
     )
@@ -110,8 +111,10 @@ def dedup_batch_against_lines(
         old_index.unionByName(new_index).distinct().write.mode(
             "overwrite"
         ).parquet(os.path.join(index_dir, f"v{bid}"))
-        # commit runs LAST: every consumer of `lines` has materialized
-        lines.unpersist(blocking=True)
+        # commit runs LAST: every sink has materialized — release the
+        # batch's checkpoint blocks at the RDD level (DataFrame
+        # .unpersist is a no-op for localCheckpoint storage).
+        release_blocks(bspark, pre_batch)
 
     return cleaned, commit_index
 

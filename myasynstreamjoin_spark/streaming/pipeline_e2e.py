@@ -174,12 +174,11 @@ def run_stream_pipeline_e2e(
             os.path.join(man_dir, f"v{bid}")
         )
         # index advances LAST: a crash before this point replays the
-        # batch against the exact state it originally saw
+        # batch against the exact state it originally saw.
+        # commit_index() also releases EVERY checkpoint block this
+        # batch created — including `gated` above, which postdates the
+        # kernel's snapshot (myasynstreamjoin_spark/blocks.py).
         commit_index()
-        # deterministic end-of-batch cleanup (GC-timed cleanup of
-        # prior batches' checkpoint blocks raced block eviction under
-        # sf10ish heap pressure — see streaming/spanremove.py)
-        gated.unpersist(blocking=True)
 
     q = (
         docs.writeStream.outputMode("append")

@@ -69,23 +69,23 @@ def clean_batch_against_index(
         _span_toked,
     )
 
-    from pyspark import StorageLevel
+    from myasynstreamjoin_spark.blocks import (
+        ckpt_disk,
+        persisted_ids,
+        release_blocks,
+    )
 
     bid = int(batch_id)
     bspark = batch_df.sparkSession
+    # snapshot BEFORE any of this batch's checkpoints: commit_index()
+    # releases everything persisted after this point — grams, toked,
+    # the span election's internal checkpoint, and any post-kernel
+    # checkpoint the caller makes before committing (see
+    # myasynstreamjoin_spark/blocks.py for why DataFrame.unpersist
+    # cannot do this and why DISK_ONLY is the corpus-grain rule).
+    pre_batch = persisted_ids(bspark)
     toked = _span_toked(batch_df)
-    # DISK_ONLY for the gram-grain checkpoint: under accumulated
-    # multi-batch heap pressure at sf10ish, default-storage blocks
-    # from prior batches evict continuously while the ContextCleaner
-    # retires them, and that eviction/cleanup overlap killed the
-    # streaming e2e probe (FileNotFound on a half-dropped block,
-    # fatal under local mode's single task attempt). Disk blocks are
-    # written once and never re-evicted; commit_index() below also
-    # unpersists them DETERMINISTICALLY at end-of-batch instead of
-    # leaving cleanup to GC timing.
-    grams = _span_grams(toked, k, hashed).localCheckpoint(
-        eager=True, storageLevel=StorageLevel.DISK_ONLY
-    )
+    grams = ckpt_disk(_span_grams(toked, k, hashed))
 
     base_v = replay_base_version(grams_dir, bid)
     new_index = grams.select("gram").distinct()
@@ -108,13 +108,11 @@ def clean_batch_against_index(
         old_index.unionByName(new_index).distinct().write.mode(
             "overwrite"
         ).parquet(os.path.join(grams_dir, f"v{bid}"))
-        # the contract says commit LAST: every sink that consumes
-        # grams- or toked-derived frames (`cleaned` included) has
-        # already materialized, so drop this batch's corpus-grain
-        # blocks synchronously — token arrays are corpus-sized in
-        # bytes even at doc-grain row counts.
-        grams.unpersist(blocking=True)
-        toked.unpersist(blocking=True)
+        # the contract says commit LAST: every sink that consumes this
+        # batch's frames has already materialized, so release ALL of
+        # the batch's checkpoint blocks synchronously (RDD-level —
+        # DataFrame.unpersist is a no-op for localCheckpoint storage).
+        release_blocks(bspark, pre_batch)
 
     return cleaned, commit_index
 

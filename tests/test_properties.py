@@ -744,17 +744,16 @@ def test_lpa_packed_argmax_equals_struct_argmax(spark, rows):
         )
         .collect()
     }
-    # model: per node, max by (total count of that label, then -label)
-    from collections import defaultdict
-
-    totals: dict[tuple[int, int], int] = defaultdict(int)
+    # model: per node, the ROW maximizing (count, -label) — row-level
+    # like both Spark expressions under test (the real LPA kernel
+    # feeds pre-aggregated unique (node, label) rows; generated input
+    # may carry duplicates, and summing them here would model a
+    # DIFFERENT aggregate than the exprs compute)
+    best: dict[int, tuple[int, int]] = {}
     for node, label, c in rows:
-        totals[(node, label)] += c
-    want: dict[int, int] = {}
-    for (node, label), c in totals.items():
-        cur = want.get(node)
-        if cur is None or (c, -label) > (totals[(node, cur)], -cur):
-            want[node] = label
+        if node not in best or (c, -label) > best[node]:
+            best[node] = (c, -label)
+    want = {node: -neg_label for node, (_, neg_label) in best.items()}
     assert packed == struct == want
 
 
