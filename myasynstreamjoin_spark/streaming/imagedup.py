@@ -33,6 +33,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from myasynstreamjoin_spark.blocks import persisted_ids, release_blocks
 
 from myasynstreamjoin_spark.streaming.cdc import replay_base_version
 
@@ -61,6 +62,8 @@ def run_stream_image_neardup(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
         bspark = batch_df.sparkSession
+        # snapshot/release at batch grain (blocks.py rule)
+        pre = persisted_ids(bspark)
         new_hashed = image_ahash(
             batch_df.localCheckpoint(eager=True)
         ).localCheckpoint(eager=True)
@@ -117,6 +120,7 @@ def run_stream_image_neardup(
         old_hashed.unionByName(new_hashed).write.mode("overwrite").parquet(
             os.path.join(hash_dir, f"v{bid}")
         )
+        release_blocks(bspark, pre)
 
     q = (
         media.writeStream.outputMode("append")

@@ -32,6 +32,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from myasynstreamjoin_spark.blocks import persisted_ids, release_blocks
 
 from myasynstreamjoin_spark.streaming.cdc import replay_base_version
 
@@ -86,6 +87,10 @@ def run_stream_neardup(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
         bspark = batch_df.sparkSession
+        # snapshot/release at batch grain (blocks.py rule): the index
+        # versions written below are the cross-batch state; blocks die
+        # with the batch after the last sink
+        pre = persisted_ids(bspark)
         batch = batch_df.localCheckpoint(eager=True)
         new_sh = shingle_docs(
             batch, k, hashed="md5" if replayable else True
@@ -148,6 +153,7 @@ def run_stream_neardup(
         old_sh.unionByName(new_sh).write.mode("overwrite").parquet(
             os.path.join(sh_dir, f"v{bid}")
         )
+        release_blocks(bspark, pre)
 
     q = (
         docs.writeStream.outputMode("append")
