@@ -14,6 +14,19 @@ aggregate, and per-user norms — never by materializing dense vectors.
 At 100 TB this is one shuffle on bucket (hot buckets are ordinary agg
 skew, AQE-handled), one on the user pair; the dense-vector alternative
 is O(users × buckets) memory and a quadratic cross join.
+
+The sparse-relational premise INVERTS when the panel is dense —
+every user active in (nearly) every bucket, the shape of the sf10ish
+probe corpus: the bucket join's candidate stream is then
+Σ_b |active(b)|² ≈ days·users², which at 150 k users overflowed the
+sandbox disk (round 7, >67 GB spill before ENOSPC). For that regime
+``series_cosine_pairs_scaled`` densifies each user's series into a
+fixed vector over the observed bucket range (days, not users — a
+bounded width) and reuses the embeddings family's auto-scaled LSH
+near-dup kernel: candidate pairs become bucket-local, verified by
+exact cosine, and the plane count auto-scales with the user count.
+Pick by panel density; the exact relational form remains the oracle
+tier.
 """
 
 from __future__ import annotations
@@ -64,6 +77,92 @@ def series_cosine_pairs(
         .join(nb, "user_b")
         .where(cos >= threshold)
         .select("user_a", "user_b", F.round(cos, 6).alias("cos_sim"))
+    )
+
+
+def series_cosine_pairs_scaled(
+    events: DataFrame,
+    bucket_ms: int = 86_400_000,
+    threshold: float = 0.5,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    max_width: int = 4096,
+) -> DataFrame:
+    """Dense-panel scale path of ``series_cosine_pairs`` (module
+    docstring): densify each user's bucketed series into one
+    fixed-width vector over the observed bucket range and hand the
+    frame to ``embedding_neardup_pairs`` with its auto-scaled LSH
+    defaults — candidate pairs are bucket-local, the exact cosine is
+    applied inside each bucket, and plane count grows with the user
+    count. Recall < 1 by LSH construction (identical series always
+    collide — same vector, same hyperplane signs); the exact
+    relational form is the verification tier, the same contract as
+    the embeddings family.
+
+    ``max_width`` guards the densification: the vector width is the
+    OBSERVED bucket span (days for daily buckets — bounded by the
+    panel's calendar, not its population); a span beyond it raises
+    rather than materializing mega-vectors (re-bucket coarser, or
+    window the panel).
+
+    Output: (user_a, user_b, cos_sim) with user_a < user_b,
+    cos_sim ≥ threshold, rounded to 4 (the embedding kernel's grain).
+    """
+    from myasynstreamjoin_spark.functions.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    bucket = (F.col(ts_col) / F.lit(1_000_000)).cast("long") / F.lit(bucket_ms)
+    s = (
+        events.select(
+            F.col(user_col).alias("u"),
+            bucket.cast("long").alias("b"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy("u", "b")
+        .agg(F.sum("v").alias("sv"))
+    )
+    lo, hi = s.agg(F.min("b"), F.max("b")).first()
+    if lo is None:
+        return events.sparkSession.createDataFrame(
+            [], "user_a long, user_b long, cos_sim double"
+        )
+    width = int(hi - lo + 1)
+    if width > max_width:
+        raise ValueError(
+            f"series span {width} buckets exceeds max_width={max_width}; "
+            "re-bucket coarser or window the panel"
+        )
+    dense = (
+        s.groupBy("u")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        (F.col("b") - F.lit(int(lo))).cast("int").alias("k"),
+                        F.col("sv").cast("double").alias("v"),
+                    )
+                )
+            ).alias("__m")
+        )
+        .select(
+            F.col("u").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(width - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("__m", i.cast("int")), F.lit(0.0)
+                ),
+            ).alias("embedding"),
+        )
+    )
+    pairs = embedding_neardup_pairs(
+        dense, threshold=threshold, dim=width, n_planes=None
+    )
+    return pairs.select(
+        F.col("id_a").alias("user_a"),
+        F.col("id_b").alias("user_b"),
+        F.col("cos").alias("cos_sim"),
     )
 
 
