@@ -4432,15 +4432,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inventory head; these slots ROTATE each round through queries
         # the driver has never checked (union of CORRECTNESS_r*.json
         # keys), so over rounds the driver independently confirms the
-        # whole surface. Round 7 set — all 28 drawn from the
-        # never-driver-checked pool (verdict #3: bend the verification
-        # debt): the round-6 marquee ops (debounce/throttle + streaming
-        # twins, lines family, hygiene chain, VARIANT, augmentation,
-        # link negatives, matryoshka, CCNet terciles, observe()
-        # metrics, ORC/unpivot/budget, streaming reservoir + streaming
-        # e2e), the two embed queries re-shaped to scalar digests this
-        # round, and the eight remaining TPC-H stragglers — after this
-        # round all 22 TPC-H variants are driver-confirmed.
+        # whole surface. Round 8 set: q_pack_chunks pinned first (its
+        # r7 scalar-digest fix is simulator-MATCH but its last REAL
+        # driver result is the r6 red — verdict #1), then 27 drawn
+        # from the never-driver-checked pool in the verdict's priority
+        # order: the ANN/index family, the incremental-dedup family,
+        # the materializing hypercube join, the four sketch queries
+        # upgraded to real oracles in r7, TPC-H Q5, the WebDataset
+        # codec, the epoch/data-mixing family, and the remaining
+        # ingest-hygiene + streaming singles.
+        "q_pack_chunks": _q_pack_chunks,                  # materialized packed samples (scalar digest, r7 re-shape)
+        "q_simsearch_filtered": _q_simsearch_filtered,    # pre-filtered exact vector search
+        "q_simsearch_multiprobe": _q_simsearch_multiprobe,  # multi-probe LSH (recall recovery)
+        "q_simsearch_ivf": _q_simsearch_ivf,              # IVF ANN (index-replayable oracle)
+        "q_ivf_index_search": _q_ivf_index_search,        # partition-pruned persisted ANN
+        "q_dedup_incremental": _q_dedup_incremental,      # delta dedup vs persisted fp index
+        "q_neardup_incremental": _q_neardup_incremental,  # delta near-dup vs MinHash index
+        "q_stream_line_dedup": _q_stream_line_dedup,      # streaming line-dedup twin
+        "q_dedup_audit": _q_dedup_audit,                  # LSH-vs-exact precision/recall audit
+        "q_star_join_cube": _q_star_join_cube,            # materializing hypercube join (J3/X13)
+        "q_kll_quantiles": _q_kll_quantiles,              # quantile sketch bank — rank-contract oracle
+        "q_theta_audience": _q_theta_audience,            # theta set algebra — exact-regime oracle
+        "q_sketch_distinct": _q_sketch_distinct,          # HLL shard sketches — exact-coupon oracle
+        "q_stream_theta": _q_stream_theta,                # streaming theta — shares the exact-regime oracle
+        "q_tpch_q5": _q_tpch_q5,                          # completes TPC-H 22/22 driver-side
+        "q_webdataset_roundtrip": _q_webdataset_roundtrip,  # tar shard sink round trip
+        "q_epoch_shuffle": _q_epoch_shuffle,              # seeded epoch reshuffle manifest
+        "q_epoch_interleave": _q_epoch_interleave,        # stride-scheduled source mixing
+        "q_epoch_curriculum": _q_epoch_curriculum,        # staged easy→hard epoch schedule
+        "q_epoch_roundtrip": _q_epoch_roundtrip,          # epoch export/read under oracle
+        "q_semantic_decontaminate": _q_semantic_decontaminate,  # embedding-space decon
+        "q_stream_cdc": _q_stream_cdc,                    # streaming MERGE → versioned snapshot
+        "q_stream_decontaminate": _q_stream_decontaminate,  # ingest-time decontamination
+        "q_stream_expectations": _q_stream_expectations,  # per-window quality monitoring
+        "q_stream_topk": _q_stream_topk,                  # complete-mode sort+limit
+        "q_blocklist": _q_blocklist,                      # Aho-Corasick wordlist scan
+        "q_boilerplate": _q_boilerplate,                  # per-source frequent-line report
+        "q_fix_encoding": _q_fix_encoding,                # ftfy-lite mojibake repair
+        # --- tail (pytest oracle-parity mirror coverage) ---
+        # rotated OUT of the driver window after 1-4 green rounds
+        # (still verified by the pytest mirror every session)
+        # rotated out after the round-7 sweep (50/50 green):
         "q_debounce": _q_debounce,                        # leading-edge event debounce
         "q_throttle": _q_throttle,                        # fixed-clock event rate limit
         "q_stream_debounce": _q_stream_debounce,          # cross-batch burst-chain debounce
@@ -4469,14 +4501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q16": _q_tpch_q16,
         "q_tpch_q20": _q_tpch_q20,
         "q_tpch_q22": _q_tpch_q22,
-        # --- tail (pytest oracle-parity mirror coverage) ---
-        # rotated OUT of the driver window after 1-4 green rounds
-        # (still verified by the pytest mirror every session)
-        # rotated out after the round-6 sweep (49/50 green; the one
-        # red, q_pack_chunks, was a harness-shape issue fixed this
-        # round — scalar digest form + shape guard in conftest):
+        # rotated out after the round-6 sweep:
         "q_pack_sequences": _q_pack_sequences,            # greedy token-budget packing
-        "q_pack_chunks": _q_pack_chunks,                  # materialized packed samples (scalar digest)
         "q_domain_kl": _q_domain_kl,                      # per-source KL drift monitor
         "q_hash_split": _q_hash_split,                    # split-by-hash rollup
         "q_audio_stats": _q_audio_stats,                  # real-WAV PCM sample stats
@@ -4554,7 +4580,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": _q_simhash,                          # md5_32 signatures → SQL-replayable
         "q_dedup_clusters": _q_dedup_clusters,
         "q_simsearch": _q_simsearch,
-        "q_simsearch_filtered": _q_simsearch_filtered,    # pre-filtered exact vector search
         "q_lm_perplexity": _q_lm_perplexity,              # unigram-LM perplexity quality gate
         "q_ts_similarity": _q_ts_similarity,
         "q_multimodal_meta": _q_multimodal_meta,
@@ -4579,7 +4604,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tokenize_pack": _q_tokenize_pack,              # rows-only (train->encode->pack composed; stages pytest-pinned)
         "q_autocorr": _q_autocorr,                        # hourly-series autocorrelation (seasonality)
         "q_incr_agg": _q_incr_agg,                        # Δ-maintained count view == recompute
-        "q_dedup_audit": _q_dedup_audit,                  # LSH-vs-exact precision/recall audit
         "q_distinct_users": _q_distinct_users,
         "q_repeat_customers": _q_repeat_customers,
         "q_churned_customers": _q_churned_customers,
@@ -4609,10 +4633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trend": _q_trend,                              # exact-integer per-key least-squares trend
         # remaining data-pipeline operators
         "q_repetition": _q_repetition,
-        "q_simsearch_multiprobe": _q_simsearch_multiprobe,  # multi-probe LSH (recall recovery)
-        "q_simsearch_ivf": _q_simsearch_ivf,              # index-replayable oracle
         "q_kmeans": _q_kmeans,                            # rows-only (iterative Lloyd — no SQL replay; pytest inertia-monotone + assignment invariants)
-        "q_star_join_cube": _q_star_join_cube,            # materializing hypercube join (J3/X13)
         "q_domain_mix": _q_domain_mix,                    # target-mixture deterministic sampling
         "q_group_cap": _q_group_cap,                      # fixed-k per-group deterministic cap
         "q_negative_pairs": _q_negative_pairs,            # contrastive negative sampling
@@ -4620,7 +4641,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab": _q_vocab,                              # DF vocabulary / stopword scan
         "q_simsearch_multi": _q_simsearch_multi,
         "q_rollup_pricing": _q_rollup_pricing,
-        "q_stream_cdc": _q_stream_cdc,                    # streaming MERGE → versioned snapshot
         "q_semantic_dedup_arrow": _q_semantic_dedup_arrow,  # rows-only (Arrow kernel twin)
         "q_pareto": _q_pareto,                            # 2-D skyline, no dominance cross-join
         "q_markov": _q_markov,                            # event-type transition matrix
@@ -4635,49 +4655,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cep_match": _q_cep_match,                      # pattern w/ veto, range window
         "q_join_profile": _q_join_profile,                # join-explosion diagnostics
         "q_mad_outliers": _q_mad_outliers,                # robust MAD gate, exact ints
-        "q_stream_decontaminate": _q_stream_decontaminate,  # ingest-time decontamination
         # remaining streaming queries
         "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
         "q_stream_min_count_zero": _q_stream_min_count_zero,
         "q_stream_max_window": _q_stream_max_window,      # A4 via generalized stateful op
-        "q_stream_expectations": _q_stream_expectations,  # per-window quality monitoring
         "q_stream_update": _q_stream_update,              # update-output-mode windowed counts
         "q_stream_sliding": _q_stream_sliding,            # streaming sliding windows
         "q_stream_enrich": _q_stream_enrich,              # stream-static broadcast join
-        "q_stream_topk": _q_stream_topk,                  # complete-mode sort+limit
         "q_stream_interval_join": _q_stream_interval_join,  # interval stream-stream join
         "q_stream_interval_join_outer": _q_stream_interval_join_outer,  # + outer null emission
-        "q_epoch_shuffle": _q_epoch_shuffle,              # seeded epoch reshuffle manifest
-        "q_epoch_interleave": _q_epoch_interleave,        # stride-scheduled source mixing
         "q_quality_classifier": _q_quality_classifier,    # rows-only (iterative logistic SGD — no SQL replay; pytest AUC/holdout invariants)
-        "q_semantic_decontaminate": _q_semantic_decontaminate,  # embedding-space decon
-        "q_epoch_roundtrip": _q_epoch_roundtrip,          # epoch export/read under oracle
         "q_compact_shards": _q_compact_shards,            # small-file compaction round trip
         "q_soft_dedup": _q_soft_dedup,                    # 1/n_copies weighting, effective sizes
         "q_assoc": _q_assoc,                              # chi²/Cramér's V lang×source
         "q_winsorize": _q_winsorize,                      # exact rank-based winsorized stats
-        "q_epoch_curriculum": _q_epoch_curriculum,        # staged easy→hard epoch schedule
-        "q_sketch_distinct": _q_sketch_distinct,          # HLL shard sketches — exact-coupon-regime oracle (r7)
         "q_stream_drift": _q_stream_drift,                # streaming PSI vs predecessor window
         "q_retrieval_eval": _q_retrieval_eval,            # NDCG/MRR/P@k ranking quality
         "q_compression_ratio": _q_compression_ratio,      # rows-only (zlib codec not expressible in SQL; pytest monotonicity + known-ratio pins)
-        "q_webdataset_roundtrip": _q_webdataset_roundtrip,  # tar shard sink round trip
         "q_sorted_export": _q_sorted_export,              # range-partitioned global order
         "q_hard_negatives": _q_hard_negatives,            # contrastive hard-negative mining
-        "q_dedup_incremental": _q_dedup_incremental,      # delta dedup vs persisted fp index
-        "q_blocklist": _q_blocklist,                      # Aho-Corasick wordlist scan
-        "q_neardup_incremental": _q_neardup_incremental,  # delta near-dup vs MinHash index
-        "q_ivf_index_search": _q_ivf_index_search,        # partition-pruned persisted ANN
-        "q_tpch_q5": _q_tpch_q5,                          # completes TPC-H 22/22
         "q_ingest_e2e": _q_ingest_e2e,                    # composed admission gate
-        "q_boilerplate": _q_boilerplate,                  # per-source frequent-line report
         "q_interleave_mm": _q_interleave_mm,              # interleaved text+image-ref assembly
-        "q_fix_encoding": _q_fix_encoding,                # ftfy-lite mojibake repair
-        "q_stream_line_dedup": _q_stream_line_dedup,      # streaming line-dedup twin
-        "q_kll_quantiles": _q_kll_quantiles,              # quantile sketch bank — rank-contract oracle (r7)
-        "q_theta_audience": _q_theta_audience,            # theta set algebra — exact-regime SQL oracle (r7)
-        "q_stream_theta": _q_stream_theta,                # streaming theta — shares the exact-regime oracle (r7)
     }
 
 
