@@ -222,10 +222,24 @@ def pagerank_copurchase(
     Output: (part, rank) — rank = micro-units/10¹² rounded to 6;
     ties broken by part id.
     """
-    edges = _copurchase_edges(
-        lineitem, max_basket, ("src", "dst"), directed=True
+    from myasynstreamjoin_spark.blocks import (
+        batch_lock,
+        persisted_ids,
+        release_ids,
     )
-    return pagerank_edges(edges, n_iters, damping_pct, k)
+
+    spark = lineitem.sparkSession
+    with batch_lock(spark):
+        pre = persisted_ids(spark)
+        edges = _copurchase_edges(
+            lineitem, max_basket, ("src", "dst"), directed=True
+        )
+        edge_ids = persisted_ids(spark) - pre
+        out = pagerank_edges(edges, n_iters, damping_pct, k)
+        # the result is eager and self-contained (see pagerank_edges)
+        # — the inline edge build's blocks are unreferenced now
+        release_ids(spark, edge_ids)
+        return out
 
 
 def pagerank_edges(
@@ -251,69 +265,104 @@ def pagerank_edges(
     the contribution groupBy(dst) combines map-side before its one
     node-grain exchange. Above the threshold the shuffle join
     remains, where per-executor heap bounds the working set on a
-    real cluster."""
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    # loop-invariant: (src, dst, deg) is identical every iteration, so
-    # join it once and checkpoint — otherwise each of the n_iters plans
-    # re-runs the edges⋈deg shuffle (measured 1.67 GB → 0.9 GB total
-    # shuffle at the sf1 probe).
-    edges_deg = _ckpt_edge_grain(edges.join(deg, "src"))
-    nodes = (
-        edges.select(F.col("src").alias("part"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    # node-grain count: one cheap action on the checkpointed frame;
-    # inlined as a literal (deterministic) so no per-iteration
-    # crossJoin rides the plan.
-    # max(n, 1) guards the n=0 constant-fold (empty graph has no rows
-    # to evaluate anyway, but Catalyst folds literal denominators at
-    # plan time).
-    n = max(nodes.count(), 1)
-    can_broadcast = n <= broadcast_nodes_max
+    real cluster.
 
-    ranks = nodes.select(
-        "part", F.lit(MASS // n).cast("long").alias("r")
+    Block lifecycle (round 8): iteration i's rank checkpoint is
+    released as soon as iteration i+1's materializes (the old blocks
+    are no longer referenced), and on return the ≤k-row result is
+    checkpointed and EVERYTHING else the call persisted (edges_deg,
+    nodes, the final iteration's ranks) is released — a long-lived
+    session can call this in a loop without persisted RDDs
+    accumulating. The whole window runs under the context's batch
+    lock (blocks.py) so the id diffs can't sweep a concurrent
+    caller's blocks; the result is therefore EAGER (the iterations
+    already were — every checkpoint runs its job at call time)."""
+    from myasynstreamjoin_spark.blocks import (
+        batch_lock,
+        persisted_ids,
+        release_ids,
     )
-    for _ in range(n_iters):
-        ranks = ranks.localCheckpoint(eager=True)
-        rk = F.broadcast(ranks) if can_broadcast else ranks
-        contrib = (
-            edges_deg
-            .join(rk, edges_deg["src"] == rk["part"])
-            .select("dst", F.expr("r DIV deg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("in_sum"))
+
+    spark = edges.sparkSession
+    with batch_lock(spark):
+        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        # loop-invariant: (src, dst, deg) is identical every iteration, so
+        # join it once and checkpoint — otherwise each of the n_iters plans
+        # re-runs the edges⋈deg shuffle (measured 1.67 GB → 0.9 GB total
+        # shuffle at the sf1 probe).
+        base = persisted_ids(spark)
+        edges_deg = _ckpt_edge_grain(edges.join(deg, "src"))
+        nodes = (
+            edges.select(F.col("src").alias("part"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        ranks = (
-            nodes.join(contrib, nodes["part"] == contrib["dst"], "left")
-            .select(
-                "part",
-                # all-integer: `/` would detour through double (ANSI)
-                # and its nearest-rounding can cross an integer before
-                # truncation — DIV never does.
-                F.expr(
-                    f"CAST({100 - damping_pct} AS BIGINT) "
-                    f"* CAST({MASS} AS BIGINT) DIV (100 * {n}) "
-                    f"+ (CAST({damping_pct} AS BIGINT) "
-                    f"* coalesce(in_sum, CAST(0 AS BIGINT))) DIV 100"
-                ).alias("r"),
+        # node-grain count: one cheap action on the checkpointed frame;
+        # inlined as a literal (deterministic) so no per-iteration
+        # crossJoin rides the plan.
+        # max(n, 1) guards the n=0 constant-fold (empty graph has no rows
+        # to evaluate anyway, but Catalyst folds literal denominators at
+        # plan time).
+        n = max(nodes.count(), 1)
+        can_broadcast = n <= broadcast_nodes_max
+
+        ranks = nodes.select(
+            "part", F.lit(MASS // n).cast("long").alias("r")
+        )
+        prev_iter: set[int] = set()
+        for _ in range(n_iters):
+            pre_ckpt = persisted_ids(spark)
+            ranks = ranks.localCheckpoint(eager=True)
+            new_ids = persisted_ids(spark) - pre_ckpt
+            # the new checkpoint materialized — the previous
+            # iteration's blocks are unreferenced now
+            if prev_iter:
+                release_ids(spark, prev_iter)
+            prev_iter = new_ids
+            rk = F.broadcast(ranks) if can_broadcast else ranks
+            contrib = (
+                edges_deg
+                .join(rk, edges_deg["src"] == rk["part"])
+                .select("dst", F.expr("r DIV deg").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("in_sum"))
             )
+            ranks = (
+                nodes.join(contrib, nodes["part"] == contrib["dst"], "left")
+                .select(
+                    "part",
+                    # all-integer: `/` would detour through double (ANSI)
+                    # and its nearest-rounding can cross an integer before
+                    # truncation — DIV never does.
+                    F.expr(
+                        f"CAST({100 - damping_pct} AS BIGINT) "
+                        f"* CAST({MASS} AS BIGINT) DIV (100 * {n}) "
+                        f"+ (CAST({damping_pct} AS BIGINT) "
+                        f"* coalesce(in_sum, CAST(0 AS BIGINT))) DIV 100"
+                    ).alias("r"),
+                )
+            )
+        out = (
+            ranks.select(
+                "part",
+                # integer-ppm rounding then one exact IEEE division —
+                # engines disagree on the low bit of round(double, 6),
+                # never on BIGINT arithmetic (see triangle closure note
+                # above).
+                F.expr(
+                    f"CAST((r * 1000000 + {MASS // 2}) DIV {MASS} AS DOUBLE)"
+                    " / 1000000.0"
+                ).alias("rank"),
+            )
+            .orderBy(F.col("rank").desc(), F.col("part"))
+            .limit(k)
         )
-    return (
-        ranks.select(
-            "part",
-            # integer-ppm rounding then one exact IEEE division — engines
-            # disagree on the low bit of round(double, 6), never on BIGINT
-            # arithmetic (see triangle closure note above).
-            F.expr(
-                f"CAST((r * 1000000 + {MASS // 2}) DIV {MASS} AS DOUBLE)"
-                " / 1000000.0"
-            ).alias("rank"),
-        )
-        .orderBy(F.col("rank").desc(), F.col("part"))
-        .limit(k)
-    )
+        # self-contained ≤k-row result; everything else this call
+        # persisted is released before returning
+        pre_out = persisted_ids(spark)
+        out = out.localCheckpoint(eager=True)
+        release_ids(spark, pre_out - base)
+        return out
 
 
 def label_propagation_copurchase(
@@ -338,10 +387,25 @@ def label_propagation_copurchase(
 
     Output: (part, community) — community = the surviving label.
     """
-    sym = _copurchase_edges(
-        lineitem, max_basket, ("node", "nbr"), directed=True
+    from myasynstreamjoin_spark.blocks import (
+        batch_lock,
+        persisted_ids,
+        release_ids,
     )
-    return label_propagation_edges(sym, n_rounds, _renamed=True)
+
+    spark = lineitem.sparkSession
+    with batch_lock(spark):
+        pre = persisted_ids(spark)
+        sym = _copurchase_edges(
+            lineitem, max_basket, ("node", "nbr"), directed=True
+        )
+        edge_ids = persisted_ids(spark) - pre
+        out = label_propagation_edges(sym, n_rounds, _renamed=True)
+        # every round materialized inside the call and the returned
+        # plan reads only the final labels checkpoint — the inline
+        # edge build's blocks are unreferenced now
+        release_ids(spark, edge_ids)
+        return out
 
 
 def label_propagation_edges(
@@ -375,7 +439,16 @@ def label_propagation_edges(
 
     Per round the lineage is cut with a node-grain localCheckpoint —
     small and re-read hot, so default storage (not the edge-grain
-    DISK_ONLY rule) is correct."""
+    DISK_ONLY rule) is correct. Round i's checkpoint is released as
+    soon as round i+1's materializes (blocks.py lifecycle, same as
+    ``pagerank_edges``); the call leaves exactly ONE node-grain
+    persisted frame — the final labels the returned plan reads."""
+    from myasynstreamjoin_spark.blocks import (
+        batch_lock,
+        persisted_ids,
+        release_ids,
+    )
+
     sym = (
         edges
         if _renamed
@@ -383,58 +456,73 @@ def label_propagation_edges(
             F.col("src").alias("node"), F.col("dst").alias("nbr")
         )
     )
-    # eager checkpoint BEFORE the stats action: the agg below and round
-    # 1's join would otherwise each re-derive the distinct over the
-    # full edge table (pagerank_edges does the same for its nodes).
-    labels = (
-        sym.select("node")
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    n_nodes, min_node, max_node = labels.agg(
-        F.count("*"), F.min("node"), F.max("node")
-    ).first()
-    can_broadcast = n_nodes <= broadcast_nodes_max
-    # packing needs label ∈ [0, 2³¹): labels are always node ids, and
-    # counts stay < 2³² (a node would need 4 B in-neighbors to carry).
-    packable = (
-        n_nodes > 0 and min_node >= 0 and max_node < (1 << 31) - 1
-    )
-    half = F.lit((1 << 31) - 1)
-    for _ in range(n_rounds):
-        lab = F.broadcast(labels) if can_broadcast else labels
-        nbr_labels = sym.join(
-            lab.withColumnRenamed("node", "nbr"), "nbr"
-        ).select("node", "label")
-        counts = nbr_labels.groupBy("node", "label").agg(
-            F.count("*").alias("__c")
+    spark = edges.sparkSession
+    with batch_lock(spark):
+        # eager checkpoint BEFORE the stats action: the agg below and
+        # round 1's join would otherwise each re-derive the distinct
+        # over the full edge table (pagerank_edges does the same for
+        # its nodes).
+        pre_ckpt = persisted_ids(spark)
+        labels = (
+            sym.select("node")
+            .distinct()
+            .withColumn("label", F.col("node"))
+            .localCheckpoint(eager=True)
         )
-        if packable:
-            packed = counts.select(
-                "node",
-                (F.col("__c") * F.lit(1 << 31) + (half - F.col("label")))
-                .alias("__s"),
+        prev_round = persisted_ids(spark) - pre_ckpt
+        n_nodes, min_node, max_node = labels.agg(
+            F.count("*"), F.min("node"), F.max("node")
+        ).first()
+        can_broadcast = n_nodes <= broadcast_nodes_max
+        # packing needs label ∈ [0, 2³¹): labels are always node ids,
+        # and counts stay < 2³² (a node would need 4 B in-neighbors to
+        # carry).
+        packable = (
+            n_nodes > 0 and min_node >= 0 and max_node < (1 << 31) - 1
+        )
+        half = F.lit((1 << 31) - 1)
+        for _ in range(n_rounds):
+            lab = F.broadcast(labels) if can_broadcast else labels
+            nbr_labels = sym.join(
+                lab.withColumnRenamed("node", "nbr"), "nbr"
+            ).select("node", "label")
+            counts = nbr_labels.groupBy("node", "label").agg(
+                F.count("*").alias("__c")
             )
-            labels = (
-                packed.groupBy("node")
-                .agg(F.max("__s").alias("__s"))
-                .select(
-                    "node", (half - F.col("__s") % F.lit(1 << 31)).alias("label")
+            pre_ckpt = persisted_ids(spark)
+            if packable:
+                packed = counts.select(
+                    "node",
+                    (F.col("__c") * F.lit(1 << 31) + (half - F.col("label")))
+                    .alias("__s"),
                 )
-                .localCheckpoint(eager=True)
-            )
-        else:
-            labels = (
-                counts.groupBy("node")
-                .agg(
-                    F.max_by(
-                        "label",
-                        F.struct(F.col("__c"), (-F.col("label")).alias("__t")),
-                    ).alias("label")
+                labels = (
+                    packed.groupBy("node")
+                    .agg(F.max("__s").alias("__s"))
+                    .select(
+                        "node",
+                        (half - F.col("__s") % F.lit(1 << 31)).alias("label"),
+                    )
+                    .localCheckpoint(eager=True)
                 )
-                .localCheckpoint(eager=True)
-            )
+            else:
+                labels = (
+                    counts.groupBy("node")
+                    .agg(
+                        F.max_by(
+                            "label",
+                            F.struct(
+                                F.col("__c"), (-F.col("label")).alias("__t")
+                            ),
+                        ).alias("label")
+                    )
+                    .localCheckpoint(eager=True)
+                )
+            new_ids = persisted_ids(spark) - pre_ckpt
+            # the round's checkpoint materialized — the previous
+            # round's blocks are unreferenced now
+            release_ids(spark, prev_round)
+            prev_round = new_ids
     return labels.select(
         F.col("node").alias("part"), F.col("label").alias("community")
     )

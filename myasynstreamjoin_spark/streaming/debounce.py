@@ -37,6 +37,7 @@ from myasynstreamjoin_spark.blocks import (
     ckpt_disk,
     persisted_ids,
     release_blocks,
+    scoped_batch,
 )
 
 from myasynstreamjoin_spark.streaming.cdc import drain_foreach_batch, replay_base_version
@@ -50,7 +51,12 @@ def debounce_batch_with_state(
 ):
     """Returns ``(kept, commit_state)``: kept = the batch's surviving
     events (batch-operator schema), commit_state() advances the
-    per-key last-raw-ts state to v{batch_id}."""
+    per-key last-raw-ts state to v{batch_id}.
+
+    The internal snapshot→release pair is lock-free: direct callers
+    must not run concurrently with another batch body on the same
+    SparkContext (blocks.py constraint); the stream runners wrap each
+    batch in ``blocks.batch_scope``, which enforces this."""
     from myasynstreamjoin_spark.operators.sessions import debounce_events
 
     bid = int(batch_id)
@@ -120,6 +126,7 @@ def run_stream_debounce(
     kept_dir = os.path.join(work_dir, "kept")
     state_dir = os.path.join(work_dir, "state")
 
+    @scoped_batch
     def process(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
         kept, commit_state = debounce_batch_with_state(
@@ -160,7 +167,8 @@ def throttle_batch_with_state(
     the LATEST bucket can span a batch boundary, so dropping batch
     survivors whose bucket equals the state bucket makes the streamed
     survivors exactly the batch `throttle_events` answer. Returns
-    ``(kept, commit_state)``."""
+    ``(kept, commit_state)``. Same single-concurrent-batch constraint
+    as ``debounce_batch_with_state`` (blocks.py)."""
     from myasynstreamjoin_spark.operators.sessions import throttle_events
 
     bid = int(batch_id)
@@ -225,6 +233,7 @@ def run_stream_throttle(
     kept_dir = os.path.join(work_dir, "kept")
     state_dir = os.path.join(work_dir, "state")
 
+    @scoped_batch
     def process(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
         kept, commit_state = throttle_batch_with_state(

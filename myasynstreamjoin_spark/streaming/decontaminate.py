@@ -29,7 +29,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from myasynstreamjoin_spark.blocks import persisted_ids, release_blocks
+from myasynstreamjoin_spark.blocks import scoped_batch
 
 
 def run_stream_decontaminate(
@@ -52,11 +52,12 @@ def run_stream_decontaminate(
         .localCheckpoint(eager=True)
     )
 
+    @scoped_batch
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        # snapshot/release: batch checkpoint blocks freed after the
-        # last sink (blocks.py rule); the static bench_grams
-        # checkpoint predates the snapshot and is untouched
-        pre = persisted_ids(batch_df.sparkSession)
+        # batch_scope (blocks.py): the batch's checkpoint blocks are
+        # released at scope exit, serialized against any concurrent
+        # scope on this context; the static bench_grams checkpoint
+        # predates the snapshot and is untouched
         batch = batch_df.localCheckpoint(eager=True)
         grams = shingle_docs(batch, k).select(
             "doc_id", F.explode_outer("sh").alias("g")
@@ -70,7 +71,6 @@ def run_stream_decontaminate(
         clean.write.mode("overwrite").parquet(
             os.path.join(clean_dir, f"b{int(batch_id)}")
         )
-        release_blocks(batch_df.sparkSession, pre)
 
     q = (
         docs.writeStream.outputMode("append")
@@ -128,14 +128,13 @@ def run_stream_semantic_decontaminate(
     scored_dir = os.path.join(work_dir, "scored")
     bench = bench_vecs.localCheckpoint(eager=True)
 
+    @scoped_batch
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        pre = persisted_ids(batch_df.sparkSession)
         batch = batch_df.localCheckpoint(eager=True)
         out = semantic_decontaminate(batch, bench, threshold=threshold)
         out.write.mode("overwrite").parquet(
             os.path.join(scored_dir, f"b{int(batch_id)}")
         )
-        release_blocks(batch_df.sparkSession, pre)
 
     q = (
         vecs.writeStream.outputMode("append")

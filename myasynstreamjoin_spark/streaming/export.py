@@ -31,7 +31,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from myasynstreamjoin_spark.blocks import persisted_ids, release_blocks
+from myasynstreamjoin_spark.blocks import scoped_batch
 
 from myasynstreamjoin_spark.streaming.cdc import latest_version, replay_base_version
 
@@ -52,11 +52,11 @@ def run_stream_export_shards(
     data_dir = os.path.join(work_dir, "data")
     man_dir = os.path.join(work_dir, "manifest")
 
+    @scoped_batch
     def process(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
         bspark = batch_df.sparkSession
-        # snapshot/release at batch grain (blocks.py rule)
-        pre = persisted_ids(bspark)
+        # batch_scope at batch grain (blocks.py rule)
         batch = batch_df.localCheckpoint(eager=True)
         batch.withColumn(
             "shard", hash_bucket(F.col("doc_id").cast("string"), n_shards)
@@ -81,7 +81,6 @@ def run_stream_export_shards(
         merged.write.mode("overwrite").parquet(
             os.path.join(man_dir, f"v{bid}")
         )
-        release_blocks(bspark, pre)
 
     q = (
         docs.writeStream.outputMode("append")

@@ -33,7 +33,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from myasynstreamjoin_spark.blocks import persisted_ids, release_blocks
+from myasynstreamjoin_spark.blocks import scoped_batch
 
 from myasynstreamjoin_spark.streaming.cdc import replay_base_version
 
@@ -59,11 +59,11 @@ def run_stream_image_neardup(
     hash_dir = os.path.join(work_dir, "hashes")
     pairs_dir = os.path.join(work_dir, "pairs")
 
+    @scoped_batch
     def process(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
         bspark = batch_df.sparkSession
-        # snapshot/release at batch grain (blocks.py rule)
-        pre = persisted_ids(bspark)
+        # batch_scope at batch grain (blocks.py rule)
         new_hashed = image_ahash(
             batch_df.localCheckpoint(eager=True)
         ).localCheckpoint(eager=True)
@@ -120,7 +120,6 @@ def run_stream_image_neardup(
         old_hashed.unionByName(new_hashed).write.mode("overwrite").parquet(
             os.path.join(hash_dir, f"v{bid}")
         )
-        release_blocks(bspark, pre)
 
     q = (
         media.writeStream.outputMode("append")

@@ -39,6 +39,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from myasynstreamjoin_spark.blocks import scoped_batch
 from myasynstreamjoin_spark.streaming.cdc import drain_foreach_batch, replay_base_version
 
 
@@ -55,7 +56,12 @@ def dedup_batch_against_lines(
     ``(cleaned, commit_index)`` where ``cleaned`` is (doc_id, n_lines,
     n_removed, text_clean) — the batch operator's exact schema — and
     ``commit_index()`` advances the versioned index to v{batch_id};
-    call it LAST, after every other sink commits."""
+    call it LAST, after every other sink commits.
+
+    The internal snapshot→release pair is lock-free: direct callers
+    must not run concurrently with another batch body on the same
+    SparkContext (blocks.py constraint). ``run_stream_line_dedup``
+    wraps each batch in ``blocks.batch_scope``, which enforces this."""
     from myasynstreamjoin_spark.functions.lines import (
         _line_reassemble,
         doc_lines,
@@ -134,6 +140,7 @@ def run_stream_line_dedup(
     clean_dir = os.path.join(work_dir, "clean")
     index_dir = os.path.join(work_dir, "lines")
 
+    @scoped_batch
     def process(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
         cleaned, commit_index = dedup_batch_against_lines(

@@ -32,7 +32,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from myasynstreamjoin_spark.blocks import persisted_ids, release_blocks
+from myasynstreamjoin_spark.blocks import scoped_batch
 
 from myasynstreamjoin_spark.streaming.cdc import replay_base_version
 
@@ -84,13 +84,13 @@ def run_stream_neardup(
     sh_dir = os.path.join(work_dir, "shingles")
     pairs_dir = os.path.join(work_dir, "pairs")
 
+    @scoped_batch
     def process(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
         bspark = batch_df.sparkSession
-        # snapshot/release at batch grain (blocks.py rule): the index
+        # batch_scope at batch grain (blocks.py rule): the index
         # versions written below are the cross-batch state; blocks die
-        # with the batch after the last sink
-        pre = persisted_ids(bspark)
+        # with the batch at scope exit
         batch = batch_df.localCheckpoint(eager=True)
         new_sh = shingle_docs(
             batch, k, hashed="md5" if replayable else True
@@ -153,7 +153,6 @@ def run_stream_neardup(
         old_sh.unionByName(new_sh).write.mode("overwrite").parquet(
             os.path.join(sh_dir, f"v{bid}")
         )
-        release_blocks(bspark, pre)
 
     q = (
         docs.writeStream.outputMode("append")

@@ -43,6 +43,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from myasynstreamjoin_spark.blocks import scoped_batch
 from myasynstreamjoin_spark.streaming.cdc import replay_base_version
 
 
@@ -61,7 +62,12 @@ def clean_batch_against_index(
     ``commit_index()`` advances the versioned index to v{batch_id} —
     call it LAST in the batch, after every other sink commits, so a
     crash replays the batch against the exact state it originally
-    saw (`replay_base_version` is strictly-below)."""
+    saw (`replay_base_version` is strictly-below).
+
+    The internal snapshot→release pair is lock-free: direct callers
+    must not run concurrently with another batch body on the same
+    SparkContext (blocks.py constraint). The stream runners wrap each
+    batch in ``blocks.batch_scope``, which enforces this."""
     from myasynstreamjoin_spark.functions.dedup import (
         _span_election_dels,
         _span_grams,
@@ -131,6 +137,7 @@ def run_stream_remove_spans(
     clean_dir = os.path.join(work_dir, "clean")
     grams_dir = os.path.join(work_dir, "grams")
 
+    @scoped_batch
     def process(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
         cleaned, commit_index = clean_batch_against_index(
