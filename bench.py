@@ -126,6 +126,13 @@ def main() -> int:
         "sf": sf,
         "runs": [round(sum(r.values()), 3) for r in runs],
         "queries_cold": runs[0],
+        # artifact-semantics marker (round-8 advice): in v1 artifacts
+        # (BENCH_r01..r06) `queries` held the COLD run-1 timings; v2
+        # (r07+) holds the WARM run-2 pass, with run 1 preserved as
+        # `queries_cold`. Cross-round per-query tooling must branch on
+        # this field instead of silently comparing warm vs cold.
+        "artifact_version": 2,
+        "queries_semantics": "warm_run2",
     }))
     return 0
 

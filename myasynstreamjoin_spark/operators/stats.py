@@ -878,7 +878,14 @@ def distinct_sketch_shards(
         if dtypes.get("ts", "").startswith("timestamp"):
             shard = F.expr("CAST(ts AS DATE)").cast("string")
         elif "ts" in dtypes:  # epoch-nanos BIGINT (tables.load_table form)
-            shard = F.expr("ts DIV 86400000000000").cast("string")
+            # FLOOR division (pmod-adjusted DIV): Spark's bare DIV
+            # truncates toward zero while the DuckDB oracles floor
+            # (`//`), so a pre-1970 negative-epoch event would land in
+            # a different day shard between engines. `/`+floor is not
+            # an option — epoch-ns exceeds double's 2^53 exact range.
+            shard = F.expr(
+                "(ts - pmod(ts, 86400000000000)) DIV 86400000000000"
+            ).cast("string")
         else:
             shard = (F.xxhash64(value_col) % 16).cast("string")
     sketches = (
@@ -952,7 +959,11 @@ def quantile_sketch_shards(
         if dtypes.get("ts", "").startswith("timestamp"):
             shard = F.expr("CAST(ts AS DATE)").cast("string")
         elif "ts" in dtypes:
-            shard = F.expr("ts DIV 86400000000000").cast("string")
+            # FLOOR division — same negative-epoch rule as
+            # `distinct_sketch_shards` above.
+            shard = F.expr(
+                "(ts - pmod(ts, 86400000000000)) DIV 86400000000000"
+            ).cast("string")
         else:
             shard = (F.xxhash64(value_col) % 16).cast("string")
     return (

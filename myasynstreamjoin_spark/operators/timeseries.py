@@ -196,9 +196,14 @@ def event_autocorrelation(
 
     Output: (event_type, lag, acf) for 1 ≤ lag ≤ max_lag.
     """
-    # integer DIV: epoch-ns exceeds double's 2^53 mantissa, a float
-    # detour would corrupt the hour index
-    h = F.expr(f"{ts_col} DIV {bucket_ns}")
+    # integer FLOOR division (pmod-adjusted DIV): epoch-ns exceeds
+    # double's 2^53 mantissa so a float detour would corrupt the hour
+    # index, and bare DIV truncates toward zero while the DuckDB
+    # oracles floor (`//`) — pre-1970 negative epochs would land in a
+    # different bucket between engines.
+    h = F.expr(
+        f"({ts_col} - pmod({ts_col}, {bucket_ns})) DIV {bucket_ns}"
+    )
     counts = (
         events.select(type_col, h.alias("h"))
         .groupBy(type_col, "h")
@@ -282,9 +287,14 @@ def resample_daily(
     from pyspark.sql import Window
 
     DAY_NS = 86_400 * 10**9
-    # integer DIV, not double division: epoch-ns (~1.7e18) exceeds a
-    # double's 53-bit mantissa, so float division would misplace days.
-    day = F.expr(f"CAST({ts_col} AS BIGINT) DIV {DAY_NS}")
+    # integer FLOOR division, not double division: epoch-ns (~1.7e18)
+    # exceeds a double's 53-bit mantissa, and bare DIV truncates
+    # toward zero where the oracle's `//` floors (negative-epoch rule,
+    # same as the sketch day shards in operators/stats.py).
+    day = F.expr(
+        f"(CAST({ts_col} AS BIGINT) - pmod(CAST({ts_col} AS BIGINT),"
+        f" {DAY_NS})) DIV {DAY_NS}"
+    )
     daily = (
         events.select(F.col(type_col).alias("event_type"), day.alias("day"))
         .groupBy("event_type", "day")

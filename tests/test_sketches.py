@@ -6,10 +6,14 @@ truth."""
 
 from __future__ import annotations
 
+import os
+
+import pytest
 from pyspark.sql import functions as F
 
 from myasynstreamjoin_spark.operators.stats import (
     audience_set_algebra,
+    distinct_sketch_shards,
     quantile_sketch_rollup,
     quantile_sketch_shards,
 )
@@ -98,3 +102,59 @@ def test_theta_algebra_is_exact_below_threshold(spark, sf_dir):
         assert r["est_union"] == len(users[a] | users[b])
         assert r["est_intersection"] == len(users[a] & users[b])
         assert r["est_a_minus_b"] == len(users[a] - users[b])
+
+
+@pytest.mark.parametrize(
+    "sf", ["sf0.001", "sf0.01"]  # pytest-mirror SF + the DRIVER's correctness SF
+)
+def test_exact_regime_guard_for_sketch_oracles(spark, sf):
+    """The q_sketch_distinct / q_theta_audience / q_stream_theta
+    oracles hardcode EXACT equality (est_merged == exact count, full
+    inclusion-exclusion set algebra, approx_ok TRUE), which only holds
+    while every group's distinct cardinality sits inside the sketches'
+    exact regimes: HLL lg_k=12 keeps exact coupon counts well below
+    its coupon capacity (first divergence MEASURED at ~1500
+    distinct/group on these fixtures, round 7), and Theta lg_k=12
+    retains 4096 hashes, i.e. is an exact set below that. If the
+    driver ever regenerates larger fixtures or the correctness SF
+    rises, this guard fails FIRST with an explanation, instead of the
+    oracles flipping to silent false reds (round-8 advice item)."""
+    sf_dir = os.path.join("/root/testdata", sf)
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"{sf_dir} not generated")
+    ev = tables.load_table(spark, sf_dir, "events")
+    max_d = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .agg(F.max("d"))
+        .first()[0]
+    )
+    assert max_d <= 750, (
+        f"{sf}: {max_d} distinct users/group exceeds the HLL lg_k=12 "
+        "exact-coupon guard (divergence measured at ~1500; 2x margin) "
+        "— regenerate the q_sketch_distinct oracle before the next "
+        "driver round"
+    )
+    assert max_d <= 2048, (
+        f"{sf}: {max_d} distinct users/group exceeds half of Theta "
+        "lg_k=12's 4096 retained hashes — the q_theta_audience / "
+        "q_stream_theta exact set algebra is about to break"
+    )
+
+
+def test_day_shard_floors_negative_epochs(spark):
+    """Day-shard keys use FLOOR division (pmod-adjusted DIV): a
+    pre-1970 event (-1 ns) must land in day -1 exactly as the DuckDB
+    oracles' `//` places it, not truncate up into day 0 (round-8
+    advice item)."""
+    df = spark.createDataFrame(
+        [
+            (-1, "a", 1.0, 1),
+            (0, "a", 2.0, 2),
+            (86_400_000_000_000, "a", 3.0, 3),
+        ],
+        "ts long, event_type string, value double, user_id long",
+    )
+    for frame in (quantile_sketch_shards(df), distinct_sketch_shards(df)):
+        shards = sorted(r["shard"] for r in frame.collect())
+        assert shards == ["-1", "0", "1"], shards
