@@ -3272,19 +3272,18 @@ def _q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-shaped semantic near-dup pairs: deterministic seed
-    clustering (8 lowest-id vectors) then within-cluster exact cosine
-    at 0.4 (the fixture's neardup threshold convention). Contract
-    scale ONLY — 8 pinned seeds mean 625 k-vector clusters at sf10ish;
-    the √N auto form runs that corpus in 451.7 s (SQL kernel) and the
-    Arrow-matmul twin in 5.0 s (SCALEPROBE_r07_families_sf10 /
-    r06_sf10) — production callers use n_seeds=None + kernel="arrow".
-    """
+    """SemDeDup-shaped semantic near-dup pairs on the library's AUTO
+    seed count (round 8 — the registered contract IS the scale path
+    now; the old n_seeds=8 pin meant 625 k-vector clusters at
+    sf10ish): deterministic max(8, ⌊√N⌋) lowest-id seed vectors, then
+    within-cluster exact cosine at 0.4. The oracle recomputes the
+    same seed count from its own count(*) and selects the same
+    lowest-id seeds, so the whole construction replays at any SF."""
     from myasynstreamjoin_spark.functions.similarity import semantic_dedup_pairs
 
     _prep(spark)
     embs = tables.load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup_pairs(embs, n_seeds=8, threshold=0.4)
+    return semantic_dedup_pairs(embs, threshold=0.4)
 
 
 def _q_semantic_dedup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3296,7 +3295,7 @@ def _q_semantic_dedup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     embs = tables.load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup_pairs(embs, n_seeds=8, threshold=0.4, kernel="arrow")
+    return semantic_dedup_pairs(embs, threshold=0.4, kernel="arrow")
 
 
 def _q_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3463,18 +3462,19 @@ def _q_embed_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed cosine near-dup pairs with n_planes PINNED at 4 so
-    the DuckDB oracle can replay the literal construction. Contract
-    scale ONLY: at sf10ish the pinned form is ~7.8e11 pair folds
-    (killed mid-probe, round 7) while the library's n_planes=None
-    auto-scaling does the same corpus in 18.3 s zero-spill
-    (SCALEPROBE_r07_families_sf10) — production callers use the
-    auto default."""
+    """LSH-bucketed cosine near-dup pairs on the library's AUTO
+    plane count (round 8 — the registered contract IS the scale path
+    now; the old n_planes=4 pin was a registered scale-killer,
+    ~7.8e11 pair folds at sf10ish). The auto rule is integer-exact
+    (smallest k ≥ 4 with 256·2^k ≥ N), so the DuckDB oracle replays
+    the choice from its own count(*) and masks the same baked
+    hyperplane literals (plane i of seed-42 randn is prefix-stable in
+    the plane count, pinned in test_retrieval_bloom_semdedup)."""
     from myasynstreamjoin_spark.functions.similarity import embedding_neardup_pairs
 
     _prep(spark)
     return embedding_neardup_pairs(
-        tables.load_table(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=4
+        tables.load_table(spark, sf_dir, "embeddings"), threshold=0.4
     )
 
 
@@ -4440,7 +4440,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the materializing hypercube join, the four sketch queries
         # upgraded to real oracles in r7, TPC-H Q5, the WebDataset
         # codec, the epoch/data-mixing family, and the remaining
-        # ingest-hygiene + streaming singles.
+        # ingest-hygiene + streaming singles — and the two re-shaped
+        # auto-parameter forms (q_embed_neardup_lsh / q_semantic_dedup
+        # retired their pinned-literal oracles this round; a re-shaped
+        # query re-enters the window for a REAL driver green, the
+        # q_pack_chunks lesson).
         "q_pack_chunks": _q_pack_chunks,                  # materialized packed samples (scalar digest, r7 re-shape)
         "q_simsearch_filtered": _q_simsearch_filtered,    # pre-filtered exact vector search
         "q_simsearch_multiprobe": _q_simsearch_multiprobe,  # multi-probe LSH (recall recovery)
@@ -4467,8 +4471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_expectations": _q_stream_expectations,  # per-window quality monitoring
         "q_stream_topk": _q_stream_topk,                  # complete-mode sort+limit
         "q_blocklist": _q_blocklist,                      # Aho-Corasick wordlist scan
-        "q_boilerplate": _q_boilerplate,                  # per-source frequent-line report
-        "q_fix_encoding": _q_fix_encoding,                # ftfy-lite mojibake repair
+        "q_embed_neardup_lsh": _q_embed_neardup_lsh,      # LSH cosine pairs — AUTO planes (re-shaped r8)
+        "q_semantic_dedup": _q_semantic_dedup,            # SemDeDup pairs — AUTO seeds (re-shaped r8)
         # --- tail (pytest oracle-parity mirror coverage) ---
         # rotated OUT of the driver window after 1-4 green rounds
         # (still verified by the pytest mirror every session)
@@ -4551,9 +4555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_pairs": _q_winnow_pairs,                # winnowing fingerprint overlap
         "q_simhash_pairs": _q_simhash_pairs,              # pigeonhole Hamming join
         "q_bloom_decontaminate": _q_bloom_decontaminate,  # Bloom-prefiltered decontamination
-        "q_semantic_dedup": _q_semantic_dedup,            # SemDeDup cluster-then-pair dedup
         "q_embed_neardup_exact": _q_embed_neardup_exact,  # exact cosine pair baseline
-        "q_embed_neardup_lsh": _q_embed_neardup_lsh,      # LSH-bucketed cosine pairs
         "q_ann_recall": _q_ann_recall,                    # ANN recall audit vs exact
         "q_stream_neardup": _q_stream_neardup,            # streaming MinHash near-dup vs index
         "q_tpch_q10": _q_tpch_q10,
@@ -4676,6 +4678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sorted_export": _q_sorted_export,              # range-partitioned global order
         "q_hard_negatives": _q_hard_negatives,            # contrastive hard-negative mining
         "q_ingest_e2e": _q_ingest_e2e,                    # composed admission gate
+        "q_boilerplate": _q_boilerplate,                  # per-source frequent-line report
+        "q_fix_encoding": _q_fix_encoding,                # ftfy-lite mojibake repair
         "q_interleave_mm": _q_interleave_mm,              # interleaved text+image-ref assembly
     }
 
@@ -4819,6 +4823,26 @@ def _oracle_sql_base() -> dict[str, str]:
             arr = "[" + ", ".join(repr(float(x)) for x in pl) + "]"
             terms.append(
                 f"(CASE WHEN list_dot_product(e, {arr}) > 0"
+                f" THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    def _masked_bucket_sql(k_max: int = 24, seed: int = 42) -> str:
+        """Auto-plane-count bucket expression (round 8): bakes k_max
+        plane literals but masks plane i unless i < kk.k, where kk.k
+        is the SAME integer-exact auto rule the engine uses (smallest
+        k ≥ 4 with 256·2^k ≥ count(*)). seed-42 randn planes are
+        PREFIX-STABLE in the plane count (row-major fill), so the
+        first k literals here equal the engine's k-plane set at any
+        corpus size up to 256·2^k_max vectors — the oracle adapts to
+        N instead of pinning a scale-killing literal."""
+        planes = _random_hyperplanes(64, k_max, seed)
+        terms = []
+        for i, pl in enumerate(planes):
+            arr = "[" + ", ".join(repr(float(x)) for x in pl) + "]"
+            terms.append(
+                f"(CASE WHEN {i} < kk.k"
+                f" AND list_dot_product(e, {arr}) > 0"
                 f" THEN {1 << i} ELSE 0 END)"
             )
         return " + ".join(terms)
@@ -7645,11 +7669,17 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         # Seeds = 8 lowest vec_ids; assignment argmax on round-6 cosine
         # (ties to lowest seed); pair filter on round-4 cosine >= 0.4.
+        # auto seed count (round 8): ns.s = max(8, floor(sqrt(N)))
+        # replays the engine's max(8, isqrt(N)) — exact for every N
+        # below 2^52 (double sqrt can't cross an integer boundary at
+        # these magnitudes).
         "q_semantic_dedup": """
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                        FROM embeddings),
+            ns AS (SELECT greatest(8, CAST(floor(sqrt(count(*))) AS INT))
+                          AS s FROM embeddings),
             seeds AS (SELECT vec_id AS seed_id, e AS se FROM v
-                      ORDER BY vec_id LIMIT 8),
+                      ORDER BY vec_id LIMIT (SELECT s FROM ns)),
             asg AS (
               SELECT v.vec_id, v.e, s.seed_id,
                      round(list_dot_product(v.e, s.se)
@@ -7773,10 +7803,20 @@ def _oracle_sql_base() -> dict[str, str]:
             ORDER BY cos DESC, b.vec_id
             LIMIT 10
         """,
+        # auto plane count (round 8): kk.k = smallest k >= 4 with
+        # 256 * 2^k >= N, replaying the engine's integer-exact rule;
+        # pow(2.0, k) is exact in a double for k <= 40, so the
+        # comparison is integer-exact too.
         "q_embed_neardup_lsh": f"""
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                        FROM embeddings),
-            b AS (SELECT vec_id, e, {_bucket_sql(4)} AS bucket FROM v)
+            nn AS (SELECT count(*) AS n FROM embeddings),
+            kk AS (SELECT greatest(4, (SELECT min(t.k)
+                                       FROM range(1, 41) t(k), nn
+                                       WHERE 256 * pow(2.0, t.k) >= nn.n))
+                          AS k FROM nn),
+            b AS (SELECT vec_id, e, {_masked_bucket_sql()} AS bucket
+                  FROM v CROSS JOIN kk)
             SELECT x.vec_id AS id_a, y.vec_id AS id_b,
                    round(list_dot_product(x.e, y.e)
                          / (sqrt(list_dot_product(x.e, x.e))

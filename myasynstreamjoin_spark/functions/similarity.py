@@ -478,10 +478,14 @@ def embedding_neardup_pairs(
     Output: (id_a, id_b, cos) with id_a < id_b, cos ≥ threshold.
     """
     if n_planes is None:
-        import math
-
         n = embeddings.count()
-        n_planes = max(4, math.ceil(math.log2(max(2, n / target_bucket))))
+        # integer-exact ceil(log2(max(2, n/target))): smallest k ≥ 1
+        # with target·2^k ≥ n. bit_length instead of float log2 so a
+        # SQL oracle can replay the choice without cross-libm
+        # rounding concerns (round 8 — the auto path is now the
+        # REGISTERED contract, q_embed_neardup_lsh).
+        m = max(2, -(-n // target_bucket))
+        n_planes = max(4, (m - 1).bit_length())
     # Persisted: both sides of the self-join read it, and the bucket
     # projection (n_planes dot products per row) is the expensive part.
     # Rebalanced first: embedding tables are bytes-dense but row-cheap,

@@ -251,9 +251,10 @@ def test_hybrid_fusion_rank_semantics(spark, sf_dir):
 def test_lsh_autoscale_is_the_library_default():
     """Scale guard: the sf3 probe measured static LSH parameters as a
     latent quadratic (164.6 s vs 15.1 s) — the SAFE auto-scaling mode
-    must be the library default, with pinned literals confined to the
-    oracle-replayable `_q_*` wrappers (which need a fixed bucketing so
-    DuckDB can replay the bucket assignment)."""
+    must be the library default, AND (round 8) the registered contract
+    queries must ride it too: the old pinned wrappers were the
+    registry's last two scale-killers, retired by regenerating their
+    oracles against the auto parameterization."""
     import inspect
 
     import __spark_entry__ as entry_mod
@@ -270,9 +271,62 @@ def test_lsh_autoscale_is_the_library_default():
         inspect.signature(semantic_dedup_pairs).parameters["n_seeds"].default
         is None
     )
-    # the oracle wrappers still pin explicit literals (replayability)
-    assert "n_planes=4" in inspect.getsource(entry_mod._q_embed_neardup_lsh)
-    assert "n_seeds=8" in inspect.getsource(entry_mod._q_semantic_dedup)
+    # the contract wrappers must NOT pin literals anymore — their
+    # oracles recompute the auto parameters from count(*). Check the
+    # CODE only (docstrings narrate the retired pins).
+    import ast
+    import textwrap
+
+    def code_without_docstring(fn):
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+        body = tree.body[0].body
+        if isinstance(body[0], ast.Expr) and isinstance(
+            body[0].value, ast.Constant
+        ):
+            body = body[1:]
+        return "\n".join(ast.unparse(stmt) for stmt in body)
+
+    assert "n_planes" not in code_without_docstring(
+        entry_mod._q_embed_neardup_lsh
+    )
+    assert "n_seeds" not in code_without_docstring(entry_mod._q_semantic_dedup)
+    assert "n_seeds" not in code_without_docstring(
+        entry_mod._q_semantic_dedup_arrow
+    )
+
+
+def test_lsh_plane_prefix_stability():
+    """The auto-oracle's masking trick requires plane i of the seed-42
+    generator to be IDENTICAL whatever the total plane count — randn
+    fills row-major, so the k-plane set is a prefix of the k_max-plane
+    literal bank baked into the oracle. If the generator ever changes
+    (different RNG, transposed fill), this fails before the driver
+    does."""
+    import numpy as np
+
+    from myasynstreamjoin_spark.functions.similarity import (
+        _random_hyperplanes,
+    )
+
+    small = np.array(_random_hyperplanes(64, 4, 42))
+    big = np.array(_random_hyperplanes(64, 24, 42))
+    assert np.array_equal(small, big[:4])
+
+
+def test_auto_plane_rule_is_integer_exact():
+    """The engine's auto n_planes (smallest k >= 4 with 256*2^k >= N)
+    must agree with ceil(log2(max(2, N/256))) — the documented rule —
+    across the boundary cases the bit_length form must get right."""
+    import math
+
+    def engine_rule(n, target=256):
+        m = max(2, -(-n // target))
+        return max(4, (m - 1).bit_length())
+
+    for n in [1, 2, 255, 256, 257, 511, 512, 513, 4096, 4097,
+              8192, 1 << 20, (1 << 20) + 1, 10**9]:
+        want = max(4, math.ceil(math.log2(max(2, n / 256))))
+        assert engine_rule(n) == want, (n, engine_rule(n), want)
 
 
 def test_contamination_report_per_suite_counts(spark):

@@ -31,14 +31,14 @@ DEFAULT = [
     "q_minhash_pairs",
     "q_simhash",
     "q_dedup_clusters",
-    # q_embed_neardup_lsh / q_semantic_dedup pin n_planes=4 / n_seeds=8
-    # for their literal DuckDB oracles — contract-scale forms whose
-    # bucket/cluster population grows linearly with the corpus (the
-    # round-7 sf10ish campaign killed the pinned LSH form mid-flight at
-    # ~7.8e11 pair folds). Probe their AUTO twins, which are the
-    # production setting.
-    "embed_neardup_auto",
-    "semantic_dedup_auto",
+    # round 8: the registered q_embed_neardup_lsh / q_semantic_dedup
+    # now RIDE the auto-scaled parameters (their oracles recompute
+    # n_planes / n_seeds from count(*)), so the probe runs the
+    # contract forms directly — the old pinned-literal carve-outs
+    # (killed at ~7.8e11 pair folds in the r7 sf10ish campaign) are
+    # retired.
+    "q_embed_neardup_lsh",
+    "q_semantic_dedup",
     "semantic_dedup_arrow",
     "q_remove_spans",
     "remove_spans_hashed",
@@ -138,25 +138,6 @@ def stage_metrics(spark):
     return spill_mem, spill_disk, sh_read, sh_write
 
 
-def _embed_neardup_auto(spark, sf_dir):
-    """The scale path of q_embed_neardup_lsh: bucket-size-targeted
-    auto plane count (the contract query pins 4 planes for its
-    plane-literal oracle)."""
-    from myasynstreamjoin_spark.functions.similarity import embedding_neardup_pairs
-
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_neardup_pairs(embs, threshold=0.4, n_planes=None)
-
-
-def _semantic_dedup_auto(spark, sf_dir):
-    """The scale path of q_semantic_dedup: √N auto-scaled seed count
-    (the contract query pins 8 seeds for its literal oracle)."""
-    from myasynstreamjoin_spark.functions.similarity import semantic_dedup_pairs
-
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return semantic_dedup_pairs(embs, n_seeds=None, threshold=0.4)
-
-
 def _semantic_dedup_arrow(spark, sf_dir):
     """Auto seeds + Arrow matmul kernels — the full 100 TB path."""
     from myasynstreamjoin_spark.functions.similarity import semantic_dedup_pairs
@@ -250,8 +231,6 @@ def main() -> int:
     spark = get_spark(app_name="scale-probe")
     queries = dict(contract.queries())
     queries["pipeline_e2e_nolang"] = _pipeline_e2e_nolang
-    queries["embed_neardup_auto"] = _embed_neardup_auto
-    queries["semantic_dedup_auto"] = _semantic_dedup_auto
     queries["semantic_dedup_arrow"] = _semantic_dedup_arrow
     queries["remove_spans_hashed"] = _remove_spans_hashed
     queries["line_dedup_hashed"] = _line_dedup_hashed
