@@ -57,6 +57,16 @@ HEADLINE = [
     "q_stream_min_count_window",  # Structured Streaming flagship
     "q_stream_grammar",       # S1 grammar DataSource stream (fixed grid; measures
                               # the partitioned Python-source + decode machinery)
+    # TPC-H subset (round 8, verdict stretch: cross-round perf tracking
+    # for the relational tier now that all 22 are driver-confirmed).
+    # One per plan shape: Q3 join+agg+topk, Q5 6-way snowflake join,
+    # Q9 9-scan star with expression-heavy agg, Q13 outer join +
+    # distribution, Q18 semi-join on a large aggregate.
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q9",
+    "q_tpch_q13",
+    "q_tpch_q18",
 ]
 
 

@@ -65,6 +65,27 @@ SESSION_CONFS: dict[str, str] = {
 #   real cluster every executor brings its own heap, so these numbers
 #   are per-executor, not per-job.
 
+# Micro-batch TRIGGER SIZING (operator documentation, round 8 —
+# distilled from the sf10ish streaming campaign): every streaming
+# kernel pays a roughly volume-independent per-batch fixed cost —
+# micro-batch planning, state-store version commit, the foreachBatch
+# kernels' index read/union/write and checkpoint-block release — ~1-3 s
+# per trigger locally (q_stream_grammar's 3.5 s is ~all fixed cost; the
+# sf10ish stream twins' 36-41 s were trigger-bound, not volume-bound).
+# Amortize it by sizing triggers in RECORDS, not wall time:
+# - target >= 1 M events (or >= 100 MB parquet input) per micro-batch
+#   for the stateless/windowed kernels — below that the fixed cost
+#   dominates and throughput scales with trigger RATE, not data;
+# - the versioned-index kernels (stream line/span/near-dup) also
+#   rewrite their index per batch, so batches should be large enough
+#   that the delta is a meaningful fraction of the index (>= 1%) —
+#   otherwise switch the index to partitioned appends + manifest (the
+#   documented 100 TB posture in each kernel's module docstring);
+# - concretely: maxFilesPerTrigger / maxOffsetsPerTrigger sized to
+#   ~1-4 GB of input per 32 cores keeps the fixed cost under ~5% of
+#   batch wall. Latency-sensitive pipelines trade the other way —
+#   that's a product decision, not an engine default, so no conf here.
+
 # Opt-in confs for LONG-RUNNING / LARGE-STATE streaming deployments.
 # Not in SESSION_CONFS because the default HDFS-backed provider is
 # faster for the finite local replays the tests and bench run (RocksDB
