@@ -542,6 +542,7 @@ def write_copurchase_edges(
     n_buckets: int = 32,
     max_basket: int = 64,
     path: str | None = None,
+    broadcast_nodes_max: int = 8_000_000,
 ) -> None:
     """Materialize the directed co-purchase edge list as a parquet
     table BUCKETED BY src — the round-4 probe's top remaining
@@ -563,8 +564,17 @@ def write_copurchase_edges(
     one remaining pay-once cost at sf10ish (the edges⋈deg
     materialization, 21.5 GiB of spill): folding the degree into the
     build makes every pagerank run read it straight off the bucketed
-    scan — no join, no edge-grain checkpoint, no spill. The degree
-    aggregation itself rides the build's existing one-time shuffle.
+    scan — no join, no edge-grain checkpoint, no spill.
+
+    The deg side is NODE-grain, so below ``broadcast_nodes_max`` it
+    BROADCASTS into the edge table (same 8 M-node rule as the
+    pagerank/LPA working-set design): a sort-merge deg join stacks a
+    second full-width sort pipeline onto the build, which is exactly
+    what ran the sf30ish probe (717 M edges, 22 M rows/task at 32
+    shuffle partitions) out of execution memory — the broadcast form
+    adds only a map-side hash probe to the write path. Above the
+    threshold (billions of nodes) the shuffle join engages, where
+    per-executor memory bounds the sort on a real cluster.
     """
     from myasynstreamjoin_spark.sources.sinks import write_bucketed
 
@@ -572,6 +582,9 @@ def write_copurchase_edges(
         lineitem, max_basket, ("src", "dst"), directed=True, checkpoint=False
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # bounded control read at build time (node count ≪ edge count)
+    if deg.count() <= broadcast_nodes_max:
+        deg = F.broadcast(deg)
     write_bucketed(
         edges.join(deg, "src"), table, ["src"], n_buckets=n_buckets,
         sort_cols=["src", "dst"], path=path,
