@@ -568,27 +568,64 @@ def write_copurchase_edges(
 
     The deg side is NODE-grain, so below ``broadcast_nodes_max`` it
     BROADCASTS into the edge table (same 8 M-node rule as the
-    pagerank/LPA working-set design): a sort-merge deg join stacks a
-    second full-width sort pipeline onto the build, which is exactly
-    what ran the sf30ish probe (717 M edges, 22 M rows/task at 32
-    shuffle partitions) out of execution memory — the broadcast form
-    adds only a map-side hash probe to the write path. Above the
-    threshold (billions of nodes) the shuffle join engages, where
-    per-executor memory bounds the sort on a real cluster.
+    pagerank/LPA working-set design): a sort-merge deg join would
+    stack a second full-width sort pipeline onto the build; the
+    broadcast form adds only a map-side hash probe to the write path.
+    Above the threshold (billions of nodes) the shuffle join engages,
+    where per-executor memory bounds the sort on a real cluster.
+
+    The build runs at DATA-PROPORTIONAL shuffle parallelism
+    (``build_partitions``, default 8×n_buckets): the session default
+    (32 here) leaves the self-join's stacked distinct→sort→SMJ
+    pipeline holding ~22 M rows per task at the 30× probe's 717 M
+    edges, which exhausts execution memory under 32-way concurrency
+    (UNABLE_TO_ACQUIRE_MEMORY — AQE coalescing can merge small
+    partitions but never split oversized ones at this initial width).
+    At 256 the same pipeline holds ~3 M rows/task and spills
+    normally. On a real cluster this is the usual rule: size a
+    build's shuffle width to the data, not to the interactive
+    session's default.
     """
+    from myasynstreamjoin_spark.blocks import (
+        batch_lock,
+        ckpt_disk,
+        persisted_ids,
+        release_ids,
+    )
     from myasynstreamjoin_spark.sources.sinks import write_bucketed
 
-    edges = _copurchase_edges(
-        lineitem, max_basket, ("src", "dst"), directed=True, checkpoint=False
+    spark = lineitem.sparkSession
+    build_partitions = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), 8 * n_buckets
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    # bounded control read at build time (node count ≪ edge count)
-    if deg.count() <= broadcast_nodes_max:
-        deg = F.broadcast(deg)
-    write_bucketed(
-        edges.join(deg, "src"), table, ["src"], n_buckets=n_buckets,
-        sort_cols=["src", "dst"], path=path,
-    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(build_partitions))
+    try:
+        with batch_lock(spark):
+            pre = persisted_ids(spark)
+            try:
+                # materialize the self-join ONCE (edge-grain DISK_ONLY
+                # rule): deg, the broadcast-size probe, and the write
+                # would otherwise each re-run it
+                edges = ckpt_disk(
+                    _copurchase_edges(
+                        lineitem, max_basket, ("src", "dst"),
+                        directed=True, checkpoint=False,
+                    )
+                )
+                deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+                # bounded control read (node count ≪ edge count)
+                if deg.count() <= broadcast_nodes_max:
+                    deg = F.broadcast(deg)
+                write_bucketed(
+                    edges.join(deg, "src"), table, ["src"],
+                    n_buckets=n_buckets, sort_cols=["src", "dst"],
+                    path=path,
+                )
+            finally:
+                release_ids(spark, persisted_ids(spark) - pre)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
 def read_copurchase_edges(
