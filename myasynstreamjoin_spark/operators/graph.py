@@ -647,34 +647,93 @@ def link_negative_pairs(edges: DataFrame) -> DataFrame:
     the same corpus always yields the same negatives, on any engine.
 
     Scale shape: the node table is |V| rows (graph node sets are
-    small next to edge sets); one window sort in md5 order builds the
-    rotation, and the candidate→edge check is ONE anti-join against
-    the bucketed edge table. Output: (u, v, is_rotation) candidate
-    rows that are NOT edges, u < v normalized.
+    small next to edge sets), but the rotation rank is still computed
+    DISTRIBUTED — a bare ``row_number() OVER (ORDER BY ...)`` funnels
+    every node through one task, the one shape in the graph family
+    that would not survive a billion-node set. Instead the nodes are
+    range-partitioned on the same (md5, node) sort key, ranked
+    locally per partition, and local ranks are lifted to global ones
+    by adding per-partition offsets (a P-row driver-side control
+    read — the cumulative counts). The global order is total and
+    unique, so the lifted ranks are bit-identical to the single-task
+    window's regardless of where the range boundaries land; the
+    external oracle replays the same ``row_number() OVER (ORDER BY
+    md5, node)`` and agrees. The candidate→edge check is ONE
+    anti-join against the bucketed edge table. Output: (u, v)
+    candidate rows that are NOT edges, u < v normalized.
+
+    Block lifecycle: same rule as the other graph ops — the node-
+    grain rank checkpoint is swept before returning; the result plan
+    re-derives from the (lazy) candidate/anti-join, checkpointed
+    eagerly so the sweep cannot strand it.
     """
     from pyspark.sql import Window
 
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    w = Window.orderBy(F.md5(F.col("node").cast("string")), "node")
-    ranked = nodes.select(
-        "node", (F.row_number().over(w) - 1).alias("r")
-    ).localCheckpoint(eager=True)
-    n_nodes = ranked.count()
-    shift = max(1, n_nodes // 2)
-    partner = ranked.select(
-        F.col("node").alias("pnode"),
-        F.pmod(F.col("r") - F.lit(shift), F.lit(n_nodes)).alias("pr"),
+    from myasynstreamjoin_spark.blocks import (
+        batch_lock,
+        persisted_ids,
+        release_ids,
     )
-    cand = (
-        ranked.join(partner, ranked["r"] == partner["pr"])
-        .where(F.col("node") != F.col("pnode"))
-        .select(
-            F.least("node", "pnode").alias("u"),
-            F.greatest("node", "pnode").alias("v"),
+
+    spark = edges.sparkSession
+    sort_key = F.md5(F.col("node").cast("string"))
+    with batch_lock(spark):
+        base = persisted_ids(spark)
+        nodes = edges.select(F.col("src").alias("node")).distinct()
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        local = (
+            nodes.repartitionByRange(n_parts, sort_key, "node")
+            .withColumn("pid", F.spark_partition_id())
+            .select(
+                "node",
+                "pid",
+                (
+                    F.row_number().over(
+                        Window.partitionBy("pid").orderBy(sort_key, "node")
+                    )
+                    - 1
+                ).alias("lr"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .distinct()
-    )
-    true_edges = edges.where(F.col("src") < F.col("dst")).select(
-        F.col("src").alias("u"), F.col("dst").alias("v")
-    )
-    return cand.join(true_edges, ["u", "v"], "left_anti")
+        # bounded control read: one (pid, count) row per partition;
+        # pids from spark_partition_id on a range partitioning are in
+        # key-range order, so their running sum IS the global offset
+        sizes = {
+            row["pid"]: row["cnt"]
+            for row in local.groupBy("pid")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        n_nodes, offsets = 0, []
+        for pid in sorted(sizes):
+            offsets.append((pid, n_nodes))
+            n_nodes += sizes[pid]
+        off_df = F.broadcast(
+            spark.createDataFrame(offsets or [(0, 0)], "pid int, off long")
+        )
+        ranked = local.join(off_df, "pid").select(
+            "node", (F.col("lr") + F.col("off")).alias("r")
+        )
+        shift = max(1, n_nodes // 2)
+        partner = ranked.select(
+            F.col("node").alias("pnode"),
+            F.pmod(F.col("r") - F.lit(shift), F.lit(n_nodes)).alias("pr"),
+        )
+        cand = (
+            ranked.join(partner, ranked["r"] == partner["pr"])
+            .where(F.col("node") != F.col("pnode"))
+            .select(
+                F.least("node", "pnode").alias("u"),
+                F.greatest("node", "pnode").alias("v"),
+            )
+            .distinct()
+        )
+        true_edges = edges.where(F.col("src") < F.col("dst")).select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        )
+        out = cand.join(true_edges, ["u", "v"], "left_anti")
+        pre_out = persisted_ids(spark)
+        out = out.localCheckpoint(eager=True)
+        release_ids(spark, pre_out - base)
+        return out
