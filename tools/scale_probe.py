@@ -219,6 +219,32 @@ def _lpa_prebuilt(spark, sf_dir):
     return label_propagation_edges(_edges(spark, sf_dir))
 
 
+def _lpa_prebuilt_shufflejoin(spark, sf_dir):
+    """LPA with the node-grain broadcast DISABLED — the >8 M-node
+    fallback path, probed below the threshold to measure the crossover
+    as the corpus approaches the cap (judge r7 brief #5)."""
+    from myasynstreamjoin_spark.operators.graph import label_propagation_edges
+
+    return label_propagation_edges(_edges(spark, sf_dir), broadcast_nodes_max=0)
+
+
+def _pagerank_prebuilt_shufflejoin(spark, sf_dir):
+    """PageRank on the shuffle-join fallback path, same rationale."""
+    from myasynstreamjoin_spark.operators.graph import pagerank_edges
+
+    return pagerank_edges(_edges(spark, sf_dir), broadcast_nodes_max=0)
+
+
+def _link_negatives_prebuilt(spark, sf_dir):
+    """The round-8 distributed rotation rank on the PREBUILT edge
+    table — isolates the negative-sampling cost (range-partitioned
+    two-level rank + anti-join) from the pay-once edge build that
+    dominated the sf1ish q_link_negatives row."""
+    from myasynstreamjoin_spark.operators.graph import link_negative_pairs
+
+    return link_negative_pairs(_edges(spark, sf_dir))
+
+
 def _pipeline_e2e_nolang(spark, sf_dir):
     """q_pipeline_e2e with the stopword langid gate off: the probe
     corpus prefixes every token per replica, so the 'en' gate
@@ -238,6 +264,9 @@ def main() -> int:
     queries["pagerank_prebuilt"] = _pagerank_prebuilt
     queries["triangles_prebuilt"] = _triangles_prebuilt
     queries["lpa_prebuilt"] = _lpa_prebuilt
+    queries["lpa_prebuilt_shufflejoin"] = _lpa_prebuilt_shufflejoin
+    queries["pagerank_prebuilt_shufflejoin"] = _pagerank_prebuilt_shufflejoin
+    queries["link_negatives_prebuilt"] = _link_negatives_prebuilt
     failures = 0
     records = []
     base = stage_metrics(spark)
