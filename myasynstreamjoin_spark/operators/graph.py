@@ -637,6 +637,64 @@ def read_copurchase_edges(
     return spark.table(table)
 
 
+def distributed_order_ranks(
+    frame: DataFrame, key: str = "node"
+) -> tuple[DataFrame, int]:
+    """Dense 0-based rank of every ``key`` row in global (md5(key),
+    key) order WITHOUT a single-task window: range-partition on the
+    sort key, row_number locally per partition, then lift local ranks
+    to global ones with per-partition offsets (one (pid, count) row
+    per partition — a bounded driver-side control read, cumulated in
+    pid order, which on a range partitioning IS key-range order). The
+    global order is total and unique, so the lifted ranks are
+    bit-identical to ``row_number() OVER (ORDER BY md5(key), key)``
+    wherever the range boundaries land — pinned against the naive
+    global window by ``tests/test_graph_edges.py``.
+
+    Returns (ranked frame with columns (key, r), row count). The
+    ranked frame reads from a node-grain localCheckpoint the CALLER
+    is responsible for releasing (link_negative_pairs sweeps it via
+    the blocks.py id-diff before returning).
+    """
+    from pyspark.sql import Window
+
+    spark = frame.sparkSession
+    sort_key = F.md5(F.col(key).cast("string"))
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    local = (
+        frame.repartitionByRange(n_parts, sort_key, key)
+        .withColumn("pid", F.spark_partition_id())
+        .select(
+            key,
+            "pid",
+            (
+                F.row_number().over(
+                    Window.partitionBy("pid").orderBy(sort_key, key)
+                )
+                - 1
+            ).alias("lr"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sizes = {
+        row["pid"]: row["cnt"]
+        for row in local.groupBy("pid")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    n_rows, offsets = 0, []
+    for pid in sorted(sizes):
+        offsets.append((pid, n_rows))
+        n_rows += sizes[pid]
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], "pid int, off long")
+    )
+    ranked = local.join(off_df, "pid").select(
+        key, (F.col("lr") + F.col("off")).alias("r")
+    )
+    return ranked, n_rows
+
+
 def link_negative_pairs(edges: DataFrame) -> DataFrame:
     """Deterministic NEGATIVE sampling for link prediction: pair every
     node with the node half a rotation away in md5 order (rank r ↔
@@ -667,8 +725,6 @@ def link_negative_pairs(edges: DataFrame) -> DataFrame:
     re-derives from the (lazy) candidate/anti-join, checkpointed
     eagerly so the sweep cannot strand it.
     """
-    from pyspark.sql import Window
-
     from myasynstreamjoin_spark.blocks import (
         batch_lock,
         persisted_ids,
@@ -676,45 +732,10 @@ def link_negative_pairs(edges: DataFrame) -> DataFrame:
     )
 
     spark = edges.sparkSession
-    sort_key = F.md5(F.col("node").cast("string"))
     with batch_lock(spark):
         base = persisted_ids(spark)
         nodes = edges.select(F.col("src").alias("node")).distinct()
-        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        local = (
-            nodes.repartitionByRange(n_parts, sort_key, "node")
-            .withColumn("pid", F.spark_partition_id())
-            .select(
-                "node",
-                "pid",
-                (
-                    F.row_number().over(
-                        Window.partitionBy("pid").orderBy(sort_key, "node")
-                    )
-                    - 1
-                ).alias("lr"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        # bounded control read: one (pid, count) row per partition;
-        # pids from spark_partition_id on a range partitioning are in
-        # key-range order, so their running sum IS the global offset
-        sizes = {
-            row["pid"]: row["cnt"]
-            for row in local.groupBy("pid")
-            .agg(F.count("*").alias("cnt"))
-            .collect()
-        }
-        n_nodes, offsets = 0, []
-        for pid in sorted(sizes):
-            offsets.append((pid, n_nodes))
-            n_nodes += sizes[pid]
-        off_df = F.broadcast(
-            spark.createDataFrame(offsets or [(0, 0)], "pid int, off long")
-        )
-        ranked = local.join(off_df, "pid").select(
-            "node", (F.col("lr") + F.col("off")).alias("r")
-        )
+        ranked, n_nodes = distributed_order_ranks(nodes, "node")
         shift = max(1, n_nodes // 2)
         partner = ranked.select(
             F.col("node").alias("pnode"),

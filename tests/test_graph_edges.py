@@ -195,3 +195,39 @@ def test_link_negatives_are_nonedges_and_cover_nodes(spark, edge_table):
     assert all(u < v for u, v in rows)
     again = sorted((r["u"], r["v"]) for r in link_negative_pairs(edges).collect())
     assert rows == again
+
+
+def test_distributed_order_ranks_match_global_window(spark):
+    """The range-partition + offset-lift rank must be bit-identical to
+    the naive single-task global window it replaced (round 8): the
+    (md5, key) order is total and unique, so rank assignment cannot
+    depend on where the range boundaries land. Also pins the plan
+    shape — the whole point is NO single-partition exchange."""
+    from pyspark.sql import Window
+
+    from myasynstreamjoin_spark.operators.graph import distributed_order_ranks
+
+    nodes = spark.range(0, 1000).select(
+        F.concat(F.lit("n"), F.col("id").cast("string")).alias("node")
+    )
+    ranked, n = distributed_order_ranks(nodes, "node")
+    assert n == 1000
+    got = {r["node"]: r["r"] for r in ranked.collect()}
+    naive = {
+        r["node"]: r["r"]
+        for r in nodes.select(
+            "node",
+            (
+                F.row_number().over(
+                    Window.orderBy(F.md5(F.col("node").cast("string")), "node")
+                )
+                - 1
+            ).alias("r"),
+        ).collect()
+    }
+    assert got == naive
+    # ranks are a dense 0..n-1 permutation
+    assert sorted(got.values()) == list(range(1000))
+    # plan shape: the rank pipeline must not funnel through one task
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
