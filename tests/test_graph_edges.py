@@ -231,3 +231,20 @@ def test_distributed_order_ranks_match_global_window(spark):
     # plan shape: the rank pipeline must not funnel through one task
     plan = ranked._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_edge_table_deg_column_is_out_degree_and_conf_restored(spark, sf_dir):
+    """The round-8 degree-annotated build: every row's ``deg`` must
+    equal the actual out-degree of its src (the broadcast fold can't
+    drop or duplicate), and the data-proportional shuffle-width
+    override inside the build must restore the session conf."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    write_copurchase_edges(lineitem, "test_deg_edges", n_buckets=4)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    t = read_copurchase_edges(spark, "test_deg_edges")
+    recomputed = t.groupBy("src").agg(F.count("*").alias("d"))
+    assert t.join(recomputed, "src").where("deg <> d").count() == 0
+    # deg really is the directed out-degree: per-src row count
+    assert t.select("src", "deg").distinct().count() == recomputed.count()
+    spark.sql("DROP TABLE IF EXISTS test_deg_edges")
