@@ -905,8 +905,17 @@ def semantic_dedup_pairs(
             l2norm(vec_col).alias("seed_n"),
         )
     )
+    # The assignment fold is the work-amplifying stage (N·√N·d fold
+    # ops off an N·d-byte scan): without an explicit rebalance it
+    # inherits the parquet scan's BYTE-sized partitioning — a 50 MB
+    # embedding file is 1 scan task, and the 10⁹-op fold runs serial
+    # no matter how many cores the cluster has (measured: the sf30ish
+    # probe held load ~4 on 32 cores before this rebalance). The
+    # round-robin shuffle moves only the narrow input rows.
+    from myasynstreamjoin_spark.sources.tables import rebalance
+
     assigned = (
-        embeddings.select(
+        rebalance(embeddings).select(
             id_col, vec_col, l2norm(vec_col).alias("__n")
         )
         .crossJoin(seeds)
@@ -1015,7 +1024,11 @@ def _semantic_dedup_pairs_arrow(
     # vectors to float32 before the pair-stage cosine and break the
     # pytest-pinned pair-set equality with the SQL kernel
     vec_type = embeddings.schema[vec_col].dataType.simpleString()
-    assigned = embeddings.select(id_col, vec_col).mapInPandas(
+    # same scan-parallelism rule as the SQL kernel: the matmul pass is
+    # work-amplifying, so don't let it inherit byte-sized scan splits
+    from myasynstreamjoin_spark.sources.tables import rebalance
+
+    assigned = rebalance(embeddings.select(id_col, vec_col)).mapInPandas(
         assign, schema=f"cluster long, id long, v {vec_type}"
     )
 
