@@ -62,16 +62,25 @@ con.execute(
     ) TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)
     """
 )
-# lineitem/events: disjoint key spaces per replica (orderkey/partkey/
-# user_id/event_id offsets), so graph and sequence structure grows the
+# Relational schema: disjoint key spaces per replica on EVERY
+# SF-scaled entity (orderkey/partkey/suppkey/custkey, and user_id/
+# event_id below), so graph, sequence and join structure all grow the
 # way a real corpus does — more entities, same per-entity density.
+# nation/region are TPC-H fixed-cardinality dims and copy verbatim.
+# (Round 8: suppkey/custkey offsets + the customer/supplier/part
+# replicas were added so the TPC-H headline subset probes at scale;
+# the graph family only reads (l_orderkey, l_partkey) and is
+# unaffected by the suppkey change.)
 n_ord = con.sql("SELECT max(l_orderkey) + 1 FROM read_parquet('%s/lineitem.parquet')" % SRC).fetchone()[0]
 n_part = con.sql("SELECT max(l_partkey) + 1 FROM read_parquet('%s/lineitem.parquet')" % SRC).fetchone()[0]
+n_supp = con.sql("SELECT max(s_suppkey) + 1 FROM read_parquet('%s/supplier.parquet')" % SRC).fetchone()[0]
+n_cust = con.sql("SELECT max(c_custkey) + 1 FROM read_parquet('%s/customer.parquet')" % SRC).fetchone()[0]
 con.execute(
     f"""
     COPY (
       SELECT l.* REPLACE (l.l_orderkey + r.r * {n_ord} AS l_orderkey,
-                          l.l_partkey + r.r * {n_part} AS l_partkey)
+                          l.l_partkey + r.r * {n_part} AS l_partkey,
+                          l.l_suppkey + r.r * {n_supp} AS l_suppkey)
       FROM read_parquet('{SRC}/lineitem.parquet') l
       CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
     ) TO '{OUT}/lineitem.parquet' (FORMAT PARQUET)
@@ -80,12 +89,45 @@ con.execute(
 con.execute(
     f"""
     COPY (
-      SELECT o.* REPLACE (o.o_orderkey + r.r * {n_ord} AS o_orderkey)
+      SELECT o.* REPLACE (o.o_orderkey + r.r * {n_ord} AS o_orderkey,
+                          o.o_custkey + r.r * {n_cust} AS o_custkey)
       FROM read_parquet('{SRC}/orders.parquet') o
       CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
     ) TO '{OUT}/orders.parquet' (FORMAT PARQUET)
     """
 )
+con.execute(
+    f"""
+    COPY (
+      SELECT c.* REPLACE (c.c_custkey + r.r * {n_cust} AS c_custkey)
+      FROM read_parquet('{SRC}/customer.parquet') c
+      CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
+    ) TO '{OUT}/customer.parquet' (FORMAT PARQUET)
+    """
+)
+con.execute(
+    f"""
+    COPY (
+      SELECT s.* REPLACE (s.s_suppkey + r.r * {n_supp} AS s_suppkey)
+      FROM read_parquet('{SRC}/supplier.parquet') s
+      CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
+    ) TO '{OUT}/supplier.parquet' (FORMAT PARQUET)
+    """
+)
+con.execute(
+    f"""
+    COPY (
+      SELECT p.* REPLACE (p.p_partkey + r.r * {n_part} AS p_partkey)
+      FROM read_parquet('{SRC}/part.parquet') p
+      CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
+    ) TO '{OUT}/part.parquet' (FORMAT PARQUET)
+    """
+)
+for dim in ("nation", "region"):
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{SRC}/{dim}.parquet')) "
+        f"TO '{OUT}/{dim}.parquet' (FORMAT PARQUET)"
+    )
 n_usr = con.sql("SELECT max(user_id) + 1 FROM read_parquet('%s/events.parquet')" % SRC).fetchone()[0]
 n_ev = con.sql("SELECT max(event_id) + 1 FROM read_parquet('%s/events.parquet')" % SRC).fetchone()[0]
 con.execute(
@@ -98,5 +140,8 @@ con.execute(
     ) TO '{OUT}/events.parquet' (FORMAT PARQUET)
     """
 )
-for t in ("documents", "embeddings", "lineitem", "orders", "events"):
+for t in (
+    "documents", "embeddings", "lineitem", "orders", "events",
+    "customer", "supplier", "part", "nation", "region",
+):
     print(t, con.sql(f"SELECT count(*) FROM read_parquet('{OUT}/{t}.parquet')").fetchone()[0])

@@ -71,8 +71,17 @@ DEFAULT = [
     "q_image_neardup",
     "q_quota_sample",
     "q_drift_timeline",
-    # q_fk_audit needs the full relational schema; the probe corpus
-    # ships only documents/embeddings/events/lineitem
+    # round 8: make_scale_probe now replicates the FULL relational
+    # schema (customer/supplier/part + fixed nation/region, with
+    # per-replica custkey/suppkey offsets), so the relational tier
+    # probes at scale alongside the pipeline tier.
+    "q_fk_audit",
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q9",
+    "q_tpch_q13",
+    "q_tpch_q18",
     "q_trend",
     "q_soft_dedup",
     "q_assoc",
