@@ -121,7 +121,13 @@ def main() -> int:
             fn = queries[name]
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            df.count()
+            # noop-sink full materialization, NOT count(): Catalyst
+            # re-optimizes a counted plan and prunes columns the count
+            # never reads — round 8 measured q_asof_join's count()
+            # deleting the as-of Window and the whole purchase branch
+            # (2.6 s for a plan whose honest wall is 6.3 s at sf30ish).
+            # Artifact v3 marks the action change.
+            df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
             print(f"# {name}: {timings[name]}s", file=sys.stderr)
         runs.append(timings)
@@ -139,10 +145,14 @@ def main() -> int:
         # artifact-semantics marker (round-8 advice): in v1 artifacts
         # (BENCH_r01..r06) `queries` held the COLD run-1 timings; v2
         # (r07+) holds the WARM run-2 pass, with run 1 preserved as
-        # `queries_cold`. Cross-round per-query tooling must branch on
-        # this field instead of silently comparing warm vs cold.
-        "artifact_version": 2,
-        "queries_semantics": "warm_run2",
+        # `queries_cold`. v3 (r08+) additionally changes the timed
+        # action from count() to a noop-sink full materialization —
+        # count() lets Catalyst prune columns (and whole plan branches)
+        # the count never reads, undertiming projection-terminated
+        # queries like q_asof_join. Cross-round per-query tooling must
+        # branch on this field instead of silently comparing semantics.
+        "artifact_version": 3,
+        "queries_semantics": "warm_run2_noop_sink",
     }))
     return 0
 

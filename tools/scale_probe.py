@@ -123,8 +123,46 @@ DEFAULT = [
 NAMES = sys.argv[2:] or DEFAULT
 
 
+def materialize(df) -> int:
+    """Force FULL materialization of every output column and return the
+    row count.
+
+    ``df.count()`` is not a benchmark action: Catalyst re-optimizes the
+    counted plan, and column pruning can delete whole subtrees whose
+    values the count never needs — measured round 8 on q_asof_join,
+    where count() pruned the as-of Window (and, via the ``__is_left``
+    filter pushed into the union, the entire purchase-aggregation
+    branch), reporting 2.6 s / 0 shuffle for a plan whose honest
+    materialization is 6.3 s with two exchanges. A ``noop``-format
+    write computes every column and discards the rows (the standard
+    Spark benchmarking sink); the row count rides along as an
+    Observation so nothing recomputes."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    return obs.get["n"]
+
+
 def stage_metrics(spark):
-    """Sum spill/shuffle bytes across all completed stages."""
+    """Sum spill/shuffle bytes across all completed stages.
+
+    The AppStatusStore is fed by an ASYNC listener bus: reading it
+    right after an action returns undercounts the just-finished job
+    (round 8: a fresh-session q_asof_join probed 0 shuffle bytes while
+    its plan carries two exchanges — the task-end events were still in
+    the queue, and in multi-query runs the lag bleeds each query's
+    tail into the NEXT row). Drain the bus before reading so metrics
+    attribute to the query that produced them. Wall times were never
+    affected (measured synchronously around the action)."""
+    bus = spark.sparkContext._jsc.sc().listenerBus()
+    try:
+        bus.waitUntilEmpty(30_000)
+    except TypeError:
+        bus.waitUntilEmpty()  # Spark variants with the no-arg form
     store = spark.sparkContext._jsc.sc().statusStore()
     spill_mem = spill_disk = sh_read = sh_write = 0
     jvm = spark.sparkContext._jvm
@@ -282,7 +320,7 @@ def main() -> int:
     for name in NAMES:
         t0 = time.perf_counter()
         try:
-            n = queries[name](spark, PROBE_DIR).count()
+            n = materialize(queries[name](spark, PROBE_DIR))
         except Exception as exc:  # noqa: BLE001
             print(f"{name}: FAIL {type(exc).__name__}: {exc}")
             records.append({"query": name, "error": f"{type(exc).__name__}: {exc}"})
