@@ -420,12 +420,32 @@ def ngram_jaccard_pairs(
         .select("doc_id", F.explode_outer("sh").alias("shingle"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Data-proportional pair-pipeline width (round 8): at the session's
+    # interactive shuffle width (32 here) the shingle-grain SMJ sorts
+    # and the quadratically-amplified pair aggregation hold millions of
+    # rows per task at 30× probe scale and exhaust execution memory
+    # under full-thread concurrency (UNABLE_TO_ACQUIRE_MEMORY — the
+    # same class the graph edge build hit; AQE can coalesce small
+    # partitions but never split oversized ones at the initial width).
+    # This operator is LAZY, so a conf override can't help (the conf is
+    # read at execution, not definition): the width is baked into the
+    # plan with repartition instead. The count is a bounded control
+    # read that also primes the persisted blocks every downstream
+    # branch re-reads; below ~16 M index rows the session width wins
+    # and the plan is unchanged.
+    n_sh = sh.count()
+    session_w = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    width = min(4096, max(session_w, -(-n_sh // 500_000)))
+    sh_j = sh.repartition(width, "shingle") if width > session_w else sh
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    rare = sh.groupBy("shingle").agg(F.count("*").alias("df")).where(
+    rare = sh_j.groupBy("shingle").agg(F.count("*").alias("df")).where(
         F.col("df") <= max_shingle_df
     )
-    indexed = sh.join(rare.select("shingle"), "shingle")
-    common = index_self_join(indexed, ["shingle"], count=True)
+    indexed = sh_j.join(rare.select("shingle"), "shingle")
+    common = index_self_join(
+        indexed, ["shingle"], count=True,
+        agg_width=width if width > session_w else None,
+    )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
@@ -549,7 +569,10 @@ def minhash_lsh_pairs(
 
 
 def index_self_join(
-    indexed: DataFrame, keys: list[str], count: bool = False
+    indexed: DataFrame,
+    keys: list[str],
+    count: bool = False,
+    agg_width: int | None = None,
 ) -> DataFrame:
     """THE candidate-generation join every pair operator routes
     through: equi-self-join of an inverted-index table on its index
@@ -562,11 +585,20 @@ def index_self_join(
     orientation and dedup rules stay identical across winnow / ngram /
     prefix / simhash / minhash candidates.
 
+    ``agg_width``: bakes a data-proportional width into the pair
+    dedup/aggregation exchange (repartition on the pair key) — the
+    candidate stream is quadratic per index bucket, so the session's
+    interactive shuffle width can leave an OOM-scale row count per
+    task at probe scale while the values are unchanged. None keeps
+    the session width (small inputs, pre-banded candidates).
+
     Output: (doc_a, doc_b[, n_common]).
     """
     a = indexed.select(F.col("doc_id").alias("doc_a"), *keys)
     b = indexed.select(F.col("doc_id").alias("doc_b"), *keys)
     pairs = a.join(b, keys).where(F.col("doc_a") < F.col("doc_b"))
+    if agg_width:
+        pairs = pairs.repartition(agg_width, "doc_a", "doc_b")
     if count:
         return pairs.groupBy("doc_a", "doc_b").agg(
             F.count("*").alias("n_common")

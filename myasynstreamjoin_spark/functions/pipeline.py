@@ -994,6 +994,21 @@ def _pack_token_arrays(
     tokenizer (SCALE.md persist-vs-checkpoint rule; verified 2 parquet
     scans, 0 ReusedExchange un-checkpointed)."""
     enc = enc.localCheckpoint(eager=True)
+    # Data-proportional width for the sample-collect exchange (round
+    # 8): the collect_list agg below is an OBJECT aggregate — its
+    # sort-based fallback holds every (off, tok) struct of a task in
+    # one UnsafeKVExternalSorter, and at the session's interactive
+    # width (32) a 30×-probe token stream leaves ~7 M structs per task
+    # under 32-way concurrency in one heap (UNABLE_TO_ACQUIRE_MEMORY).
+    # Per-GROUP size is bounded by ``budget``; per-TASK volume is what
+    # must be sized. enc is already checkpointed, so the token count
+    # is a cheap bounded read; below ~64 M tokens the session width
+    # wins and the plan is unchanged.
+    n_tokens = enc.agg(F.sum(F.size("__t"))).first()[0] or 0
+    session_w = int(
+        enc.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    pack_width = min(4096, max(session_w, -(-n_tokens // 2_000_000)))
     base = pack_sequences(
         enc, F.size("__t"), budget=budget, n_shards=n_shards, id_col=id_col
     )
@@ -1012,6 +1027,8 @@ def _pack_token_arrays(
         F.expr(f"(__start + pos) DIV {int(budget)}").alias("seq_id"),
         ((F.col("__start") + F.col("pos")) % budget).alias("off"),
     )
+    if pack_width > session_w:
+        placed = placed.repartition(pack_width, "shard", "seq_id")
     return (
         placed.groupBy("shard", "seq_id")
         .agg(
