@@ -2285,7 +2285,11 @@ def _q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
     out = tempfile.mkdtemp(prefix="wds_")
-    export_webdataset(docs, out, n_shards=16)
+    # auto shard count (~32 MiB tars): the read path holds one whole
+    # tar per binary row, so shard BYTES are the scale invariant — a
+    # fixed n_shards heap-OOM'd the 30× probe at >100 MiB tars. The
+    # oracle is shard-count-independent (identity on doc_id/text).
+    export_webdataset(docs, out, n_shards=None)
     return read_webdataset(spark, out).select("doc_id", "text")
 
 

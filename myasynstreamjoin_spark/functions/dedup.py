@@ -193,10 +193,15 @@ def dup_span_stats(docs: DataFrame, k: int = 8, min_df: int = 2) -> DataFrame:
     # next to the exploded spans) is materialized eagerly below so the
     # cache can be released before returning: without that, repeated
     # calls in a long-lived session accumulate cached span partitions
-    # until LRU pressure evicts them.
+    # until LRU pressure evicts them. DISK_ONLY (round 8, corpus-grain
+    # rule): memory-resident span partitions sit in the PROTECTED
+    # storage region of unified memory, and at the 30× probe the 32
+    # concurrent span-frequency partial aggs starved on what was left
+    # (AGGREGATE_OUT_OF_MEMORY); on disk, execution gets the full pool
+    # and the three consumers stream sequential re-reads.
     ex = shingle_docs(docs, k).select(
         "doc_id", F.explode_outer("sh").alias("span")
-    ).persist()
+    ).persist(StorageLevel.DISK_ONLY)
     try:
         span_df = ex.groupBy("span").agg(F.countDistinct("doc_id").alias("__df"))
         dup = (
@@ -276,12 +281,23 @@ def remove_duplicate_spans(
 
 def _span_toked(docs: DataFrame) -> DataFrame:
     """(doc_id, __t): the rebalanced, checkpointed token table every
-    span-removal stage branches from (see remove_duplicate_spans)."""
-    return rebalance(
-        docs.where(F.col("text").isNotNull()).select(
-            "doc_id", tokens("text").alias("__t")
+    span-removal stage branches from (see remove_duplicate_spans).
+
+    DISK_ONLY checkpoint (blocks.py corpus-grain rule): the token
+    table is corpus-scale bytes, and memory-resident checkpoint blocks
+    from one query starve the heap of the next in a long-lived session
+    — the round-8 30× probe measured a later query dying with a JVM
+    heap OutOfMemoryError under the residue. Callers that materialize
+    results should release via blocks.batch_scope."""
+    from myasynstreamjoin_spark.blocks import ckpt_disk
+
+    return ckpt_disk(
+        rebalance(
+            docs.where(F.col("text").isNotNull()).select(
+                "doc_id", tokens("text").alias("__t")
+            )
         )
-    ).localCheckpoint(eager=True)
+    )
 
 
 def _span_grams(toked: DataFrame, k: int, hashed: bool | str) -> DataFrame:
@@ -315,7 +331,7 @@ def _span_grams(toked: DataFrame, k: int, hashed: bool | str) -> DataFrame:
 
 
 def _span_election_dels(
-    grams: DataFrame, k: int, disk: bool = False
+    grams: DataFrame, k: int, disk: bool = True
 ) -> DataFrame:
     """(doc_id, pos) delete positions: every occurrence of a ≥2-count
     gram except the (doc_id, pos)-min canonical one donates its k
@@ -327,16 +343,35 @@ def _span_election_dels(
     reuse does NOT kick in for the differently-shaped subplans, so the
     gram construction would run per branch (verified: 2 Generate
     explodes, 0 ReusedExchange) — checkpoint it once (SCALE.md
-    persist-vs-checkpoint rule). ``disk=True`` puts the checkpoint on
-    DISK_ONLY blocks — the streaming kernel's setting
-    (myasynstreamjoin_spark/blocks.py corpus-grain rule; the batch
-    path keeps default storage for its one-shot hot re-reads)."""
+    persist-vs-checkpoint rule). ``disk=True`` (the default since
+    round 8, for the batch path too) puts the checkpoint on DISK_ONLY
+    blocks — the blocks.py corpus-grain rule: the gram table is
+    corpus-scale and memory-resident checkpoint residue from one query
+    heap-OOMs the next in a long-lived session (measured at the 30×
+    probe)."""
     if disk:
         from myasynstreamjoin_spark.blocks import ckpt_disk
 
         grams = ckpt_disk(grams)
     else:
         grams = grams.localCheckpoint(eager=True)
+    # Data-proportional election width (round 8): the gram-grain
+    # groupBy and the election SMJ sort the FULL occurrence table, and
+    # at the interactive session width the 30× probe's ~200 M gram
+    # rows leave sort partitions that exhaust execution memory under
+    # full-thread concurrency (UNABLE_TO_ACQUIRE_MEMORY in SortExec
+    # init — the honest noop probe caught it; count()-pruned plans
+    # had masked it). The operator is lazy, so the width is baked into
+    # the plan: one repartition on the election key, consumed by BOTH
+    # the canonical-min agg and the join probe (same exchange, reused).
+    # grams is checkpointed just above, so the count is a bounded read.
+    n_grams = grams.count()
+    session_w = int(
+        grams.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    width = min(4096, max(session_w, -(-n_grams // 2_000_000)))
+    if width > session_w:
+        grams = grams.repartition(width, "gram")
     first = grams.groupBy("gram").agg(
         F.min(F.struct("doc_id", "pos")).alias("first"),
         F.count("*").alias("__c"),
@@ -366,7 +401,23 @@ def _span_reassemble(toked: DataFrame, dels: DataFrame) -> DataFrame:
     pos_tok = toked.select(
         "doc_id", F.posexplode("__t").alias("pos", "tok")
     )
+    # Same width rule as the election stage: the anti-join sorts and
+    # the collect_list object agg both run token-grain, and per-TASK
+    # volume (not per-group size, which is bounded by document length)
+    # is what blows the interactive width at probe scale. toked is the
+    # checkpointed token table, so the token count is a bounded read.
+    # The post-join doc-grain repartition is consumed directly by the
+    # agg (verified: the agg's own exchange is elided).
+    n_tok = toked.agg(F.sum(F.size("__t"))).first()[0] or 0
+    session_w = int(
+        toked.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    width = min(4096, max(session_w, -(-n_tok // 2_000_000)))
+    if width > session_w:
+        pos_tok = pos_tok.repartition(width, "doc_id", "pos")
     kept = pos_tok.join(dels, ["doc_id", "pos"], "left_anti")
+    if width > session_w:
+        kept = kept.repartition(width, "doc_id")
     out = kept.groupBy("doc_id").agg(
         F.concat_ws(
             " ",

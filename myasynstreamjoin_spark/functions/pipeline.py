@@ -992,8 +992,11 @@ def _pack_token_arrays(
     ``enc`` branches into the assignment and the join probe — without
     a checkpoint both branches re-scan the corpus and re-run the
     tokenizer (SCALE.md persist-vs-checkpoint rule; verified 2 parquet
-    scans, 0 ReusedExchange un-checkpointed)."""
-    enc = enc.localCheckpoint(eager=True)
+    scans, 0 ReusedExchange un-checkpointed). DISK_ONLY blocks
+    (corpus-grain rule): the token-array table is corpus-scale bytes."""
+    from myasynstreamjoin_spark.blocks import ckpt_disk
+
+    enc = ckpt_disk(enc)
     # Data-proportional width for the sample-collect exchange (round
     # 8): the collect_list agg below is an OBJECT aggregate — its
     # sort-based fallback holds every (off, tok) struct of a task in

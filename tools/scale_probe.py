@@ -317,10 +317,19 @@ def main() -> int:
     failures = 0
     records = []
     base = stage_metrics(spark)
+    from myasynstreamjoin_spark.blocks import batch_scope
+
     for name in NAMES:
         t0 = time.perf_counter()
         try:
-            n = materialize(queries[name](spark, PROBE_DIR))
+            # batch_scope releases every block the query persisted or
+            # checkpointed once the result is materialized — without
+            # it, corpus-grain checkpoint residue accumulates across
+            # the probe list until a later query heap-OOMs the shared
+            # JVM (measured round 8: remove_spans_hashed died under
+            # q_remove_spans' leftover blocks).
+            with batch_scope(spark):
+                n = materialize(queries[name](spark, PROBE_DIR))
         except Exception as exc:  # noqa: BLE001
             print(f"{name}: FAIL {type(exc).__name__}: {exc}")
             records.append({"query": name, "error": f"{type(exc).__name__}: {exc}"})
