@@ -40,7 +40,10 @@ def l2norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2norm(a) * l2norm(b))
+    # try_divide: a zero-norm vector yields a NULL cosine (excluded
+    # from max/threshold counts) instead of an ANSI DIVIDE_BY_ZERO
+    # abort — the semantics DuckDB's `/` gives the oracles for free.
+    return F.try_divide(dot(a, b), l2norm(a) * l2norm(b))
 
 
 def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
@@ -53,7 +56,7 @@ def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
     the folds are interpreted per-element, so at 10⁶⁺ pairs they are
     the dominant cost (measured: the sf1-probe semantic-dedup pass
     spends ~⅔ of its pair-stage time in the two norm folds)."""
-    return dot(a, b) / (na * nb)
+    return F.try_divide(dot(a, b), na * nb)
 
 
 def cosine_topk(
@@ -473,7 +476,10 @@ def semantic_decontaminate(
         .groupBy("vec_id")
         .agg(
             F.max("cos").alias("max_cos"),
-            F.sum((F.col("cos") >= threshold).cast("int"))
+            # CASE-shaped (0 for null cosines) so an all-zero-norm
+            # group counts 0 hits, matching the oracle's CASE WHEN
+            # and the Arrow kernel — sum(cast(bool)) would be null.
+            F.sum(F.when(F.col("cos") >= threshold, 1).otherwise(0))
             .cast("long")
             .alias("n_hits"),
         )
@@ -490,34 +496,56 @@ def _semantic_decontaminate_arrow(
     """Arrow-kernel body of `semantic_decontaminate`: one map-only
     matmul pass, no exchange. The corpus block is chunked so a single
     Arrow batch (up to 10 k rows) never materializes a rows×|bench|
-    score matrix larger than ~32 M doubles (~256 MiB) per task."""
+    score matrix larger than ~32 M doubles (~256 MiB) per task.
+
+    Divergence-parity with the SQL kernel (round 9): an EMPTY
+    benchmark yields an empty result (the SQL crossJoin-fold produces
+    no groups), zero-norm cosines are null and excluded from the max
+    (Spark's Divide returns null on a 0 divisor, and max() skips
+    nulls — numpy's NaN would instead poison the max), and the id
+    column keeps the INPUT's type instead of a hard-coded int64 cast
+    (the SQL kernel only aliases it)."""
     import pandas as pd
 
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"vec_id {id_type}, max_cos double, n_hits long"
     bench_rows = benchmark.select(vec_col).collect()
+    if not bench_rows:
+        return corpus.sparkSession.createDataFrame([], out_schema)
     B = np.array([r[0] for r in bench_rows], dtype=np.float64)
     Bn = np.linalg.norm(B, axis=1)
     chunk = max(1, (32 << 20) // max(1, len(B)))
 
     def score(batches):
         for pdf in batches:
-            ids = pdf[id_col].to_numpy(dtype="int64")
+            ids = pdf[id_col]
             X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             Xn = np.linalg.norm(X, axis=1)
-            max_cos = np.empty(len(ids), dtype=np.float64)
-            n_hits = np.empty(len(ids), dtype=np.int64)
+            max_cos = np.full(len(ids), np.nan, dtype=np.float64)
+            n_hits = np.zeros(len(ids), dtype=np.int64)
             for s in range(0, len(ids), chunk):
                 e = min(s + chunk, len(ids))
-                C = _round_half_up_np(
-                    (X[s:e] @ B.T) / np.outer(Xn[s:e], Bn), 4
-                )
-                max_cos[s:e] = C.max(axis=1)
-                n_hits[s:e] = (C >= threshold).sum(axis=1)
+                denom = np.outer(Xn[s:e], Bn)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    C = _round_half_up_np((X[s:e] @ B.T) / denom, 4)
+                C[denom == 0] = np.nan  # null cosine, like SQL's x/0
+                valid = ~np.all(np.isnan(C), axis=1)
+                if valid.any():
+                    max_cos[s:e][valid] = np.nanmax(C[valid], axis=1)
+                with np.errstate(invalid="ignore"):
+                    n_hits[s:e] = np.nansum(C >= threshold, axis=1)
             yield pd.DataFrame(
-                {"vec_id": ids, "max_cos": max_cos, "n_hits": n_hits}
+                {
+                    "vec_id": ids.reset_index(drop=True),
+                    # nullable Float64 so all-null rows (zero-norm
+                    # corpus vectors) reach Spark as null, not NaN
+                    "max_cos": pd.array(max_cos, dtype="Float64"),
+                    "n_hits": n_hits,
+                }
             )
 
     return rebalance(corpus.select(id_col, vec_col)).mapInPandas(
-        score, schema="vec_id long, max_cos double, n_hits long"
+        score, schema=out_schema
     )
 
 

@@ -68,7 +68,11 @@ def export_webdataset(
             F.sum(
                 F.lit(512)
                 + F.ceil(
-                    F.length(F.col(text_col).cast("string")) / 512
+                    # octet_length (UTF-8 BYTES), not character count:
+                    # the tar writer encodes UTF-8, so F.length would
+                    # under-estimate CJK-heavy corpora ~3× and land
+                    # shards back in the >100 MiB whole-tar-row regime
+                    F.octet_length(F.col(text_col).cast("string")) / 512
                 ).cast("long")
                 * 512
             )

@@ -437,6 +437,50 @@ def test_semantic_decontaminate_arrow_kernel_equals_sql(embs):
         assert abs(r.max_cos - a.max_cos) <= 1e-3, (vid, r.max_cos, a.max_cos)
 
 
+def test_semantic_decontaminate_arrow_edge_cases(spark):
+    """r9 hardening (ADVICE): the Arrow kernel must match the SQL
+    kernel's degenerate semantics — empty benchmark yields an empty
+    result (not an AxisError), a zero-norm corpus vector yields a
+    NULL max_cos with n_hits=0 (Spark's Divide nulls a 0 divisor;
+    numpy NaN must not leak through), a zero-norm BENCH vector's
+    cosines are excluded from the max, and non-integer id columns
+    pass through with their input type (no hard int64 cast)."""
+    from myasynstreamjoin_spark.functions.similarity import (
+        semantic_decontaminate,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0]),
+            ("b", [0.0, 0.0]),   # zero-norm corpus vector
+            ("c", [0.6, 0.8]),
+        ],
+        "vec_id string, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [("x", [1.0, 0.0]), ("z", [0.0, 0.0])],  # one zero-norm bench
+        "vec_id string, embedding array<double>",
+    )
+    for kernel in ("sql", "arrow"):
+        got = {
+            r.vec_id: r
+            for r in semantic_decontaminate(
+                vecs, bench, 0.5, kernel=kernel
+            ).collect()
+        }
+        assert set(got) == {"a", "b", "c"}, kernel
+        assert got["a"].max_cos == 1.0 and got["a"].n_hits == 1, kernel
+        assert got["b"].max_cos is None and got["b"].n_hits == 0, kernel
+        assert got["c"].max_cos == 0.6 and got["c"].n_hits == 1, kernel
+    # empty benchmark: both kernels return an empty frame
+    empty = bench.where(F.lit(False))
+    for kernel in ("sql", "arrow"):
+        assert (
+            semantic_decontaminate(vecs, empty, 0.5, kernel=kernel).count()
+            == 0
+        ), kernel
+
+
 def test_semantic_decontaminate_rejects_unknown_kernel(embs):
     from myasynstreamjoin_spark.functions.similarity import (
         semantic_decontaminate,

@@ -170,8 +170,11 @@ def stage_metrics(spark):
     bus = spark.sparkContext._jsc.sc().listenerBus()
     try:
         bus.waitUntilEmpty(30_000)
-    except TypeError:
-        bus.waitUntilEmpty()  # Spark variants with the no-arg form
+    except Exception:
+        # py4j raises Py4JError (method-not-found), not TypeError, on
+        # Spark variants lacking the timeout overload — catch broadly
+        # so the no-arg fallback actually triggers there
+        bus.waitUntilEmpty()
     store = spark.sparkContext._jsc.sc().statusStore()
     spill_mem = spill_disk = sh_read = sh_write = 0
     jvm = spark.sparkContext._jvm
