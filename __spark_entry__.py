@@ -3287,7 +3287,10 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     embs = tables.load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup_pairs(embs, threshold=0.4)
+    # kernel="sql" pinned HERE (the library default is "arrow" since
+    # r9): this registration is the one caller whose arithmetic a
+    # DuckDB oracle replays bit-for-bit
+    return semantic_dedup_pairs(embs, threshold=0.4, kernel="sql")
 
 
 def _q_semantic_dedup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -149,6 +149,22 @@ def main() -> int:
         spark.catalog.clearCache()
 
     total = round(sum(runs[0].values()), 3)
+    # Retrieval-quality regression guard (round-9 verdict stretch #8):
+    # recall@10 of the LSH and IVF searchers vs exact, recorded per
+    # round so an ANN plan change can't silently trade recall for wall
+    # time across rounds. Runs OUTSIDE the timed loops (it's a quality
+    # metric, not a wall metric) on the same bench SF.
+    ann_row = (
+        queries["q_ann_recall"](spark, sf_dir)
+        .collect()[0]
+        .asDict()
+    )
+    ann_recall = {
+        "k": int(ann_row["k"]),
+        "n_queries": int(ann_row["n_queries"]),
+        "recall_lsh": float(ann_row["recall_lsh"]),
+        "recall_ivf": float(ann_row["recall_ivf"]),
+    }
     print(json.dumps({
         "metric": "headline_total_wall",
         "value": total,
@@ -168,6 +184,7 @@ def main() -> int:
         # branch on this field instead of silently comparing semantics.
         "artifact_version": 3,
         "queries_semantics": "warm_run2_noop_sink",
+        "ann_recall": ann_recall,
     }))
     return 0
 

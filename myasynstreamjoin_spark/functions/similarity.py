@@ -417,7 +417,7 @@ def semantic_decontaminate(
     threshold: float = 0.4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    kernel: str = "sql",
+    kernel: str = "arrow",
 ) -> DataFrame:
     """SEMANTIC train/eval decontamination: score every corpus vector
     by its maximum cosine against the held-out benchmark embeddings —
@@ -437,8 +437,9 @@ def semantic_decontaminate(
     counts benchmark vectors at round(cos,4) ≥ threshold; max_cos is
     rounded like every cosine this module emits.
 
-    ``kernel="arrow"`` — the 100 TB path — replaces the SQL
-    crossJoin-fold with one map-only `mapInPandas` matmul pass: the
+    ``kernel="arrow"`` — the DEFAULT since round 9, and the 100 TB
+    path — replaces the SQL crossJoin-fold with one map-only
+    `mapInPandas` matmul pass: the
     benchmark matrix ships in the UDF closure (holdout-suite-sized, an
     ordinary broadcast) and each Arrow batch computes its block of
     X·Bᵀ with numpy, so NOTHING reaches an exchange at all. The work
@@ -448,8 +449,9 @@ def semantic_decontaminate(
     seconds-scale pass (same 41× class as semantic_dedup's kernels).
     Same HALF_UP 4-decimal rounding, so flags agree except where two
     float64 summation orders straddle a 10⁻⁴ boundary (pytest pins
-    equality on the fixtures). Keep "sql" where a SQL oracle must
-    replay the computation bit-for-bit.
+    equality on the fixtures). Pin ``kernel="sql"`` ONLY where a SQL
+    oracle must replay the computation bit-for-bit (the registered
+    q_semantic_decontaminate does).
     """
     if kernel == "arrow":
         return _semantic_decontaminate_arrow(
@@ -944,7 +946,7 @@ def semantic_dedup_pairs(
     threshold: float = 0.98,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    kernel: str = "sql",
+    kernel: str = "arrow",
 ) -> DataFrame:
     """SemDeDup-shaped semantic near-duplicate pairs (Abbas et al.
     2023, arXiv:2303.09540): partition the embedding space into
@@ -976,14 +978,18 @@ def semantic_dedup_pairs(
     scale-killer — measured 128 s at 20 k vectors with 8 seeds
     (2.5 k-vector clusters → 25 M pair cosines) vs ~4 s auto-scaled.
 
-    ``kernel="arrow"`` swaps both stages for Arrow-batched numpy
-    kernels (`mapInPandas` matmul assignment + per-cluster
-    `applyInPandas` pair matmul) — the 100 TB path: the SQL kernel's
-    per-element interpreted folds dominate at ≥10⁶ pairs (measured
-    23.8 s SQL vs ~3 s arrow on the 20 k-vector sf1 probe). numpy sums
-    pairwise instead of sequentially, so assignments/cosines can drift
-    by ~1 ulp vs the SQL kernel — use "sql" (the default) where an
-    external oracle replays the arithmetic, "arrow" at scale.
+    ``kernel="arrow"`` (the DEFAULT — round 9 flipped it so
+    production callers get the 41×-class path without reading this
+    paragraph) runs both stages as Arrow-batched numpy kernels
+    (`mapInPandas` matmul assignment + per-cluster `applyInPandas`
+    pair matmul) — the 100 TB path: the SQL kernel's per-element
+    interpreted folds dominate at ≥10⁶ pairs (measured 23.8 s SQL vs
+    ~3 s arrow on the 20 k-vector sf1 probe; sf30 242.1 s vs 5.9 s).
+    numpy sums pairwise instead of sequentially, so
+    assignments/cosines can drift by ~1 ulp vs the SQL kernel — pin
+    ``kernel="sql"`` ONLY where an external oracle replays the
+    arithmetic bit-for-bit (the registered q_semantic_dedup does;
+    parity between the kernels is pytest-pinned).
 
     Output: (cluster, id_a, id_b, cos).
     """

@@ -665,10 +665,16 @@ def supplier_count_by_part(
     is lineitem's distinct (l_partkey, l_suppkey) pairs (no partsupp).
 
     Scale: part's exclusion predicates and the size IN-list are pushed
-    to its scan; the excluded-supplier set is tiny and anti-broadcast.
-    The distinct on (partkey, suppkey) and the count-distinct per class
-    are the two shuffles — both on already-reduced data; lineitem
-    itself is projected to two int columns before its shuffle.
+    to its scan; the excluded-supplier set is tiny and anti-broadcast;
+    both joins broadcast, so the fact side never shuffles at pair
+    grain. The ONLY exchanges are the distinct-agg's own two (partial
+    dedup on (class, suppkey) map-side, then the per-class count) —
+    round 9 removed an explicit pre-`distinct()` on the raw
+    (partkey, suppkey) pairs that shuffled the whole fact table a
+    third time for nothing: count(DISTINCT suppkey) already dedups,
+    and the broadcast part join's class filter (~size IN-list
+    selectivity) now prunes pairs BEFORE any exchange (sf30ish: the
+    r8-shaped plan spilled 25.0 GiB / 22.0 s on this query).
 
     Output: (p_brand, p_type, p_size, supplier_cnt).
     """
@@ -678,14 +684,10 @@ def supplier_count_by_part(
         & (F.col("p_size").isin(list(sizes)))
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     bad_supp = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
-    link = (
-        lineitem.select("l_partkey", "l_suppkey")
-        .join(
-            F.broadcast(bad_supp),
-            lineitem["l_suppkey"] == bad_supp["s_suppkey"],
-            "left_anti",
-        )
-        .distinct()
+    link = lineitem.select("l_partkey", "l_suppkey").join(
+        F.broadcast(bad_supp),
+        lineitem["l_suppkey"] == bad_supp["s_suppkey"],
+        "left_anti",
     )
     return (
         link.join(F.broadcast(p), link["l_partkey"] == p["p_partkey"])

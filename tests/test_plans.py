@@ -670,3 +670,27 @@ def test_unpivot_is_expand_plus_one_exchange(spark, sf_dir, duck):
     import __spark_entry__ as contract
 
     assert_matches_oracle(df, duck, contract.oracle_sql()["q_unpivot"])
+
+
+def test_q16_fact_side_never_shuffles_at_pair_grain(spark, sf_dir, duck):
+    """Q16's only exchanges are the distinct-agg's own two (partial
+    dedup on (class, suppkey), then the per-class count): both the
+    bad-supplier anti-join and the part-class join broadcast, and the
+    r8-era explicit pre-distinct() — a third, full-fact-table shuffle
+    that count(DISTINCT) made redundant — must not come back (it
+    spilled 25 GiB at the sf30ish probe)."""
+    from myasynstreamjoin_spark.operators.tpch import supplier_count_by_part
+
+    df = supplier_count_by_part(
+        tables.load_table(spark, sf_dir, "lineitem"),
+        tables.load_table(spark, sf_dir, "part"),
+        tables.load_table(spark, sf_dir, "supplier"),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    from tests.conftest import assert_matches_oracle
+
+    import __spark_entry__ as contract
+
+    assert_matches_oracle(df, duck, contract.oracle_sql()["q_tpch_q16"])

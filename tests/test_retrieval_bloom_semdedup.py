@@ -125,7 +125,7 @@ def test_semantic_dedup_arrow_kernel_equals_sql(embs):
     pairwise-vs-sequential summation only (≤1e-3 after round-4)."""
     sql_rows = {
         (r.cluster, r.id_a, r.id_b): r.cos
-        for r in semantic_dedup_pairs(embs, 8, 0.3).collect()
+        for r in semantic_dedup_pairs(embs, 8, 0.3, kernel="sql").collect()
     }
     ar_rows = {
         (r.cluster, r.id_a, r.id_b): r.cos
@@ -400,7 +400,7 @@ def test_semantic_decontaminate_broadcasts_benchmark(spark, embs):
     bench = embs.where(F.col("vec_id") % 50 == 0)
     corpus = embs.where(F.col("vec_id") % 50 != 0)
     plan = (
-        semantic_decontaminate(corpus, bench)
+        semantic_decontaminate(corpus, bench, kernel="sql")
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
@@ -422,7 +422,9 @@ def test_semantic_decontaminate_arrow_kernel_equals_sql(embs):
     corpus = embs.where(F.col("vec_id") % 50 != 0)
     sql_rows = {
         r.vec_id: r
-        for r in semantic_decontaminate(corpus, bench, 0.4).collect()
+        for r in semantic_decontaminate(
+            corpus, bench, 0.4, kernel="sql"
+        ).collect()
     }
     ar_rows = {
         r.vec_id: r

@@ -206,10 +206,13 @@ def _semantic_dedup_arrow(spark, sf_dir):
 
 
 def _semantic_decontaminate_arrow(spark, sf_dir):
-    """q_semantic_decontaminate on the Arrow matmul kernel — the
-    100 TB path (the registered SQL form exists for its replayable
-    oracle; its crossJoin-fold is O(|corpus|·|bench|) through codegen
-    and took 47 min at the 30× probe)."""
+    """Arrow matmul kernel on the r8-era GROWING benchmark slice
+    (vec_id % 50 — |bench| scales with the corpus, the shape whose SQL
+    fold DNF'd at 30×). Kept as the worst-case stressor: the r9
+    contract re-shape fixed the REGISTERED q_semantic_decontaminate to
+    a constant 100-vector holdout (linear-in-SF on both kernels — run
+    the registered names for that shape); this entry still measures
+    the kernel at O(|corpus|·|corpus|/50) cosine volume."""
     from pyspark.sql import functions as F
 
     from myasynstreamjoin_spark.functions.similarity import (
