@@ -411,8 +411,25 @@ def main() -> int:
             print(f"{name}: FAIL {type(exc).__name__}: {exc}")
             records.append({"query": name, "error": f"{type(exc).__name__}: {exc}"})
             failures += 1
-            with batch_lock(spark):
-                release_blocks(spark, pre)
+            # A task-level OOM can leave the shared local JVM's session
+            # half-dead (measured r9: after lpa OOM'd at the 8 M-node
+            # probe, every later query failed with an unrelated
+            # "SparkPlan.session() is null" NPE — cascade artifacts,
+            # not real results). Probe session health and rebuild it so
+            # the remaining rows measure THEIR query, not the corpse.
+            try:
+                spark.range(1).count()
+                with batch_lock(spark):
+                    release_blocks(spark, pre)
+            except Exception:
+                print(f"{name}: session unhealthy after failure — rebuilding")
+                try:
+                    spark.stop()
+                except Exception:
+                    pass
+                spark = get_spark(app_name="scale-probe")
+                prepare_streaming_scale(spark)
+                base = stage_metrics(spark)
             continue
         wall = time.perf_counter() - t0
         with batch_lock(spark):
