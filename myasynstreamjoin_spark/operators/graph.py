@@ -247,7 +247,7 @@ def pagerank_edges(
     n_iters: int = 3,
     damping_pct: int = 85,
     k: int = 20,
-    broadcast_nodes_max: int = 8_000_000,
+    broadcast_nodes_max: int = 6_000_000,
 ) -> DataFrame:
     """PageRank over a PREBUILT directed (src, dst) edge table (see
     ``triangle_count_edges`` for the materialized-table rationale).
@@ -266,6 +266,15 @@ def pagerank_edges(
     node-grain exchange. Above the threshold the shuffle join
     remains, where per-executor heap bounds the working set on a
     real cluster.
+
+    The 6 M default is MEASURED for the 8 GiB-heap baseline profile,
+    not asserted (round 9, SCALEPROBE_r09_crossover_sf40): at 6 M
+    nodes the broadcast path wins 1.65–1.82× over the forced shuffle
+    join and runs clean; at 8 M nodes the per-iteration node-map
+    broadcast heap-OOMs the shared 8 GiB local JVM even in a fresh
+    session. Scale the cap with executor heap (~0.75 M nodes per
+    GiB): 32 GiB executors can raise it ~4×, and above any cap the
+    shuffle-join fallback is a verified-healthy landing zone.
 
     Block lifecycle (round 8): iteration i's rank checkpoint is
     released as soon as iteration i+1's materializes (the old blocks
@@ -420,7 +429,7 @@ def label_propagation_edges(
     edges: DataFrame,
     n_rounds: int = 3,
     _renamed: bool = False,
-    broadcast_nodes_max: int = 8_000_000,
+    broadcast_nodes_max: int = 6_000_000,
 ) -> DataFrame:
     """Label propagation over a PREBUILT directed (src, dst) edge table
     (see ``triangle_count_edges`` for the materialized-table
@@ -438,6 +447,10 @@ def label_propagation_edges(
       keyed exchange. Above the threshold (billions of nodes at
       100 TB) the plan falls back to the shuffle join, where
       per-EXECUTOR heap bounds the working set on a real cluster.
+      The 6 M default is the MEASURED boundary for the 8 GiB-heap
+      baseline (r9 crossover probe: 6 M broadcast wins 1.65–1.82×
+      and runs clean; 8 M heap-OOMs the fresh-session broadcast) —
+      scale it ~0.75 M nodes per GiB of executor heap.
     - The argmax is a FIXED-WIDTH aggregate whenever node ids fit in
       31 bits: (count, smallest-label tie-break) packs into one
       BIGINT ``c·2³¹ + (2³¹−1−label)``, so both groupBys run in
@@ -542,7 +555,7 @@ def write_copurchase_edges(
     n_buckets: int = 32,
     max_basket: int = 64,
     path: str | None = None,
-    broadcast_nodes_max: int = 8_000_000,
+    broadcast_nodes_max: int = 6_000_000,
 ) -> None:
     """Materialize the directed co-purchase edge list as a parquet
     table BUCKETED BY src — the round-4 probe's top remaining
@@ -567,8 +580,10 @@ def write_copurchase_edges(
     scan — no join, no edge-grain checkpoint, no spill.
 
     The deg side is NODE-grain, so below ``broadcast_nodes_max`` it
-    BROADCASTS into the edge table (same 8 M-node rule as the
-    pagerank/LPA working-set design): a sort-merge deg join would
+    BROADCASTS into the edge table (same node-cap rule as the
+    pagerank/LPA working-set design — 6 M default, see those
+    docstrings for the measured 6 M-good / 8 M-OOM boundary): a
+    sort-merge deg join would
     stack a second full-width sort pipeline onto the build; the
     broadcast form adds only a map-side hash probe to the write path.
     Above the threshold (billions of nodes) the shuffle join engages,

@@ -427,9 +427,25 @@ def main() -> int:
                     spark.stop()
                 except Exception:
                     pass
-                spark = get_spark(app_name="scale-probe")
-                prepare_streaming_scale(spark)
-                base = stage_metrics(spark)
+                try:
+                    spark = get_spark(app_name="scale-probe")
+                    prepare_streaming_scale(spark)
+                    base = stage_metrics(spark)
+                except Exception as rexc:  # noqa: BLE001
+                    # a hard executor OOM kills the shared local JVM;
+                    # py4j launches ONE gateway per Python process, so
+                    # an in-process rebuild reuses the corpse and fails
+                    # here. Record the abort and stop — rerun the
+                    # remaining queries in a fresh invocation.
+                    print(f"JVM unrecoverable ({type(rexc).__name__}) — "
+                          "aborting remaining queries; rerun them in a "
+                          "fresh process")
+                    records.append({
+                        "query": "__aborted__",
+                        "error": "JVM unrecoverable after previous "
+                                 "failure; remaining queries not run",
+                    })
+                    break
             continue
         wall = time.perf_counter() - t0
         with batch_lock(spark):
