@@ -268,13 +268,19 @@ def pagerank_edges(
     real cluster.
 
     The 6 M default is MEASURED for the 8 GiB-heap baseline profile,
-    not asserted (round 9, SCALEPROBE_r09_crossover_sf40): at 6 M
+    not asserted (round 9, SCALEPROBE_r09_crossover_sf40 A–E): at 6 M
     nodes the broadcast path wins 1.65–1.82× over the forced shuffle
     join and runs clean; at 8 M nodes the per-iteration node-map
-    broadcast heap-OOMs the shared 8 GiB local JVM even in a fresh
-    session. Scale the cap with executor heap (~0.75 M nodes per
-    GiB): 32 GiB executors can raise it ~4×, and above any cap the
-    shuffle-join fallback is a verified-healthy landing zone.
+    broadcast heap-OOMs the shared local JVM in a fresh session at
+    8 GiB AND at 16 GiB — in local mode every one of the 32 task
+    threads probes the same heap, so the cap is NOT simply
+    heap-proportional there; on a real cluster the broadcast map is
+    built once per EXECUTOR and the cap scales with executor heap,
+    but treat any raise as something to probe, not extrapolate.
+    Above the cap the shuffle-join fallback is the landing zone —
+    verified to complete at 957 M edges once per-thread memory
+    doubles (16 threads × 8 GiB, 846 s; at 32 threads it exhausts
+    execution memory).
 
     Block lifecycle (round 8): iteration i's rank checkpoint is
     released as soon as iteration i+1's materializes (the old blocks
@@ -449,8 +455,9 @@ def label_propagation_edges(
       per-EXECUTOR heap bounds the working set on a real cluster.
       The 6 M default is the MEASURED boundary for the 8 GiB-heap
       baseline (r9 crossover probe: 6 M broadcast wins 1.65–1.82×
-      and runs clean; 8 M heap-OOMs the fresh-session broadcast) —
-      scale it ~0.75 M nodes per GiB of executor heap.
+      and runs clean; 8 M heap-OOMs the fresh-session broadcast at
+      8 GiB and 16 GiB local heaps alike — in a shared local JVM the
+      cap does not scale linearly with heap; probe before raising).
     - The argmax is a FIXED-WIDTH aggregate whenever node ids fit in
       31 bits: (count, smallest-label tie-break) packs into one
       BIGINT ``c·2³¹ + (2³¹−1−label)``, so both groupBys run in
