@@ -328,6 +328,27 @@ def pagerank_edges(
         # plan time).
         n = max(nodes.count(), 1)
         can_broadcast = n <= broadcast_nodes_max
+        agg_width = 0
+        if not can_broadcast:
+            # Fallback-path memory bound (round 9): the per-iteration
+            # groupBy(dst) plans its PARTIAL agg inside the bucketed
+            # join stage, where each of the few wide tasks sees up to
+            # the full node cardinality of dst keys — at the 957 M-edge
+            # probe that hash map exhausted execution memory at every
+            # concurrency/heap tried (SCALEPROBE_r09_crossover_sf40
+            # C–E), while the plan was fine at 717 M. An explicit
+            # dst-exchange of the RAW contributions at data-
+            # proportional width moves both agg levels behind it, so
+            # per-task distinct keys are n/width and per-task input is
+            # edges/width; the exchange carries edge-grain rows, but
+            # map-side combine was reducing almost nothing (keys near-
+            # unique per task) — bounded memory for comparable shuffle.
+            # One bucketed-scan count as the control-plane read.
+            m_edges = edges.count()
+            agg_width = max(
+                int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+                int(m_edges // 1_000_000) + 1,
+            )
 
         ranks = nodes.select(
             "part", F.lit(MASS // n).cast("long").alias("r")
@@ -343,10 +364,15 @@ def pagerank_edges(
                 release_ids(spark, prev_iter)
             prev_iter = new_ids
             rk = F.broadcast(ranks) if can_broadcast else ranks
-            contrib = (
+            contrib_rows = (
                 edges_deg
                 .join(rk, edges_deg["src"] == rk["part"])
                 .select("dst", F.expr("r DIV deg").alias("c"))
+            )
+            if not can_broadcast:
+                contrib_rows = contrib_rows.repartition(agg_width, "dst")
+            contrib = (
+                contrib_rows
                 .groupBy("dst")
                 .agg(F.sum("c").alias("in_sum"))
             )
@@ -502,6 +528,20 @@ def label_propagation_edges(
             F.count("*"), F.min("node"), F.max("node")
         ).first()
         can_broadcast = n_nodes <= broadcast_nodes_max
+        agg_width = 0
+        if not can_broadcast:
+            # same fallback-path partial-agg bound as pagerank_edges
+            # (see its comment): exchange the raw neighbor-label rows
+            # on node at data-proportional width so the (node, label)
+            # count's hash map is edges/width-bounded per task instead
+            # of near the full pair cardinality inside the join stage.
+            # HashPartitioning(node) satisfies both groupBys, so the
+            # count AND the argmax run behind the one exchange.
+            m_edges = sym.count()
+            agg_width = max(
+                int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+                int(m_edges // 1_000_000) + 1,
+            )
         # packing needs label ∈ [0, 2³¹): labels are always node ids,
         # and counts stay < 2³² (a node would need 4 B in-neighbors to
         # carry).
@@ -514,6 +554,8 @@ def label_propagation_edges(
             nbr_labels = sym.join(
                 lab.withColumnRenamed("node", "nbr"), "nbr"
             ).select("node", "label")
+            if not can_broadcast:
+                nbr_labels = nbr_labels.repartition(agg_width, "node")
             counts = nbr_labels.groupBy("node", "label").agg(
                 F.count("*").alias("__c")
             )
