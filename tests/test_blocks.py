@@ -183,8 +183,14 @@ def test_randomized_kernel_composition_no_leak_no_premature_release(spark):
     (no premature release) and the context must end each batch exactly
     where it started (no leak). Seeded: failures reproduce."""
     rng = random.Random(0xB10C5)
-    base = persisted_ids(spark)
     for batch in range(6):
+        # per-batch snapshot, and the leak assertion below checks only
+        # that nothing NEW survives the scope (set DIFFERENCE, not
+        # equality): the shared session carries blocks from earlier
+        # suite tests, and Spark's ContextCleaner may async-remove one
+        # of those mid-test — an exact == against a test-start snapshot
+        # flaked once in the r9 full-suite run for exactly that reason.
+        pre_batch = persisted_ids(spark)
         with batch_scope(spark):
             frames = []
             for j in range(rng.randint(1, 4)):
@@ -206,6 +212,6 @@ def test_randomized_kernel_composition_no_leak_no_premature_release(spark):
                 assert df.count() == n, (
                     f"batch {batch}: premature release inside the scope"
                 )
-        assert persisted_ids(spark) == base, (
+        assert persisted_ids(spark) - pre_batch == set(), (
             f"batch {batch}: leaked blocks past commit"
         )
