@@ -328,27 +328,16 @@ def pagerank_edges(
         # plan time).
         n = max(nodes.count(), 1)
         can_broadcast = n <= broadcast_nodes_max
-        agg_width = 0
-        if not can_broadcast:
-            # Fallback-path memory bound (round 9): the per-iteration
-            # groupBy(dst) plans its PARTIAL agg inside the bucketed
-            # join stage, where each of the few wide tasks sees up to
-            # the full node cardinality of dst keys — at the 957 M-edge
-            # probe that hash map exhausted execution memory at every
-            # concurrency/heap tried (SCALEPROBE_r09_crossover_sf40
-            # C–E), while the plan was fine at 717 M. An explicit
-            # dst-exchange of the RAW contributions at data-
-            # proportional width moves both agg levels behind it, so
-            # per-task distinct keys are n/width and per-task input is
-            # edges/width; the exchange carries edge-grain rows, but
-            # map-side combine was reducing almost nothing (keys near-
-            # unique per task) — bounded memory for comparable shuffle.
-            # One bucketed-scan count as the control-plane read.
-            m_edges = edges.count()
-            agg_width = max(
-                int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
-                int(m_edges // 1_000_000) + 1,
-            )
+        # NOTE (round 9): LPA's fallback gained a pre-agg node-grain
+        # exchange (see label_propagation_edges) and it measured 1.42-
+        # 1.63x faster there -- but the SAME exchange applied here made
+        # pagerank WORSE: a dst's contributions repeat across its many
+        # in-edges, so map-side combine genuinely reduces volume
+        # (unlike LPA's near-unique (node, label) pairs), and moving
+        # the agg behind an edge-grain exchange traded a working
+        # partial agg for a heap-OOMing shuffle write at the 717 M-edge
+        # forced-fallback probe (232 s complete before, OOM after --
+        # reverted; SCALEPROBE_r09_graph_sf30_postfix).
 
         ranks = nodes.select(
             "part", F.lit(MASS // n).cast("long").alias("r")
@@ -364,15 +353,10 @@ def pagerank_edges(
                 release_ids(spark, prev_iter)
             prev_iter = new_ids
             rk = F.broadcast(ranks) if can_broadcast else ranks
-            contrib_rows = (
+            contrib = (
                 edges_deg
                 .join(rk, edges_deg["src"] == rk["part"])
                 .select("dst", F.expr("r DIV deg").alias("c"))
-            )
-            if not can_broadcast:
-                contrib_rows = contrib_rows.repartition(agg_width, "dst")
-            contrib = (
-                contrib_rows
                 .groupBy("dst")
                 .agg(F.sum("c").alias("in_sum"))
             )
