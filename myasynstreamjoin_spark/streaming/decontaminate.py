@@ -112,9 +112,15 @@ def run_stream_semantic_decontaminate(
 ) -> None:
     """Ingest-time SEMANTIC decontamination: the streaming twin of
     `functions/similarity.py::semantic_decontaminate`, exactly as this
-    module's gram gate twins the exact n-gram one. Per micro-batch the
-    static benchmark embeddings (localCheckpoint-ed once, broadcast)
-    score the batch's vectors; per-vector (max_cos, n_hits) rows land
+    module's gram gate twins the exact n-gram one. The static benchmark
+    embeddings are collected to a driver-side float64 matrix ONCE,
+    outside the batch closure (round-9 advice: the arrow kernel default
+    was silently re-collecting them every micro-batch), and per batch
+    ship in the Arrow kernel's UDF closure — holdout-suite-sized, an
+    ordinary broadcast. The kernel is pinned ``"arrow"`` explicitly so
+    a future default flip can't change this runner's plan. Per batch
+    the matrix scores the batch's vectors; per-vector (max_cos, n_hits)
+    rows land
     under ``{work_dir}/scored/b{N}`` via per-batch overwrite —
     replay-idempotent, no cross-batch state (a static benchmark makes
     the op embarrassingly batch-parallel), so the union over committed
@@ -122,16 +128,21 @@ def run_stream_semantic_decontaminate(
     (asserted in tests/test_stream_dedup.py beside the exact twin's
     replay test)."""
     from myasynstreamjoin_spark.functions.similarity import (
+        collect_benchmark_matrix,
         semantic_decontaminate,
     )
 
     scored_dir = os.path.join(work_dir, "scored")
     bench = bench_vecs.localCheckpoint(eager=True)
+    bench_matrix = collect_benchmark_matrix(bench)
 
     @scoped_batch
     def process(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.localCheckpoint(eager=True)
-        out = semantic_decontaminate(batch, bench, threshold=threshold)
+        out = semantic_decontaminate(
+            batch, bench, threshold=threshold,
+            kernel="arrow", bench_matrix=bench_matrix,
+        )
         out.write.mode("overwrite").parquet(
             os.path.join(scored_dir, f"b{int(batch_id)}")
         )

@@ -687,7 +687,13 @@ def test_q16_fact_side_never_shuffles_at_pair_grain(spark, sf_dir, duck):
         tables.load_table(spark, sf_dir, "supplier"),
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning") == 2, plan
+    # <= 2, not == 2: AQE re-planning / partition coalescing / a Spark
+    # version bump can change how many hash exchanges the rendered
+    # string shows without the pair-grain regression coming back
+    # (round-9 advice). The regression this test pins would ADD a
+    # third exchange (pair-grain pre-distinct before the aggregate)
+    # and/or a sort-merge join — both asserted independently.
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "SortMergeJoin" not in plan, plan
     from tests.conftest import assert_matches_oracle
 

@@ -5,10 +5,15 @@ count() action and reported the cold pass in `queries`; v2 (r07)
 reports the WARM run-2 pass in `queries` (cold preserved as
 `queries_cold`); v3 (r08+) replaced count() with a noop-sink full
 materialization, which does strictly more work for projection-
-terminated queries. Comparing across versions silently reads as a
-regression (or an improvement) that is really a measurement-semantics
-change — BASELINE.md's v3 anchor section and the round-8 verdict both
-require tooling to branch on `artifact_version`.
+terminated queries; v4 (r10+) keeps the noop action but reports the
+per-query MIN of two warm passes in `queries` (the stable warm
+statistic — single-warm-run diffs whipsawed ±10-20% on sub-second
+queries). Comparing across versions silently reads as a regression
+(or an improvement) that is really a measurement-semantics change —
+BASELINE.md's v3 anchor section and the round-8 verdict both require
+tooling to branch on `artifact_version`. v3↔v4 warm diffs are allowed
+(same action; v4's min-of-warm is a strictly less noisy estimate of
+the same quantity) with a one-line notice.
 
 Usage: python tools/bench_compare.py OLD.json NEW.json [--cold]
 
@@ -71,6 +76,12 @@ def main() -> int:
             "v3 anchor (BENCH_r08) as the old side instead."
         )
         return 2
+    if not cold and vo != vn and {vo, vn} == {3, 4}:
+        print(
+            "note: warm statistic differs (v3 = single run-2, "
+            "v4 = min of two warm runs) — v4 side reads slightly "
+            "faster on noisy sub-second queries by construction."
+        )
     qo, qn = pick(old, cold), pick(new, cold)
     common = sorted(set(qo) & set(qn))
     only_old = sorted(set(qo) - set(qn))

@@ -167,13 +167,18 @@ def stage_metrics(spark):
     tail into the NEXT row). Drain the bus before reading so metrics
     attribute to the query that produced them. Wall times were never
     affected (measured synchronously around the action)."""
+    from py4j.protocol import Py4JError, Py4JNetworkError
+
     bus = spark.sparkContext._jsc.sc().listenerBus()
     try:
         bus.waitUntilEmpty(30_000)
-    except Exception:
-        # py4j raises Py4JError (method-not-found), not TypeError, on
-        # Spark variants lacking the timeout overload — catch broadly
-        # so the no-arg fallback actually triggers there
+    except Py4JNetworkError:
+        # dead gateway — surface it, never fall through to an
+        # unbounded no-arg wait (round-9 advice)
+        raise
+    except Py4JError:
+        # method-not-found: Spark variants lacking the timeout
+        # overload — ONLY this triggers the no-arg fallback
         bus.waitUntilEmpty()
     store = spark.sparkContext._jsc.sc().statusStore()
     spill_mem = spill_disk = sh_read = sh_write = 0
