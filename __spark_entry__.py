@@ -4461,23 +4461,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rotating driver-window slots (23-50) ---
         # The driver independently verifies the first 50 registry
         # positions; the pytest mirror covers every oracle-backed
-        # queries every session. Positions 1-22 are the fixed SURVEY §2
-        # inventory head; these slots ROTATE each round through queries
-        # the driver has never checked (union of CORRECTNESS_r*.json
-        # keys), so over rounds the driver independently confirms the
-        # whole surface. Round 9 set: q_semantic_decontaminate pinned
-        # first (re-shaped this round to a CONSTANT-size holdout so the
-        # SQL fold is linear-in-corpus — verdict #1; a re-shaped query
-        # re-enters the window for a REAL driver green, the
-        # q_pack_chunks lesson), then 27 drawn from the never-driver-
-        # checked pool in the verdict's priority order: the 10
-        # streaming singles (streaming semantics deserve real-driver
-        # confirmation most), the relational/stats tail the verdict
-        # named (fk_audit/rolling_revenue/incr_agg/percentiles/
-        # histogram), the multimodal trio the judge driver_sim-matched
-        # (media_decode/frame_sample/interleave_mm), and nine more
-        # draining the pool toward full-registry confirmation in r10.
-        "q_semantic_decontaminate": _q_semantic_decontaminate,  # embedding-space decon — RE-SHAPED r9 (constant holdout), needs real green
+        # query every session. Positions 1-22 are the fixed SURVEY §2
+        # inventory head. ROTATION POLICY (audited by
+        # tools/rotation_check.py):
+        #   1. Never-driver-checked oracle-backed queries fill slots
+        #      first (union of CORRECTNESS_r*.json keys is the record).
+        #   2. A RE-SHAPED query (operator semantics or oracle changed)
+        #      always re-enters the next window for a REAL driver
+        #      green — the q_pack_chunks / q_semantic_decontaminate
+        #      lesson: pytest-mirror green is not driver green.
+        #   3. Once the pool is empty (round 10 drains it), remaining
+        #      slots re-verify by STALENESS: the queries whose latest
+        #      driver green is oldest re-enter, oldest round first,
+        #      ties in registry order. rotation_check.py prints the
+        #      ranking; the next window takes its head.
+        #   4. Every slot must be oracle-backed (rows-only queries are
+        #      covered by pytest invariants, not the driver compare).
+        # Round 10 set: the final 27 never-driver-checked queries (the
+        # r9 verdict's rotation_check list, in its order) — after this
+        # round every oracle-backed query in the registry has at least
+        # one real driver green — plus q_cube_pricing, the stalest
+        # r2-era green, starting policy #3's staleness sweep. Planned
+        # r11 composition per policy #3: the r2-era cohort
+        # (q_rank_features, q_grouping_sets, q_approx_percentile,
+        # q_json_props, q_profile, q_topk_per_group, q_distinct_users,
+        # q_repeat_customers, q_churned_customers, q_regional_revenue,
+        # q_sampled_revenue, q_customers_no_orders, q_tpch_q6,
+        # q_tpch_q17, ...) per rotation_check.py's staleness ranking.
+        "q_quota_sample": _q_quota_sample,                # largest-remainder exact-quota stratified sample
+        "q_repetition": _q_repetition,
+        "q_domain_mix": _q_domain_mix,                    # target-mixture deterministic sampling
+        "q_group_cap": _q_group_cap,                      # fixed-k per-group deterministic cap
+        "q_negative_pairs": _q_negative_pairs,            # contrastive negative sampling
+        "q_vocab": _q_vocab,                              # DF vocabulary / stopword scan
+        "q_pareto": _q_pareto,                            # 2-D skyline, no dominance cross-join
+        "q_markov": _q_markov,                            # event-type transition matrix
+        "q_attribution": _q_attribution,                  # first/last-touch, range window
+        "q_setjoin": _q_setjoin,                          # exact prefix-filtered set-sim join
+        "q_collocations": _q_collocations,                # bigram lift phrase mining
+        "q_resample": _q_resample,                        # calendar gap-fill + trailing MA
+        "q_span_corruption": _q_span_corruption,          # T5 denoising pair generation
+        "q_snapshot_diff": _q_snapshot_diff,              # reverse CDC: version diff feed
+        "q_cep_match": _q_cep_match,                      # pattern w/ veto, range window
+        "q_join_profile": _q_join_profile,                # join-explosion diagnostics
+        "q_mad_outliers": _q_mad_outliers,                # robust MAD gate, exact ints
+        "q_compact_shards": _q_compact_shards,            # small-file compaction round trip
+        "q_soft_dedup": _q_soft_dedup,                    # 1/n_copies weighting, effective sizes
+        "q_assoc": _q_assoc,                              # chi²/Cramér's V lang×source
+        "q_winsorize": _q_winsorize,                      # exact rank-based winsorized stats
+        "q_retrieval_eval": _q_retrieval_eval,            # NDCG/MRR/P@k ranking quality
+        "q_sorted_export": _q_sorted_export,              # range-partitioned global order
+        "q_hard_negatives": _q_hard_negatives,            # contrastive hard-negative mining
+        "q_ingest_e2e": _q_ingest_e2e,                    # composed admission gate
+        "q_boilerplate": _q_boilerplate,                  # per-source frequent-line report
+        "q_fix_encoding": _q_fix_encoding,                # ftfy-lite mojibake repair
+        "q_cube_pricing": _q_cube_pricing,                # staleness re-entry (last green r2)
+        # --- tail (pytest oracle-parity mirror coverage) ---
+        # rotated OUT of the driver window after 1-4 green rounds
+        # (still verified by the pytest mirror every session)
+        # rotated out after the round-9 sweep (50/50 green):
+        "q_semantic_decontaminate": _q_semantic_decontaminate,  # embedding-space decon (re-shaped r9, REAL green r9)
         "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
         "q_stream_min_count_zero": _q_stream_min_count_zero,
@@ -4505,9 +4548,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": _q_stratified_sample,
         "q_drift_timeline": _q_drift_timeline,            # per-window PSI vs predecessor, one pass
         "q_trend": _q_trend,                              # exact-integer per-key least-squares trend
-        # --- tail (pytest oracle-parity mirror coverage) ---
-        # rotated OUT of the driver window after 1-4 green rounds
-        # (still verified by the pytest mirror every session)
         # rotated out after the round-8 sweep (50/50 green):
         "q_pack_chunks": _q_pack_chunks,                  # materialized packed samples (scalar digest, r7 re-shape)
         "q_simsearch_filtered": _q_simsearch_filtered,    # pre-filtered exact vector search
@@ -4648,7 +4688,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_sessions": _q_stream_sessions,          # streaming session windows
         # SQL-layer coverage the reference lacked (SURVEY.md §2.4 "missing")
         "q_cdc_merge": _q_cdc_merge,                      # MERGE INTO change-feed apply
-        "q_cube_pricing": _q_cube_pricing,
         "q_rank_features": _q_rank_features,
         "q_grouping_sets": _q_grouping_sets,
         "q_approx_percentile": _q_approx_percentile,
@@ -4676,45 +4715,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q8": _q_tpch_q8,
         "q_image_neardup": _q_image_neardup,              # rows-only (perceptual aHash + banded Hamming; pytest vs brute force)
         "q_audio_neardup": _q_audio_neardup,              # rows-only (energy-trend fingerprint + banded Hamming; pytest vs brute force)
-        "q_quota_sample": _q_quota_sample,                # largest-remainder exact-quota stratified sample
         # remaining data-pipeline operators
-        "q_repetition": _q_repetition,
         "q_kmeans": _q_kmeans,                            # rows-only (iterative Lloyd — no SQL replay; pytest inertia-monotone + assignment invariants)
-        "q_domain_mix": _q_domain_mix,                    # target-mixture deterministic sampling
-        "q_group_cap": _q_group_cap,                      # fixed-k per-group deterministic cap
-        "q_negative_pairs": _q_negative_pairs,            # contrastive negative sampling
         "q_latest_event_maxby": _q_latest_event_maxby,    # max_by twin of q_latest_event
-        "q_vocab": _q_vocab,                              # DF vocabulary / stopword scan
         "q_simsearch_multi": _q_simsearch_multi,
         "q_rollup_pricing": _q_rollup_pricing,
         "q_semantic_dedup_arrow": _q_semantic_dedup_arrow,  # rows-only (Arrow kernel twin)
         "q_semantic_decontaminate_arrow": _q_semantic_decontaminate_arrow,  # rows-only (Arrow kernel twin, parity-pinned)
-        "q_pareto": _q_pareto,                            # 2-D skyline, no dominance cross-join
-        "q_markov": _q_markov,                            # event-type transition matrix
-        "q_attribution": _q_attribution,                  # first/last-touch, range window
-        "q_setjoin": _q_setjoin,                          # exact prefix-filtered set-sim join
-        "q_collocations": _q_collocations,                # bigram lift phrase mining
         "q_pq_encode": _q_pq_encode,                      # rows-only (k-means codebooks are iterative seeded argmin — no SQL replay; pytest recon-error bound)
         "q_pq_topk": _q_pq_topk,                          # rows-only (ranks depend on the trained PQ codebooks; pytest recall-vs-exact bound)
-        "q_resample": _q_resample,                        # calendar gap-fill + trailing MA
-        "q_span_corruption": _q_span_corruption,          # T5 denoising pair generation
-        "q_snapshot_diff": _q_snapshot_diff,              # reverse CDC: version diff feed
-        "q_cep_match": _q_cep_match,                      # pattern w/ veto, range window
-        "q_join_profile": _q_join_profile,                # join-explosion diagnostics
-        "q_mad_outliers": _q_mad_outliers,                # robust MAD gate, exact ints
         # remaining streaming queries
         "q_quality_classifier": _q_quality_classifier,    # rows-only (iterative logistic SGD — no SQL replay; pytest AUC/holdout invariants)
-        "q_compact_shards": _q_compact_shards,            # small-file compaction round trip
-        "q_soft_dedup": _q_soft_dedup,                    # 1/n_copies weighting, effective sizes
-        "q_assoc": _q_assoc,                              # chi²/Cramér's V lang×source
-        "q_winsorize": _q_winsorize,                      # exact rank-based winsorized stats
-        "q_retrieval_eval": _q_retrieval_eval,            # NDCG/MRR/P@k ranking quality
         "q_compression_ratio": _q_compression_ratio,      # rows-only (zlib codec not expressible in SQL; pytest monotonicity + known-ratio pins)
-        "q_sorted_export": _q_sorted_export,              # range-partitioned global order
-        "q_hard_negatives": _q_hard_negatives,            # contrastive hard-negative mining
-        "q_ingest_e2e": _q_ingest_e2e,                    # composed admission gate
-        "q_boilerplate": _q_boilerplate,                  # per-source frequent-line report
-        "q_fix_encoding": _q_fix_encoding,                # ftfy-lite mojibake repair
     }
 
 

@@ -9,6 +9,12 @@ queries the driver has never checked. This tool reports:
   CORRECTNESS_r*.json (the rotation freshness for THIS round),
 - which oracle-backed queries remain never-driver-checked (the pool
   to rotate in next round),
+- the STALENESS ranking (rotation policy #3 in the queries() comment):
+  once the never-checked pool is empty, slots 23-50 re-verify the
+  queries whose latest driver green is OLDEST — this tool prints the
+  ranking whose head is the next window's composition (re-shaped
+  queries jump the queue per policy #2; every slot oracle-backed per
+  policy #4),
 - sanity: first-50 all oracle-backed, no duplicate registry keys.
 
 Usage: python tools/rotation_check.py
@@ -19,6 +25,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -32,8 +39,12 @@ def main() -> int:
     # reporting zero driver-checked queries
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     checked: set[str] = set()
+    last_green: dict[str, int] = {}
     for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        checked |= set(json.load(open(p)))
+        rnd = int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        for q in json.load(open(p)):
+            checked.add(q)
+            last_green[q] = max(last_green.get(q, 0), rnd)
     qs = list(contract.queries())
     oracles = set(contract.oracle_sql())
     first50 = qs[:50]
@@ -54,6 +65,20 @@ def main() -> int:
           "never driver-checked):")
     for q in pool:
         print(f"  {q}")
+    # staleness ranking (policy #3): oldest driver green first, ties
+    # in registry order; only oracle-backed queries (policy #4) and
+    # only ones outside the CURRENT window (they are being re-greened
+    # this round already). The head of this list is the next window.
+    n_slots = 28
+    stale = [
+        q for q in qs
+        if q in oracles and q in last_green and q not in first50
+    ]
+    stale.sort(key=lambda q: (last_green[q], qs.index(q)))
+    print(f"\nstaleness ranking head (next window's {n_slots} slots "
+          "once the pool is empty; 'rN' = latest driver green):")
+    for q in stale[:n_slots]:
+        print(f"  r{last_green[q]:<3d} {q}")
     return 0
 
 
