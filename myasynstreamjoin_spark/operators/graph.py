@@ -589,6 +589,7 @@ def write_copurchase_edges(
     max_basket: int = 64,
     path: str | None = None,
     broadcast_nodes_max: int = 6_000_000,
+    target_rows_per_bucket: int = 2_000_000,
 ) -> None:
     """Materialize the directed co-purchase edge list as a parquet
     table BUCKETED BY src — the round-4 probe's top remaining
@@ -600,10 +601,42 @@ def write_copurchase_edges(
     (`tests/test_graph_edges.py` pins that plan). Sorted within buckets
     by (src, dst) so sort-merge self-joins skip the sort too.
 
-    ``n_buckets`` should match the consumer's shuffle parallelism; at
-    100 TB pick buckets sized to executor memory and re-bucket only
-    when the graph is regenerated — the whole point is paying the edge
-    shuffle once per ingest instead of once per query.
+    Round 10 — the bucket count is DATA-PROPORTIONAL and every bucket
+    is exactly ONE sorted file:
+
+    - ``n_buckets`` is now a floor; the effective count is
+      ``max(n_buckets, est_edges / target_rows_per_bucket)`` where
+      ``est_edges`` = Σ n·(n−1) over capped baskets (an exact
+      pre-dedup upper bound computed from the basket-size aggregate,
+      one cheap node-grain pass). A CONSTANT bucket count was the r9
+      scale wall: 64 buckets at 957 M edges put ~15 M rows in every
+      consumer task, and PageRank's per-iteration join stage
+      (sort + partial agg sharing one task's memory) exhausted
+      execution memory in every local config
+      (SCALEPROBE_r09_crossover_sf40). At ~2 M rows/bucket the same
+      stage holds a bounded agg map and nothing else.
+    - The edge frame is placed with ``repartition(n_buckets, src)``
+      (the SAME murmur-pmod function bucketBy uses), so each write
+      task holds exactly one bucket and writes exactly ONE file —
+      which is the condition under which Spark trusts the
+      within-bucket (src, dst) sort
+      (``spark.sql.legacy.bucketedTableScan.outputOrdering``,
+      session.py). Consumers' sort-merge joins on src then need NO
+      edge-side sort and NO edge-side exchange: the per-iteration
+      UnsafeExternalSorter that OOM'd the 957 M-edge PageRank
+      fallback is gone from the plan, not just smaller.
+    - That placement exchange doubles as the DEDUP exchange: the raw
+      self-join output repartitions on src once, and
+      ``dropDuplicates([src, dst])`` runs clustered behind it
+      (hash(src) satisfies the (src, dst) clustering requirement) as
+      a single complete aggregate — the old build's separate
+      edge-grain distinct exchange is gone, one edge-grain shuffle
+      total instead of two.
+
+    At 100 TB the same rule holds: buckets sized to executor memory
+    (``target_rows_per_bucket``), re-bucketed only when the graph is
+    regenerated — the whole point is paying the edge shuffle once per
+    ingest instead of once per query.
 
     Round 8: the table carries the source's OUT-DEGREE as a third
     column. PageRank's loop-invariant (src, dst, deg) frame was the
@@ -634,6 +667,8 @@ def write_copurchase_edges(
     build's shuffle width to the data, not to the interactive
     session's default.
     """
+    from pyspark import StorageLevel
+
     from myasynstreamjoin_spark.blocks import (
         batch_lock,
         ckpt_disk,
@@ -652,22 +687,59 @@ def write_copurchase_edges(
         with batch_lock(spark):
             pre = persisted_ids(spark)
             try:
-                # materialize the self-join ONCE (edge-grain DISK_ONLY
-                # rule): deg, the broadcast-size probe, and the write
-                # would otherwise each re-run it
-                edges = ckpt_disk(
-                    _copurchase_edges(
-                        lineitem, max_basket, ("src", "dst"),
-                        directed=True, checkpoint=False,
-                    )
+                items = lineitem.select("l_orderkey", "l_partkey").distinct()
+                # order-grain basket sizes, checkpointed ONCE: reused by
+                # (a) the exact pre-dedup edge-count estimate that sizes
+                # the buckets and (b) the mega-basket semi-join filter.
+                # The extra pass over lineitem this costs is a one-time
+                # build price; the r9 alternative (a constant bucket
+                # count) was the scale wall.
+                sizes = ckpt_disk(
+                    items.groupBy("l_orderkey")
+                    .agg(F.count("*").alias("__n"))
+                    .where(F.col("__n") <= max_basket)
                 )
+                est_row = sizes.agg(
+                    F.sum(F.expr("__n * (__n - 1)")).alias("e")
+                ).collect()[0]
+                est_edges = int(est_row["e"] or 0)
+                n_buckets_eff = max(
+                    n_buckets,
+                    -(-est_edges // max(target_rows_per_bucket, 1)),
+                )
+                ok_orders = sizes.select("l_orderkey")
+                bounded = items.join(ok_orders, "l_orderkey", "left_semi")
+                a = bounded.select(
+                    "l_orderkey", F.col("l_partkey").alias("src")
+                )
+                b = bounded.select(
+                    "l_orderkey", F.col("l_partkey").alias("dst")
+                )
+                raw = (
+                    a.join(b, "l_orderkey")
+                    .where(F.col("src") != F.col("dst"))
+                    .select("src", "dst")
+                )
+                # ONE edge-grain exchange: bucket placement and dedup
+                # share it. persist (NOT localCheckpoint — a checkpoint
+                # erases outputPartitioning, measured round 10) so deg,
+                # the size probe, and the write all reuse the
+                # materialized frame AND its hash(src, n_buckets_eff)
+                # layout, which is what makes every bucket exactly one
+                # file downstream.
+                edges = (
+                    raw.repartition(n_buckets_eff, "src")
+                    .dropDuplicates(["src", "dst"])
+                    .persist(StorageLevel.DISK_ONLY)
+                )
+                edges.count()
                 deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
                 # bounded control read (node count ≪ edge count)
                 if deg.count() <= broadcast_nodes_max:
                     deg = F.broadcast(deg)
                 write_bucketed(
                     edges.join(deg, "src"), table, ["src"],
-                    n_buckets=n_buckets, sort_cols=["src", "dst"],
+                    n_buckets=n_buckets_eff, sort_cols=["src", "dst"],
                     path=path,
                 )
             finally:

@@ -39,6 +39,17 @@ SESSION_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
     # Streaming state: evict eagerly on watermark (default, made explicit).
     "spark.sql.streaming.statefulOperator.allowMultiple": "true",
+    # Trust the within-bucket sort order of bucketed tables when (and
+    # only when) each bucket is a SINGLE file — Spark 3.0 stopped
+    # exposing bucketed-scan outputOrdering by default because
+    # multi-file buckets can't guarantee it; with this on, the check
+    # is still per-table (files-per-bucket == 1). write_bucketed
+    # consumers that pre-place one file per bucket (the graph edge
+    # table since round 10) get sort-FREE sort-merge joins on the
+    # bucket key: the per-iteration edge-side sort this elides was
+    # the UnsafeExternalSorter that OOM'd PageRank's shuffle-join
+    # fallback at 957 M edges (SCALEPROBE_r09_crossover_sf40).
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
 }
 
 
