@@ -3423,14 +3423,18 @@ def _q_simsearch_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of LSH and IVF against exact, averaged over a query
-    batch — the audit metric for the rows-only ANN operators."""
+    batch — the audit metric for the rows-only ANN operators. Round
+    10: 16 queries (4 could not distinguish 0.65 from 0.9 — r9 verdict
+    #4) and the measured-good 8×3-plane LSH default (recall@10 0.89 at
+    sf0.1 vs 0.70 for the old 8×4; the plane drop doubles bucket
+    population for the SAME table-explode volume)."""
     from myasynstreamjoin_spark.functions.similarity import ann_recall
 
     _prep(spark)
     return ann_recall(
         tables.load_table(spark, sf_dir, "embeddings"),
-        query_ids=[0, 1, 2, 3], k=10,
-        n_planes=4, n_tables=8, n_lists=16, nprobe=4,
+        query_ids=list(range(16)), k=10,
+        n_planes=3, n_tables=8, n_lists=16, nprobe=4,
     )
 
 
@@ -4920,7 +4924,7 @@ def _oracle_sql_base() -> dict[str, str]:
         planes and cell assignment/probe rank round to 6 before
         comparison."""
         bcols = ",\n                   ".join(
-            f"{_bucket_sql(4, 42 + 1000 * t)} AS b{t}" for t in range(8)
+            f"{_bucket_sql(3, 42 + 1000 * t)} AS b{t}" for t in range(8)
         )
         qcols = ", ".join(f"b{t} AS qb{t}" for t in range(8))
         bmatch = " OR ".join(f"b.b{t} = q.qb{t}" for t in range(8))
@@ -4934,7 +4938,7 @@ def _oracle_sql_base() -> dict[str, str]:
                    {bcols}
                    FROM v),
             qs AS (SELECT vec_id AS query_id, e AS qe, {qcols}
-                   FROM bks WHERE vec_id IN (0, 1, 2, 3)),
+                   FROM bks WHERE vec_id < 16),
             ex_sc AS (SELECT q.query_id, v.vec_id, {cos_ve} AS cos
                       FROM v, qs q WHERE v.vec_id <> q.query_id),
             ex_rk AS (SELECT query_id, vec_id, row_number() OVER (

@@ -691,7 +691,7 @@ def lsh_topk_multi(
     query_ids: list[int],
     k: int = 10,
     dim: int = 64,
-    n_planes: int = 4,
+    n_planes: int = 3,
     n_tables: int = 8,
     seed: int = 42,
     vec_col: str = "embedding",
@@ -704,10 +704,14 @@ def lsh_topk_multi(
     Single-table sign-LSH recall collapses for moderate-similarity
     neighbors (collision prob ≈ (1−θ/π)^n_planes per table — measured
     0.075 recall@10 with one 6-plane table on the fixture); OR-ing L
-    tables lifts it to 1−(1−p)^L (~0.8 with 8×4-plane tables) while
-    each probe still scans only its bucket. The (table, bucket) explode
-    + equi-join is the same shuffle shape as MinHash banding: #rows ×
-    n_tables small rows, never a cross product.
+    tables lifts it to 1−(1−p)^L while each probe still scans only its
+    bucket. The default is 8×3-plane tables, MEASURED (round 10,
+    16-query recall@10 sweep at sf0.1): (4,8) = 0.70, (4,16) = 0.89,
+    (3,8) = 0.89, (3,16) = 0.98 — dropping a plane doubles each
+    bucket's candidate pool for the same explode volume and buys the
+    same recall as doubling the table count. The (table, bucket)
+    explode + equi-join is the same shuffle shape as MinHash banding:
+    #rows × n_tables small rows, never a cross product.
 
     Output: (query_id, vec_id, cos, rank).
     """

@@ -5,6 +5,7 @@ windows."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from myasynstreamjoin_spark.config import DEFAULT_CONFIG as CFG
 from myasynstreamjoin_spark.sources import tables
@@ -59,13 +60,42 @@ def test_duplicates_collapse_to_distinct_users(spark, tmp_path):
     assert not any(k == "ripener" for k, _, _ in got)
 
 
-def test_stream_dedup_equals_batch_distinct(spark, sf_dir):
-    got = {
-        tuple(r)
-        for r in run_stream_to_table(
-            stream_distinct_user_counts(stream_events(spark, sf_dir), CFG), spark
-        ).collect()
-    }
+@pytest.mark.parametrize("state_store", ["hdfs-default", "rocksdb"])
+def test_stream_dedup_equals_batch_distinct(spark, sf_dir, state_store):
+    """Parametrized over BOTH state-store providers (round-9 verdict
+    stretch #10): the registered q_stream_dedup kernel must converge
+    to the identical table under the default HDFS-backed store and
+    the large-state RocksDB + changelog-checkpointing config
+    (session.prepare_streaming_scale) — keeping the 100 TB
+    deployment configuration load-bearing in a registered query's
+    test path, not just the dedicated equivalence test."""
+    from myasynstreamjoin_spark.session import prepare_streaming_scale
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    if state_store == "rocksdb":
+        prepare_streaming_scale(spark)
+    try:
+        got = {
+            tuple(r)
+            for r in run_stream_to_table(
+                stream_distinct_user_counts(stream_events(spark, sf_dir), CFG),
+                spark,
+            ).collect()
+        }
+    finally:
+        if state_store == "rocksdb":
+            if prev:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+            else:
+                spark.conf.unset(
+                    "spark.sql.streaming.stateStore.providerClass"
+                )
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.rocksdb"
+                ".changelogCheckpointing.enabled"
+            )
     ev = tables.load_table(spark, sf_dir, "events")
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
     wm_ms = max_ts // 1_000_000 - DELAY_MS
