@@ -138,10 +138,28 @@ def triangle_count_edges(
     re-scannable leaf, and checkpointing would DISCARD the catalog's
     bucket metadata that makes the degree aggregation exchange-free
     (asserted in tests/test_graph_edges.py).
+
+    Node-id WIDTH compaction (round 10): when every node id fits in
+    32 bits (one bounded max() control read), ids are cast to INT for
+    the whole census — the adjacency-array join ships each oriented
+    edge with its out-neighbor ARRAY through one hi-grain exchange,
+    so the id width multiplies directly into the operator's dominant
+    shuffle/spill volume (measured at sf30ish: the array exchange is
+    what fills local disk, ~2× the bytes at BIGINT width). Ids wider
+    than 32 bits keep the BIGINT path — same plan, same results
+    (counts are computed in BIGINT either way).
     """
     if not _undirected:
         edges = edges.where(F.col("src") < F.col("dst")).select(
             F.col("src").alias("u"), F.col("dst").alias("v")
+        )
+    max_id = edges.agg(
+        F.greatest(F.max("u"), F.max("v")).alias("m")
+    ).collect()[0]["m"]
+    if max_id is not None and int(max_id) < (1 << 31):
+        edges = edges.select(
+            F.col("u").cast("int").alias("u"),
+            F.col("v").cast("int").alias("v"),
         )
     deg = (
         edges.select(F.explode(F.array("u", "v")).alias("node"))
