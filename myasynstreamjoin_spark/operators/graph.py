@@ -179,12 +179,28 @@ def triangle_count_edges(
     )
     oriented = _ckpt_edge_grain(oriented)
     # out-neighbor adjacency arrays (≤ O(√m) entries each, by
-    # orientation); intersect per edge row — no wedge materialization
+    # orientation); intersect per edge row — no wedge materialization.
+    # Both adjacency joins are SHUFFLE-HASH hinted (round 10): after
+    # join #1 every edge row carries its nu ARRAY, and a sort-merge
+    # join #2 would SORT those fat rows — an UnsafeExternalSorter pass
+    # that writes a second on-disk copy of the operator's dominant
+    # data (measured at sf30ish: the sort spill, not the exchange, is
+    # what exhausts local scratch). With SHJ the fat side STREAMS
+    # through its exchange unsorted and the build side is the
+    # node-grain adjacency (n/width per task, bounded by
+    # data-proportional width; Spark 3.2+ SHJ build can spill).
     adj = oriented.groupBy("lo").agg(F.collect_list("hi").alias("nbrs"))
     tri = (
-        oriented.join(adj.select(F.col("lo"), F.col("nbrs").alias("nu")), "lo")
+        oriented.join(
+            adj.select(F.col("lo"), F.col("nbrs").alias("nu")).hint(
+                "shuffle_hash"
+            ),
+            "lo",
+        )
         .join(
-            adj.select(F.col("lo").alias("hi"), F.col("nbrs").alias("nv")),
+            adj.select(
+                F.col("lo").alias("hi"), F.col("nbrs").alias("nv")
+            ).hint("shuffle_hash"),
             "hi",
             "left",
         )

@@ -175,6 +175,13 @@ def get_spark(
     )
     for k, v in SESSION_CONFS.items():
         builder = builder.config(k, v)
+    # Probe/ops escape hatch: SPARK_GRAFT_EXTRA_CONFS="k=v;k=v" lets a
+    # harness inject static confs (e.g. spark.io.compression.codec=zstd
+    # for shuffle-heavy graph probes) without a code edit per run.
+    for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "").split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
