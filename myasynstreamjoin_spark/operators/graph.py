@@ -531,11 +531,22 @@ def label_propagation_edges(
         release_ids,
     )
 
+    # Orientation flip (round 10): the table stores BOTH directions of
+    # every undirected co-purchase edge, so a node's neighbor-label
+    # multiset reads identically from (node=dst, nbr=src) — and with
+    # nbr = src, the per-round label join lands ON THE BUCKET KEY of
+    # the prebuilt table: no edge-side exchange, no edge-side sort
+    # (one-sorted-file-per-bucket scan), only the node-grain labels
+    # shuffle each round. The old (node=src, nbr=dst) form re-shuffled
+    # the full edge table on dst EVERY round. Callers passing a
+    # pre-renamed frame (_renamed) keep their own orientation;
+    # direction-asymmetric inputs are out of contract for this
+    # operator (the reference's LPA is over an undirected graph).
     sym = (
         edges
         if _renamed
         else edges.select(
-            F.col("src").alias("node"), F.col("dst").alias("nbr")
+            F.col("dst").alias("node"), F.col("src").alias("nbr")
         )
     )
     spark = edges.sparkSession
