@@ -299,3 +299,28 @@ def test_pagerank_iteration_join_has_no_edge_side_sort(spark, edge_table):
         assert n_hash_ex <= 2, plan
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_lpa_round_join_has_no_edge_side_exchange(spark, edge_table):
+    """Round 10 orientation flip: LPA reads the neighbor relation as
+    (node=dst, nbr=src) so the per-round label join lands ON the
+    bucket key — the edge side must contribute neither an Exchange
+    nor a Sort; only the node-grain label side may. A regression to
+    the (node=src, nbr=dst) orientation re-shuffles the full edge
+    table every round."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sym = edge_table.select(
+            F.col("dst").alias("node"), F.col("src").alias("nbr")
+        )
+        labels = (
+            edge_table.select(F.col("src").alias("nbr"))
+            .distinct()
+            .withColumn("label", F.col("nbr"))
+        )
+        nbr_labels = sym.join(labels, "nbr").select("node", "label")
+        plan = nbr_labels._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") <= 1, plan
+        assert plan.count("Sort ") <= 1, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

@@ -290,11 +290,10 @@ def _edges_materialize(spark, sf_dir):
     )
     from myasynstreamjoin_spark.sources.tables import load_table
 
-    # bucket count follows write_copurchase_edges' documented sizing
-    # rule (buckets sized to executor memory, re-bucket per ingest):
-    # 32 is right for the ≤717 M-edge columns; the sf40ish probe
-    # (957 M edges → ~30 M rows/bucket) heap-OOMs every 32-bucket
-    # consumer, so bigger corpora pass SPARK_GRAFT_PROBE_BUCKETS=64.
+    # Since round 10 the writer sizes buckets DATA-PROPORTIONALLY
+    # (est_edges / target_rows_per_bucket, one sorted file per
+    # bucket); this env only raises the FLOOR and normally stays at
+    # the default — 957 M edges auto-size to 480 buckets.
     n_buckets = int(os.environ.get("SPARK_GRAFT_PROBE_BUCKETS", "32"))
     write_copurchase_edges(
         load_table(spark, sf_dir, "lineitem"), _EDGE_TABLE,
