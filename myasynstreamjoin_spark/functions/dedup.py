@@ -1257,6 +1257,7 @@ def write_fingerprint_index(
     write_bucketed(
         fps, table, ["fp"], n_buckets=n_buckets,
         sort_cols=["fp"], path=path, mode=mode,
+        single_file_per_bucket=True,
     )
 
 
@@ -1385,13 +1386,13 @@ def write_minhash_index(
         rows, table, ["bh"], n_buckets=n_buckets,
         sort_cols=["bh", "band"],
         path=None if path is None else os.path.join(path, "bands"),
-        mode=mode,
+        mode=mode, single_file_per_bucket=True,
     )
     write_bucketed(
         shingled, f"{table}_sh", ["doc_id"], n_buckets=n_buckets,
         sort_cols=["doc_id"],
         path=None if path is None else os.path.join(path, "sh"),
-        mode=mode,
+        mode=mode, single_file_per_bucket=True,
     )
     shingled.unpersist()
 

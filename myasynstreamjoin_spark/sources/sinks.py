@@ -45,6 +45,7 @@ def write_bucketed(
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
     path: str | None = None,
+    single_file_per_bucket: bool = False,
 ) -> None:
     """Write ``df`` as a bucketed (and optionally sorted) table.
 
@@ -124,6 +125,19 @@ def write_bucketed(
             )
             if not spark.catalog.tableExists(target):
                 shutil.rmtree(loc, ignore_errors=True)
+    if single_file_per_bucket:
+        # Place each bucket as exactly one file: repartition by the
+        # same murmur-pmod bucketBy uses, so each write task holds one
+        # bucket — the condition under which Spark TRUSTS the
+        # within-bucket sort (session.py's bucketedTableScan
+        # .outputOrdering) and consumer sort-merge joins on the bucket
+        # key skip the table-side sort entirely. Appends add one new
+        # file per bucket and (correctly) void the sort trust until
+        # the next rebuild — the bucket-local JOIN plans survive
+        # either way.
+        from pyspark.sql import functions as _F
+
+        df = df.repartition(n_buckets, *[_F.col(c) for c in bucket_cols])
     w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
