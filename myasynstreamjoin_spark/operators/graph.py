@@ -644,7 +644,13 @@ def write_copurchase_edges(
     max_basket: int = 64,
     path: str | None = None,
     broadcast_nodes_max: int = 6_000_000,
-    target_rows_per_bucket: int = 2_000_000,
+    # 1 M, not 2 M: at 2 M rows/bucket the build's complete dedup
+    # aggregate held ~2 M-entry maps on all 32 local threads at once
+    # and failed 1-in-3 runs at sf30ish with UNABLE_TO_ACQUIRE_MEMORY
+    # (SCALEPROBE_r10_graph_sf30_F) — correct-but-borderline. 1 M
+    # halves every per-task map (build dedup AND consumer partial
+    # aggs) for ~2× the task count, which is scheduling noise.
+    target_rows_per_bucket: int = 1_000_000,
 ) -> None:
     """Materialize the directed co-purchase edge list as a parquet
     table BUCKETED BY src — the round-4 probe's top remaining
@@ -770,7 +776,20 @@ def write_copurchase_edges(
                 b = bounded.select(
                     "l_orderkey", F.col("l_partkey").alias("dst")
                 )
-                raw = (
+                # edge-grain DISK_ONLY checkpoint BEFORE the bucket
+                # repartition (round 10): without it, one pipeline
+                # stacks the self-join's two per-task sorts UNDER the
+                # ~700-way repartition's shuffle writer, and under
+                # 32-way local concurrency that trio nondeterministically
+                # starves the writer of pages (~1-in-3 sf30 builds died
+                # with UNABLE_TO_ACQUIRE_MEMORY,
+                # SCALEPROBE_r10_graph_sf30_F/G; shuffle_hash hints are
+                # NOT the fix — LongHashedRelation builds cannot spill,
+                # probe H). The checkpoint costs one sequential
+                # edge-grain disk write and gives each stage exactly one
+                # memory-consumer class: sorts in the join stage,
+                # writer in the repartition stage.
+                raw = ckpt_disk(
                     a.join(b, "l_orderkey")
                     .where(F.col("src") != F.col("dst"))
                     .select("src", "dst")
