@@ -315,11 +315,11 @@ def pagerank_edges(
     since round 10 a HEALTHY one: the r9 OOMs at 957 M edges were a
     hidden per-iteration edge-side sort (multi-file buckets void the
     table's sort guarantee — see write_copurchase_edges); with one
-    sorted file per bucket and data-proportional bucket count the
-    fallback completes at 957 M edges / 8 M nodes in 201.6 s with
-    ZERO spill at 16 threads × 8 GiB, and degrades to disk (462 s,
-    heavy but healthy spill) at 32 threads
-    (SCALEPROBE_r10_crossover_sf40 A/B).
+    sorted file per bucket and data-proportional bucket count
+    (~1 M rows each) the fallback completes at 957 M edges /
+    8 M nodes with ZERO spill at BOTH tried concurrencies — 201.6 s
+    at 16 threads × 8 GiB, 138.5 s at 32 threads
+    (SCALEPROBE_r10_crossover_sf40 A/E).
 
     Block lifecycle (round 8): iteration i's rank checkpoint is
     released as soon as iteration i+1's materializes (the old blocks
@@ -503,10 +503,10 @@ def label_propagation_edges(
       100 TB) the plan falls back to the shuffle join, where
       per-EXECUTOR heap bounds the working set on a real cluster —
       measured at 957 M edges / 8 M nodes (r10, one-sorted-file-per-
-      bucket table): completes in 489.8 s at 16 threads × 8 GiB;
-      at 32 threads (≈250 MB/thread) its raw-pair exchange still
-      exhausts execution memory, so the fallback's binding resource
-      remains per-thread memory (SCALEPROBE_r10_crossover_sf40 A/B).
+      bucket table + the orientation flip below): **226.3 s at
+      32 threads × 8 GiB with 53 GiB mem / 5 GiB disk spill**
+      (SCALEPROBE_r10_crossover_sf40_E; r9 had no completing
+      32-thread configuration at this scale).
       The 6 M default is the MEASURED boundary for the 8 GiB-heap
       baseline (r9 crossover probe: 6 M broadcast wins 1.65–1.82×
       and runs clean; 8 M heap-OOMs the fresh-session broadcast at
