@@ -3421,20 +3421,25 @@ def _q_simsearch_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_ann_recall(
+    spark: SparkSession, sf_dir: str, profile: str = "default"
+) -> DataFrame:
     """Recall@10 of LSH and IVF against exact, averaged over a query
     batch — the audit metric for the rows-only ANN operators. Round
     10: 16 queries (4 could not distinguish 0.65 from 0.9 — r9 verdict
     #4) and the measured-good 8×3-plane LSH default (recall@10 0.89 at
     sf0.1 vs 0.70 for the old 8×4; the plane drop doubles bucket
-    population for the SAME table-explode volume)."""
+    population for the SAME table-explode volume). Round 11: the LSH
+    config comes from ``ANN_PROFILES[profile]`` — driver/oracle runs
+    use the default (unchanged semantics); bench.py additionally
+    records the "high-recall" (3, 16) point's recall AND wall."""
     from myasynstreamjoin_spark.functions.similarity import ann_recall
 
     _prep(spark)
     return ann_recall(
         tables.load_table(spark, sf_dir, "embeddings"),
         query_ids=list(range(16)), k=10,
-        n_planes=3, n_tables=8, n_lists=16, nprobe=4,
+        n_lists=16, nprobe=4, profile=profile,
     )
 
 
@@ -4481,17 +4486,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      ranking; the next window takes its head.
         #   4. Every slot must be oracle-backed (rows-only queries are
         #      covered by pytest invariants, not the driver compare).
-        # Round 10 set: the final 27 never-driver-checked queries (the
-        # r9 verdict's rotation_check list, in its order) — after this
-        # round every oracle-backed query in the registry has at least
-        # one real driver green — plus q_cube_pricing, the stalest
-        # r2-era green, starting policy #3's staleness sweep. Planned
-        # r11 composition per policy #3: the r2-era cohort
-        # (q_rank_features, q_grouping_sets, q_approx_percentile,
-        # q_json_props, q_profile, q_topk_per_group, q_distinct_users,
-        # q_repeat_customers, q_churned_customers, q_regional_revenue,
-        # q_sampled_revenue, q_customers_no_orders, q_tpch_q6,
-        # q_tpch_q17, ...) per rotation_check.py's staleness ranking.
+        # Round 11 set (policy #3 staleness sweep, per
+        # tools/rotation_check.py's ranking): the full r2-era cohort
+        # (18 queries — after this round no driver green is older than
+        # r3), the six r3-era greens, the two oldest r4 batch greens
+        # (q_bm25, q_scd2), and the two OLDEST streaming twins
+        # (q_stream_dedup, q_stream_sessions, last green r4) — the
+        # staleness rule applies to streaming greens equally (r10
+        # verdict #6); q_event_gaps/q_sliding_count (r4) head the r12
+        # window.
+        "q_rank_features": _q_rank_features,              # staleness re-entry (r2)
+        "q_grouping_sets": _q_grouping_sets,              # staleness re-entry (r2)
+        "q_approx_percentile": _q_approx_percentile,      # staleness re-entry (r2)
+        "q_json_props": _q_json_props,                    # staleness re-entry (r2)
+        "q_profile": _q_profile,                          # staleness re-entry (r2)
+        "q_topk_per_group": _q_topk_per_group,            # staleness re-entry (r2)
+        "q_distinct_users": _q_distinct_users,            # staleness re-entry (r2)
+        "q_repeat_customers": _q_repeat_customers,        # staleness re-entry (r2)
+        "q_churned_customers": _q_churned_customers,      # staleness re-entry (r2)
+        "q_regional_revenue": _q_regional_revenue,        # staleness re-entry (r2)
+        "q_sampled_revenue": _q_sampled_revenue,          # staleness re-entry (r2)
+        "q_customers_no_orders": _q_customers_no_orders,  # staleness re-entry (r2)
+        "q_tpch_q6": _q_tpch_q6,                          # staleness re-entry (r2)
+        "q_tpch_q17": _q_tpch_q17,                        # staleness re-entry (r2)
+        "q_tpch_q18": _q_tpch_q18,                        # staleness re-entry (r2)
+        "q_tpch_q4": _q_tpch_q4,                          # staleness re-entry (r2)
+        "q_tpch_q7": _q_tpch_q7,                          # staleness re-entry (r2)
+        "q_tpch_q8": _q_tpch_q8,                          # staleness re-entry (r2)
+        "q_latest_event": _q_latest_event,                # staleness re-entry (r3)
+        "q_tpch_q3": _q_tpch_q3,                          # staleness re-entry (r3)
+        "q_tpch_q14": _q_tpch_q14,                        # staleness re-entry (r3)
+        "q_latest_event_maxby": _q_latest_event_maxby,    # staleness re-entry (r3)
+        "q_simsearch_multi": _q_simsearch_multi,          # staleness re-entry (r3)
+        "q_rollup_pricing": _q_rollup_pricing,            # staleness re-entry (r3)
+        "q_bm25": _q_bm25,                                # staleness re-entry (r4)
+        "q_scd2": _q_scd2,                                # staleness re-entry (r4)
+        "q_stream_dedup": _q_stream_dedup,                # staleness re-entry (r4, oldest stream twin)
+        "q_stream_sessions": _q_stream_sessions,          # staleness re-entry (r4, oldest stream twin)
+        # --- tail (pytest oracle-parity mirror coverage) ---
+        # rotated out after the round-10 sweep (50/50 green):
         "q_quota_sample": _q_quota_sample,                # largest-remainder exact-quota stratified sample
         "q_repetition": _q_repetition,
         "q_domain_mix": _q_domain_mix,                    # target-mixture deterministic sampling
@@ -4519,8 +4552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ingest_e2e": _q_ingest_e2e,                    # composed admission gate
         "q_boilerplate": _q_boilerplate,                  # per-source frequent-line report
         "q_fix_encoding": _q_fix_encoding,                # ftfy-lite mojibake repair
-        "q_cube_pricing": _q_cube_pricing,                # staleness re-entry (last green r2)
-        # --- tail (pytest oracle-parity mirror coverage) ---
+        "q_cube_pricing": _q_cube_pricing,                # staleness re-entry (r10 green)
         # rotated OUT of the driver window after 1-4 green rounds
         # (still verified by the pytest mirror every session)
         # rotated out after the round-9 sweep (50/50 green):
@@ -4663,8 +4695,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_recall": _q_ann_recall,                    # ANN recall audit vs exact
         "q_stream_neardup": _q_stream_neardup,            # streaming MinHash near-dup vs index
         "q_tpch_q10": _q_tpch_q10,
-        "q_bm25": _q_bm25,                                # Okapi BM25 lexical retrieval
-        "q_scd2": _q_scd2,
         "q_event_gaps": _q_event_gaps,
         "q_sliding_count": _q_sliding_count,
         "q_asof_join": _q_asof_join,
@@ -4688,42 +4718,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_perplexity": _q_lm_perplexity,              # unigram-LM perplexity quality gate
         "q_ts_similarity": _q_ts_similarity,
         "q_multimodal_meta": _q_multimodal_meta,
-        "q_stream_dedup": _q_stream_dedup,                # streaming dedup → windowed count
-        "q_stream_sessions": _q_stream_sessions,          # streaming session windows
         # SQL-layer coverage the reference lacked (SURVEY.md §2.4 "missing")
         "q_cdc_merge": _q_cdc_merge,                      # MERGE INTO change-feed apply
-        "q_rank_features": _q_rank_features,
-        "q_grouping_sets": _q_grouping_sets,
-        "q_approx_percentile": _q_approx_percentile,
-        "q_json_props": _q_json_props,
-        "q_profile": _q_profile,
-        "q_topk_per_group": _q_topk_per_group,
-        "q_latest_event": _q_latest_event,
         "q_pca": _q_pca,                                  # rows-only (LAPACK eigen; pytest invariants)
         "q_bpe_merges": _q_bpe_merges,                    # rows-only (iterative argmax; pytest vs reference BPE)
         "q_bpe_encode": _q_bpe_encode,                    # rows-only (vocab-once corpus tokenize; pytest parity + decode)
         "q_tokenize_pack": _q_tokenize_pack,              # rows-only (train->encode->pack composed; stages pytest-pinned)
-        "q_distinct_users": _q_distinct_users,
-        "q_repeat_customers": _q_repeat_customers,
-        "q_churned_customers": _q_churned_customers,
-        "q_regional_revenue": _q_regional_revenue,
-        "q_sampled_revenue": _q_sampled_revenue,
-        "q_customers_no_orders": _q_customers_no_orders,
-        "q_tpch_q3": _q_tpch_q3,
-        "q_tpch_q14": _q_tpch_q14,
-        "q_tpch_q6": _q_tpch_q6,
-        "q_tpch_q17": _q_tpch_q17,
-        "q_tpch_q18": _q_tpch_q18,
-        "q_tpch_q4": _q_tpch_q4,
-        "q_tpch_q7": _q_tpch_q7,
-        "q_tpch_q8": _q_tpch_q8,
         "q_image_neardup": _q_image_neardup,              # rows-only (perceptual aHash + banded Hamming; pytest vs brute force)
         "q_audio_neardup": _q_audio_neardup,              # rows-only (energy-trend fingerprint + banded Hamming; pytest vs brute force)
         # remaining data-pipeline operators
         "q_kmeans": _q_kmeans,                            # rows-only (iterative Lloyd — no SQL replay; pytest inertia-monotone + assignment invariants)
-        "q_latest_event_maxby": _q_latest_event_maxby,    # max_by twin of q_latest_event
-        "q_simsearch_multi": _q_simsearch_multi,
-        "q_rollup_pricing": _q_rollup_pricing,
         "q_semantic_dedup_arrow": _q_semantic_dedup_arrow,  # rows-only (Arrow kernel twin)
         "q_semantic_decontaminate_arrow": _q_semantic_decontaminate_arrow,  # rows-only (Arrow kernel twin, parity-pinned)
         "q_pq_encode": _q_pq_encode,                      # rows-only (k-means codebooks are iterative seeded argmin — no SQL replay; pytest recon-error bound)

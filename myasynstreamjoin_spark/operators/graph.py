@@ -28,6 +28,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Session confs the triangle census WANTS when run at scale, declared
+# BY the operator (round-11 verdict #3) instead of leaking in through
+# SPARK_GRAFT_EXTRA_CONFS: its dominant cost is shipping every
+# oriented edge's int-array out-neighborhood through one exchange
+# (measured 18.7 GiB at sf10, 49.2 GiB at sf30ish), and packed int
+# arrays are exactly the payload zstd compresses ~2.3x better than
+# lz4 for a few % CPU (r10 A/B). `spark.io.compression.codec` is a
+# STATIC conf — it must be set at session build (tools/scale_probe.py
+# applies this map for census-only probe runs; a live session cannot
+# switch). The engine-wide default stays lz4: the bench's mixed
+# sub-second workload loses more to zstd CPU than it saves in bytes.
+TRIANGLE_SCALE_CONFS: dict[str, str] = {
+    "spark.io.compression.codec": "zstd",
+}
+
 
 def _ckpt_edge_grain(df: DataFrame) -> DataFrame:
     """localCheckpoint for EDGE-grain frames, DISK_ONLY blocks: the
@@ -153,10 +168,21 @@ def triangle_count_edges(
         edges = edges.where(F.col("src") < F.col("dst")).select(
             F.col("src").alias("u"), F.col("dst").alias("v")
         )
-    max_id = edges.agg(
-        F.greatest(F.max("u"), F.max("v")).alias("m")
-    ).collect()[0]["m"]
-    if max_id is not None and int(max_id) < (1 << 31):
+    # Both BOUNDS in one control read: the max guards overflow above,
+    # the min guards it below — with ANSI off, a negative id under
+    # -2^31 would silently WRAP through cast('int') and corrupt the
+    # census for a generic prebuilt edge table (round-11 advice; the
+    # LPA packable path already guards min >= 0).
+    bounds = edges.agg(
+        F.greatest(F.max("u"), F.max("v")).alias("m"),
+        F.least(F.min("u"), F.min("v")).alias("lo"),
+    ).collect()[0]
+    max_id, min_id = bounds["m"], bounds["lo"]
+    if (
+        max_id is not None
+        and int(max_id) < (1 << 31)
+        and int(min_id) >= -(1 << 31)
+    ):
         edges = edges.select(
             F.col("u").cast("int").alias("u"),
             F.col("v").cast("int").alias("v"),
@@ -816,6 +842,18 @@ def write_copurchase_edges(
                     n_buckets=n_buckets_eff, sort_cols=["src", "dst"],
                     path=path,
                 )
+                # The one-file-per-bucket layout here comes from the
+                # repartition above PROPAGATING through dropDuplicates
+                # -> persist -> deg join into the write — implicit, so
+                # verify it on the written files and fail loudly if a
+                # planner/AQE change regresses it (round-11 advice;
+                # multi-file buckets void the trusted sort and
+                # reintroduce the r9 per-iteration sort/OOM).
+                from myasynstreamjoin_spark.sources.sinks import (
+                    assert_single_file_per_bucket,
+                )
+
+                assert_single_file_per_bucket(spark, table)
             finally:
                 release_ids(spark, persisted_ids(spark) - pre)
     finally:

@@ -20,6 +20,7 @@ Design notes for scale (local[32] here, 1000-executor cluster target):
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
@@ -178,10 +179,26 @@ def get_spark(
     # Probe/ops escape hatch: SPARK_GRAFT_EXTRA_CONFS="k=v;k=v" lets a
     # harness inject static confs (e.g. spark.io.compression.codec=zstd
     # for shuffle-heavy graph probes) without a code edit per run.
+    # Every injected conf is echoed to stderr (and malformed segments
+    # warned about) so a stray environment variable can't SILENTLY
+    # alter engine semantics in a correctness/driver session — the
+    # override is visible in the run output (round-11 advice).
     for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "").split(";"):
+        if not pair.strip():
+            continue
         if "=" in pair:
             k, v = pair.split("=", 1)
+            print(
+                f"# SPARK_GRAFT_EXTRA_CONFS: {k.strip()}={v.strip()}",
+                file=sys.stderr,
+            )
             builder = builder.config(k.strip(), v.strip())
+        else:
+            print(
+                "# SPARK_GRAFT_EXTRA_CONFS: WARNING malformed segment "
+                f"{pair!r} (expected k=v) — ignored",
+                file=sys.stderr,
+            )
     for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -147,6 +147,118 @@ def write_bucketed(
     if swap:
         spark.sql(f"DROP TABLE {table}")
         spark.sql(f"ALTER TABLE {target} RENAME TO {table}")
+    if single_file_per_bucket and mode != "append":
+        # The one-file-per-bucket guarantee is what lets the scan
+        # TRUST the within-bucket sort; it rests on the repartition
+        # above surviving planning. Verify on the WRITTEN files (cheap
+        # directory listing) so a planner/AQE regression fails the
+        # build loudly instead of silently reintroducing per-join
+        # sorts (round-11 advice). Appends are exempt: they add one
+        # file per bucket by design and correctly void the sort trust
+        # until the next rebuild.
+        assert_single_file_per_bucket(spark, table)
+
+
+def register_bucketed(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    n_buckets: int | None = None,
+) -> None:
+    """Re-register an EXISTING ``write_bucketed`` output directory as
+    a bucketed external table in a fresh session's (in-memory)
+    catalog.
+
+    Bucket metadata lives only in the catalog, and this repo's local
+    catalog dies with the session — so a prebuilt table (e.g. the
+    graph edge table, built once and probed many times) was previously
+    reachable only from the session that wrote it; any other session
+    would pay the full rebuild. The files themselves carry everything
+    needed to re-claim the layout: schema from the parquet footers and
+    ``n_buckets`` from Spark's own ``part-*_NNNNN`` bucket-id naming
+    (max id + 1 — exact whenever the top bucket is non-empty, which a
+    murmur-placed table at probe scale always satisfies; pass
+    ``n_buckets`` explicitly otherwise). The CREATE uses the same
+    CLUSTERED/SORTED clause ``bucketBy``/``sortBy`` wrote with, so
+    consumer plans (exchange-free joins, trusted within-bucket sort
+    when each bucket is one file) come back identical — pinned in
+    tests/test_graph_edges.py.
+    """
+    import os
+    import re
+
+    if n_buckets is None:
+        ids = [
+            int(m.group(1))
+            for name in os.listdir(path)
+            if (m := re.match(r"part-\d+-.*_(\d{5})(?:\.|$)", name))
+        ]
+        if not ids:
+            raise ValueError(f"no bucketed parquet files under {path!r}")
+        n_buckets = max(ids) + 1
+    schema = spark.read.parquet(path).schema
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+    bucket_sql = ", ".join(f"`{c}`" for c in bucket_cols)
+    sorted_clause = (
+        "SORTED BY (" + ", ".join(f"`{c}`" for c in sort_cols) + ") "
+        if sort_cols
+        else ""
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {table} ({cols}) USING parquet "
+        f"CLUSTERED BY ({bucket_sql}) {sorted_clause}"
+        f"INTO {n_buckets} BUCKETS "
+        f"LOCATION '{os.path.abspath(path)}'"
+    )
+
+
+def table_location(spark: SparkSession, table: str) -> str:
+    """Filesystem location of a catalog table (local-path form)."""
+    import os
+
+    loc = next(
+        r["data_type"]
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+        if r["col_name"] == "Location"
+    )
+    return os.path.abspath(str(loc).removeprefix("file:"))
+
+
+def assert_single_file_per_bucket(spark: SparkSession, table: str) -> None:
+    """Raise unless every bucket of ``table`` is exactly one data
+    file on disk.
+
+    Cheap (one directory listing), and the load-bearing invariant for
+    every plan that relies on the bucketedTableScan outputOrdering
+    conf: Spark only trusts the within-bucket sort when each bucket is
+    a single file, and the writers that promise this (graph edge
+    table, dedup indexes) get it from hash-partitioning PROPAGATION
+    through dropDuplicates/persist/join — which a planner or AQE
+    change could silently break. Bucket ids are parsed from Spark's
+    own file naming (``part-*_NNNNN[.c*].parquet``)."""
+    import os
+    import re
+    from collections import Counter
+
+    per_bucket: Counter[int] = Counter()
+    for name in os.listdir(table_location(spark, table)):
+        m = re.match(r"part-\d+-.*_(\d{5})(?:\.|$)", name)
+        if m:
+            per_bucket[int(m.group(1))] += 1
+    multi = {b: n for b, n in sorted(per_bucket.items()) if n > 1}
+    if multi:
+        raise AssertionError(
+            f"bucketed table {table!r} has multiple files per bucket "
+            f"({len(multi)} buckets, worst {max(multi.values())} "
+            "files) — the write-side partitioning propagation "
+            "regressed; within-bucket sort can no longer be trusted "
+            f"(first offenders: {dict(list(multi.items())[:5])})"
+        )
 
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:

@@ -324,3 +324,43 @@ def test_lpa_round_join_has_no_edge_side_exchange(spark, edge_table):
         assert plan.count("Sort ") <= 1, plan
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_register_bucketed_reclaims_layout_in_fresh_catalog(
+    spark, edge_table
+):
+    """register_bucketed re-claims an existing write_copurchase_edges
+    directory as a bucketed table under a NEW catalog name — the
+    fresh-session path that lets a probe measure a prebuilt table
+    without the rebuild (round-11 verdict #3). Must infer n_buckets
+    from the file names, keep the exchange-free degree plan, and give
+    a bit-identical triangle census (the trusted within-bucket sort
+    included)."""
+    from myasynstreamjoin_spark.sources.sinks import (
+        register_bucketed,
+        table_location,
+    )
+
+    rereg = TABLE + "_rereg"
+    try:
+        register_bucketed(
+            spark, rereg, table_location(spark, TABLE), ["src"],
+            sort_cols=["src", "dst"],
+        )
+        re_tbl = spark.table(rereg)
+        assert re_tbl.count() == edge_table.count()
+        plan = (
+            re_tbl.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, plan
+        assert (
+            triangle_count_edges(re_tbl).collect()
+            == triangle_count_edges(edge_table).collect()
+        )
+    finally:
+        # external-table drop keeps the original fixture's files
+        spark.sql(f"DROP TABLE IF EXISTS {rereg}")

@@ -103,6 +103,95 @@ def test_append_then_rededup_drops_everything(spark, index_table):
     assert {r["status"] for r in again.collect()} == {"dup_index"}
 
 
+def test_append_voids_index_sort_trust_until_rebuild(spark):
+    """write_bucketed(single_file_per_bucket=True) claims appends
+    correctly VOID the within-bucket sort trust (multi-file buckets
+    break the guarantee Spark's bucketedTableScan.outputOrdering conf
+    relies on) and a rebuild restores it. Pin that on the delta join's
+    executed plan: fresh index -> the SMJ has NO index-side Sort (one
+    Sort total, on the delta); after an append -> the index-side Sort
+    REAPPEARS (two Sorts); after an overwrite rebuild -> gone again.
+    The graph edge table pins the same invariant on its side
+    (test_pagerank_iteration_join_has_no_edge_side_sort); this is the
+    dedup-index half (round-11 verdict #7)."""
+    tbl = "test_fp_index_append_trust"
+    corpus = _docs(
+        spark,
+        [(i, f"doc number {i} text", "web") for i in range(8)],
+    )
+    delta = _docs(spark, [(100, "a new delta doc", "web")])
+    tmp = tempfile.mkdtemp(prefix="fp_trust_")
+
+    def n_sorts() -> tuple[int, str]:
+        key = "spark.sql.autoBroadcastJoinThreshold"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "-1")
+        try:
+            plan = (
+                incremental_dedup(delta, tbl)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            spark.conf.set(key, prev)
+        return plan.count("Sort ["), plan
+
+    try:
+        write_fingerprint_index(
+            corpus, tbl, n_buckets=4, path=os.path.join(tmp, "v1")
+        )
+        n, plan = n_sorts()
+        assert n == 1, f"fresh single-file index should sort ONLY the delta:\n{plan}"
+
+        more = _docs(spark, [(50, "appended corpus doc", "web")])
+        write_fingerprint_index(more, tbl, n_buckets=4, mode="append")
+        n, plan = n_sorts()
+        assert n == 2, (
+            "append made buckets multi-file; the index-side sort must "
+            f"come back or the SMJ would merge unsorted runs:\n{plan}"
+        )
+
+        # rebuild at a fresh path (overwrite at the live external
+        # location is refused by design) restores the trusted layout
+        rebuilt = corpus.unionByName(more)
+        write_fingerprint_index(
+            rebuilt, tbl, n_buckets=4, path=os.path.join(tmp, "v2")
+        )
+        n, plan = n_sorts()
+        assert n == 1, f"rebuilt index should drop the index-side sort:\n{plan}"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_single_file_per_bucket_assert_detects_multifile(spark):
+    """assert_single_file_per_bucket passes on a fresh
+    single-file-per-bucket write and raises once an append lands a
+    second file in a bucket (round-11 advice: the guarantee rests on
+    implicit partitioning propagation, so regressions must fail
+    loudly, not silently degrade into per-join sorts)."""
+    from myasynstreamjoin_spark.sources.sinks import (
+        assert_single_file_per_bucket,
+    )
+
+    tbl = "test_fp_index_filecheck"
+    docs = _docs(spark, [(i, f"text {i}", "web") for i in range(6)])
+    tmp = tempfile.mkdtemp(prefix="fp_filecheck_")
+    try:
+        write_fingerprint_index(
+            docs, tbl, n_buckets=2, path=os.path.join(tmp, "idx")
+        )  # overwrite mode runs the assert internally — must not raise
+        assert_single_file_per_bucket(spark, tbl)
+        write_fingerprint_index(
+            _docs(spark, [(60, "more text", "web")]),
+            tbl, n_buckets=2, mode="append",
+        )
+        with pytest.raises(AssertionError, match="multiple files"):
+            assert_single_file_per_bucket(spark, tbl)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_delta_pays_exactly_one_exchange(spark, index_table):
     """The index side is bucketed on fp and the within-delta window
     rides the join's fp partitioning, so the whole tagging plan holds

@@ -294,10 +294,16 @@ def _edges_materialize(spark, sf_dir):
     # (est_edges / target_rows_per_bucket, one sorted file per
     # bucket); this env only raises the FLOOR and normally stays at
     # the default — 957 M edges auto-size to 480 buckets.
+    # SPARK_GRAFT_PROBE_TARGET_ROWS overrides the per-bucket row
+    # target for bucket-knee sweeps (round-11 verdict #4: measure
+    # 500 k vs the 1 M default at sf40).
     n_buckets = int(os.environ.get("SPARK_GRAFT_PROBE_BUCKETS", "32"))
+    target = int(
+        os.environ.get("SPARK_GRAFT_PROBE_TARGET_ROWS", "1000000")
+    )
     write_copurchase_edges(
         load_table(spark, sf_dir, "lineitem"), _EDGE_TABLE,
-        n_buckets=n_buckets,
+        n_buckets=n_buckets, target_rows_per_bucket=target,
     )
     return read_copurchase_edges(spark, _EDGE_TABLE)
 
@@ -308,11 +314,32 @@ def _edges(spark, sf_dir):
     in-memory catalog) instead of only after edges_materialize in the
     same run. When the table already exists, its one-time build cost
     stays out of the prebuilt queries' walls — which is the number
-    being measured."""
+    being measured.
+
+    SPARK_GRAFT_PROBE_REUSE_EDGES=1 re-REGISTERS the previous
+    session's written files (the local catalog is in-memory and dies
+    with the session that built them) instead of rebuilding — the
+    fresh-session, no-rebuild measurement round 10's triangle number
+    conflated (649.2 s included a ~220 s in-session rebuild). Explicit
+    opt-in: auto-reuse could silently measure a STALE table from a
+    different SF."""
     from myasynstreamjoin_spark.operators.graph import read_copurchase_edges
 
     if not spark.catalog.tableExists(_EDGE_TABLE):
-        _edges_materialize(spark, sf_dir)
+        if os.environ.get("SPARK_GRAFT_PROBE_REUSE_EDGES") == "1":
+            from myasynstreamjoin_spark.sources.sinks import register_bucketed
+
+            loc = os.path.join(
+                spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+                    "file:"
+                ),
+                _EDGE_TABLE,
+            )
+            register_bucketed(
+                spark, _EDGE_TABLE, loc, ["src"], sort_cols=["src", "dst"]
+            )
+        else:
+            _edges_materialize(spark, sf_dir)
     return read_copurchase_edges(spark, _EDGE_TABLE)
 
 
@@ -368,8 +395,27 @@ def _pipeline_e2e_nolang(spark, sf_dir):
     return contract._q_pipeline_e2e(spark, sf_dir, lang_gate=False)
 
 
+# Operator-DECLARED static session confs (round-11 verdict #3): when
+# every requested probe query belongs to the same declaring operator,
+# the probe session is built with that operator's confs — the operator
+# picks its codec, not an out-of-band env var. Static confs apply to
+# the whole session, so mixed probe lists keep the engine default.
+def _declared_confs() -> dict[str, str]:
+    from myasynstreamjoin_spark.operators.graph import TRIANGLE_SCALE_CONFS
+
+    per_query = {"triangles_prebuilt": TRIANGLE_SCALE_CONFS}
+    if NAMES and all(n in per_query for n in NAMES):
+        confs: dict[str, str] = {}
+        for n in NAMES:
+            confs.update(per_query[n])
+        for k, v in confs.items():
+            print(f"# operator-declared session conf: {k}={v}")
+        return confs
+    return {}
+
+
 def main() -> int:
-    spark = get_spark(app_name="scale-probe")
+    spark = get_spark(app_name="scale-probe", extra_confs=_declared_confs())
     # The stress probe IS the large-state streaming deployment the
     # opt-in targets: a probe-scale corpus arrives in a handful of
     # giant micro-batches, and the default HDFS-backed provider holds
