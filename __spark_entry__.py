@@ -4429,6 +4429,18 @@ def _q_link_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_negative_pairs(_graph_edges(spark, sf_dir))
 
 
+# Rotation policy #2 made mechanical (round 11): list here every
+# registered query whose OPERATOR IMPLEMENTATION was touched this
+# round (even semantics-neutral refactors — the q_pack_chunks lesson:
+# pytest-mirror green is not driver green). tools/rotation_check.py
+# FAILS loudly if an entry is not inside the first-50 driver window,
+# so a re-shape can't silently coast on a stale green. Reset the list
+# each round after the window is composed.
+RESHAPED_THIS_ROUND: list[str] = [
+    "q_ann_recall",  # r11: LSH config now routed through ANN_PROFILES
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver verifies the FIRST 50 entries against
     # their oracles (CORRECTNESS_r08 carried exactly 50); everything past
@@ -4489,12 +4501,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Round 11 set (policy #3 staleness sweep, per
         # tools/rotation_check.py's ranking): the full r2-era cohort
         # (18 queries — after this round no driver green is older than
-        # r3), the six r3-era greens, the two oldest r4 batch greens
-        # (q_bm25, q_scd2), and the two OLDEST streaming twins
-        # (q_stream_dedup, q_stream_sessions, last green r4) — the
-        # staleness rule applies to streaming greens equally (r10
-        # verdict #6); q_event_gaps/q_sliding_count (r4) head the r12
-        # window.
+        # r3), the six r3-era greens, the oldest r4 batch green
+        # (q_bm25), the two OLDEST streaming twins (q_stream_dedup,
+        # q_stream_sessions, last green r4 — the staleness rule
+        # applies to streaming greens equally, r10 verdict #6), and
+        # q_ann_recall via policy #2: its implementation was re-shaped
+        # this round (ANN_PROFILES routing; see RESHAPED_THIS_ROUND,
+        # enforced by rotation_check), so it jumps the queue ahead of
+        # the staler q_scd2. q_scd2/q_event_gaps/q_sliding_count (r4)
+        # head the r12 window.
         "q_rank_features": _q_rank_features,              # staleness re-entry (r2)
         "q_grouping_sets": _q_grouping_sets,              # staleness re-entry (r2)
         "q_approx_percentile": _q_approx_percentile,      # staleness re-entry (r2)
@@ -4520,7 +4535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simsearch_multi": _q_simsearch_multi,          # staleness re-entry (r3)
         "q_rollup_pricing": _q_rollup_pricing,            # staleness re-entry (r3)
         "q_bm25": _q_bm25,                                # staleness re-entry (r4)
-        "q_scd2": _q_scd2,                                # staleness re-entry (r4)
+        "q_ann_recall": _q_ann_recall,                    # policy #2 re-shape (r11 ANN_PROFILES routing) — jumps the queue
         "q_stream_dedup": _q_stream_dedup,                # staleness re-entry (r4, oldest stream twin)
         "q_stream_sessions": _q_stream_sessions,          # staleness re-entry (r4, oldest stream twin)
         # --- tail (pytest oracle-parity mirror coverage) ---
@@ -4692,9 +4707,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_pairs": _q_simhash_pairs,              # pigeonhole Hamming join
         "q_bloom_decontaminate": _q_bloom_decontaminate,  # Bloom-prefiltered decontamination
         "q_embed_neardup_exact": _q_embed_neardup_exact,  # exact cosine pair baseline
-        "q_ann_recall": _q_ann_recall,                    # ANN recall audit vs exact
         "q_stream_neardup": _q_stream_neardup,            # streaming MinHash near-dup vs index
         "q_tpch_q10": _q_tpch_q10,
+        "q_scd2": _q_scd2,                                # r4 green; heads the r12 staleness window
         "q_event_gaps": _q_event_gaps,
         "q_sliding_count": _q_sliding_count,
         "q_asof_join": _q_asof_join,

@@ -76,3 +76,43 @@ def test_lpa_two_cliques_converge(spark):
     out = {r.part: r.community for r in label_propagation_copurchase(li).collect()}
     assert {out[p] for p in (1, 2, 3, 4)} == {1}
     assert {out[p] for p in (10, 11, 12, 13)} == {10}
+
+
+def test_census_declared_zstd_session_parity(spark, sf_dir):
+    """The census declares its own scale session conf
+    (graph.TRIANGLE_SCALE_CONFS: zstd shuffle codec — its dominant
+    shuffle is packed int arrays). Codec choice is lossless transport
+    and must be invisible in results: run the registered q_triangles
+    in a SUBPROCESS session built with the declared confs (static
+    conf, so it needs its own JVM) and pin bit-identical output
+    against the default-codec session."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import __spark_entry__ as contract
+
+    want = [r.asDict() for r in contract._q_triangles(spark, sf_dir).collect()]
+    script = (
+        "import json, sys\n"
+        f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})\n"
+        "from myasynstreamjoin_spark.session import get_spark\n"
+        "from myasynstreamjoin_spark.operators.graph import TRIANGLE_SCALE_CONFS\n"
+        "import __spark_entry__ as contract\n"
+        "spark = get_spark(app_name='tri-zstd', shuffle_partitions=8,"
+        " extra_confs=TRIANGLE_SCALE_CONFS)\n"
+        "assert spark.conf.get('spark.io.compression.codec') == 'zstd'\n"
+        f"rows = contract._q_triangles(spark, {sf_dir!r}).collect()\n"
+        "print('RESULT ' + json.dumps([r.asDict() for r in rows]))\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "8"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = next(
+        ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")
+    )
+    assert json.loads(line.removeprefix("RESULT ")) == want

@@ -61,6 +61,17 @@ def main() -> int:
         print(f"WARNING: first-50 entries without oracles: {not_oracle}")
     if len(set(qs)) != len(qs):
         print("WARNING: duplicate registry keys!")
+    # policy #2 enforcement (round 11): every query the round re-shaped
+    # must sit INSIDE the driver window — a re-shape coasting on a
+    # stale green is the q_pack_chunks failure mode.
+    reshaped = getattr(contract, "RESHAPED_THIS_ROUND", [])
+    missing = [q for q in reshaped if q not in first50]
+    if missing:
+        print(f"ERROR: re-shaped queries NOT in the driver window: "
+              f"{missing} (rotation policy #2)")
+        return 1
+    if reshaped:
+        print(f"re-shaped this round, in window (policy #2): {reshaped}")
     print(f"\nnext-round rotation pool ({len(pool)} oracle-backed, "
           "never driver-checked):")
     for q in pool:

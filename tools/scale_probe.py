@@ -405,9 +405,20 @@ def _declared_confs() -> dict[str, str]:
 
     per_query = {"triangles_prebuilt": TRIANGLE_SCALE_CONFS}
     if NAMES and all(n in per_query for n in NAMES):
+        # An explicit SPARK_GRAFT_EXTRA_CONFS override WINS over the
+        # operator's declaration — the env escape hatch exists to run
+        # controls (e.g. an lz4 census A/B) and session.py already
+        # logs every injection; without this carve-out the declared
+        # conf is applied after the env and silently reverts it.
+        env_keys = {
+            p.split("=", 1)[0].strip()
+            for p in os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "").split(";")
+            if "=" in p
+        }
         confs: dict[str, str] = {}
         for n in NAMES:
             confs.update(per_query[n])
+        confs = {k: v for k, v in confs.items() if k not in env_keys}
         for k, v in confs.items():
             print(f"# operator-declared session conf: {k}={v}")
         return confs
