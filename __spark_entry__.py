@@ -2717,6 +2717,22 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_stats(tables.load_table(spark, sf_dir, "documents"))
 
 
+def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup report (round 11): variable-
+    length chunks cut at rolling-window-hash boundaries (FastCDC
+    lineage), deduped by exact hash per source — catches large shared
+    spans across shifted revisions at hash-groupBy cost, the grain
+    between exact doc dedup and remove_spans. Boundary decisions use
+    the replayable md5_32 window hash so the DuckDB oracle replays
+    every chunk edge byte-for-byte; all output columns are exact
+    integers (dup_ppm is floor-ppm) so the value hash cannot flip on
+    rounding."""
+    from myasynstreamjoin_spark.functions.dedup import cdc_dedup_stats
+
+    _prep(spark)
+    return cdc_dedup_stats(tables.load_table(spark, sf_dir, "documents"))
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myasynstreamjoin_spark.functions.dedup import ngram_jaccard_pairs
 
@@ -4501,15 +4517,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Round 11 set (policy #3 staleness sweep, per
         # tools/rotation_check.py's ranking): the full r2-era cohort
         # (18 queries — after this round no driver green is older than
-        # r3), the six r3-era greens, the oldest r4 batch green
-        # (q_bm25), the two OLDEST streaming twins (q_stream_dedup,
-        # q_stream_sessions, last green r4 — the staleness rule
-        # applies to streaming greens equally, r10 verdict #6), and
-        # q_ann_recall via policy #2: its implementation was re-shaped
-        # this round (ANN_PROFILES routing; see RESHAPED_THIS_ROUND,
-        # enforced by rotation_check), so it jumps the queue ahead of
-        # the staler q_scd2. q_scd2/q_event_gaps/q_sliding_count (r4)
-        # head the r12 window.
+        # r3), the six r3-era greens, the two OLDEST streaming twins
+        # (q_stream_dedup, q_stream_sessions, last green r4 — the
+        # staleness rule applies to streaming greens equally, r10
+        # verdict #6), plus two queue-jumpers: q_cdc_chunks via policy
+        # #1 (NEW operator this round — never driver-checked) and
+        # q_ann_recall via policy #2 (implementation re-shaped this
+        # round: ANN_PROFILES routing; see RESHAPED_THIS_ROUND,
+        # enforced by rotation_check). The displaced
+        # q_bm25/q_scd2/q_event_gaps/q_sliding_count (r4) head the
+        # r12 window.
         "q_rank_features": _q_rank_features,              # staleness re-entry (r2)
         "q_grouping_sets": _q_grouping_sets,              # staleness re-entry (r2)
         "q_approx_percentile": _q_approx_percentile,      # staleness re-entry (r2)
@@ -4534,7 +4551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_latest_event_maxby": _q_latest_event_maxby,    # staleness re-entry (r3)
         "q_simsearch_multi": _q_simsearch_multi,          # staleness re-entry (r3)
         "q_rollup_pricing": _q_rollup_pricing,            # staleness re-entry (r3)
-        "q_bm25": _q_bm25,                                # staleness re-entry (r4)
+        "q_cdc_chunks": _q_cdc_chunks,                    # policy #1 — NEW this round (content-defined chunking dedup)
         "q_ann_recall": _q_ann_recall,                    # policy #2 re-shape (r11 ANN_PROFILES routing) — jumps the queue
         "q_stream_dedup": _q_stream_dedup,                # staleness re-entry (r4, oldest stream twin)
         "q_stream_sessions": _q_stream_sessions,          # staleness re-entry (r4, oldest stream twin)
@@ -4709,6 +4726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_neardup_exact": _q_embed_neardup_exact,  # exact cosine pair baseline
         "q_stream_neardup": _q_stream_neardup,            # streaming MinHash near-dup vs index
         "q_tpch_q10": _q_tpch_q10,
+        "q_bm25": _q_bm25,                                # r4 green; heads the r12 staleness window
         "q_scd2": _q_scd2,                                # r4 green; heads the r12 staleness window
         "q_event_gaps": _q_event_gaps,
         "q_sliding_count": _q_sliding_count,
@@ -6491,6 +6509,49 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT md5({_DOC_NORM}) AS fp, min(doc_id) AS keep_id,
                    count(*) AS n_copies
             FROM documents GROUP BY 1
+        """,
+        # content-defined chunking: boundary rule replayed verbatim
+        # (md5_32 of the 8-char window ending at i, mask 64; last
+        # chunk ends at L); every output column exact integer
+        "q_cdc_chunks": """
+            WITH d AS (
+              SELECT doc_id, source, text, length(text) AS L
+              FROM documents WHERE length(text) >= 1),
+            be AS (
+              SELECT doc_id, source, text, L,
+                CASE WHEN L >= 8 THEN
+                  list_sort(list_distinct(list_append(
+                    list_filter(range(8, L + 1), i ->
+                      CAST('0x' || substring(md5(substring(text, i - 7, 8)), 1, 8)
+                           AS BIGINT) % 64 = 0),
+                    L)))
+                ELSE [L] END AS ends
+              FROM d),
+            ch AS (
+              SELECT source,
+                     substring(text, s, e - s + 1) AS chunk,
+                     e - s + 1 AS len
+              FROM (
+                SELECT be.source, be.text,
+                       CASE WHEN u.k = 1 THEN 1 ELSE be.ends[u.k - 1] + 1 END AS s,
+                       be.ends[u.k] AS e
+                FROM be, UNNEST(range(1, len(be.ends) + 1)) AS u(k))),
+            ph AS (
+              SELECT source, md5(chunk) AS h, count(*) AS cnt,
+                     min(len) AS len
+              FROM ch GROUP BY 1, 2),
+            nd AS (SELECT source, count(*) AS n_docs FROM d GROUP BY 1)
+            SELECT ph.source AS source,
+                   CAST(nd.n_docs AS BIGINT) AS n_docs,
+                   CAST(sum(cnt) AS BIGINT) AS n_chunks,
+                   CAST(count(*) AS BIGINT) AS n_unique_chunks,
+                   CAST(sum(cnt) - count(*) AS BIGINT) AS dup_chunks,
+                   CAST(sum((cnt - 1) * len) AS BIGINT) AS dup_chars,
+                   CAST(sum(cnt * len) AS BIGINT) AS total_chars,
+                   CAST((sum(cnt) - count(*)) * 1000000 // sum(cnt)
+                        AS BIGINT) AS dup_ppm
+            FROM ph JOIN nd USING (source)
+            GROUP BY 1, 2
         """,
         "q_ts_similarity": """
             WITH s AS (
