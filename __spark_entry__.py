@@ -3968,6 +3968,49 @@ def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ccnet_buckets(tables.load_table(spark, sf_dir, "documents"))
 
 
+def _q_stream_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_cdc_chunks: documents arrive in two
+    micro-batches and per-(source, chunk) counts FOLD into a
+    versioned index — count folding is commutative, so the final
+    stats equal the batch operator's under ANY arrival order (no
+    ascending requirement, unlike the line/span twins) and the twin
+    shares q_cdc_chunks's DuckDB oracle verbatim
+    (streaming/cdcchunks.py)."""
+    import os
+    import tempfile
+
+    from myasynstreamjoin_spark.streaming.cdcchunks import (
+        read_chunk_stats,
+        run_stream_cdc_chunks,
+    )
+
+    _prep(spark)
+    docs = tables.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="stream_cdc_chunks_")
+    feed = _stage_parquet_feed(
+        (
+            docs.where(F.col("doc_id") <= mid),
+            docs.where(F.col("doc_id") > mid),
+        ),
+        tmp,
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    run_stream_cdc_chunks(
+        stream,
+        spark,
+        work_dir=os.path.join(tmp, "cc"),
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+    )
+    return read_chunk_stats(spark, os.path.join(tmp, "cc"))
+
+
 def _q_stream_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of q_line_dedup: documents arrive in two
     ASCENDING doc_id ranges, so first-seen order equals the batch
@@ -4550,7 +4593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q14": _q_tpch_q14,                        # staleness re-entry (r3)
         "q_latest_event_maxby": _q_latest_event_maxby,    # staleness re-entry (r3)
         "q_simsearch_multi": _q_simsearch_multi,          # staleness re-entry (r3)
-        "q_rollup_pricing": _q_rollup_pricing,            # staleness re-entry (r3)
+        "q_stream_cdc_chunks": _q_stream_cdc_chunks,      # policy #1 — NEW this round (streaming chunk-dedup twin)
         "q_cdc_chunks": _q_cdc_chunks,                    # policy #1 — NEW this round (content-defined chunking dedup)
         "q_ann_recall": _q_ann_recall,                    # policy #2 re-shape (r11 ANN_PROFILES routing) — jumps the queue
         "q_stream_dedup": _q_stream_dedup,                # staleness re-entry (r4, oldest stream twin)
@@ -4726,6 +4769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_neardup_exact": _q_embed_neardup_exact,  # exact cosine pair baseline
         "q_stream_neardup": _q_stream_neardup,            # streaming MinHash near-dup vs index
         "q_tpch_q10": _q_tpch_q10,
+        "q_rollup_pricing": _q_rollup_pricing,            # r3 green; displaced by policy #1 — joins the r12 window head
         "q_bm25": _q_bm25,                                # r4 green; heads the r12 staleness window
         "q_scd2": _q_scd2,                                # r4 green; heads the r12 staleness window
         "q_event_gaps": _q_event_gaps,
@@ -9363,6 +9407,10 @@ def oracle_sql() -> dict[str, str]:
     # The reservoir equality needs no feed-order assumption at all:
     # the E–S key is a pure row function, top-k merges are order-free.
     d["q_stream_weighted_sample"] = d["q_weighted_sample"]
+    # Chunk-count folding is commutative: the accumulated
+    # (source, chunk) index is the same multiset for ANY batch order,
+    # so the streamed stats equal the batch operator's verbatim.
+    d["q_stream_cdc_chunks"] = d["q_cdc_chunks"]
     # Manifest statistics are order-free integer sums: the folded
     # latest version equals the batch manifest under ANY batch split.
     d["q_stream_shard_manifest"] = d["q_shard_manifest"]
