@@ -462,15 +462,24 @@ def ngram_jaccard_pairs(
     """
     # Rebalance first: the shingle explode amplifies each row ~n_tokens×,
     # so byte-based scan partitioning under-parallelizes it badly.
-    # Persisted because three branches (sizes, df-cap, index) consume it;
+    # Persisted at ARRAY grain (round 11): the expensive part is
+    # tokenize+gram-hash, not the explode, and the array form is the
+    # smaller cache footprint; every consumer (sizes, df-cap, index,
+    # both sides of the self-join) re-explodes from cache with cheap
+    # codegen. Caching the array form also lets per-doc set sizes come
+    # from size(sh) — a map-only projection — instead of a
+    # groupBy(doc_id) count over the exploded rows, which was built
+    # TWICE (once per |A|/|B| join side: hashpartitioning(doc_a) and
+    # (doc_b) exchanges don't canonicalize equal, so exchange reuse
+    # never fires and each side re-aggregated the full cached shingle
+    # table — one redundant corpus-scale pass; stage profile r11).
     # MEMORY_AND_DISK so a 100 TB run spills instead of OOMing. Hashed
-    # shingles: the self-join below keys on 8-byte longs, and Jaccard is
-    # unchanged (see shingle_docs).
-    sh = (
-        shingle_docs(docs, k, hashed=True)
-        .select("doc_id", F.explode_outer("sh").alias("shingle"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # shingles: the self-join below keys on 8-byte longs, and Jaccard
+    # is unchanged (see shingle_docs).
+    shd = shingle_docs(docs, k, hashed=True).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    sh = shd.select("doc_id", F.explode_outer("sh").alias("shingle"))
     # Data-proportional pair-pipeline width (round 8): at the session's
     # interactive shuffle width (32 here) the shingle-grain SMJ sorts
     # and the quadratically-amplified pair aggregation hold millions of
@@ -480,15 +489,18 @@ def ngram_jaccard_pairs(
     # partitions but never split oversized ones at the initial width).
     # This operator is LAZY, so a conf override can't help (the conf is
     # read at execution, not definition): the width is baked into the
-    # plan with repartition instead. The count is a bounded control
-    # read that also primes the persisted blocks every downstream
-    # branch re-reads; below ~16 M index rows the session width wins
-    # and the plan is unchanged.
-    n_sh = sh.count()
+    # plan with repartition instead. The sum is a bounded control
+    # read (map-only over the cached arrays) that also primes the
+    # persisted blocks every downstream branch re-reads; below ~16 M
+    # index rows the session width wins and the plan is unchanged.
+    n_sh = shd.agg(F.sum(F.size("sh"))).first()[0] or 0
     session_w = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     width = min(4096, max(session_w, -(-n_sh // 500_000)))
     sh_j = sh.repartition(width, "shingle") if width > session_w else sh
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # Per-doc set size straight off the cached array — shingle arrays
+    # are array_distinct by construction (shingle_docs), so size(sh)
+    # equals the exploded per-doc count exactly.
+    sizes = shd.select("doc_id", F.size("sh").cast("long").alias("n_sh"))
     rare = sh_j.groupBy("shingle").agg(F.count("*").alias("df")).where(
         F.col("df") <= max_shingle_df
     )

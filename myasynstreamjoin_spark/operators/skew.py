@@ -94,6 +94,19 @@ def split_skew_agg(
     threshold's pigeonhole), exactly like the reference's re-broadcast
     feedback loop (BroadcastWrapper.scala:15-37) minus the cross-batch
     state.
+
+    Since round 11 the head/tail split is expressed as a CONDITIONAL
+    SALT inside one aggregation pass — salt spreads over ``fanout``
+    values for detected-heavy rows and is the constant 0 for the tail
+    — rather than two filtered branches union'd back together. The
+    per-key results are identical (the tail's final merge folds one
+    partial; the head's folds ``fanout``), but the old union form made
+    every branch re-evaluate its whole input subtree: the r11 stage
+    profile showed the plan scanning the fact table SIX times (each
+    union arm re-ran the scan AND the heavy-hitter detection subtree,
+    itself two scans before the heavy_hitters single-scan fix). The
+    conditional form is 2 scans: one inside heavy_hitters, one for
+    the aggregate — the 100 TB floor for detect-then-aggregate.
     """
     from myasynstreamjoin_spark.operators.stats import heavy_hitters
 
@@ -105,26 +118,17 @@ def split_skew_agg(
         F.broadcast(heavy), df[key0] == F.col("__hk"), "left"
     ).drop("__hk")
 
-    heavy_rows = tagged.where(F.col("__heavy").isNotNull()).drop("__heavy")
-    light_rows = tagged.where(F.col("__heavy").isNull()).drop("__heavy")
-
     partials, finals = _phases(aggs)
-    heavy_out = (
-        heavy_rows.withColumn(
-            "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(fanout))
+    return (
+        tagged.withColumn(
+            "__salt",
+            F.when(
+                F.col("__heavy").isNotNull(),
+                F.pmod(F.monotonically_increasing_id(), F.lit(fanout)),
+            ).otherwise(F.lit(0).cast("long")),
         )
         .groupBy(*keys, "__salt")
         .agg(*partials)
         .groupBy(*keys)
         .agg(*finals)
     )
-
-    _, light_finals = _phases(aggs)
-    light_out = (
-        light_rows.withColumn("__salt", F.lit(0))
-        .groupBy(*keys, "__salt")
-        .agg(*partials)
-        .groupBy(*keys)
-        .agg(*light_finals)
-    )
-    return heavy_out.unionByName(light_out)

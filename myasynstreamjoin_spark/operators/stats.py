@@ -32,11 +32,17 @@ def heavy_hitters(
 
     The total is a one-row aggregate broadcast into the comparison —
     a scalar join, not a driver collect, so the plan is a single pass
-    over the per-key counts regardless of input size.
+    over the per-key counts regardless of input size. The total is
+    derived from the per-key counts themselves (sum of cnt ==
+    count(*) of df, exactly), NOT a second aggregate over ``df``: the
+    re-aggregation runs over ≤|keys| tiny rows, where a df-side count
+    was a second full scan of the input (r11 stage profile: the
+    split_skew_agg plan carried SIX fact scans, two of them this
+    total).
     Output ``(key, cnt)``.
     """
     counts = key_counts(df, key)
-    total = df.agg(F.count("*").alias("total"))
+    total = counts.agg(F.sum("cnt").cast("long").alias("total"))
     thresh = F.lit(cfg.hh_threshold) * F.col("total") / F.lit(cfg.n_mappers)
     return (
         counts.crossJoin(F.broadcast(total))
