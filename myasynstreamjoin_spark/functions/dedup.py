@@ -274,9 +274,22 @@ def remove_duplicate_spans(
     Output: (doc_id, n_tokens, n_removed, text_clean).
     """
     toked = _span_toked(docs)
+    # ONE bounded control read over the checkpointed token table yields
+    # BOTH downstream data-proportional widths (round 11): the total
+    # token count (reassembly) and the gram-occurrence count (election)
+    # — sum over docs of max(n−k+1, 0) is exactly the number of rows
+    # _span_grams emits (docs shorter than k contribute none). This
+    # replaces two separate full block passes: a count() over the
+    # bigger checkpointed gram table plus a token sum over toked.
+    b = toked.agg(
+        F.sum(F.size("__t")).alias("n_tok"),
+        F.sum(
+            F.greatest(F.size("__t") - F.lit(k - 1), F.lit(0))
+        ).alias("n_grams"),
+    ).first()
     grams = _span_grams(toked, k, hashed)
-    dels = _span_election_dels(grams, k)
-    return _span_reassemble(toked, dels)
+    dels = _span_election_dels(grams, k, n_rows=int(b["n_grams"] or 0))
+    return _span_reassemble(toked, dels, n_tok=int(b["n_tok"] or 0))
 
 
 def _span_toked(docs: DataFrame) -> DataFrame:
@@ -331,7 +344,7 @@ def _span_grams(toked: DataFrame, k: int, hashed: bool | str) -> DataFrame:
 
 
 def _span_election_dels(
-    grams: DataFrame, k: int, disk: bool = True
+    grams: DataFrame, k: int, disk: bool = True, n_rows: int | None = None
 ) -> DataFrame:
     """(doc_id, pos) delete positions: every occurrence of a ≥2-count
     gram except the (doc_id, pos)-min canonical one donates its k
@@ -364,8 +377,11 @@ def _span_election_dels(
     # had masked it). The operator is lazy, so the width is baked into
     # the plan: one repartition on the election key, consumed by BOTH
     # the canonical-min agg and the join probe (same exchange, reused).
-    # grams is checkpointed just above, so the count is a bounded read.
-    n_grams = grams.count()
+    # grams is checkpointed just above, so the count is a bounded read;
+    # callers that already know the row count (remove_duplicate_spans
+    # derives it from the token table in the same control read as the
+    # reassembly width) pass it in and skip this block pass.
+    n_grams = grams.count() if n_rows is None else n_rows
     session_w = int(
         grams.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
@@ -395,7 +411,9 @@ def _span_election_dels(
     )
 
 
-def _span_reassemble(toked: DataFrame, dels: DataFrame) -> DataFrame:
+def _span_reassemble(
+    toked: DataFrame, dels: DataFrame, n_tok: int | None = None
+) -> DataFrame:
     """(doc_id, n_tokens, n_removed, text_clean): rebuild each doc from
     the token positions not in ``dels``."""
     pos_tok = toked.select(
@@ -407,8 +425,10 @@ def _span_reassemble(toked: DataFrame, dels: DataFrame) -> DataFrame:
     # is what blows the interactive width at probe scale. toked is the
     # checkpointed token table, so the token count is a bounded read.
     # The post-join doc-grain repartition is consumed directly by the
-    # agg (verified: the agg's own exchange is elided).
-    n_tok = toked.agg(F.sum(F.size("__t"))).first()[0] or 0
+    # agg (verified: the agg's own exchange is elided). Callers that
+    # already hold the token count pass it in (one fewer block pass).
+    if n_tok is None:
+        n_tok = toked.agg(F.sum(F.size("__t"))).first()[0] or 0
     session_w = int(
         toked.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )

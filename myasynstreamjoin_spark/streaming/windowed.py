@@ -263,7 +263,7 @@ def run_stream_to_table(
     streaming_df: DataFrame,
     spark: SparkSession,
     checkpoint_dir: str | None = None,
-    state_partitions: int | None = 4,
+    state_partitions: int | None = 2,
     output_mode: str = "append",
 ) -> DataFrame:
     """Run a streaming DataFrame to completion over its (finite) file
@@ -275,8 +275,10 @@ def run_stream_to_table(
     file per partition per micro-batch, so a finite local replay with
     the 200-partition default pays ~50× the state-commit overhead of a
     4-partition run for the same data (8→4 alone is ~0.8 s per replayed
-    query at sf0.1 — commit overhead, not compute). The partition count
-    is locked
+    query at sf0.1 — commit overhead, not compute; the r11 sweep
+    measured 4→2 worth another ~0.3 s on the flagship replay and 2→1
+    only noise beyond that, so the default keeps the last factor of
+    parallelism). The partition count is locked
     into the checkpoint at query start; the session value is restored
     afterwards. On a real cluster-scale deployment pass None and size
     shuffle partitions to the executor count instead.
