@@ -144,15 +144,33 @@ def _random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[fl
 def _bucket_expr(
     vec_col: str, dim: int, n_planes: int, seed: int
 ) -> Column:
-    """Sign-LSH bucket id expression: bit i = [vec · plane_i > 0]."""
+    """Sign-LSH bucket id expression: bit i = [vec · plane_i > 0].
+
+    Built as ONE parsed SQL string (round 11): the Column-by-Column
+    form issued ~dim × n_planes py4j round-trips for the plane
+    literals alone (~0.4 s of driver time per construction at
+    64×10) — the parsed tree is expression-identical (same zip_with/
+    aggregate fold as `dot`, same literal doubles via shortest
+    round-trip repr + the D suffix, so Double.parseDouble restores
+    the exact IEEE754 bits), and bucket ids are verified value-equal.
+    """
     planes = _random_hyperplanes(dim, n_planes, seed)
-    bucket = F.lit(0).cast("long")
+
+    def d(x: float) -> str:
+        return repr(float(x)) + "D"
+
+    terms = []
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bucket = bucket + F.when(dot(F.col(vec_col), plane) > 0, F.lit(1 << i)).otherwise(
-            F.lit(0)
-        ).cast("long")
-    return bucket
+        lits = ",".join(d(x) for x in p)
+        dot_s = (
+            f"aggregate(zip_with({vec_col}, array({lits}), "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+        terms.append(
+            f"CAST(CASE WHEN {dot_s} > 0 THEN {1 << i} ELSE 0 END AS BIGINT)"
+        )
+    return F.expr(" + ".join(["CAST(0 AS BIGINT)", *terms]))
 
 
 def with_lsh_bucket(
