@@ -923,9 +923,13 @@ def bloom_decontaminate(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # No distinct on the exploded positions: bit_or is idempotent, so
+    # duplicate (word, bit) contributions cannot change the bitmap —
+    # the old pre-distinct was one whole extra Exchange for nothing
+    # (round 11; the Q16 lesson applied to the bitmap build).
     pos = bench_grams.select(
         F.explode(F.array(*positions(F.col("g")))).alias("p")
-    ).distinct()
+    )
     words = pos.select(
         (F.col("p") / 64).cast("int").alias("word"),
         F.pmod(F.col("p"), F.lit(64)).cast("int").alias("bit"),

@@ -40,8 +40,17 @@ def heavy_hitters(
     split_skew_agg plan carried SIX fact scans, two of them this
     total).
     Output ``(key, cnt)``.
+
+    The counts table is eagerly localCheckpoint-ed: the plan reads it
+    down TWO branches (the total aggregate and the threshold filter),
+    and Spark's exchange reuse verifiably does NOT fire for the pair
+    (r11: executed plans showed the scan + partial-agg subtree running
+    twice), so without the cut every heavy-hitter detection paid two
+    full input scans. The checkpoint is key-cardinality rows — node
+    grain, default storage per the blocks.py rule — and callers'
+    batch scopes release it.
     """
-    counts = key_counts(df, key)
+    counts = key_counts(df, key).localCheckpoint(eager=True)
     total = counts.agg(F.sum("cnt").cast("long").alias("total"))
     thresh = F.lit(cfg.hh_threshold) * F.col("total") / F.lit(cfg.n_mappers)
     return (
@@ -74,8 +83,11 @@ def batch_stats(df: DataFrame, key: str = "key", cfg: EngineConfig = DEFAULT_CON
     These feed the costHH/costAPK strategy choice (X8); in this engine
     the analogous runtime adaptivity is AQE, but the stats remain useful
     for plan selection (e.g. split_skew_agg fan-out) and monitoring.
+
+    Same branch-duplication fix as ``heavy_hitters`` (r11): the counts
+    table is checkpointed once instead of re-aggregated per branch.
     """
-    counts = key_counts(df, key)
+    counts = key_counts(df, key).localCheckpoint(eager=True)
     total = counts.agg(F.sum("cnt").cast("long").alias("total"))
     hh_thresh = F.lit(cfg.hh_threshold) * F.col("total") / F.lit(cfg.n_mappers)
     return counts.crossJoin(F.broadcast(total)).agg(
