@@ -193,3 +193,34 @@ def test_documents_text_is_ascii(spark, sf_dir):
         f"driver fixture now ships {n} non-ASCII documents — the "
         "audio_stats oracle's char==byte equivalence no longer holds"
     )
+
+
+def test_schema_cache_invalidates_on_file_change(spark, sf_dir, tmp_path):
+    """The load-path schema cache keys on (path, mtime_ns, size): a
+    regenerated file — the exact drift scenario this module guards —
+    must MISS the cache and re-infer, or the next physical-type drift
+    would be masked by a stale cached schema."""
+    import shutil
+
+    src = f"{sf_dir}/nation.parquet"
+    p = tmp_path / "nation.parquet"
+    shutil.copy(src, p)
+    df1 = tables._read_driver_parquet(spark, str(p))
+    key1 = [k for k in tables._SCHEMA_CACHE if k[0] == str(p)]
+    assert len(key1) == 1
+    # second read: served from cache, schema identical to inference
+    df2 = tables._read_driver_parquet(spark, str(p))
+    assert df2.schema == df1.schema
+    assert df2.collect() == df1.collect()
+    # "regenerate" the file (int32 regionkey -> int64): new mtime/size,
+    # so the cached entry must not be used and the NEW schema must win
+    import duckdb
+
+    duckdb.sql(
+        f"COPY (SELECT n_nationkey, n_name, CAST(n_regionkey AS BIGINT) "
+        f"AS n_regionkey FROM '{src}') TO '{p}' (FORMAT PARQUET)"
+    )
+    df3 = tables._read_driver_parquet(spark, str(p))
+    assert df3.schema["n_regionkey"].dataType == T.LongType()
+    keys = [k for k in tables._SCHEMA_CACHE if k[0] == str(p)]
+    assert len(keys) == 2  # old entry retained, new identity added
