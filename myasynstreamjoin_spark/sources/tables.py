@@ -10,6 +10,7 @@ Kafka/text grammar preserved in :mod:`fixtures` as a codec and in
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -99,21 +100,44 @@ def normalize_epoch_ns(df: DataFrame, cols: tuple[str, ...] = ("ts",)) -> DataFr
 _SCHEMA_CACHE: dict[tuple[str, int, int], T.StructType] = {}
 
 
-def _read_driver_parquet(spark: SparkSession, path: str) -> DataFrame:
+def _file_identity(path: str) -> tuple[str, int, int] | None:
+    """(path, mtime_ns, size) for a plain file; None for directories
+    or anything stat cannot see (never cache those)."""
     try:
         st = os.stat(path)
-        is_file = os.path.isfile(path)
+        if not os.path.isfile(path):
+            return None
     except OSError:
+        return None
+    return (path, st.st_mtime_ns, st.st_size)
+
+
+def _read_driver_parquet(spark: SparkSession, path: str) -> DataFrame:
+    key = _file_identity(path)
+    if key is None:
         return spark.read.parquet(path)
-    if not is_file:
-        return spark.read.parquet(path)
-    key = (path, st.st_mtime_ns, st.st_size)
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)
         _SCHEMA_CACHE[key] = df.schema
         return df
     return spark.read.schema(schema).parquet(path)
+
+
+# Lazy-DataFrame cache, one layer above the schema cache: load_table
+# returns the SAME (immutable, unexecuted) DataFrame object for the
+# same session + file identity. Still metadata only — a DataFrame is
+# a logical plan, so every action on it re-reads the parquet at
+# execution; nothing row-shaped is retained. Keyed per SparkSession
+# (weakly, so a discarded session frees its plans) and on the same
+# (path, mtime_ns, size) identity as the schema cache, so a
+# regenerated file misses and re-derives, drift normalization
+# included. Saves the ~28 ms/call of reader construction + file
+# listing + normalize_epoch_ns that remained after the schema cache
+# (~47 load_table calls per bench headline pass = ~1.3 s/pass).
+_DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -129,9 +153,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    df = _read_driver_parquet(spark, f"{sf_dir}/{name}.parquet")
-    cols = EPOCH_NS_COLUMNS.get(name)
-    return normalize_epoch_ns(df, cols) if cols else df
+    path = f"{sf_dir}/{name}.parquet"
+    key = _file_identity(path)
+    if key is None:
+        df = spark.read.parquet(path)
+        cols = EPOCH_NS_COLUMNS.get(name)
+        return normalize_epoch_ns(df, cols) if cols else df
+    try:
+        per_session = _DF_CACHE.setdefault(spark, {})
+    except TypeError:  # session not weak-referenceable: skip the cache
+        per_session = {}
+    df = per_session.get(key)
+    if df is None:
+        base = _read_driver_parquet(spark, path)
+        cols = EPOCH_NS_COLUMNS.get(name)
+        df = normalize_epoch_ns(base, cols) if cols else base
+        per_session[key] = df
+    return df
 
 
 def rebalance(df: DataFrame, partitions: int | None = None) -> DataFrame:

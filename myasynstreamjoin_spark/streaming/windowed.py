@@ -67,7 +67,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalize ``ts`` to the engine's BIGINT epoch-ns. Footer-only read —
     no data scan.
     """
-    file_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # Goes through the load-path schema cache (keyed on file identity,
+    # so a driver regeneration re-infers) — this footer read is paid
+    # once per streaming construction, inside the bench's timed region.
+    from myasynstreamjoin_spark.sources.tables import _read_driver_parquet
+
+    file_schema = _read_driver_parquet(spark, f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream.schema(file_schema)
         .option("maxFilesPerTrigger", 1)

@@ -224,3 +224,30 @@ def test_schema_cache_invalidates_on_file_change(spark, sf_dir, tmp_path):
     assert df3.schema["n_regionkey"].dataType == T.LongType()
     keys = [k for k in tables._SCHEMA_CACHE if k[0] == str(p)]
     assert len(keys) == 2  # old entry retained, new identity added
+
+
+def test_load_table_dataframe_cache_invalidates_on_file_change(
+    spark, sf_dir, tmp_path
+):
+    """load_table returns one lazy DataFrame object per (session, file
+    identity); a regenerated file must yield a FRESH DataFrame with the
+    newly inferred schema, or physical-type drift would be masked."""
+    import shutil
+
+    shutil.copy(f"{sf_dir}/nation.parquet", tmp_path / "nation.parquet")
+    df1 = tables.load_table(spark, str(tmp_path), "nation")
+    df2 = tables.load_table(spark, str(tmp_path), "nation")
+    assert df2 is df1  # cache hit: identical plan object, no data held
+    assert df1.count() == 25
+
+    import duckdb
+
+    duckdb.sql(
+        f"COPY (SELECT n_nationkey, n_name, CAST(n_regionkey AS BIGINT) "
+        f"AS n_regionkey FROM '{sf_dir}/nation.parquet') "
+        f"TO '{tmp_path / 'nation.parquet'}' (FORMAT PARQUET)"
+    )
+    df3 = tables.load_table(spark, str(tmp_path), "nation")
+    assert df3 is not df1
+    assert df3.schema["n_regionkey"].dataType == T.LongType()
+    assert df3.count() == 25
