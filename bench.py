@@ -222,6 +222,14 @@ def main() -> int:
     # 2000-char tail capture, which r10's single fat line overflowed
     # (BENCH_r10.json parsed=null). Cross-round per-query tooling must
     # branch on this field instead of silently comparing semantics.
+    # Scaling legibility (round-11 verdict #2): the effective master
+    # and scheduler parallelism, read back from the LIVE context — not
+    # an echo of the env var — so the driver's low-core run can verify
+    # $SPARK_GRAFT_CPUS took effect from the compact line alone
+    # (r11's scaling block misread overhead-bound sf0.1 ratios as an
+    # ignored env var). Additive fields; nothing removed or renamed.
+    eff_master = spark.sparkContext.master
+    eff_par = spark.sparkContext.defaultParallelism
     full = {
         "metric": "headline_total_wall",
         "value": total,
@@ -229,6 +237,8 @@ def main() -> int:
         "queries": warm_min,
         "sf": sf,
         "runs": run_totals,
+        "master": eff_master,
+        "parallelism": eff_par,
         "queries_cold": runs[0],
         "queries_warm_runs": runs[1:],
         "artifact_version": 5,
@@ -254,6 +264,8 @@ def main() -> int:
         "warm_min_total": round(sum(warm_min.values()), 2),
         "artifact_version": 5,
         "queries_semantics": "warm_min_noop_sink",
+        "master": eff_master,
+        "parallelism": eff_par,
         "ann_recall": ann_recall,
         "full_artifact": "BENCH_full.json",
     }, separators=(",", ":"))

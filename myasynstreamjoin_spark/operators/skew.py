@@ -107,6 +107,10 @@ def split_skew_agg(
     itself two scans before the heavy_hitters single-scan fix). The
     conditional form is 2 scans: one inside heavy_hitters, one for
     the aggregate — the 100 TB floor for detect-then-aggregate.
+
+    Inherits ``heavy_hitters``' checkpoint lifetime contract (r11
+    advice): construct-then-execute within one batch scope; do not
+    cache the returned plan across a release_blocks boundary.
     """
     from myasynstreamjoin_spark.operators.stats import heavy_hitters
 

@@ -48,7 +48,21 @@ def heavy_hitters(
     twice), so without the cut every heavy-hitter detection paid two
     full input scans. The checkpoint is key-cardinality rows — node
     grain, default storage per the blocks.py rule — and callers'
-    batch scopes release it.
+    batch scopes release it. A lazy (eager=False) variant was measured
+    in r12 and rejected: under AQE, ``localCheckpoint`` calls
+    ``queryExecution.toRdd``, which materializes the aggregation's
+    shuffle stages (the full input scan) at CONSTRUCTION time
+    regardless of the eager flag — laziness only defers the final
+    key-grain result pass, so plan construction can never be
+    job-free here and eager keeps the blocks' lifetime obvious.
+
+    LIFETIME CONTRACT (r11 advice): the returned plan depends on
+    checkpoint blocks — construct-then-execute within ONE batch scope.
+    Re-executing it after the caller's batch_scope/release_blocks has
+    freed the blocks fails with missing-block errors, and the operator
+    cannot be applied to a streaming DataFrame outside foreachBatch
+    (checkpointing needs an executable plan). All engine callers are
+    batch-scoped; do not cache the result across release boundaries.
     """
     counts = key_counts(df, key).localCheckpoint(eager=True)
     total = counts.agg(F.sum("cnt").cast("long").alias("total"))
@@ -85,7 +99,9 @@ def batch_stats(df: DataFrame, key: str = "key", cfg: EngineConfig = DEFAULT_CON
     for plan selection (e.g. split_skew_agg fan-out) and monitoring.
 
     Same branch-duplication fix as ``heavy_hitters`` (r11): the counts
-    table is checkpointed once instead of re-aggregated per branch.
+    table is checkpointed once instead of re-aggregated per branch,
+    under the same construct-then-execute single-batch-scope lifetime
+    contract (see ``heavy_hitters``).
     """
     counts = key_counts(df, key).localCheckpoint(eager=True)
     total = counts.agg(F.sum("cnt").cast("long").alias("total"))

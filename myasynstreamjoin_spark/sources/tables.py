@@ -112,6 +112,16 @@ def _file_identity(path: str) -> tuple[str, int, int] | None:
     return (path, st.st_mtime_ns, st.st_size)
 
 
+def _evict_superseded(cache: dict, path: str, new_key: tuple) -> None:
+    """Drop cache entries for PRIOR identities of ``path`` when a new
+    identity is inserted: a regenerated file supersedes its old
+    (mtime, size) keys, and keeping them would grow the cache without
+    bound in a long-lived process that regenerates inputs repeatedly
+    (round-11 advice). Bounds both caches by live table count."""
+    for k in [k for k in cache if k[0] == path and k != new_key]:
+        del cache[k]
+
+
 def _read_driver_parquet(spark: SparkSession, path: str) -> DataFrame:
     key = _file_identity(path)
     if key is None:
@@ -119,9 +129,18 @@ def _read_driver_parquet(spark: SparkSession, path: str) -> DataFrame:
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)
+        _evict_superseded(_SCHEMA_CACHE, path, key)
         _SCHEMA_CACHE[key] = df.schema
         return df
     return spark.read.schema(schema).parquet(path)
+
+
+def read_driver_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Public schema-cached batch-read handle for a driver parquet file
+    — the supported entry point for modules (e.g. streaming.windowed)
+    that need the on-disk schema without paying footer inference per
+    call. Same cache + invalidation rules as ``load_table``."""
+    return _read_driver_parquet(spark, path)
 
 
 # Lazy-DataFrame cache, one layer above the schema cache: load_table
@@ -150,6 +169,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Event-time columns are normalized to BIGINT epoch-ns here (see
     ``normalize_epoch_ns``) so every downstream operator sees one
     logical schema regardless of the parquet physical type.
+
+    SHARED-PLAN CONTRACT (round-11 advice): repeated calls return the
+    SAME DataFrame object per (session, file identity), so two loads of
+    one table share expression IDs. A self-join of one driver table
+    must alias each side first (``load_table(...).alias("a")``) or
+    Spark raises AMBIGUOUS_SELF_JOIN — asserted by
+    tests/test_schema_drift.py::test_load_table_self_join_via_alias.
     """
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -168,6 +194,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         base = _read_driver_parquet(spark, path)
         cols = EPOCH_NS_COLUMNS.get(name)
         df = normalize_epoch_ns(base, cols) if cols else base
+        _evict_superseded(per_session, path, key)
         per_session[key] = df
     return df
 

@@ -70,9 +70,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Goes through the load-path schema cache (keyed on file identity,
     # so a driver regeneration re-infers) — this footer read is paid
     # once per streaming construction, inside the bench's timed region.
-    from myasynstreamjoin_spark.sources.tables import _read_driver_parquet
+    from myasynstreamjoin_spark.sources.tables import read_driver_parquet
 
-    file_schema = _read_driver_parquet(spark, f"{sf_dir}/events.parquet").schema
+    file_schema = read_driver_parquet(spark, f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream.schema(file_schema)
         .option("maxFilesPerTrigger", 1)

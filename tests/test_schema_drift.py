@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from myasynstreamjoin_spark.sources import tables
@@ -223,7 +224,9 @@ def test_schema_cache_invalidates_on_file_change(spark, sf_dir, tmp_path):
     df3 = tables._read_driver_parquet(spark, str(p))
     assert df3.schema["n_regionkey"].dataType == T.LongType()
     keys = [k for k in tables._SCHEMA_CACHE if k[0] == str(p)]
-    assert len(keys) == 2  # old entry retained, new identity added
+    # superseded identity evicted on insert (round-11 advice): the
+    # cache stays bounded by live table count, not regeneration count
+    assert keys == [tables._file_identity(str(p))]
 
 
 def test_load_table_dataframe_cache_invalidates_on_file_change(
@@ -251,3 +254,16 @@ def test_load_table_dataframe_cache_invalidates_on_file_change(
     assert df3 is not df1
     assert df3.schema["n_regionkey"].dataType == T.LongType()
     assert df3.count() == 25
+
+
+def test_load_table_self_join_via_alias(spark, sf_dir):
+    """load_table's shared-plan contract (round-11 advice): two calls
+    return the SAME DataFrame object, so a self-join must alias each
+    side — and with aliases it must WORK, not raise
+    AMBIGUOUS_SELF_JOIN. Guards the documented usage pattern."""
+    a = tables.load_table(spark, sf_dir, "nation").alias("a")
+    b = tables.load_table(spark, sf_dir, "nation").alias("b")
+    joined = a.join(b, F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+    # 25 nations over 5 regions (5 each) -> 5 * 5*5 = 125 pairs
+    assert joined.count() == 125
+    assert joined.select(F.col("a.n_nationkey"), F.col("b.n_nationkey")).count() == 125

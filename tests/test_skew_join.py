@@ -82,3 +82,29 @@ def test_join_profile_exact_cardinality(spark):
     assert abs(r.top_share - 6 / 7) < 1e-12
     assert (r.n_left, r.n_right, r.keys_left, r.keys_right, r.keys_common) == (
         4, 5, 3, 3, 2)
+
+
+def test_heavy_hitters_eager_checkpoint_results_exact(spark):
+    """heavy_hitters/batch_stats checkpoint their counts table EAGERLY
+    at construction (a lazy variant was measured in r12 and rejected:
+    under AQE, localCheckpoint's toRdd materializes the aggregation's
+    shuffle stages at construct regardless of the eager flag, so
+    construction can never be job-free). Pin the exact results the
+    checkpointed plan produces down both consumer branches."""
+    from myasynstreamjoin_spark.operators.stats import (
+        batch_stats,
+        heavy_hitters,
+    )
+
+    df = spark.range(1000).select(
+        F.when(F.col("id") % 10 == 0, F.lit("hot"))
+        .otherwise(F.col("id").cast("string"))
+        .alias("key")
+    )
+    hh = heavy_hitters(df, "key")
+    bs = batch_stats(df, "key")
+    # 100 "hot" rows > 0.2*1000/12 = 16.7; every other key is a singleton
+    assert [(r.key, r.cnt) for r in hh.collect()] == [("hot", 100)]
+    row = bs.collect()[0]
+    assert (row.m_total, row.k_keys, row.max_cnt) == (1000, 901, 100)
+    assert (row.n_heavy, row.n_singletons) == (1, 900)
