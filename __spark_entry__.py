@@ -40,6 +40,17 @@ def _prep(spark: SparkSession) -> SparkSession:
     return prepare_session(spark)
 
 
+def _sql_views(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, str]:
+    """View-name map for the single-string SQL query forms (round 12):
+    each driver table is registered once per (session, file identity)
+    via ``tables.table_view`` and referenced by name thereafter, so a
+    warm query construction is ONE py4j call (the ``spark.sql``)
+    instead of a py4j round trip per Column/Dataset — guide §7.3, the
+    r11-measured ~5× cheaper analysis path. Data still scans from
+    parquet on every action; only the name binding is cached."""
+    return {n: tables.table_view(spark, sf_dir, n) for n in names}
+
+
 # --------------------------------------------------------------------
 # entry: flagship query (stateful async join, SURVEY.md §7 phase 1)
 # --------------------------------------------------------------------
@@ -200,13 +211,13 @@ def _q_star_count_hypercube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from myasynstreamjoin_spark.operators.star_join import star_join_count
+    # single-string SQL twin of star_join.star_join_count (r12 —
+    # construction cost; equivalence pinned by tests/test_sql_forms.py)
+    from myasynstreamjoin_spark.operators.sql_forms import star_join_count_sql
 
     _prep(spark)
-    return star_join_count(
-        tables.load_table(spark, sf_dir, "lineitem"),
-        tables.load_table(spark, sf_dir, "orders"),
-        tables.load_table(spark, sf_dir, "customer"),
+    return star_join_count_sql(
+        spark, _sql_views(spark, sf_dir, "lineitem", "orders", "customer")
     )
 
 
@@ -249,59 +260,24 @@ def _q_parse_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped: top-10 BUILDING orders by revenue (join + agg +
     deterministic top-k). DECIMAL money math, tie-broken by key."""
+    # single-string SQL form (r12 — construction cost; the DataFrame
+    # chain it replaces is pinned equal in tests/test_sql_forms.py)
+    from myasynstreamjoin_spark.operators.sql_forms import topk_revenue_sql
+
     _prep(spark)
-    li = tables.load_table(spark, sf_dir, "lineitem")
-    o = tables.load_table(spark, sf_dir, "orders")
-    c = tables.load_table(spark, sf_dir, "customer")
-    rev = (
-        F.col("l_extendedprice").cast("decimal(18,4)")
-        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
-    )
-    return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
-              o["o_custkey"] == F.col("c_custkey"))
-        .groupBy("l_orderkey")
-        .agg(F.sum(rev).alias("rev_d"))
-        .select("l_orderkey", F.round(F.col("rev_d"), 2).cast("double").alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
-        .limit(10)
+    return topk_revenue_sql(
+        spark, _sql_views(spark, sf_dir, "lineitem", "orders", "customer")
     )
 
 
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 pricing summary (DECIMAL-exact, rounded to DOUBLE)."""
+    """TPC-H Q1 pricing summary (DECIMAL-exact, rounded to DOUBLE).
+    Single-string SQL form (r12 — construction cost; the DataFrame
+    chain it replaces is pinned equal in tests/test_sql_forms.py)."""
+    from myasynstreamjoin_spark.operators.sql_forms import tpch_q1_sql
+
     _prep(spark)
-    li = tables.load_table(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
-    one = F.lit(1).cast("decimal(18,4)")
-    disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
-    charge = disc_price * (one + dec("l_tax"))
-    agg = (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(dec("l_quantity")).alias("sq"),
-            F.sum(dec("l_extendedprice")).alias("sbp"),
-            F.sum(disc_price).alias("sdp"),
-            F.sum(charge).alias("sc"),
-            F.sum(dec("l_discount")).alias("sd"),
-            F.count("*").alias("count_order"),
-        )
-    )
-    n = F.col("count_order")
-    return agg.select(
-        "l_returnflag",
-        "l_linestatus",
-        F.round(F.col("sq"), 2).cast("double").alias("sum_qty"),
-        F.round(F.col("sbp"), 2).cast("double").alias("sum_base_price"),
-        F.round(F.col("sdp"), 2).cast("double").alias("sum_disc_price"),
-        F.round(F.col("sc"), 2).cast("double").alias("sum_charge"),
-        F.round(F.col("sq").cast("double") / n, 4).alias("avg_qty"),
-        F.round(F.col("sbp").cast("double") / n, 4).alias("avg_price"),
-        F.round(F.col("sd").cast("double") / n, 6).alias("avg_disc"),
-        "count_order",
-    )
+    return tpch_q1_sql(spark, _sql_views(spark, sf_dir, "lineitem"))
 
 
 def _q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1531,16 +1507,15 @@ def _q_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from myasynstreamjoin_spark.operators.relational import regional_revenue
+    # single-string SQL twin of relational.regional_revenue (r12 —
+    # construction cost; equivalence pinned by tests/test_sql_forms.py)
+    from myasynstreamjoin_spark.operators.sql_forms import regional_revenue_sql
 
     _prep(spark)
-    return regional_revenue(
-        tables.load_table(spark, sf_dir, "customer"),
-        tables.load_table(spark, sf_dir, "orders"),
-        tables.load_table(spark, sf_dir, "lineitem"),
-        tables.load_table(spark, sf_dir, "supplier"),
-        tables.load_table(spark, sf_dir, "nation"),
-        tables.load_table(spark, sf_dir, "region"),
+    return regional_revenue_sql(
+        spark,
+        _sql_views(spark, sf_dir, "customer", "orders", "lineitem",
+                   "supplier", "nation", "region"),
     )
 
 
@@ -1634,24 +1609,24 @@ def _q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from myasynstreamjoin_spark.operators.relational import large_orders
+    # single-string SQL twin of relational.large_orders (r12 —
+    # construction cost; equivalence pinned by tests/test_sql_forms.py)
+    from myasynstreamjoin_spark.operators.sql_forms import large_orders_sql
 
     _prep(spark)
-    return large_orders(
-        tables.load_table(spark, sf_dir, "lineitem"),
-        tables.load_table(spark, sf_dir, "orders"),
-        tables.load_table(spark, sf_dir, "customer"),
+    return large_orders_sql(
+        spark, _sql_views(spark, sf_dir, "lineitem", "orders", "customer")
     )
 
 
 def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from myasynstreamjoin_spark.operators.relational import shipping_priority
+    # single-string SQL twin of relational.shipping_priority (r12 —
+    # construction cost; equivalence pinned by tests/test_sql_forms.py)
+    from myasynstreamjoin_spark.operators.sql_forms import shipping_priority_sql
 
     _prep(spark)
-    return shipping_priority(
-        tables.load_table(spark, sf_dir, "customer"),
-        tables.load_table(spark, sf_dir, "orders"),
-        tables.load_table(spark, sf_dir, "lineitem"),
+    return shipping_priority_sql(
+        spark, _sql_views(spark, sf_dir, "customer", "orders", "lineitem")
     )
 
 
@@ -1681,16 +1656,15 @@ def _q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from myasynstreamjoin_spark.operators.tpch import local_supplier_volume
+    # single-string SQL twin of tpch.local_supplier_volume (r12 —
+    # construction cost; equivalence pinned by tests/test_sql_forms.py)
+    from myasynstreamjoin_spark.operators.sql_forms import local_supplier_volume_sql
 
     _prep(spark)
-    return local_supplier_volume(
-        tables.load_table(spark, sf_dir, "customer"),
-        tables.load_table(spark, sf_dir, "orders"),
-        tables.load_table(spark, sf_dir, "lineitem"),
-        tables.load_table(spark, sf_dir, "supplier"),
-        tables.load_table(spark, sf_dir, "nation"),
-        tables.load_table(spark, sf_dir, "region"),
+    return local_supplier_volume_sql(
+        spark,
+        _sql_views(spark, sf_dir, "customer", "orders", "lineitem",
+                   "supplier", "nation", "region"),
     )
 
 
@@ -1717,12 +1691,15 @@ def _q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from myasynstreamjoin_spark.operators.tpch import order_count_distribution
+    # single-string SQL twin of tpch.order_count_distribution (r12 —
+    # construction cost; equivalence pinned by tests/test_sql_forms.py)
+    from myasynstreamjoin_spark.operators.sql_forms import (
+        order_count_distribution_sql,
+    )
 
     _prep(spark)
-    return order_count_distribution(
-        tables.load_table(spark, sf_dir, "customer"),
-        tables.load_table(spark, sf_dir, "orders"),
+    return order_count_distribution_sql(
+        spark, _sql_views(spark, sf_dir, "customer", "orders")
     )
 
 
@@ -1781,15 +1758,15 @@ def _q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from myasynstreamjoin_spark.operators.tpch import product_type_profit
+    # single-string SQL twin of tpch.product_type_profit (r12 —
+    # construction cost; equivalence pinned by tests/test_sql_forms.py)
+    from myasynstreamjoin_spark.operators.sql_forms import product_type_profit_sql
 
     _prep(spark)
-    return product_type_profit(
-        tables.load_table(spark, sf_dir, "lineitem"),
-        tables.load_table(spark, sf_dir, "orders"),
-        tables.load_table(spark, sf_dir, "part"),
-        tables.load_table(spark, sf_dir, "supplier"),
-        tables.load_table(spark, sf_dir, "nation"),
+    return product_type_profit_sql(
+        spark,
+        _sql_views(spark, sf_dir, "lineitem", "orders", "part",
+                   "supplier", "nation"),
     )
 
 
