@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 import sys
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -126,11 +127,32 @@ def prepare_streaming_scale(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def prepare_session(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
+# Sessions whose SESSION_CONFS were already applied: every driver-facing
+# query calls prepare_session, and the 12 conf.set round trips cost
+# ~3.8 ms/call — ~0.4 s across a 3-pass bench invocation (round 12,
+# guide §7.3 driver-side work). The confs are static engine settings;
+# applying them once per session is the contract. Weak so a dropped
+# session releases its entry. Escape hatch: ``force=True`` re-applies
+# (for a caller that deliberately mutated a SESSION_CONF and wants the
+# engine defaults back).
+_PREPARED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
+def prepare_session(
+    spark: SparkSession,
+    shuffle_partitions: int | None = None,
+    force: bool = False,
+) -> SparkSession:
     """Apply the engine's runtime SQL confs to an existing session.
 
     Called by every driver-facing query so the contract works even when
-    the harness constructs its own SparkSession.
+    the harness constructs its own SparkSession. Applied ONCE per
+    session (tracked weakly): SESSION_CONFS are static, so re-applying
+    them per query construction was pure py4j overhead inside the
+    bench's timed region. A caller that intentionally overrides one of
+    SESSION_CONFS mid-session owns that override from then on (the
+    engine will not silently repair it per query; pass ``force=True``
+    to re-apply the engine defaults).
 
     Shuffle partitions are deliberately NOT adjusted unless the caller
     asks: measured on a vanilla low-core session, the stock 200 + AQE
@@ -138,12 +160,20 @@ def prepare_session(spark: SparkSession, shuffle_partitions: int | None = None) 
     queries (finer map-side splits, AQE shrinks the rest) — resist the
     folk fix of downsizing it on behalf of the session owner.
     """
-    for k, v in SESSION_CONFS.items():
-        try:
-            spark.conf.set(k, v)
-        except Exception:
-            # Non-settable in this deployment; engine degrades gracefully.
-            pass
+    try:
+        seen = spark in _PREPARED
+        if not seen:
+            _PREPARED.add(spark)
+    except TypeError:  # not weak-referenceable: apply every time
+        seen = False
+    if force or not seen:
+        for k, v in SESSION_CONFS.items():
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                # Non-settable in this deployment; engine degrades
+                # gracefully.
+                pass
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     return spark
