@@ -898,19 +898,23 @@ def bloom_decontaminate(
 
     Output: (doc_id) of surviving (uncontaminated) train docs.
     """
-    one = F.lit(1).cast("long")
-
-    def positions(g: Column) -> list[Column]:
-        h1 = F.pmod(g, F.lit(m_bits))
+    def positions_sql(g: str) -> list[str]:
+        # SQL-text twins of the original Column builders (round 12,
+        # guide §4/§7.3 — the Python boundary at plan-construction
+        # time, the r11 minhash treatment): the ~100 py4j round trips
+        # of per-hash Column construction were ~0.4 s of the query's
+        # measured construct cost; ONE parsed selectExpr per site
+        # builds the identical expression tree JVM-side.
+        h1 = f"pmod({g}, {m_bits})"
         # h2 from the HIGH bits (h1 already consumed the low ones) with
         # a small multiplier so the product stays < 2^34 — ANSI mode
         # makes a long overflow an error, not a wrap. Forced odd =>
         # relatively prime to the power-of-two m.
-        h2 = F.pmod(
-            F.pmod(F.shiftright(g, 15), F.lit(m_bits)) * F.lit(0x85EB),
-            F.lit(m_bits),
-        ).bitwiseOR(one)
-        return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(n_hashes)]
+        h2 = (
+            f"(pmod(pmod(shiftright({g}, 15), {m_bits}) * {0x85EB}, {m_bits})"
+            f" | CAST(1 AS BIGINT))"
+        )
+        return [f"pmod({h1} + {i} * {h2}, {m_bits})" for i in range(n_hashes)]
 
     # Checkpointed: BOTH the bitmap build and the exact-verification
     # join read this set down branches of ONE plan — persist can miss
@@ -927,8 +931,8 @@ def bloom_decontaminate(
     # duplicate (word, bit) contributions cannot change the bitmap —
     # the old pre-distinct was one whole extra Exchange for nothing
     # (round 11; the Q16 lesson applied to the bitmap build).
-    pos = bench_grams.select(
-        F.explode(F.array(*positions(F.col("g")))).alias("p")
+    pos = bench_grams.selectExpr(
+        f"explode(array({', '.join(positions_sql('g'))})) AS p"
     )
     words = pos.select(
         (F.col("p") / 64).cast("int").alias("word"),
@@ -949,21 +953,17 @@ def bloom_decontaminate(
     tg = shingle_docs(train, k, hashed=True).select(
         "doc_id", F.explode_outer("sh").alias("g")
     )
-    proj = [F.col("doc_id"), F.col("g")]
-    for i, p in enumerate(positions(F.col("g"))):
-        proj.append((p / 64).cast("int").alias(f"__w{i}"))
-        proj.append(F.pmod(p, F.lit(64)).cast("int").alias(f"__b{i}"))
-    tests = [
-        F.coalesce(F.element_at(F.col("bm"), F.col(f"__w{i}")), F.lit(0).cast("long"))
-        .bitwiseAND(F.expr(f"shiftleft(CAST(1 AS BIGINT), __b{i})"))
-        != 0
+    proj = ["doc_id", "g"]
+    for i, p in enumerate(positions_sql("g")):
+        proj.append(f"CAST(({p}) / 64 AS INT) AS __w{i}")
+        proj.append(f"CAST(pmod({p}, 64) AS INT) AS __b{i}")
+    member = " AND ".join(
+        f"((coalesce(element_at(bm, __w{i}), CAST(0 AS BIGINT))"
+        f" & shiftleft(CAST(1 AS BIGINT), __b{i})) != 0)"
         for i in range(n_hashes)
-    ]
-    member = tests[0]
-    for t_ in tests[1:]:
-        member = member & t_
+    )
     candidates = (
-        tg.select(*proj)
+        tg.selectExpr(*proj)
         .crossJoin(F.broadcast(bitmap))
         .where(member)
         .select("doc_id", "g")
