@@ -37,3 +37,18 @@ def test_prepare_session_shuffle_partitions_still_applied(spark):
         assert spark.conf.get(key) == str(int(prev) + 1)
     finally:
         spark.conf.set(key, prev)
+
+
+def test_replay_state_partitions_rule(spark):
+    """Data-proportional replay width (r12): floor(2) for small
+    replays, ~1 partition per 64 MB, capped at scheduler parallelism."""
+    from myasynstreamjoin_spark.streaming.windowed import (
+        replay_state_partitions,
+    )
+
+    cap = spark.sparkContext.defaultParallelism
+    assert replay_state_partitions(spark, 0) == 2
+    assert replay_state_partitions(spark, 2 << 20) == 2          # 2 MB
+    assert replay_state_partitions(spark, 320 << 20) == min(cap, 5)
+    assert replay_state_partitions(spark, 1 << 40) == cap        # 1 TB
+    assert replay_state_partitions(spark, 0, floor=4) == 4
