@@ -99,8 +99,26 @@ def main() -> int:
     # the explode/array/cache-heavy dedup path, whose columnar-cache
     # writer and array-expression codegen otherwise JIT inside the
     # first timed dedup query. The benchmarked sf_dir is untouched.
+    # Round 12 (verdict item 7): the r12 cold-pass breakdown showed
+    # ~21 s of the ~32 s cold/warm gap concentrated in two MORE
+    # codegen/worker classes the original warmup never touched —
+    # q_remove_spans (checkpoint-writer + span-reassembly codegen,
+    # cold 12.4 s vs 2.6 s warm) and q_semantic_dedup_arrow (the
+    # Arrow Python-worker pool + kernel import, cold 7.8 s vs 1.1 s).
+    # Warm those classes too, still at sf0.001 (sub-second each).
+    # MEASUREMENT CHANGE, disclosed in OPTIMIZATION_r12.md: the run-1
+    # "cold" total is lower from r12 on because this JIT/worker
+    # startup now happens in the untimed warmup — same policy, wider
+    # coverage; pre-r12 cold anchors include it.
     for wq in ("q_word_count", "q_minhash_pairs"):
         contract.queries()[wq](spark, "/root/testdata/sf0.001").count()
+    for wq in ("q_remove_spans", "q_semantic_dedup_arrow"):
+        # noop, not count(): count() would prune the reassembly /
+        # kernel output columns whose codegen is exactly what needs
+        # warming (same reasoning as the timed action, guide §1.4)
+        contract.queries()[wq](spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
     # Warm the Python-DataSource streaming machinery (worker pool,
     # source registration, state store) with an 8-message grammar
     # stream — a different, tiny workload, so the timed
