@@ -4480,7 +4480,21 @@ def _q_link_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so a re-shape can't silently coast on a stale green. Reset the list
 # each round after the window is composed.
 RESHAPED_THIS_ROUND: list[str] = [
-    "q_ann_recall",  # r11: LSH config now routed through ANN_PROFILES
+    # r12: implementation re-shapes (results identical, construction
+    # rewritten) — each re-enters the driver window for a REAL green
+    # per rotation policy #2 (pytest-mirror green is not driver green):
+    "q_regional_revenue",   # single-string SQL form (operators/sql_forms.py)
+    "q_topk_revenue",       # single-string SQL form
+    "q_tpch_q1",            # single-string SQL form
+    "q_tpch_q3",            # single-string SQL form
+    "q_tpch_q5",            # single-string SQL form
+    "q_tpch_q9",            # single-string SQL form
+    "q_tpch_q13",           # single-string SQL form
+    "q_tpch_q18",           # single-string SQL form
+    "q_stream_grammar",     # windowed min-count agg as one SQL string
+    "q_bloom_decontaminate",  # positions/membership as parsed exprs
+    "q_stream_decontaminate",  # rides bloom_decontaminate
+    "q_ingest_e2e",         # rides bloom_decontaminate
 ]
 
 
@@ -4541,48 +4555,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      ranking; the next window takes its head.
         #   4. Every slot must be oracle-backed (rows-only queries are
         #      covered by pytest invariants, not the driver compare).
-        # Round 11 set (policy #3 staleness sweep, per
-        # tools/rotation_check.py's ranking): the full r2-era cohort
-        # (18 queries — after this round no driver green is older than
-        # r3), the six r3-era greens, the two OLDEST streaming twins
-        # (q_stream_dedup, q_stream_sessions, last green r4 — the
-        # staleness rule applies to streaming greens equally, r10
-        # verdict #6), plus two queue-jumpers: q_cdc_chunks via policy
-        # #1 (NEW operator this round — never driver-checked) and
-        # q_ann_recall via policy #2 (implementation re-shaped this
-        # round: ANN_PROFILES routing; see RESHAPED_THIS_ROUND,
-        # enforced by rotation_check). The displaced
-        # q_bm25/q_scd2/q_event_gaps/q_sliding_count (r4) head the
-        # r12 window.
-        "q_rank_features": _q_rank_features,              # staleness re-entry (r2)
-        "q_grouping_sets": _q_grouping_sets,              # staleness re-entry (r2)
-        "q_approx_percentile": _q_approx_percentile,      # staleness re-entry (r2)
-        "q_json_props": _q_json_props,                    # staleness re-entry (r2)
-        "q_profile": _q_profile,                          # staleness re-entry (r2)
-        "q_topk_per_group": _q_topk_per_group,            # staleness re-entry (r2)
-        "q_distinct_users": _q_distinct_users,            # staleness re-entry (r2)
-        "q_repeat_customers": _q_repeat_customers,        # staleness re-entry (r2)
-        "q_churned_customers": _q_churned_customers,      # staleness re-entry (r2)
-        "q_regional_revenue": _q_regional_revenue,        # staleness re-entry (r2)
-        "q_sampled_revenue": _q_sampled_revenue,          # staleness re-entry (r2)
-        "q_customers_no_orders": _q_customers_no_orders,  # staleness re-entry (r2)
-        "q_tpch_q6": _q_tpch_q6,                          # staleness re-entry (r2)
-        "q_tpch_q17": _q_tpch_q17,                        # staleness re-entry (r2)
-        "q_tpch_q18": _q_tpch_q18,                        # staleness re-entry (r2)
-        "q_tpch_q4": _q_tpch_q4,                          # staleness re-entry (r2)
-        "q_tpch_q7": _q_tpch_q7,                          # staleness re-entry (r2)
-        "q_tpch_q8": _q_tpch_q8,                          # staleness re-entry (r2)
-        "q_latest_event": _q_latest_event,                # staleness re-entry (r3)
-        "q_tpch_q3": _q_tpch_q3,                          # staleness re-entry (r3)
-        "q_tpch_q14": _q_tpch_q14,                        # staleness re-entry (r3)
-        "q_latest_event_maxby": _q_latest_event_maxby,    # staleness re-entry (r3)
-        "q_simsearch_multi": _q_simsearch_multi,          # staleness re-entry (r3)
-        "q_stream_cdc_chunks": _q_stream_cdc_chunks,      # policy #1 — NEW this round (streaming chunk-dedup twin)
-        "q_cdc_chunks": _q_cdc_chunks,                    # policy #1 — NEW this round (content-defined chunking dedup)
-        "q_ann_recall": _q_ann_recall,                    # policy #2 re-shape (r11 ANN_PROFILES routing) — jumps the queue
-        "q_stream_dedup": _q_stream_dedup,                # staleness re-entry (r4, oldest stream twin)
-        "q_stream_sessions": _q_stream_sessions,          # staleness re-entry (r4, oldest stream twin)
+        # Round 12 set: policy #2 queue-jumpers first — every query
+        # whose IMPLEMENTATION was re-shaped this round (single-string
+        # SQL forms over stable views, Bloom expr rewrite, streaming
+        # SQL agg; see RESHAPED_THIS_ROUND) re-enters for a REAL
+        # driver green (q_star_join and q_stream_min_count_window are
+        # also re-shaped but live in the fixed head, so the driver
+        # checks them every round anyway); then policy #3 staleness:
+        # the ranking head from tools/rotation_check.py (the r3 green
+        # plus the oldest r4-era cohort). The displaced r11 members
+        # move to the tail; q_ngram_jaccard / q_minhash_pairs /
+        # q_simhash / q_dedup_clusters (r4) head the r13 window.
+        "q_regional_revenue": _q_regional_revenue,        # policy #2 re-shape (SQL form)
+        "q_tpch_q3": _q_tpch_q3,                          # policy #2 re-shape (SQL form)
+        "q_tpch_q18": _q_tpch_q18,                        # policy #2 re-shape (SQL form)
+        "q_topk_revenue": _q_topk_revenue,                # policy #2 re-shape (SQL form)
+        "q_tpch_q1": _q_tpch_q1,                          # policy #2 re-shape (SQL form)
+        "q_tpch_q5": _q_tpch_q5,                          # policy #2 re-shape (SQL form)
+        "q_tpch_q9": _q_tpch_q9,                          # policy #2 re-shape (SQL form)
+        "q_tpch_q13": _q_tpch_q13,                        # policy #2 re-shape (SQL form)
+        "q_stream_grammar": _q_stream_grammar,            # policy #2 re-shape (SQL agg)
+        "q_bloom_decontaminate": _q_bloom_decontaminate,  # policy #2 re-shape (expr rewrite)
+        "q_stream_decontaminate": _q_stream_decontaminate,  # policy #2 (rides bloom)
+        "q_ingest_e2e": _q_ingest_e2e,                    # policy #2 (rides bloom)
+        "q_rollup_pricing": _q_rollup_pricing,            # staleness re-entry (r3)
+        "q_bm25": _q_bm25,                                # staleness re-entry (r4)
+        "q_scd2": _q_scd2,                                # staleness re-entry (r4)
+        "q_event_gaps": _q_event_gaps,                    # staleness re-entry (r4)
+        "q_sliding_count": _q_sliding_count,              # staleness re-entry (r4)
+        "q_asof_join": _q_asof_join,                      # staleness re-entry (r4)
+        "q_sessionize": _q_sessionize,                    # staleness re-entry (r4)
+        "q_range_join": _q_range_join,                    # staleness re-entry (r4)
+        "q_funnel": _q_funnel,                            # staleness re-entry (r4)
+        "q_cohorts": _q_cohorts,                          # staleness re-entry (r4)
+        "q_textstats": _q_textstats,                      # staleness re-entry (r4)
+        "q_quality": _q_quality,                          # staleness re-entry (r4)
+        "q_langid": _q_langid,                            # staleness re-entry (r4)
+        "q_fingerprint": _q_fingerprint,                  # staleness re-entry (r4)
+        "q_dedup_exact": _q_dedup_exact,                  # staleness re-entry (r4)
+        "q_contamination": _q_contamination,              # staleness re-entry (r4)
         # --- tail (pytest oracle-parity mirror coverage) ---
+        # rotated out after the round-11 sweep (50/50 green):
+        "q_rank_features": _q_rank_features,              # r11 green
+        "q_grouping_sets": _q_grouping_sets,              # r11 green
+        "q_approx_percentile": _q_approx_percentile,      # r11 green
+        "q_json_props": _q_json_props,                    # r11 green
+        "q_profile": _q_profile,                          # r11 green
+        "q_topk_per_group": _q_topk_per_group,            # r11 green
+        "q_distinct_users": _q_distinct_users,            # r11 green
+        "q_repeat_customers": _q_repeat_customers,        # r11 green
+        "q_churned_customers": _q_churned_customers,      # r11 green
+        "q_sampled_revenue": _q_sampled_revenue,          # r11 green
+        "q_customers_no_orders": _q_customers_no_orders,  # r11 green
+        "q_tpch_q6": _q_tpch_q6,                          # r11 green
+        "q_tpch_q17": _q_tpch_q17,                        # r11 green
+        "q_tpch_q4": _q_tpch_q4,                          # r11 green
+        "q_tpch_q7": _q_tpch_q7,                          # r11 green
+        "q_tpch_q8": _q_tpch_q8,                          # r11 green
+        "q_latest_event": _q_latest_event,                # r11 green
+        "q_tpch_q14": _q_tpch_q14,                        # r11 green
+        "q_latest_event_maxby": _q_latest_event_maxby,    # r11 green
+        "q_simsearch_multi": _q_simsearch_multi,          # r11 green
+        "q_stream_cdc_chunks": _q_stream_cdc_chunks,      # r11 green
+        "q_cdc_chunks": _q_cdc_chunks,                    # r11 green
+        "q_ann_recall": _q_ann_recall,                    # r11 green
+        "q_stream_dedup": _q_stream_dedup,                # r11 green
+        "q_stream_sessions": _q_stream_sessions,          # r11 green
         # rotated out after the round-10 sweep (50/50 green):
         "q_quota_sample": _q_quota_sample,                # largest-remainder exact-quota stratified sample
         "q_repetition": _q_repetition,
@@ -4608,7 +4646,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_retrieval_eval": _q_retrieval_eval,            # NDCG/MRR/P@k ranking quality
         "q_sorted_export": _q_sorted_export,              # range-partitioned global order
         "q_hard_negatives": _q_hard_negatives,            # contrastive hard-negative mining
-        "q_ingest_e2e": _q_ingest_e2e,                    # composed admission gate
         "q_boilerplate": _q_boilerplate,                  # per-source frequent-line report
         "q_fix_encoding": _q_fix_encoding,                # ftfy-lite mojibake repair
         "q_cube_pricing": _q_cube_pricing,                # staleness re-entry (r10 green)
@@ -4616,7 +4653,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (still verified by the pytest mirror every session)
         # rotated out after the round-9 sweep (50/50 green):
         "q_semantic_decontaminate": _q_semantic_decontaminate,  # embedding-space decon (re-shaped r9, REAL green r9)
-        "q_stream_grammar": _q_stream_grammar,            # S1 grammar source as a stream
         "q_stream_min_count_join": _q_stream_min_count_join,   # J1 via stream-stream join
         "q_stream_min_count_zero": _q_stream_min_count_zero,
         "q_stream_max_window": _q_stream_max_window,      # A4 via generalized stateful op
@@ -4658,14 +4694,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_theta_audience": _q_theta_audience,            # theta set algebra — exact-regime oracle
         "q_sketch_distinct": _q_sketch_distinct,          # HLL shard sketches — exact-coupon oracle
         "q_stream_theta": _q_stream_theta,                # streaming theta — shares the exact-regime oracle
-        "q_tpch_q5": _q_tpch_q5,                          # completes TPC-H 22/22 driver-side
         "q_webdataset_roundtrip": _q_webdataset_roundtrip,  # tar shard sink round trip
         "q_epoch_shuffle": _q_epoch_shuffle,              # seeded epoch reshuffle manifest
         "q_epoch_interleave": _q_epoch_interleave,        # stride-scheduled source mixing
         "q_epoch_curriculum": _q_epoch_curriculum,        # staged easy→hard epoch schedule
         "q_epoch_roundtrip": _q_epoch_roundtrip,          # epoch export/read under oracle
         "q_stream_cdc": _q_stream_cdc,                    # streaming MERGE → versioned snapshot
-        "q_stream_decontaminate": _q_stream_decontaminate,  # ingest-time decontamination
         "q_stream_expectations": _q_stream_expectations,  # per-window quality monitoring
         "q_stream_topk": _q_stream_topk,                  # complete-mode sort+limit
         "q_blocklist": _q_blocklist,                      # Aho-Corasick wordlist scan
@@ -4693,9 +4727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_norm": _q_embed_norm,                    # unit vectors → order-sensitive digest (re-shaped r7)
         "q_embed_quant": _q_embed_quant,                  # int8 codes → order-sensitive digest (re-shaped r7)
         "q_tpch_q2": _q_tpch_q2,
-        "q_tpch_q9": _q_tpch_q9,
         "q_tpch_q11": _q_tpch_q11,
-        "q_tpch_q13": _q_tpch_q13,
         "q_tpch_q15": _q_tpch_q15,
         "q_tpch_q16": _q_tpch_q16,
         "q_tpch_q20": _q_tpch_q20,
@@ -4749,28 +4781,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cluster_split": _q_cluster_split,              # leakage-free train/val split
         "q_winnow_pairs": _q_winnow_pairs,                # winnowing fingerprint overlap
         "q_simhash_pairs": _q_simhash_pairs,              # pigeonhole Hamming join
-        "q_bloom_decontaminate": _q_bloom_decontaminate,  # Bloom-prefiltered decontamination
         "q_embed_neardup_exact": _q_embed_neardup_exact,  # exact cosine pair baseline
         "q_stream_neardup": _q_stream_neardup,            # streaming MinHash near-dup vs index
         "q_tpch_q10": _q_tpch_q10,
-        "q_rollup_pricing": _q_rollup_pricing,            # r3 green; displaced by policy #1 — joins the r12 window head
-        "q_bm25": _q_bm25,                                # r4 green; heads the r12 staleness window
-        "q_scd2": _q_scd2,                                # r4 green; heads the r12 staleness window
-        "q_event_gaps": _q_event_gaps,
-        "q_sliding_count": _q_sliding_count,
-        "q_asof_join": _q_asof_join,
-        "q_sessionize": _q_sessionize,
-        "q_range_join": _q_range_join,
-        "q_topk_revenue": _q_topk_revenue,
-        "q_tpch_q1": _q_tpch_q1,
-        "q_funnel": _q_funnel,                            # strictly-ordered funnel depth
-        "q_cohorts": _q_cohorts,                          # weekly cohort retention
-        "q_textstats": _q_textstats,
-        "q_quality": _q_quality,
-        "q_langid": _q_langid,
-        "q_fingerprint": _q_fingerprint,
-        "q_dedup_exact": _q_dedup_exact,
-        "q_contamination": _q_contamination,
         "q_ngram_jaccard": _q_ngram_jaccard,
         "q_minhash_pairs": _q_minhash_pairs,              # replayable-mode LSH (md5_32)
         "q_simhash": _q_simhash,                          # md5_32 signatures → SQL-replayable
