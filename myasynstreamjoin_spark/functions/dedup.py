@@ -524,7 +524,18 @@ def ngram_jaccard_pairs(
     rare = sh_j.groupBy("shingle").agg(F.count("*").alias("df")).where(
         F.col("df") <= max_shingle_df
     )
-    indexed = sh_j.join(rare.select("shingle"), "shingle")
+    # The df-cap set feeds BOTH sides of the self-join below, and the
+    # two consumer subtrees never canonicalize equal (doc_a vs doc_b
+    # aliases), so without materialization the frequency aggregation —
+    # a full pass + shuffle of the exploded shingle table — runs TWICE
+    # (round 12, stage-level evidence: two 32+2-task agg stage pairs,
+    # zero ReusedExchange). Checkpoint it once; DISK_ONLY per the
+    # blocks.py corpus-grain rule (distinct shingles are corpus-scale
+    # at 100 TB). Guide §2.4: remove the duplicated shuffle outright.
+    from myasynstreamjoin_spark.blocks import ckpt_disk
+
+    rare_set = ckpt_disk(rare.select("shingle"))
+    indexed = sh_j.join(rare_set, "shingle")
     common = index_self_join(
         indexed, ["shingle"], count=True,
         agg_width=width if width > session_w else None,

@@ -147,31 +147,44 @@ def _line_reassemble(
     """(doc_id, n_lines, n_removed, text_clean): rebuild each doc from
     the (doc_id, line_no) occurrences not in ``drops``. Shared by the
     batch operator and the streaming twin so the two can never
-    diverge on reassembly semantics."""
-    kept = lines.join(drops, ["doc_id", "line_no"], "left_anti")
-    out = kept.groupBy("doc_id").agg(
-        F.concat_ws(
-            sep,
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
-                lambda s: s["line"],
-            ),
-        ).alias("text_clean"),
-        F.count("*").alias("__n_kept"),
+    diverge on reassembly semantics.
+
+    One pass over the line table (round 12): drops are MARKED with a
+    left join and totals/kept/reassembly all come out of a single
+    doc-grain aggregation — collect_list skips the NULL structs the
+    kept-filter leaves, count("__d") counts only marked rows, and an
+    all-dropped doc still has its group (text_clean = ''). The prior
+    shape (anti-join + kept agg + a SECOND full agg of `lines` for
+    totals + a doc-grain outer join) paid one extra corpus-scale pass
+    and exchange for a count this agg produces for free (guide §2.4).
+
+    Contract: ``drops`` must be unique per (doc_id, line_no) — a
+    duplicate would fan out the mark join. Both callers satisfy it
+    structurally: `line_dedup` emits each non-canonical occurrence
+    once, and the streaming twin's cross/within drop sets are disjoint
+    (anti-join complements) and each occurrence-unique."""
+    marked = lines.join(
+        drops.withColumn("__d", F.lit(True)), ["doc_id", "line_no"], "left"
     )
-    totals = lines.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_lines")
-    )
+    keep = F.col("__d").isNull()
     return (
-        totals.join(out, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_lines",
-            (F.col("n_lines") - F.coalesce("__n_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.count("__d").cast("long").alias("n_removed"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("line_no", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("text_clean"),
         )
+        .select("doc_id", "n_lines", "n_removed", "text_clean")
     )
 
 
@@ -409,6 +422,14 @@ def line_dedup_against_index(
     first = cand.groupBy("line").agg(
         F.min(F.struct("doc_id", "line_no")).alias("first")
     )
+    # The status table CARRIES the line text through the tagging joins
+    # (round 12): `line` is the join key of both probes anyway, so
+    # keeping it costs the joins nothing — and reassembly + all three
+    # counts then come out of ONE doc-grain aggregation over status,
+    # instead of re-joining `lines` for the kept text, aggregating
+    # status a second time for the counts, and outer-joining the two
+    # doc-grain halves (guide §2.4 — the same single-pass fold as
+    # `_line_reassemble`).
     tagged = (
         cand.join(idx, "line", "left")
         .join(first, "line")
@@ -422,32 +443,14 @@ def line_dedup_against_index(
             )
             .otherwise(F.lit("dup_within")),
         )
-        .select("doc_id", "line_no", "__status")
+        .select("doc_id", "line_no", "line", "__status")
     )
     # structural short lines rejoin as always-kept
     short = lines.where(F.length("line") < min_chars).select(
-        "doc_id", "line_no", F.lit("kept").alias("__status")
+        "doc_id", "line_no", "line", F.lit("kept").alias("__status")
     )
     status = tagged.unionByName(short)
-    kept = (
-        lines.join(
-            status.where(F.col("__status") == "kept"),
-            ["doc_id", "line_no"],
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.concat_ws(
-                sep,
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("line_no", "line"))
-                    ),
-                    lambda s: s["line"],
-                ),
-            ).alias("text_clean"),
-        )
-    )
-    counts = status.groupBy("doc_id").agg(
+    return status.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_lines"),
         F.sum((F.col("__status") == "dup_index").cast("long"))
         .cast("long")
@@ -455,11 +458,18 @@ def line_dedup_against_index(
         F.sum((F.col("__status") == "dup_within").cast("long"))
         .cast("long")
         .alias("n_dup_within"),
-    )
-    return counts.join(kept, "doc_id", "left").select(
-        "doc_id",
-        "n_lines",
-        "n_dup_index",
-        "n_dup_within",
-        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__status") == "kept",
+                            F.struct("line_no", "line"),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("text_clean"),
     )

@@ -190,6 +190,39 @@ def test_line_dedup_election_has_no_window_sort(spark):
     assert "Window" not in plan, plan
 
 
+def test_line_dedup_reassembly_is_single_doc_pass(spark):
+    """Reassembly marks drops and aggregates ONCE at doc grain
+    (round 12): exactly one doc_id hash exchange in the whole plan.
+    The prior shape aggregated the line table a second time for the
+    per-doc totals and outer-joined the halves — one extra
+    corpus-scale pass."""
+    rows = [(i, "a b c d e f g h i j k l m n", "web") for i in range(4)]
+    plan = (
+        line_dedup(_docs(spark, rows), width=W)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    doc_grain = re.findall(r"Exchange hashpartitioning\(doc_id#\d+L, \d+\)", plan)
+    assert len(doc_grain) == 1, plan
+
+
+def test_incremental_reassembly_is_single_doc_pass(spark, line_index):
+    """line_dedup_against_index carries the line text through the
+    status tagging and produces counts + reassembled text in ONE
+    doc-grain aggregation (round 12): exactly one doc_id hash
+    exchange (the prior shape aggregated status twice and joined)."""
+    delta = _docs(spark, [(31, "alpha beta gamma fresh new content", "web")])
+    plan = (
+        line_dedup_against_index(delta, TABLE, width=W)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    doc_grain = re.findall(r"Exchange hashpartitioning\(doc_id#\d+L, \d+\)", plan)
+    assert len(doc_grain) == 1, plan
+
+
 # ---------------------------------------------------------------------------
 # boilerplate
 # ---------------------------------------------------------------------------

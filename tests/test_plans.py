@@ -503,6 +503,21 @@ def test_pair_candidate_joins_are_hash_joins(spark, sf_dir):
         assert "Join" in plan
 
 
+def test_ngram_df_cap_aggregates_once(spark, sf_dir):
+    """The df-cap shingle set feeds BOTH sides of the candidate
+    self-join, and the two consumer subtrees never canonicalize equal
+    (doc_a vs doc_b aliases) — so without materialization the
+    frequency aggregation ran TWICE over the exploded shingle table
+    (round 12, stage evidence). With the checkpoint, each self-join
+    side re-explodes from the shingle cache (2 Generates) but the
+    cap aggregation's explode is gone (it was 4)."""
+    from myasynstreamjoin_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = simple_plan(ngram_jaccard_pairs(docs, k=3, threshold=0.2))
+    assert plan.count("Generate explode") == 2, plan
+
+
 def test_remove_spans_elects_canonical_without_window_sort(spark, sf_dir):
     """remove_duplicate_spans must elect canonical occurrences with a
     partial-aggregated groupBy min over the (doc_id, pos) struct — a
