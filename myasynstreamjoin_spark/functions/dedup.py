@@ -204,25 +204,38 @@ def dup_span_stats(docs: DataFrame, k: int = 8, min_df: int = 2) -> DataFrame:
     ).persist(StorageLevel.DISK_ONLY)
     try:
         span_df = ex.groupBy("span").agg(F.countDistinct("doc_id").alias("__df"))
-        dup = (
-            ex.join(span_df.where(F.col("__df") >= min_df), "span")
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("n_dup_spans"))
+        # Mark hot spans with a left join and count totals + dup spans
+        # in ONE doc-grain aggregation (round 12): the prior shape
+        # aggregated the persisted span table a SECOND time for the
+        # per-doc totals and outer-joined the doc-grain halves — one
+        # extra corpus-scale pass for a count this agg produces for
+        # free (guide §2.4). span_df is per-span unique (groupBy key),
+        # so the mark join cannot fan out.
+        hot = span_df.where(F.col("__df") >= min_df).select(
+            "span", F.lit(True).alias("__d")
         )
-        totals = ex.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+        marked = ex.join(hot, "span", "left")
         # dup_frac: single exact-integer division, NOT round(double, 4) —
         # round() on a double is tie-fragile across engines (see
         # operators/sessions.py event_gaps); division of exact long
         # operands is one correctly-rounded IEEE op, identical everywhere.
-        return totals.join(dup, "doc_id", "left").select(
-            "doc_id",
-            "n_spans",
-            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
-            (
-                F.coalesce("n_dup_spans", F.lit(0)).cast("double")
-                / F.col("n_spans").cast("double")
-            ).alias("dup_frac"),
-        ).localCheckpoint(eager=True)
+        return (
+            marked.groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_spans"),
+                F.count("__d").cast("long").alias("n_dup_spans"),
+            )
+            .select(
+                "doc_id",
+                "n_spans",
+                "n_dup_spans",
+                (
+                    F.col("n_dup_spans").cast("double")
+                    / F.col("n_spans").cast("double")
+                ).alias("dup_frac"),
+            )
+            .localCheckpoint(eager=True)
+        )
     finally:
         ex.unpersist()
 

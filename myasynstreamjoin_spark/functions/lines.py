@@ -313,30 +313,39 @@ def strip_boilerplate(
         docs, width, delim, min_df, frac, by, text_col
     )
     lines = doc_lines(docs, width, delim, text_col, keep_cols=(by,))
-    kept = lines.join(
-        F.broadcast(boiler.select(by, "line")), [by, "line"], "left_anti"
+    # Mark elected lines with a broadcast left join and produce totals,
+    # removed-counts and the reassembled text in ONE doc-grain
+    # aggregation (round 12, the `_line_reassemble` fold): the prior
+    # shape anti-joined, aggregated the kept lines, aggregated the FULL
+    # line table a second time for totals, and outer-joined the halves.
+    # boiler is unique per (by, line) — one row per elected line — so
+    # the mark join cannot fan out.
+    marked = lines.join(
+        F.broadcast(
+            boiler.select(by, "line").withColumn("__b", F.lit(True))
+        ),
+        [by, "line"],
+        "left",
     )
-    out = kept.groupBy("doc_id", by).agg(
-        F.concat_ws(
-            sep,
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
-                lambda s: s["line"],
-            ),
-        ).alias("text_clean"),
-        F.count("*").alias("__n_kept"),
-    )
-    totals = lines.groupBy("doc_id", by).agg(
-        F.count("*").cast("long").alias("n_lines")
-    )
-    return totals.join(out, ["doc_id", by], "left").select(
-        "doc_id",
-        by,
-        "n_lines",
-        (F.col("n_lines") - F.coalesce("__n_kept", F.lit(0)))
-        .cast("long")
-        .alias("n_removed"),
-        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    keep = F.col("__b").isNull()
+    return (
+        marked.groupBy("doc_id", by)
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.count("__b").cast("long").alias("n_removed"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("line_no", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("text_clean"),
+        )
+        .select("doc_id", by, "n_lines", "n_removed", "text_clean")
     )
 
 
