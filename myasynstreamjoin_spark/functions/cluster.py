@@ -45,21 +45,36 @@ def connected_components(
         .localCheckpoint(eager=True)  # static per-round probe side
     )
     labels = sym.select("a").distinct().withColumn("label", F.col("a"))
+    label_t = labels.schema["label"].dataType
     for _ in range(max_iter):
-        nbr = sym.join(labels, on="a").select(F.col("b").alias("a"), "label")
+        # The node's PREVIOUS label rides the union as a tagged column
+        # (round 12): each node has exactly one self row, so
+        # min("__self") recovers it inside the SAME min-label
+        # aggregation — and the convergence check becomes a map-only
+        # scan of the round's checkpoint instead of a second join of
+        # the new labels against the old (one join + shuffle per round
+        # removed, guide §2.4; label propagation itself is unchanged).
+        self_rows = labels.select(
+            "a", "label", F.col("label").alias("__self")
+        )
+        nbr = sym.join(labels, on="a").select(
+            F.col("b").alias("a"),
+            "label",
+            F.lit(None).cast(label_t).alias("__self"),
+        )
         new = (
-            labels.unionByName(nbr)
+            self_rows.unionByName(nbr)
             .groupBy("a")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min("__self").alias("__old"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
-            new.join(labels.withColumnRenamed("label", "old"), on="a")
-            .where(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
+            new.where(F.col("label") != F.col("__old")).limit(1).count()
         )
-        labels = new
+        labels = new.select("a", "label")
         if changed == 0:
             return labels.select(F.col("a").alias("node"),
                                  F.col("label").alias("component"))
