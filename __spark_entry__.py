@@ -4495,6 +4495,19 @@ RESHAPED_THIS_ROUND: list[str] = [
     "q_bloom_decontaminate",  # positions/membership as parsed exprs
     "q_stream_decontaminate",  # rides bloom_decontaminate
     "q_ingest_e2e",         # rides bloom_decontaminate
+    # r12 continuation: single-pass mark-and-aggregate folds (results
+    # identical, one corpus-scale pass / join removed per operator):
+    "q_line_dedup",             # _line_reassemble fold
+    "q_stream_line_dedup",      # rides _line_reassemble
+    "q_hygiene_e2e",            # rides line_dedup
+    "q_line_dedup_incremental",  # status-carry fold
+    "q_ngram_jaccard",          # df-cap set checkpointed once
+    "q_dedup_audit",            # rides ngram_jaccard_pairs
+    "q_dedup_clusters",         # rides ngram + components self-label fold
+    "q_cluster_split",          # rides ngram + components
+    "q_dedup_survivors",        # rides ngram + components
+    "q_dup_spans",              # dup_span_stats fold
+    "q_dataset_card",           # rides dup_span_stats
 ]
 
 
@@ -4578,23 +4591,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_decontaminate": _q_bloom_decontaminate,  # policy #2 re-shape (expr rewrite)
         "q_stream_decontaminate": _q_stream_decontaminate,  # policy #2 (rides bloom)
         "q_ingest_e2e": _q_ingest_e2e,                    # policy #2 (rides bloom)
+        # Continuation re-shapes (same round, second session — the
+        # single-pass mark-and-aggregate folds; policy #2 queue-jump):
+        "q_line_dedup": _q_line_dedup,                    # policy #2 re-shape (reassembly fold)
+        "q_stream_line_dedup": _q_stream_line_dedup,      # policy #2 (rides _line_reassemble)
+        "q_hygiene_e2e": _q_hygiene_e2e,                  # policy #2 (rides line_dedup)
+        "q_line_dedup_incremental": _q_line_dedup_incremental,  # policy #2 (status-carry fold)
+        "q_ngram_jaccard": _q_ngram_jaccard,              # policy #2 re-shape (df-cap checkpoint)
+        "q_dedup_audit": _q_dedup_audit,                  # policy #2 (rides ngram)
+        "q_dedup_clusters": _q_dedup_clusters,            # policy #2 (ngram + components fold)
+        "q_cluster_split": _q_cluster_split,              # policy #2 (ngram + components)
+        "q_dedup_survivors": _q_dedup_survivors,          # policy #2 (ngram + components)
+        "q_dup_spans": _q_dup_spans,                      # policy #2 re-shape (span-stats fold)
+        "q_dataset_card": _q_dataset_card,                # policy #2 (rides dup_span_stats)
         "q_rollup_pricing": _q_rollup_pricing,            # staleness re-entry (r3)
         "q_bm25": _q_bm25,                                # staleness re-entry (r4)
         "q_scd2": _q_scd2,                                # staleness re-entry (r4)
         "q_event_gaps": _q_event_gaps,                    # staleness re-entry (r4)
         "q_sliding_count": _q_sliding_count,              # staleness re-entry (r4)
-        "q_asof_join": _q_asof_join,                      # staleness re-entry (r4)
-        "q_sessionize": _q_sessionize,                    # staleness re-entry (r4)
-        "q_range_join": _q_range_join,                    # staleness re-entry (r4)
-        "q_funnel": _q_funnel,                            # staleness re-entry (r4)
-        "q_cohorts": _q_cohorts,                          # staleness re-entry (r4)
-        "q_textstats": _q_textstats,                      # staleness re-entry (r4)
-        "q_quality": _q_quality,                          # staleness re-entry (r4)
-        "q_langid": _q_langid,                            # staleness re-entry (r4)
-        "q_fingerprint": _q_fingerprint,                  # staleness re-entry (r4)
-        "q_dedup_exact": _q_dedup_exact,                  # staleness re-entry (r4)
-        "q_contamination": _q_contamination,              # staleness re-entry (r4)
         # --- tail (pytest oracle-parity mirror coverage) ---
+        # displaced from slots 23-50 by the continuation re-shapes
+        # (policy #2 outranks staleness; these r4 greens head the r13
+        # staleness ranking together with the rest of the r4 cohort):
+        "q_asof_join": _q_asof_join,                      # r4 green, displaced
+        "q_sessionize": _q_sessionize,                    # r4 green, displaced
+        "q_range_join": _q_range_join,                    # r4 green, displaced
+        "q_funnel": _q_funnel,                            # r4 green, displaced
+        "q_cohorts": _q_cohorts,                          # r4 green, displaced
+        "q_textstats": _q_textstats,                      # r4 green, displaced
+        "q_quality": _q_quality,                          # r4 green, displaced
+        "q_langid": _q_langid,                            # r4 green, displaced
+        "q_fingerprint": _q_fingerprint,                  # r4 green, displaced
+        "q_dedup_exact": _q_dedup_exact,                  # r4 green, displaced
+        "q_contamination": _q_contamination,              # r4 green, displaced
         # rotated out after the round-11 sweep (50/50 green):
         "q_rank_features": _q_rank_features,              # r11 green
         "q_grouping_sets": _q_grouping_sets,              # r11 green
@@ -4687,8 +4716,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_index_search": _q_ivf_index_search,        # partition-pruned persisted ANN
         "q_dedup_incremental": _q_dedup_incremental,      # delta dedup vs persisted fp index
         "q_neardup_incremental": _q_neardup_incremental,  # delta near-dup vs MinHash index
-        "q_stream_line_dedup": _q_stream_line_dedup,      # streaming line-dedup twin
-        "q_dedup_audit": _q_dedup_audit,                  # LSH-vs-exact precision/recall audit
         "q_star_join_cube": _q_star_join_cube,            # materializing hypercube join (J3/X13)
         "q_kll_quantiles": _q_kll_quantiles,              # quantile sketch bank — rank-contract oracle
         "q_theta_audience": _q_theta_audience,            # theta set algebra — exact-regime oracle
@@ -4710,9 +4737,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_throttle": _q_throttle,                        # fixed-clock event rate limit
         "q_stream_debounce": _q_stream_debounce,          # cross-batch burst-chain debounce
         "q_stream_throttle": _q_stream_throttle,          # cross-batch bucket rate limit
-        "q_line_dedup": _q_line_dedup,                    # C4-style keep-first line dedup
-        "q_line_dedup_incremental": _q_line_dedup_incremental,  # delta lines vs persisted index
-        "q_hygiene_e2e": _q_hygiene_e2e,                  # repair→line-dedup composed chain
         "q_variant_props": _q_variant_props,              # VARIANT semi-structured twin
         "q_augment": _q_augment,                          # deterministic EDA augmentation
         "q_link_negatives": _q_link_negatives,            # link-prediction negative sampling
@@ -4749,7 +4773,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_char_entropy": _q_char_entropy,                # char-entropy gate (nano-grain oracle r7)
         "q_edge_table_degrees": _q_edge_table_degrees,    # bucketed edge-table path end-to-end
         "q_contamination_report": _q_contamination_report,  # multi-benchmark leak report
-        "q_dataset_card": _q_dataset_card,                # per-source dataset-card rollup
         "q_shard_manifest": _q_shard_manifest,            # deterministic shard-export manifest
         "q_stream_shard_manifest": _q_stream_shard_manifest,  # streaming manifest twin
         "q_tpch_q12": _q_tpch_q12,
@@ -4776,18 +4799,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_docs": _q_chunk_docs,                    # overlapping doc chunking
         "q_quality_filter": _q_quality_filter,            # composite quality gate
         "q_dsir": _q_dsir,                                # DSIR importance resampling
-        "q_dup_spans": _q_dup_spans,                      # duplicated-span fraction
-        "q_dedup_survivors": _q_dedup_survivors,          # cluster canonical-doc pick
-        "q_cluster_split": _q_cluster_split,              # leakage-free train/val split
         "q_winnow_pairs": _q_winnow_pairs,                # winnowing fingerprint overlap
         "q_simhash_pairs": _q_simhash_pairs,              # pigeonhole Hamming join
         "q_embed_neardup_exact": _q_embed_neardup_exact,  # exact cosine pair baseline
         "q_stream_neardup": _q_stream_neardup,            # streaming MinHash near-dup vs index
         "q_tpch_q10": _q_tpch_q10,
-        "q_ngram_jaccard": _q_ngram_jaccard,
         "q_minhash_pairs": _q_minhash_pairs,              # replayable-mode LSH (md5_32)
         "q_simhash": _q_simhash,                          # md5_32 signatures → SQL-replayable
-        "q_dedup_clusters": _q_dedup_clusters,
         "q_simsearch": _q_simsearch,
         "q_lm_perplexity": _q_lm_perplexity,              # unigram-LM perplexity quality gate
         "q_ts_similarity": _q_ts_similarity,
